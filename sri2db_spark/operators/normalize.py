@@ -1,0 +1,110 @@
+"""Record-level normalization (SURVEY §2.B) — built-in functions only.
+
+Transforms raw SRI API page payloads into resource-table rows. The reference
+does this record-at-a-time in Node (``src/lib/utils.js:54-66,149-169``,
+``src/lib/client.js:310-346``); here each step is a columnar expression so the
+whole pipeline stays inside whole-stage codegen.
+
+Input convention: one DataFrame row per *API list entry*, with columns
+``href: string`` and ``resource: string`` (the raw JSON document, NULL for
+expand=NONE entries). The paged reader (sources.sri_api) produces exactly
+this shape; normalization then parses only the envelope fields it needs via
+``get_json_object`` (the full document is kept verbatim as jsondata — the
+reference stores resources verbatim too, client.js:338).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model.schema import TableLayout
+
+
+def normalize_api_page(df: DataFrame) -> DataFrame:
+    """B1 — uniform (href, resource) rows from any SRI response shape.
+
+    The reader already unwraps {results: [{href, $$expanded}]} | plain array |
+    href-only array (utils.js:149-169) into (href, resource) pairs; this hook
+    exists for pre-normalized DataFrames coming from other sources and fills
+    href from the document when only the document is present.
+    """
+    return df.withColumn(
+        "href",
+        F.coalesce(F.col("href"), F.get_json_object("resource", "$.$$meta.permalink")),
+    )
+
+
+def repair_resources(df: DataFrame, ingest_ts=None) -> DataFrame:
+    """B2 — fixResourceForStoring (utils.js:54-66), columnar.
+
+    - ``modified`` := $$meta.modified, defaulted to the ingest timestamp when
+      the document lacks one;
+    - ``key`` := document key, derived from the permalink tail when absent.
+
+    Adds columns ``key``/``modified``/``resourcetype`` next to the raw
+    document. NULL-resource (expand=NONE) rows keep NULL modified/key-from-href.
+    """
+    ingest = ingest_ts if ingest_ts is not None else F.current_timestamp()
+    meta_modified = F.get_json_object("resource", "$.$$meta.modified")
+    return (
+        df.withColumn(
+            "modified",
+            F.when(
+                F.col("resource").isNotNull(),
+                F.coalesce(F.to_timestamp(meta_modified), ingest),
+            ),
+        )
+        .withColumn(
+            "key",
+            F.coalesce(
+                F.get_json_object("resource", "$.key"),
+                F.element_at(F.split(F.col("href"), "/"), -1),
+            ),
+        )
+        .withColumn("resourcetype", F.get_json_object("resource", "$.$$meta.type"))
+    )
+
+
+def project_to_row(
+    df: DataFrame,
+    layout: TableLayout,
+    baseurl: str | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """B3 — project repaired resources to the target-table row shape
+    (client.js:310-346): href, key, modified, jsondata, resourcetype?, and the
+    configured scoping literals path?/baseurl?."""
+    cols = [
+        F.col("href"),
+        F.col("key"),
+        F.col("modified"),
+        F.col("resource").alias("jsondata"),
+    ]
+    if layout.has_resourcetype:
+        cols.append(F.col("resourcetype"))
+    if layout.has_path:
+        cols.append(F.lit(path).cast("string").alias("path"))
+    if layout.has_baseurl:
+        cols.append(F.lit(baseurl).cast("string").alias("baseurl"))
+    return df.select(*cols)
+
+
+def scrub_dollar_fields(df: DataFrame, json_col: str = "jsondata") -> DataFrame:
+    """B4 — removeDollarFields (utils.js:14-25): strip ``$$``-prefixed
+    expansion keys except ``$$meta`` from the document.
+
+    Dead code in the reference's sync path (imported, never called —
+    client.js:20 vs :338); provided for parity. Top-level keys are handled
+    with a JSON-string regex that avoids a Python UDF: keys like ``"$$x":``
+    and their value up to the next top-level key. For nested scrubbing use the
+    documented from_json/to_json round-trip with an explicit schema.
+    """
+    # Conservative top-level scrub: remove "$$name": <scalar or {...} or [...]>
+    # pairs where name != "meta". Matches the reference's observable behavior
+    # on flat expansion fields; deep nesting is out of scope (dead code).
+    pattern = r'"\$\$(?!meta")[^"]*"\s*:\s*("([^"\\]|\\.)*"|\{[^{}]*\}|\[[^\[\]]*\]|[^,}\]]+)\s*,?'
+    return df.withColumn(
+        json_col,
+        F.regexp_replace(F.regexp_replace(F.col(json_col), pattern, ""), r",\s*}", "}"),
+    )

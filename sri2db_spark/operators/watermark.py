@@ -1,0 +1,145 @@
+"""Watermark bookkeeping (SURVEY §2 A10/B5/B6).
+
+The reference keeps a per-(table, baseurl, path, synctype) high-water mark in
+``sri2db_synctimes`` and advances it with clock-skew-compensated arithmetic
+(``src/lib/client.js:1816-1843``). The mark is driver-side scalar state — tiny
+— so the store is a single small parquet control table, rewritten atomically
+per sync (exactly the reference's DELETE+INSERT upsert, client.js:714-751).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model.schema import SYNCTIMES_SCHEMA
+
+# Cold-start watermark: 1900-01-01T00:00:00Z (client.js:1597)
+COLD_START_MILLIS = -2208988800000
+
+# Clock-skew compensation factors (client.js:1826-1834, README.md:248):
+# assume client/server clocks drift <= 1%.
+SAFETY_SLOW = 1.01
+SAFETY_FAST = 0.99
+
+
+def max_modified_millis(df: DataFrame, col: str = "modified") -> int | None:
+    """B5 — running max(modified) over the synced batch, as epoch millis.
+
+    The reference folds this record-at-a-time (client.js:1757-1760); here it
+    is one map-side-combined aggregate.
+    """
+    row = df.agg(
+        (F.unix_millis(F.max(F.col(col)))).alias("ms")
+    ).first()
+    return None if row is None else row["ms"]
+
+
+def advance_watermark(
+    last_modified_seen_ms: int | None,
+    prev_watermark_ms: int | None,
+    prev_syncstart_ms: int | None,
+    syncstart_ms: int,
+    syncend_ms: int,
+) -> int | None:
+    """B6 — conservative watermark advance, formula verbatim from
+    client.js:1826-1839.
+
+    new = max(lastModifiedSeen − 1.01·syncDuration,
+              prevWatermark − 1.01·syncDuration + 0.99·(syncstart − prevSyncstart))
+    and when the sync saw no records the old mark is kept unchanged
+    (client.js:1836-1839). Pure driver-side arithmetic.
+    """
+    duration = syncend_ms - syncstart_ms
+    candidates = []
+    if last_modified_seen_ms is not None:
+        candidates.append(int(last_modified_seen_ms - SAFETY_SLOW * duration))
+    if prev_watermark_ms is not None and prev_syncstart_ms is not None:
+        candidates.append(
+            int(
+                prev_watermark_ms
+                - SAFETY_SLOW * duration
+                + SAFETY_FAST * (syncstart_ms - prev_syncstart_ms)
+            )
+        )
+    if last_modified_seen_ms is None:
+        # no records seen: never advance past (or regress) the previous mark
+        return prev_watermark_ms
+    return max(candidates) if candidates else None
+
+
+@dataclass
+class WatermarkStore:
+    """A10 — the ``sri2db_synctimes`` control table as a parquet dataset.
+
+    Key = (tablename, baseurl, path, synctype); upsert = read → replace-key →
+    atomic directory swap. The table is O(#endpoints) rows, so a full rewrite
+    per sync is the correct design at any scale.
+    """
+
+    spark: SparkSession
+    location: str
+
+    def _read(self) -> DataFrame:
+        if os.path.exists(self.location) and any(
+            f.endswith(".parquet") for f in os.listdir(self.location)
+        ):
+            return self.spark.read.schema(SYNCTIMES_SCHEMA).parquet(self.location)
+        return self.spark.createDataFrame([], SYNCTIMES_SCHEMA)
+
+    def get(
+        self, tablename: str, baseurl: str | None, path: str | None, synctype: str
+    ) -> tuple[int | None, int | None]:
+        """Return (lastmodified_ms, syncstart_ms) or (None, None)."""
+        df = self._read()
+        row = df.filter(
+            (F.col("tablename") == tablename)
+            & F.col("baseurl").eqNullSafe(F.lit(baseurl))
+            & F.col("path").eqNullSafe(F.lit(path))
+            & (F.col("synctype") == synctype)
+        ).first()
+        if row is None:
+            return None, None
+        return row["lastmodified"], row["syncstart"]
+
+    def put(
+        self,
+        tablename: str,
+        baseurl: str | None,
+        path: str | None,
+        synctype: str,
+        lastmodified_ms: int,
+        syncstart_ms: int,
+    ) -> None:
+        """DELETE+INSERT upsert by the 4-column key (client.js:714-751),
+        committed via atomic swap of the control-table directory."""
+        current = self._read()
+        survivors = current.filter(
+            ~(
+                (F.col("tablename") == tablename)
+                & F.col("baseurl").eqNullSafe(F.lit(baseurl))
+                & F.col("path").eqNullSafe(F.lit(path))
+                & (F.col("synctype") == synctype)
+            )
+        )
+        new_row = self.spark.createDataFrame(
+            [(tablename, baseurl, path, synctype, lastmodified_ms, syncstart_ms)],
+            SYNCTIMES_SCHEMA,
+        )
+        updated = survivors.unionByName(new_row)
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"synctimes_{uuid.uuid4().hex}"
+        )
+        updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+        staging = self.location + ".old"
+        if os.path.exists(self.location):
+            shutil.rmtree(staging, ignore_errors=True)
+            os.rename(self.location, staging)
+        shutil.move(tmp, self.location)
+        shutil.rmtree(staging, ignore_errors=True)

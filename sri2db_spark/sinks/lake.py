@@ -1,0 +1,106 @@
+"""Lake sink: the resource table as a partitioned parquet dataset.
+
+The reference's target is one wide DB table with a unique (baseurl, path,
+href) index (README.md:253-266); merges happen inside DB transactions. The
+Spark-native equivalent is a parquet dataset partitioned by the scoping
+columns (baseurl, path): every sync touches exactly its own partition, so
+
+- reads partition-prune to the endpoint being synced,
+- a full sync is a dynamic-partition overwrite (never a table rewrite),
+- atomicity (the reference's transaction, SURVEY D6) = write-new + atomic
+  directory swap per partition; dry-run simply skips the swap.
+
+At 100 TB, partitions stay navigable because the partition key is the
+endpoint, not the data volume; within a partition, files are sized by the
+writer's task parallelism. (On a real deployment this maps 1:1 onto a Delta /
+Iceberg table with MERGE — the operator layer is storage-agnostic; this sink
+is the dependency-free parquet implementation.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import urllib.parse
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model.schema import TableLayout, resource_row_schema
+
+HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _encode(value: str | None) -> str:
+    return HIVE_DEFAULT if value is None else urllib.parse.quote(value, safe="")
+
+
+@dataclass
+class LakeTable:
+    spark: SparkSession
+    location: str
+    layout: TableLayout
+
+    def _partition_dir(self, baseurl: str | None, path: str | None) -> str:
+        parts = []
+        if self.layout.has_baseurl:
+            parts.append(f"baseurl={_encode(baseurl)}")
+        if self.layout.has_path:
+            parts.append(f"path={_encode(path)}")
+        return os.path.join(self.location, *parts) if parts else self.location
+
+    def _data_columns(self) -> list[str]:
+        return [c for c in self.layout.columns if c not in self.layout.partition_columns]
+
+    def read(self) -> DataFrame:
+        """Whole-table read with partition columns inferred from directories."""
+        schema = resource_row_schema(self.layout)
+        if not os.path.exists(self.location) or not any(os.scandir(self.location)):
+            return self.spark.createDataFrame([], schema)
+        df = (
+            self.spark.read.option("basePath", self.location)
+            .schema(
+                # partition cols come from dirs; give explicit schema for the rest
+                resource_row_schema(self.layout)
+            )
+            .parquet(self.location)
+        )
+        return df.select(*self.layout.columns)
+
+    def read_partition(self, baseurl: str | None, path: str | None) -> DataFrame:
+        """Partition-pruned read of one endpoint's rows."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        df = self.read()
+        if self.layout.has_baseurl:
+            df = df.filter(F.col("baseurl").eqNullSafe(F.lit(baseurl)))
+        if self.layout.has_path:
+            df = df.filter(F.col("path").eqNullSafe(F.lit(path)))
+        return df
+
+    def replace_partition(
+        self, new_rows: DataFrame, baseurl: str | None, path: str | None
+    ) -> int:
+        """Atomically replace one endpoint partition with ``new_rows``.
+
+        Writes to a fresh directory first (the computed DataFrame may read the
+        current partition — never overwrite an input in place), then swaps.
+        Returns the row count written (the write itself is the action that
+        materializes it).
+        """
+        part_dir = self._partition_dir(baseurl, path)
+        tmp = f"{part_dir}__tmp_{uuid.uuid4().hex}"
+        data = new_rows.select(*self._data_columns())
+        data.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        old = f"{part_dir}__old_{uuid.uuid4().hex}"
+        if os.path.exists(part_dir):
+            os.rename(part_dir, old)
+        os.makedirs(os.path.dirname(part_dir) or ".", exist_ok=True)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
+    def count(self) -> int:
+        return self.read().count()

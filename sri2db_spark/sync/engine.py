@@ -1,0 +1,224 @@
+"""Sync lifecycle (SURVEY §3): fullSync / deltaSync / safeDeltaSync.
+
+All three flavors funnel into one generic ``_sync`` exactly like the
+reference's ``sync(modifiedSince, safeDeltaSync)`` (``src/lib/client.js:1649``,
+entry points :1923-1941):
+
+  fullSync       = _sync(full=True)        scan all → replace partition
+  deltaSync      = _sync(since=watermark)  tombstones + changed rows → merge
+  safeDeltaSync  = deltaSync + set-membership reconciliation (client.js:1776-1805)
+
+plus the reference's operational semantics: single-flight mutex
+(client.js:1897-1915), dry-run (client.js:1808-1813), conservative watermark
+advance (client.js:1816-1843; skipped when the caller passed an explicit
+modifiedSince — README.md:174).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from ..model.schema import LAYOUT_LARGE, TableLayout
+from ..operators.merge import (
+    anti_join_missing,
+    dedup_latest,
+    insert_if_absent,
+    merge_full,
+    merge_incremental,
+    set_difference_delete,
+)
+from ..operators.normalize import project_to_row, repair_resources
+from ..operators.watermark import (
+    COLD_START_MILLIS,
+    WatermarkStore,
+    advance_watermark,
+    max_modified_millis,
+)
+from ..sinks.lake import LakeTable
+from ..sources.sri_api import SriApiReader
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _ms_to_iso(ms: int) -> str:
+    return (
+        dt.datetime.fromtimestamp(ms / 1000.0, tz=dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
+        + "Z"
+    )
+
+
+@dataclass
+class SyncResult:
+    """Mirrors the reference's sync result object (client.js:1845-1848)."""
+
+    synctype: str
+    resources_synced: int
+    deletes_synced: int
+    rows_after: int
+    elapsed_ms: int
+    dry_run: bool
+    watermark_ms: int | None = None
+
+    @property
+    def records_per_s(self) -> float:
+        return self.resources_synced / max(self.elapsed_ms / 1000.0, 1e-9)
+
+
+@dataclass
+class Sri2DbSync:
+    """One API endpoint → one lake-table partition, incrementally."""
+
+    reader: SriApiReader
+    table: LakeTable
+    path: str
+    baseurl: str | None = None
+    layout: TableLayout = LAYOUT_LARGE
+    watermarks: WatermarkStore | None = None
+    tablename: str = "resources"
+    prefer_updates_over_inserts: bool = False  # pg default, client.js:113
+    deleted_not_implemented: bool = False  # README.md:78
+    dry_run: bool = False
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    # -- public entry points (client.js:1923-1941) ---------------------------
+
+    def full_sync(self) -> SyncResult:
+        return self._sync(None, full=True)
+
+    def delta_sync(self, modified_since: str | None = None) -> SyncResult:
+        return self._sync(modified_since, full=False)
+
+    def safe_delta_sync(self, modified_since: str | None = None) -> SyncResult:
+        return self._sync(modified_since, full=False, safe=True)
+
+    def configured_sync(self, synctype: str = "deltaSync") -> SyncResult:
+        return {
+            "fullSync": self.full_sync,
+            "deltaSync": self.delta_sync,
+            "safeDeltaSync": self.safe_delta_sync,
+        }[synctype]()
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def _keys(self) -> tuple[str, ...]:
+        return self.layout.key_columns
+
+    def _stage(self, pages_df):
+        """repair (B2) + project (B3) a raw (href, resource) scan to row shape."""
+        return project_to_row(
+            repair_resources(pages_df), self.layout, self.baseurl, self.path.split("?")[0]
+        )
+
+    def _sync(self, modified_since: str | None, full: bool, safe: bool = False) -> SyncResult:
+        # D4 single-flight: a sync started while one runs is rejected with 0
+        # (client.js:1897-1899, README.md:176).
+        if not self._lock.acquire(blocking=False):
+            return SyncResult("REJECTED", 0, 0, -1, 0, self.dry_run)
+        try:
+            return self._inner_sync(modified_since, full, safe)
+        finally:
+            self._lock.release()
+
+    def _inner_sync(self, modified_since: str | None, full: bool, safe: bool) -> SyncResult:
+        syncstart = _now_ms()
+        synctype = "FULL" if full else ("SAFEDELTA" if safe else "DELTA")
+        explicit_since = modified_since is not None
+
+        prev_wm_ms = prev_start_ms = None
+        if not full and self.watermarks is not None:
+            prev_wm_ms, prev_start_ms = self.watermarks.get(
+                self.tablename, self.baseurl, self.path.split("?")[0], synctype
+            )
+        if not full and modified_since is None:
+            # cold-start watermark 1900-01-01 (client.js:1590-1598)
+            modified_since = _ms_to_iso(prev_wm_ms if prev_wm_ms is not None else COLD_START_MILLIS)
+
+        keys = self._keys()
+        target = self.table.read_partition(self.baseurl, self.path.split("?")[0])
+
+        # Phase 0 (delta only): tombstone scan (A5, client.js:1726-1741)
+        deletes_df = None
+        n_deletes = 0
+        if not full and not self.deleted_not_implemented:
+            raw_deletes = self.reader.read_collection(
+                self.path, modified_since=modified_since, expand="NONE", deleted=True
+            )
+            deletes_df = self._stage(raw_deletes).select(*keys)
+            n_deletes = deletes_df.count()
+
+        # Scan + stage (A1/A4/A6 → B1/B2/B3)
+        raw = self.reader.read_collection(
+            self.path, modified_since=None if full else modified_since, expand="FULL"
+        )
+        staged = self._stage(raw)
+        n_staged = staged.count()
+        last_seen_ms = max_modified_millis(staged) if n_staged else None
+
+        # Merge (C1-C6)
+        if full:
+            merged = merge_full(
+                target, staged, keys, self.prefer_updates_over_inserts
+            )
+        else:
+            merged = merge_incremental(target, staged, deletes_df, keys)
+
+        # Safe-delta membership reconciliation (A7/C7/C8/C9/A3,
+        # client.js:1776-1805) against the post-merge contents.
+        if safe:
+            membership_raw = self.reader.read_collection(self.path, expand="NONE")
+            membership = self._stage(membership_raw).select(*keys)
+            missing = anti_join_missing(membership, merged, keys)  # C8
+            missing_hrefs = [r["href"] for r in missing.select("href").collect()]
+            if missing_hrefs:
+                fetched = self.reader.get_all_hrefs(self.path, missing_hrefs)  # A3
+                gap_rows = self._stage(fetched)
+                merged = insert_if_absent(merged, gap_rows, keys)  # C9
+                n_staged += len(missing_hrefs)
+                gap_max = max_modified_millis(gap_rows)
+                if gap_max is not None:
+                    last_seen_ms = max(last_seen_ms or gap_max, gap_max)
+            merged = set_difference_delete(merged, membership, keys)  # C7
+
+        # Commit or dry-run rollback (D6, client.js:1808-1813)
+        if self.dry_run:
+            rows_after = merged.count()
+        else:
+            rows_after = self.table.replace_partition(
+                merged, self.baseurl, self.path.split("?")[0]
+            )
+
+        # Watermark advance (B6) — skipped on explicit modifiedSince
+        # (client.js:1816, README.md:174) and on dry runs.
+        syncend = _now_ms()
+        new_wm = None
+        if not explicit_since and self.watermarks is not None and not self.dry_run:
+            new_wm = advance_watermark(
+                last_seen_ms, prev_wm_ms, prev_start_ms, syncstart, syncend
+            )
+            if new_wm is not None:
+                self.watermarks.put(
+                    self.tablename,
+                    self.baseurl,
+                    self.path.split("?")[0],
+                    synctype,
+                    new_wm,
+                    syncstart,
+                )
+
+        return SyncResult(
+            synctype=synctype,
+            resources_synced=n_staged,
+            deletes_synced=n_deletes,
+            rows_after=rows_after,
+            elapsed_ms=syncend - syncstart,
+            dry_run=self.dry_run,
+            watermark_ms=new_wm,
+        )

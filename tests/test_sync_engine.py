@@ -1,0 +1,225 @@
+"""End-to-end sync tests mirroring the reference suite + FIXTURES.md §5.
+
+Reference golden: 10 resources, 3/page, fullSync → 10 target rows and 1
+synctimes row (``/root/reference/test/index.mjs:195-206``). Extended with the
+delta/safe-delta scenarios the reference leaves untested.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sri2db_spark.model.schema import LAYOUT_LARGE, LAYOUT_MEDIUM, LAYOUT_SMALL
+from sri2db_spark.operators.watermark import WatermarkStore
+from sri2db_spark.sinks.lake import LakeTable
+from sri2db_spark.sources.sri_api import SriApiReader
+from sri2db_spark.sync.engine import Sri2DbSync
+from sri2db_spark.sync.multi import Sri2DbMulti, merge_patch
+
+from .fake_api import FakeSriApi
+
+BASEURL = "https://fake.api"
+
+
+def make_sync(spark, tmp_path, api: FakeSriApi, layout=LAYOUT_LARGE, **kw) -> Sri2DbSync:
+    reader = SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3)
+    table = LakeTable(spark, str(tmp_path / "table"), layout)
+    wm = WatermarkStore(spark, str(tmp_path / "synctimes"))
+    return Sri2DbSync(
+        reader=reader,
+        table=table,
+        path=api.path,
+        baseurl=BASEURL if layout.has_baseurl else None,
+        layout=layout,
+        watermarks=wm,
+        **kw,
+    )
+
+
+def test_full_sync_reference_golden(spark, tmp_path):
+    api = FakeSriApi(n=10, page_size=3)
+    sync = make_sync(spark, tmp_path, api)
+    res = sync.full_sync()
+    assert res.resources_synced == 10
+    assert res.rows_after == 10
+    rows = {r["href"]: r for r in sync.table.read().collect()}
+    assert set(rows) == {f"/a/{i}" for i in range(1, 11)}
+    r = rows["/a/7"]
+    assert r["key"] == "7"
+    assert r["baseurl"] == BASEURL and r["path"] == "/a"
+    assert r["resourcetype"] == "_A"
+    doc = json.loads(r["jsondata"])
+    assert doc["name"] == "Name of resource /a"
+    # 1 synctimes row with an advanced watermark
+    wm, start = sync.watermarks.get("resources", BASEURL, "/a", "FULL")
+    assert wm is not None and start is not None
+
+
+def test_full_sync_idempotent(spark, tmp_path):
+    api = FakeSriApi(n=10)
+    sync = make_sync(spark, tmp_path, api)
+    sync.full_sync()
+    res2 = sync.full_sync()
+    assert res2.rows_after == 10
+    assert sync.table.count() == 10
+
+
+@pytest.mark.parametrize("layout", [LAYOUT_LARGE, LAYOUT_MEDIUM, LAYOUT_SMALL])
+def test_optional_column_matrix(spark, tmp_path, layout):
+    api = FakeSriApi(n=5)
+    sync = make_sync(spark, tmp_path, api, layout=layout)
+    res = sync.full_sync()
+    assert res.rows_after == 5
+    df = sync.table.read()
+    assert set(df.columns) == set(layout.columns)
+
+
+@pytest.mark.parametrize("prefer_updates", [False, True])
+def test_full_sync_both_merge_modes(spark, tmp_path, prefer_updates):
+    api = FakeSriApi(n=10)
+    sync = make_sync(
+        spark, tmp_path, api, prefer_updates_over_inserts=prefer_updates
+    )
+    sync.full_sync()
+    api.update(3, "2020-01-01T00:00:00.000Z", name="renamed")
+    api.drop_silently(9)  # stale row must vanish in full sync (C2/C3)
+    res = sync.full_sync()
+    assert res.rows_after == 9
+    rows = {r["href"]: r for r in sync.table.read().collect()}
+    assert "/a/9" not in rows
+    assert json.loads(rows["/a/3"]["jsondata"])["name"] == "renamed"
+
+
+def test_delta_sync_update_and_delete(spark, tmp_path):
+    api = FakeSriApi(n=10)
+    sync = make_sync(spark, tmp_path, api)
+    sync.full_sync()
+    api.update(2, "2020-06-01T00:00:00.000Z", name="v2")
+    api.delete(5, "2020-06-01T00:00:01.000Z")
+    res = sync.delta_sync()
+    assert res.deletes_synced == 1
+    assert res.rows_after == 9
+    rows = {r["href"]: r for r in sync.table.read().collect()}
+    assert "/a/5" not in rows
+    assert json.loads(rows["/a/2"]["jsondata"])["name"] == "v2"
+
+
+def test_delta_sync_uses_watermark_pushdown(spark, tmp_path):
+    api = FakeSriApi(n=10)
+    sync = make_sync(spark, tmp_path, api)
+    sync.delta_sync()  # cold start: watermark 1900 → full scan via modifiedSince
+    assert sync.table.count() == 10
+    api.update(1, "2030-01-01T00:00:00.000Z")
+    api.request_log.clear()
+    res = sync.delta_sync()
+    # Only resources past the watermark cross the wire (pushdown A4). The
+    # conservative mark re-reads a small overlap window by design
+    # (client.js:1826-1834), so the newest pre-existing resource may ride
+    # along with the one real change — but never the whole collection.
+    assert 1 <= res.resources_synced <= 2
+    assert all("modifiedSince=" in u for u in api.request_log if "deleted" not in u)
+    assert sync.table.count() == 10
+
+
+def test_delta_explicit_since_skips_watermark_write(spark, tmp_path):
+    api = FakeSriApi(n=10)
+    sync = make_sync(spark, tmp_path, api)
+    res = sync.delta_sync("2000-01-01T00:00:00.000Z")
+    assert res.watermark_ms is None
+    wm, _ = sync.watermarks.get("resources", BASEURL, "/a", "DELTA")
+    assert wm is None  # README.md:174: explicit modifiedSince → no advance
+
+
+def test_safe_delta_membership_exit_and_entry(spark, tmp_path):
+    api = FakeSriApi(n=10)
+    sync = make_sync(spark, tmp_path, api)
+    sync.full_sync()
+    # exit without tombstone + entry with old modified (invisible to delta)
+    api.drop_silently(4)
+    api.add(11, "2019-01-01T00:00:00.000Z")
+    res = sync.safe_delta_sync()
+    rows = {r["href"] for r in sync.table.read().collect()}
+    assert "/a/4" not in rows  # C7 set-difference delete
+    assert "/a/11" in rows  # C8 detect + A3 keyIn fetch + C9 gap insert
+    assert res.rows_after == 10
+
+
+def test_dry_run_leaves_table_unchanged(spark, tmp_path):
+    api = FakeSriApi(n=10)
+    sync = make_sync(spark, tmp_path, api, dry_run=True)
+    res = sync.full_sync()
+    assert res.rows_after == 10  # counts reported
+    assert sync.table.count() == 0  # nothing committed (client.js:1808-1813)
+
+
+def test_page_shift_duplicate_dedup(spark, tmp_path):
+    """Same href on two pages with different modified → newest wins (C1)."""
+    api = FakeSriApi(n=10)
+    orig = api.fetch_json
+
+    def dup_fetch(url):
+        page = orig(url)
+        if "offset" not in url and page["results"] and "$$expanded" in page["results"][0]:
+            dup = json.loads(json.dumps(page["results"][0]))
+            if dup["$$expanded"] is not None:
+                dup["$$expanded"]["$$meta"]["modified"] = "2025-01-01T00:00:00.000Z"
+                dup["$$expanded"]["name"] = "newest"
+                page["results"].append(dup)
+        return page
+
+    sync = make_sync(spark, tmp_path, FakeSriApi(n=10))
+    sync.reader.fetch_json = dup_fetch
+    sync.full_sync()
+    rows = {r["href"]: r for r in sync.table.read().collect()}
+    assert len(rows) == 10
+    assert json.loads(rows["/a/1"]["jsondata"])["name"] == "newest"
+
+
+def test_multi_endpoint_shared_table_scoped_by_path(spark, tmp_path):
+    api_a = FakeSriApi(path="/a", n=10)
+    api_b = FakeSriApi(path="/b", n=4)
+    table = LakeTable(spark, str(tmp_path / "table"), LAYOUT_LARGE)
+    wm = WatermarkStore(spark, str(tmp_path / "synctimes"))
+    syncs = [
+        Sri2DbSync(
+            reader=SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3),
+            table=table,
+            path=api.path,
+            baseurl=BASEURL,
+            watermarks=wm,
+        )
+        for api in (api_a, api_b)
+    ]
+    multi = Sri2DbMulti(syncs, concurrency=2)
+    settled = multi.full_sync()
+    assert all(s.is_fulfilled for s in settled)
+    assert table.count() == 14
+    # syncing /a again never touches /b rows
+    api_a.drop_silently(1)
+    syncs[0].full_sync()
+    df = table.read()
+    assert df.filter(F.col("path") == "/b").count() == 4
+    assert df.filter(F.col("path") == "/a").count() == 9
+
+
+def test_merge_patch_rfc7386():
+    base = {"api": {"baseUrl": "x", "limit": 3}, "db": {"table": "t"}}
+    patch = {"api": {"path": "/a", "limit": None}}
+    out = merge_patch(base, patch)
+    assert out == {"api": {"baseUrl": "x", "path": "/a"}, "db": {"table": "t"}}
+
+
+def test_expand_none_rows_href_only(spark, tmp_path):
+    """expand=NONE rows: NULL modified/jsondata, key derived from href
+    (client.js:322-332)."""
+    api = FakeSriApi(n=3)
+    reader = SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3)
+    df = reader.read_collection("/a", expand="NONE")
+    from sri2db_spark.operators.normalize import repair_resources
+
+    out = repair_resources(df).collect()
+    assert all(r["resource"] is None and r["modified"] is None for r in out)
+    assert {r["key"] for r in out} == {"1", "2", "3"}
