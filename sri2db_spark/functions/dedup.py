@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything is built-in DataFrame ops (shuffles are the deliberate ones):
+
+- exact:        one hash-aggregate on md5(text) — the cheapest possible dedup.
+- n-gram Jaccard (exact near-dup): explode distinct shingles → self-join on
+  shingle → per-pair intersection counts. Exact but O(Σ freq²) — the oracle
+  / small-scale path.
+- MinHash+LSH (scale path): per-doc signature of P permutation-mins → band
+  keys → bucket self-join for candidates → exact-Jaccard verification of the
+  (few) candidates. The shuffle is on band keys whose bucket sizes are
+  controlled by (bands, rows) — this is the 100 TB-safe plan: no all-pairs
+  stage anywhere.
+- SimHash: 48-bit signature from token-hash bit votes; near-dup = small
+  Hamming distance, candidate generation by exact match on any of 4 12-bit
+  bands (covers Hamming ≤ 3 by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_shingles
+
+MERSENNE31 = 2_147_483_647  # permutation-hash modulus
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct content with the
+    representative (min id) and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact near-duplicate pairs by k-word-shingle Jaccard ≥ threshold.
+
+    Pure relational plan: explode→self-join→count. Correct at any scale but
+    quadratic in per-shingle document frequency — use as the verifier/oracle;
+    ``minhash_lsh_pairs`` is the scale path.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    ds = _distinct_shingles(df, id_col, text_col, k)
+    sizes = ds.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 128
+) -> DataFrame:
+    """Per-doc MinHash signature: for permutation i, min over shingles of
+    (aᵢ·h + bᵢ) mod 2³¹−1 where h = xxhash64(shingle) mod 2³¹−1. Fixed seeds →
+    deterministic. All column expressions — one narrow projection, no shuffle.
+    """
+    # Deterministic permutation parameters from a fixed LCG (no RNG at plan
+    # build time keeps signatures reproducible across runs/engines).
+    params = []
+    state = 0x5DEECE66D
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (MERSENNE31 - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MERSENNE31
+        params.append((a, b))
+
+    shingles = F.array_distinct(word_shingles(F.col(text_col), k))
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+
+    def perm_min(a: int, b: int):
+        # closure (not default-arg lambda: PySpark reads lambda arity as the
+        # higher-order function's argument count)
+        return F.array_min(
+            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)))
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in params])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"), shingles.alias("shingles"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Scalable near-dup pairs: MinHash → LSH banding → candidate bucket join
+    → exact-Jaccard verification on candidates only.
+
+    With rows-per-band r = num_perm/bands = 2 and 64 bands, a pair at Jaccard
+    0.5 is caught with prob 1−(1−0.25)⁶⁴ ≈ 1−10⁻⁸ — recall is effectively
+    exact while candidate volume stays tiny for dissimilar corpora. Returns
+    (id_a, id_b, jaccard), id_a < id_b.
+    """
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * r + 1, r)).alias("bkey"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """48-bit SimHash per document from distinct k-word-shingle xxhash64 bit
+    votes. Shingle features (not unigrams): on corpora with small vocabularies
+    every document shares most unigrams, which collapses all signatures
+    together; k-grams keep features document-specific.
+
+    Plan: explode distinct shingles → one groupBy(id) computing 48 conditional
+    sums (single shuffle, map-side combined) → assemble the signature.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates come from exact equality on any of 4 12-bit bands (pigeonhole:
+    Hamming ≤ 3 ⇒ at least one of 4 bands intact), then the exact popcount of
+    the XOR filters. Band join keeps this linear-ish at scale.
+    """
+    sigs = simhash(df, id_col, text_col)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("bkey"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set
+  against the corpus, dot products via zip_with/aggregate (JVM-side, no
+  Python). The per-row cost is O(dim); the plan is a broadcast nested-loop
+  join that scans the corpus once — at 100 TB this is the correct *exact*
+  plan (queries are broadcast, corpus never shuffles).
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing — corpus and queries hash
+  to sign-pattern buckets; only same-bucket (+ multiprobe neighbor) pairs are
+  scored. Sub-linear candidate volume at the cost of recall; the scale path
+  when the query set is large.
+- ``cluster_centroids``: per-label mean vector via posexplode + exact decimal
+  sums (deterministic regardless of partition order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float> columns, computed in double
+    with sequential (index-order) accumulation — deterministic and exactly
+    reproducible by any engine that folds in index order."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank) excluding self-matches.
+    Ranking tie-breaks on neighbor id so results are fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(vec, planes: list[list[float]]):
+    """Sign-pattern bucket id for a vector under fixed random hyperplanes."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(vec, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _fixed_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no runtime RNG)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append((state / 2**63) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 24,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH with ``n_tables`` independent
+    hash tables; union of same-bucket candidates is exactly re-scored.
+
+    Recall < 1 by construction (use cosine_topk as ground truth); candidate
+    volume ≈ N/2^n_planes per table — the sub-linear scale path.
+    """
+    tables = [
+        _fixed_planes(dim, n_planes, seed=7 + 13 * t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, idname: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname}_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+                        )
+                        for t, planes in enumerate(tables)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(idname, f"{idname}_v", "bk.tbl", "bk.bucket")
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cand = (
+        F.broadcast(qb)
+        .join(
+            cb,
+            (qb["tbl"] == cb["tbl"])
+            & (qb["bucket"] == cb["bucket"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+QUANT = 1_000_000_000_000.0  # 1e12 fixed-point quantization for exact sums
+
+
+def cluster_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid components: (label, dim_idx, centroid).
+
+    Components are quantized to integers (floor(x·1e12)) before summing, so
+    the aggregation is exact and independent of partition order — bit-
+    identical across engines and runs. (A float→decimal cast is NOT portable:
+    Spark casts via the float's shortest string form, other engines via its
+    binary value.)"""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "x"),
+    )
+    q = F.floor(F.col("x").cast("double") * F.lit(QUANT)).cast("long")
+    return (
+        exploded.groupBy("label", "dim_idx")
+        .agg(
+            (
+                F.sum(q).cast("double") / F.count(F.lit(1)).cast("double") / F.lit(QUANT)
+            ).alias("centroid")
+        )
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator has a deterministic
+definition so a SQL oracle can reproduce it exactly.
+
+Operators: tokenization + token counting (whitespace and BPE-ish regex),
+stopword/quality scoring, heuristic language ID, shingle fingerprinting
+(winnowing-style min-hash of md5 over k-word shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multilingual stopword lists for the heuristic language scorer.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+# BPE-ish token pattern: letter runs, digit runs, single other non-space chars.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count via regex extraction (letters/digits/punct runs)."""
+    return F.array_size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS["en"]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1]-ish quality heuristic from integer counts:
+    0.5·stopword_ratio + 0.3·min(avg_word_len/8, 1) + 0.2·len_score,
+    len_score = min(n_tokens/200, 1). All arithmetic is double over exact
+    integer counts, so any engine reproduces it bit-identically."""
+    n = token_count_ws(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / n
+    awl = avg_word_len(text)
+    return (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * F.least(awl / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.2) * F.least(n / F.lit(200.0), F.lit(1.0))
+    )
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    return stopword_count(text, STOPWORDS[lang]).cast("double") / token_count_ws(
+        text
+    ).cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic n-gram/stopword language ID: argmax stopword-hit ratio over
+    the configured languages; 'und' when no language scores ≥ 2%.
+    Ties break in fixed language order (en, de, fr)."""
+    en, de, fr = (lang_score(text, l) for l in ("en", "de", "fr"))
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= 0.02), F.lit("en"))
+        .when((de >= fr) & (de >= 0.02), F.lit("de"))
+        .when(fr >= 0.02, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (consecutive word k-grams), space-joined.
+    Documents shorter than k words yield a single shingle = the whole text."""
+    toks = tokens(text)
+    parts = [F.element_at(toks, i) for i in range(1, k + 1)]
+
+    def shingle_at(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        )
+
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)), shingle_at),
+    ).otherwise(F.array(text))
+
+
+def fingerprint(text: Column, k: int = 5) -> Column:
+    """Winnowing-style document fingerprint: lexicographic min of md5 over all
+    k-word shingles. Stable under content reordering-resistant matching and
+    reproducible in any engine with md5."""
+    return F.array_min(F.transform(word_shingles(text, k), lambda s: F.md5(s)))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the standard text-analysis feature columns."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens_ws", token_count_ws(t))
+        .withColumn("n_tokens_re", token_count_regex(t))
+        .withColumn("stopword_ratio", stopword_count(t).cast("double") / token_count_ws(t))
+        .withColumn("avg_word_len", avg_word_len(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

@@ -1,0 +1,4 @@
+from .analytics import QUERIES
+from .oracles import ORACLES
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,451 @@
+"""Query registry: every operator from SURVEY §2 (+ scale extensions) as a
+(spark, sf_dir) → DataFrame callable, mirrored 1:1 by plans.oracles.ORACLES.
+
+Determinism rules (so DuckDB value-hashes match bit-for-bit):
+- double SUM/AVG → cast to decimal first (exact, partition-order-independent),
+  cast the result back to double; both engines round the same doubles the
+  same way.
+- timestamps leave the plan as epoch millis (no session-timezone exposure).
+- every top-k / rank has a total order (explicit tie-break column).
+- float folds (cosine) accumulate left-to-right in double on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as X
+from ..functions.multimodal import to_media_table
+from ..operators.merge import (
+    anti_join_missing,
+    change_detecting_upsert,
+    dedup_latest,
+    insert_if_absent,
+    semi_join_delete,
+    set_difference_delete,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.ts is parquet TIMESTAMP(NANOS): read as int64 nanos (Spark has no
+    # nanos timestamp) and do pure integer arithmetic on it — deterministic
+    # and identical to DuckDB's epoch_ns().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ns_to_ms(col: str = "ts") -> F.Column:
+    return F.expr(f"{col} div 1000000")
+
+
+def ms(col) -> F.Column:
+    """Epoch millis from a (possibly NTZ) timestamp column; the session is
+    pinned to UTC so NTZ wall time == the instant DuckDB's epoch_ms sees."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp_ltz"))
+
+
+def dsum(col, scale: str = "decimal(18,4)"):
+    """Exact (order-independent) sum of a double column → double."""
+    return F.sum(F.col(col).cast(scale) if isinstance(col, str) else col.cast(scale)).cast(
+        "double"
+    )
+
+
+# --------------------------------------------------------------------------
+# SRI merge-operator demos (SURVEY §2.C) — each uses the engine's actual
+# operator implementation over the testdata tables.
+# --------------------------------------------------------------------------
+
+
+def q_c1_dedup_latest(spark, sf):
+    ev = _t(spark, sf, "events")
+    return dedup_latest(ev, ["user_id"], "ts", tiebreak=["event_id"]).select(
+        "user_id", "event_id", ns_to_ms().alias("ts_ms"), "event_type", "value"
+    )
+
+
+def q_c2_anti_join(spark, sf):
+    cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return anti_join_missing(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), orders, ["o_custkey"]
+    ).select(F.col("o_custkey").alias("c_custkey"), "c_name")
+
+
+def q_c4_semi_join(spark, sf):
+    cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    survivors = semi_join_delete(
+        cust, orders.filter(F.col("o_orderstatus") == "F").withColumnRenamed("o_custkey", "c_custkey"),
+        ["c_custkey"],
+    )
+    # semi_join_delete returns non-matching rows; the matched set = cust − survivors
+    return anti_join_missing(cust, survivors, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+def q_c5_nullsafe_change(spark, sf):
+    orders = _t(spark, sf, "orders")
+    t = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_orderpriority")).alias("payload"),
+    )
+    s = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, F.col("o_orderpriority")).alias("payload"),
+    )
+    merged = change_detecting_upsert(
+        t.withColumnRenamed("payload", "jsondata"),
+        s.withColumnRenamed("payload", "jsondata"),
+        ["o_orderkey"],
+    )
+    # rows whose payload actually changed = merged rows differing from target
+    tr = t.withColumnRenamed("payload", "old_payload")
+    return (
+        merged.join(tr, "o_orderkey")
+        .filter(~F.col("jsondata").eqNullSafe(F.col("old_payload")))
+        .select("o_orderkey", "old_payload", F.col("jsondata").alias("new_payload"))
+    )
+
+
+def q_c6_insert_if_absent(spark, sf):
+    orders = _t(spark, sf, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.col("o_orderdate").alias("modified")
+    )
+    staged = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.col("o_orderdate").alias("modified")
+    )
+    return insert_if_absent(target, staged, ["o_orderkey"]).select("o_orderkey")
+
+
+def q_c7_set_difference(spark, sf):
+    orders = _t(spark, sf, "orders")
+    all_cust = orders.select("o_custkey").distinct()
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return set_difference_delete(
+        all_cust, all_cust.join(f_cust, "o_custkey", "left_anti"), ["o_custkey"]
+    )
+
+
+def q_c8_missing_members(spark, sf):
+    part, li = _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    return anti_join_missing(
+        part.withColumnRenamed("p_partkey", "l_partkey"), li, ["l_partkey"]
+    ).select(F.col("l_partkey").alias("p_partkey"), "p_name")
+
+
+def q_c3_partition_overwrite(spark, sf):
+    ev = _t(spark, sf, "events")
+    keep = ev.filter(F.col("event_type") != "click")
+    replacement = dedup_latest(
+        ev.filter(F.col("event_type") == "click"), ["user_id"], "ts", tiebreak=["event_id"]
+    )
+    return keep.unionByName(replacement).select("event_id", "user_id", "event_type")
+
+
+def q_c10_counts(spark, sf):
+    return _t(spark, sf, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_c11_top1(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "user_id", ns_to_ms().alias("ts_ms"))
+    )
+
+
+def q_c12_watermark_upsert(spark, sf):
+    ev = _t(spark, sf, "events")
+    current = ev.groupBy("event_type").agg(F.expr("max(ts) div 1000000").alias("lastmodified"))
+    new_row = spark.createDataFrame(
+        [("click", 4102444800000)], "event_type string, lastmodified long"
+    )
+    survivors = current.filter(F.col("event_type") != "click")
+    return survivors.unionByName(new_row)
+
+
+# --------------------------------------------------------------------------
+# Record-level transforms (SURVEY §2.B)
+# --------------------------------------------------------------------------
+
+
+def q_b2_record_repair(spark, sf):
+    ev = _t(spark, sf, "events")
+    href = F.concat(F.lit("/events/"), F.col("event_id"))
+    raw_modified = F.when(F.col("event_id") % 10 != 0, ns_to_ms())
+    return ev.select(
+        "event_id",
+        href.alias("href"),
+        F.regexp_extract(href, "([^/]+)$", 1).alias("key"),
+        F.coalesce(raw_modified, F.lit(946684800000)).alias("modified_ms"),
+    )
+
+
+def q_b5_watermark_max(spark, sf):
+    return _t(spark, sf, "events").agg(F.expr("max(ts) div 1000000").alias("lastmodified_ms"))
+
+
+def q_b6_watermark_advance(spark, sf):
+    # formula from client.js:1826-1834 with fixed sync timings:
+    # dur=5000ms, prev_wm = max−100000, inter-sync delta=60000ms
+    ev = _t(spark, sf, "events")
+    mx = F.expr("max(ts) div 1000000")
+    return ev.agg(
+        F.floor(
+            F.greatest(
+                mx - 1.01 * F.lit(5000.0),
+                (mx - F.lit(100000)) - 1.01 * F.lit(5000.0) + 0.99 * F.lit(60000.0),
+            )
+        )
+        .cast("long")
+        .alias("new_watermark_ms")
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational analytics (TPC-H-flavored; exercises joins/aggs/windows at scale)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            ms("o_orderdate").alias("o_orderdate_ms"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf):
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, (li["l_suppkey"] == supp["s_suppkey"]) & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+def q_window_running_total(spark, sf):
+    orders = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "running_total"
+        ),
+    )
+
+
+def q_rollup_revenue(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+def q_top_customers_per_nation(spark, sf):
+    cust = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+def q_events_hourly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            (F.expr("ts div 3600000000000") * F.lit(3600000)).alias("hour_ms"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+def q_json_extract_props(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup / similarity / text / multimodal
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text", k=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", k=3, num_perm=128, bands=64, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    return D.simhash_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=3)
+
+
+def q_ann_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ann_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_emb_centroids(spark, sf):
+    return S.cluster_centroids(_t(spark, sf, "embeddings"))
+
+
+def q_text_token_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count_ws(t).alias("n_tokens_ws"),
+        X.token_count_regex(t).alias("n_tokens_re"),
+        F.length(t).alias("n_chars_computed"),
+    )
+
+
+def q_text_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        (X.stopword_count(t).cast("double") / X.token_count_ws(t).cast("double")).alias(
+            "stopword_ratio"
+        ),
+        X.avg_word_len(t).alias("avg_word_len"),
+        X.quality_score(t).alias("quality"),
+    )
+
+
+def q_text_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text"), k=5).alias("fingerprint"))
+
+
+def q_multimodal_meta(spark, sf):
+    docs = _t(spark, sf, "documents")
+    media = to_media_table(docs, "doc_id", "text")
+    n = F.col("meta.n_bytes")
+    return media.select(
+        "media_id",
+        n.alias("n_bytes"),
+        F.col("meta.content_hash").alias("content_hash"),
+        (F.lit(64) + n % 64).cast("int").alias("width"),
+        (F.lit(64) + F.floor(n / F.lit(64.0)).cast("long") % 64).cast("int").alias("height"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # SRI merge operators (SURVEY §2.C)
+    "c1_dedup_latest": q_c1_dedup_latest,
+    "c2_anti_join": q_c2_anti_join,
+    "c3_partition_overwrite": q_c3_partition_overwrite,
+    "c4_semi_join": q_c4_semi_join,
+    "c5_nullsafe_change": q_c5_nullsafe_change,
+    "c6_insert_if_absent": q_c6_insert_if_absent,
+    "c7_set_difference": q_c7_set_difference,
+    "c8_missing_members": q_c8_missing_members,
+    "c10_counts": q_c10_counts,
+    "c11_top1": q_c11_top1,
+    "c12_watermark_upsert": q_c12_watermark_upsert,
+    # record-level transforms (§2.B)
+    "b2_record_repair": q_b2_record_repair,
+    "b5_watermark_max": q_b5_watermark_max,
+    "b6_watermark_advance": q_b6_watermark_advance,
+    # relational analytics
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "window_running_total": q_window_running_total,
+    "rollup_revenue": q_rollup_revenue,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "events_hourly": q_events_hourly,
+    "json_extract_props": q_json_extract_props,
+    # dedup / similarity / text / multimodal extensions
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "emb_centroids": q_emb_centroids,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}

@@ -1,0 +1,302 @@
+"""DuckDB oracle SQL, one entry per plans.analytics.QUERIES key.
+
+Each statement is the *semantic* mirror of its Spark plan with identical
+arithmetic shape (decimal-cast sums, left-associative double folds, floor
+before bigint casts, epoch-millis timestamps), so order-insensitive value
+hashes match bit-for-bit. Keys intentionally absent (weaker rows-only check):
+``dedup_simhash`` and ``ann_lsh_topk`` — both are sketch/approximate
+operators whose exact output is engine-hash-specific; their correctness is
+asserted in tests/ against exact ground truth instead.
+"""
+
+from __future__ import annotations
+
+DIM = 64
+
+_W = "string_split(text, ' ')"
+
+_EN_STOPS = "('the','a','of','and','to','in','is')"
+_DE_STOPS = "('der','die','das','und','ist')"
+_FR_STOPS = "('le','la','les','et','est')"
+
+
+def _stop_ratio(stops: str) -> str:
+    return (
+        f"CAST(len(list_filter({_W}, x -> x IN {stops})) AS DOUBLE)"
+        f" / CAST(len({_W}) AS DOUBLE)"
+    )
+
+
+def _dot(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}.embedding[{i}] AS DOUBLE)*CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+
+
+_SHINGLES3 = (
+    f"CASE WHEN len({_W}) >= 3 THEN "
+    f"list_transform(range(1, len({_W}) - 1), i -> "
+    f"{_W}[i] || ' ' || {_W}[i+1] || ' ' || {_W}[i+2]) "
+    f"ELSE [text] END"
+)
+
+_JACCARD_PAIRS = f"""
+WITH ds AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+"""
+
+ORACLES: dict[str, str] = {
+    # ---- SRI merge operators -------------------------------------------
+    "c1_dedup_latest": """
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms, event_type, value
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "c2_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "c3_partition_overwrite": """
+        SELECT event_id, user_id, event_type FROM events WHERE event_type <> 'click'
+        UNION ALL
+        SELECT event_id, user_id, event_type FROM (
+          SELECT event_id, user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'click'
+        ) WHERE rn = 1
+    """,
+    "c4_semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    "c5_nullsafe_change": """
+        WITH t AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END AS payload
+          FROM orders),
+        s AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_totalprice > 150000 THEN o_orderpriority END AS payload
+          FROM orders)
+        SELECT t.o_orderkey, t.payload AS old_payload, s.payload AS new_payload
+        FROM t JOIN s USING (o_orderkey)
+        WHERE t.payload IS DISTINCT FROM s.payload
+    """,
+    "c6_insert_if_absent": """
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT o_orderkey FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+    """,
+    "c7_set_difference": """
+        SELECT DISTINCT o_custkey FROM orders
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "c8_missing_members": """
+        SELECT p_partkey, p_name FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    "c10_counts": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "c11_top1": """
+        SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+    "c12_watermark_upsert": """
+        SELECT event_type, epoch_ns(max(ts)) // 1000000 AS lastmodified
+        FROM events WHERE event_type <> 'click' GROUP BY event_type
+        UNION ALL
+        SELECT 'click' AS event_type, CAST(4102444800000 AS BIGINT) AS lastmodified
+    """,
+    # ---- record-level transforms ----------------------------------------
+    "b2_record_repair": """
+        SELECT event_id,
+               '/events/' || event_id AS href,
+               regexp_extract('/events/' || event_id, '([^/]+)$', 1) AS key,
+               coalesce(CASE WHEN event_id % 10 <> 0 THEN epoch_ns(ts) // 1000000 END,
+                        946684800000) AS modified_ms
+        FROM events
+    """,
+    "b5_watermark_max": "SELECT epoch_ns(max(ts)) // 1000000 AS lastmodified_ms FROM events",
+    "b6_watermark_advance": """
+        SELECT CAST(floor(greatest(
+                 epoch_ns(max(ts)) // 1000000 - 1.01 * 5000.0,
+                 epoch_ns(max(ts)) // 1000000 - 100000 - 1.01 * 5000.0 + 0.99 * 60000.0
+               )) AS BIGINT) AS new_watermark_ms
+        FROM events
+    """,
+    # ---- relational analytics -------------------------------------------
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey, o_orderpriority, epoch_ms(o_orderdate) AS o_orderdate_ms,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderpriority, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name
+    """,
+    "window_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_total
+        FROM orders
+    """,
+    "rollup_revenue": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "top_customers_per_nation": """
+        SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
+            PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+          FROM customer
+        ) WHERE rnk <= 3
+    """,
+    "events_hourly": """
+        SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS hour_ms, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "json_extract_props": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+                 / COUNT(*) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    # ---- dedup / similarity / text / multimodal --------------------------
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": _JACCARD_PAIRS,
+    # LSH with 64 bands × 2 rows has miss probability ≤ 1e-8 per true pair at
+    # j ≥ 0.5, and every candidate is verified with exact Jaccard — so its
+    # output equals the exact algorithm's.
+    "dedup_minhash_lsh": _JACCARD_PAIRS,
+    "ann_cosine_topk": f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ({_dot('q', 'c')})
+                 / (sqrt({_dot('q', 'q')}) * sqrt({_dot('c', 'c')})) AS cos_sim
+          FROM q, embeddings c
+          WHERE c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    "emb_centroids": f"""
+        SELECT label, i AS dim_idx,
+               CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000000000.0 AS centroid
+        FROM embeddings, range(0, {DIM}) t(i)
+        GROUP BY label, i
+    """,
+    "text_token_stats": f"""
+        SELECT doc_id,
+               len({_W}) AS n_tokens_ws,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                 AS n_tokens_re,
+               length(text) AS n_chars_computed
+        FROM documents
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               {_stop_ratio(_EN_STOPS)} AS stopword_ratio,
+               CAST(list_sum(list_transform({_W}, t -> length(t))) AS DOUBLE)
+                 / CAST(len({_W}) AS DOUBLE) AS avg_word_len,
+               0.5 * ({_stop_ratio(_EN_STOPS)})
+                 + 0.3 * least(
+                     (CAST(list_sum(list_transform({_W}, t -> length(t))) AS DOUBLE)
+                      / CAST(len({_W}) AS DOUBLE)) / 8.0, 1.0)
+                 + 0.2 * least(CAST(len({_W}) AS DOUBLE) / 200.0, 1.0) AS quality
+        FROM documents
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id,
+               CASE
+                 WHEN ({_stop_ratio(_EN_STOPS)}) >= ({_stop_ratio(_DE_STOPS)})
+                  AND ({_stop_ratio(_EN_STOPS)}) >= ({_stop_ratio(_FR_STOPS)})
+                  AND ({_stop_ratio(_EN_STOPS)}) >= 0.02 THEN 'en'
+                 WHEN ({_stop_ratio(_DE_STOPS)}) >= ({_stop_ratio(_FR_STOPS)})
+                  AND ({_stop_ratio(_DE_STOPS)}) >= 0.02 THEN 'de'
+                 WHEN ({_stop_ratio(_FR_STOPS)}) >= 0.02 THEN 'fr'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               CASE WHEN len({_W}) >= 5 THEN
+                 list_min(list_transform(range(1, len({_W}) - 3), i ->
+                   md5({_W}[i] || ' ' || {_W}[i+1] || ' ' || {_W}[i+2]
+                       || ' ' || {_W}[i+3] || ' ' || {_W}[i+4])))
+               ELSE md5(text) END AS fingerprint
+        FROM documents
+    """,
+    "multimodal_meta": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_hash,
+               CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+               CAST(64 + CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT) % 64
+                    AS INT) AS height
+        FROM documents
+    """,
+}

@@ -1,0 +1,140 @@
+"""Unit/behavior tests for the scale-extension operators (dedup, similarity,
+text, multimodal) — correctness against exact ground truth, plus plan probes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sri2db_spark.functions import dedup as D
+from sri2db_spark.functions import similarity as S
+from sri2db_spark.functions import text as X
+from sri2db_spark.functions.multimodal import (
+    decode_image_features,
+    frame_sample,
+    to_media_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = D.exact_dedup(docs, "doc_id", "text")
+    n_docs = docs.count()
+    agg = out.agg(F.sum("n_copies").alias("s"), F.count("*").alias("groups")).first()
+    assert agg["s"] == n_docs
+    assert agg["groups"] <= n_docs
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, docs):
+    """LSH (64 bands × 2 rows) + exact verification must reproduce the exact
+    all-pairs algorithm (miss prob ≤ 1e-8 per true pair at j ≥ 0.5)."""
+    exact = {
+        (r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # the corpus has planted near-dups
+
+
+def test_simhash_pairs_are_true_near_dups(spark, docs):
+    """SimHash(hamming≤3) over trigram shingles: high precision against the
+    exact trigram-Jaccard ground truth (it's a stricter sketch)."""
+    sh = {(r.id_a, r.id_b) for r in D.simhash_pairs(docs, "doc_id", "text").collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert len(sh) > 0
+    precision = len(sh & exact) / len(sh)
+    assert precision >= 0.9
+
+
+def test_cosine_topk_is_correct(spark, emb):
+    """Brute-force top-k agrees with a NumPy reference on a small query set."""
+    import numpy as np
+
+    rows = emb.filter(F.col("vec_id") < 50).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    corpus = emb.filter(F.col("vec_id") < 50)
+    out = S.cosine_topk(corpus, corpus.filter(F.col("vec_id") < 3), k=3).collect()
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out}
+    for qid in range(3):
+        q = vecs[qid]
+        sims = sorted(
+            (
+                (-(q @ v) / (np.linalg.norm(q) * np.linalg.norm(v)), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            ),
+        )
+        for rank in range(1, 4):
+            assert got[(qid, rank)] == sims[rank - 1][1]
+
+
+def test_lsh_ann_recall(spark, emb):
+    """Near-random 64-d embeddings are LSH's worst case; still require
+    recall@5 ≥ 0.4 at a fraction of brute-force cost."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in S.lsh_ann_topk(emb, queries, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_text_features_sane(spark, docs):
+    out = X.add_text_features(docs).collect()
+    for r in out[:50]:
+        assert r.n_tokens_ws >= 1
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert r.avg_word_len > 0
+        assert 0.0 <= r.quality <= 1.0
+        assert r.lang_pred in ("en", "de", "fr", "und")
+        assert len(r.fingerprint) == 32  # md5 hex
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = to_media_table(docs, "doc_id", "text")
+    feats = decode_image_features(media, batch_partitions=4)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert 64 <= r.width < 128 and 64 <= r.height < 128
+        assert r.n_channels == 3
+        assert 0.0 <= r.mean_luma < 256.0
+    # metadata is real (computed without decoding)
+    meta = media.select("meta.n_bytes", "meta.content_hash").first()
+    assert meta["n_bytes"] > 0 and len(meta["content_hash"]) == 32
+
+
+def test_frame_sample_offsets(spark, docs):
+    media = to_media_table(docs.limit(5), "doc_id", "text")
+    frames = frame_sample(media, every_n_bytes=100).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_offset)
+    for offsets in by_id.values():
+        assert offsets == sorted(offsets)
+        assert offsets[0] == 0
+
+
+def test_no_python_udfs_in_hot_paths(spark, docs):
+    """Dedup/text plans must stay JVM-side: no BatchEvalPython / PythonUDF
+    nodes in the physical plan (mapInPandas is only for multimodal decode)."""
+    for df in (
+        D.minhash_lsh_pairs(docs, "doc_id", "text"),
+        D.simhash_pairs(docs, "doc_id", "text"),
+        X.add_text_features(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
