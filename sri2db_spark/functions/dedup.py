@@ -81,15 +81,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 128
-) -> DataFrame:
-    """Per-doc MinHash signature: for permutation i, min over shingles of
-    (aᵢ·h + bᵢ) mod 2³¹−1 where h = xxhash64(shingle) mod 2³¹−1. Fixed seeds →
-    deterministic. All column expressions — one narrow projection, no shuffle.
-    """
-    # Deterministic permutation parameters from a fixed LCG (no RNG at plan
-    # build time keeps signatures reproducible across runs/engines).
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic permutation parameters from a fixed LCG (no RNG at plan
+    build time keeps signatures reproducible across runs/engines)."""
     params = []
     state = 0x5DEECE66D
     for _ in range(num_perm):
@@ -98,19 +92,34 @@ def minhash_signatures(
         state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
         b = state % MERSENNE31
         params.append((a, b))
+    return params
 
-    shingles = F.array_distinct(word_shingles(F.col(text_col), k))
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
 
-    def perm_min(a: int, b: int):
-        # closure (not default-arg lambda: PySpark reads lambda arity as the
-        # higher-order function's argument count)
-        return F.array_min(
-            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)))
-        )
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 128
+) -> DataFrame:
+    """Per-doc MinHash signature: for permutation i, min over shingles of
+    (aᵢ·h + bᵢ) mod 2³¹−1 where h = xxhash64(shingle) mod 2³¹−1.
 
-    sig = F.array(*[perm_min(a, b) for a, b in params])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"), shingles.alias("shingles"))
+    Plan shape matters at scale: each shingle is hashed ONCE (explode →
+    xxhash64), then the ``num_perm`` permutation-mins run as one map-side-
+    combined aggregation — a single shuffle keyed by doc, with per-partition
+    partial mins. (The tempting alternative — num_perm nested array
+    ``transform``s — duplicates the hash expression per permutation, blows
+    codegen, and is ~100× slower.)
+    """
+    params = _perm_params(num_perm)
+    ds = _distinct_shingles(df, id_col, text_col, k)
+    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
+    mins = ds.select("id", h.alias("h")).groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -131,7 +140,7 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard), id_a < id_b.
     """
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
     band_rows = sigs.select(
         "id",
         F.explode(
@@ -158,8 +167,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    shingle_sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sa = shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
