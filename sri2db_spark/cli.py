@@ -1,0 +1,142 @@
+"""CLI entry point — the ``bin/sri2db.js`` equivalent (SURVEY §3.4).
+
+Usage:
+    python -m sri2db_spark.cli CONFIG.json [--synctype fullSync|deltaSync|
+        safeDeltaSync] [--listen] [--dry-run]
+
+Config shape (JSON; mirrors the reference's config module, README.md:28-110):
+
+    single:  {"api": {"baseUrl": ..., "path": ..., "limit": 500},
+              "db": {"location": "/data/resources", "layout": "large",
+                     "synctimes": "/data/synctimes", "table": "resources"},
+              "synctype": "deltaSync", "dryRun": false}
+    multi:   {"baseConfig": {...}, "overwrites": [{...RFC-7386 patches...}],
+              "concurrency": 1}
+
+Exit code 0 when every endpoint sync fulfilled, 1 otherwise (reference
+exits -1 on failure, bin/sri2db.js:81,101).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .model.schema import LAYOUT_LARGE, LAYOUT_MEDIUM, LAYOUT_SMALL, TableLayout
+from .operators.watermark import WatermarkStore
+from .session import get_spark
+from .sinks.lake import LakeTable
+from .sources.sri_api import SriApiReader
+from .streaming.listener import BroadcastListener
+from .sync.engine import Sri2DbSync
+from .sync.multi import Sri2DbMulti, merge_patch
+
+LAYOUTS: dict[str, TableLayout] = {
+    "large": LAYOUT_LARGE,
+    "medium": LAYOUT_MEDIUM,
+    "small": LAYOUT_SMALL,
+}
+
+
+def build_sync(spark, cfg: dict, dry_run: bool = False) -> Sri2DbSync:
+    api = cfg.get("api", {})
+    db = cfg.get("db", {})
+    layout = LAYOUTS[db.get("layout", "large")]
+    reader = SriApiReader(
+        spark,
+        api["baseUrl"],
+        limit=int(api.get("limit", 500)),
+        next_links_broken=bool(api.get("nextLinksBroken", False)),
+    )
+    table = LakeTable(spark, db["location"], layout)
+    wm = WatermarkStore(spark, db["synctimes"]) if db.get("synctimes") else None
+    return Sri2DbSync(
+        reader=reader,
+        table=table,
+        path=api["path"],
+        baseurl=api["baseUrl"] if layout.has_baseurl else None,
+        layout=layout,
+        watermarks=wm,
+        tablename=db.get("table", "resources"),
+        prefer_updates_over_inserts=bool(cfg.get("preferUpdatesOverInserts", False)),
+        deleted_not_implemented=bool(api.get("deletedNotImplemented", False)),
+        dry_run=dry_run or bool(cfg.get("dryRun", False)),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sri2db_spark")
+    p.add_argument("config", help="path to JSON config (single or multi)")
+    p.add_argument("--synctype", default=None, help="override configured synctype")
+    p.add_argument("--listen", action="store_true", help="stay up; sync per broadcast event")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    valid_synctypes = ("fullSync", "deltaSync", "safeDeltaSync")
+    if args.synctype and args.synctype not in valid_synctypes:
+        p.error(f"--synctype must be one of {', '.join(valid_synctypes)}")
+    try:
+        with open(args.config) as f:
+            cfg = json.load(f)
+    except FileNotFoundError:
+        p.error(f"config file not found: {args.config}")
+    except json.JSONDecodeError as e:
+        p.error(f"config is not valid JSON: {e}")
+
+    spark = get_spark(app_name="sri2db_spark_cli", master=args.master)
+
+    # single vs multi detection by presence of baseConfig (bin/sri2db.js:48)
+    if "baseConfig" in cfg:
+        configs = [merge_patch(cfg["baseConfig"], ow) for ow in cfg.get("overwrites", [])]
+        clients = [build_sync(spark, c, args.dry_run) for c in configs]
+        multi = Sri2DbMulti(clients, concurrency=int(cfg.get("concurrency", 1)))
+        synctype = args.synctype or cfg["baseConfig"].get("synctype", "deltaSync")
+        settled = multi.configured_sync(synctype)
+        ok = True
+        for c, s in zip(configs, settled):
+            label = f"{c['api']['baseUrl']}{c['api']['path']}"
+            if s.is_fulfilled:
+                r = s.value
+                print(f"{label}: {r.synctype} ok, {r.resources_synced} resources, "
+                      f"{r.rows_after} rows, {r.elapsed_ms} ms")
+            else:
+                ok = False
+                print(f"{label}: FAILED: {s.reason}")
+        return 0 if ok else 1
+
+    sync = build_sync(spark, cfg, args.dry_run)
+    synctype = args.synctype or cfg.get("synctype", "deltaSync")
+    if args.listen:
+        # Reference: socket.io broadcast (client.js:1981-2047). A pluggable
+        # event source keeps this testable; the default polls stdin lines as
+        # events (each line = one trigger), which composes with any external
+        # notifier process.
+        def connect():
+            for line in sys.stdin:
+                yield line.strip()
+
+        listener = BroadcastListener(
+            connect=connect, sync_fn=lambda: sync.configured_sync(synctype)
+        ).start()
+        try:
+            while True:
+                import time as _t
+
+                _t.sleep(1)
+        except KeyboardInterrupt:
+            listener.stop()
+            return 0
+
+    r = sync.configured_sync(synctype)
+    print(
+        f"{r.synctype}: {r.resources_synced} resources, {r.deletes_synced} deletes, "
+        f"{r.rows_after} rows after, {r.elapsed_ms} ms"
+        + (" (dry run)" if r.dry_run else "")
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

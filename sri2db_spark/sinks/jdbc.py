@@ -1,0 +1,206 @@
+"""JDBC sink: staging-table bulk write + one atomic server-side merge.
+
+Parity path for the reference's actual target (Postgres / MSSQL resource
+tables, ``src/lib/client.js:871-1239``). Spark's JDBC sink has no
+multi-statement transactions, so atomicity comes from the reference's own
+design re-expressed server-side (SURVEY §7.3/D6):
+
+1. executors bulk-write the staged batch into a session staging table via
+   ``df.write.jdbc`` (batchsize = maxBulkSize, the reference's A8 batching,
+   client.js:112);
+2. the driver executes ONE server-side statement implementing the merge —
+   dedup window (C1) + delete (C2/C3/C4) + upsert (C5/C6) — inside a single
+   DB transaction;
+3. dry-run = run everything up to the merge, report staged counts, drop the
+   staging table (client.js:1808-1813).
+
+SQL generation is pure and unit-testable without a database; execution goes
+through the JVM's DriverManager and requires the JDBC driver jar on the
+Spark classpath (gated — raises JdbcUnavailable otherwise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model.schema import TableLayout
+
+DEFAULT_MAX_BULK = 10_000  # reference maxBulkSize default (client.js:112)
+
+
+class JdbcUnavailable(RuntimeError):
+    pass
+
+
+def _key_eq(alias_a: str, alias_b: str, layout: TableLayout) -> str:
+    return " AND ".join(
+        f"{alias_a}.{c} IS NOT DISTINCT FROM {alias_b}.{c}"
+        if c in ("baseurl", "path")
+        else f"{alias_a}.{c} = {alias_b}.{c}"
+        for c in layout.key_columns
+    )
+
+
+def _cols(layout: TableLayout) -> str:
+    return ", ".join(layout.columns)
+
+
+def dedup_subquery(staging: str, layout: TableLayout) -> str:
+    """C1 as SQL: newest row per key from the staging table
+    (mirrors client.js:1084-1091)."""
+    keys = ", ".join(layout.key_columns)
+    return (
+        f"SELECT {_cols(layout)} FROM ("
+        f"SELECT {_cols(layout)}, ROW_NUMBER() OVER ("
+        f"PARTITION BY {keys} ORDER BY modified DESC) AS rn "
+        f"FROM {staging}) d WHERE rn = 1"
+    )
+
+
+def generate_full_sync_sql(
+    target: str,
+    staging: str,
+    layout: TableLayout,
+    scope: dict[str, str | None],
+    prefer_updates_over_inserts: bool = False,
+    dialect: str = "postgresql",
+) -> list[str]:
+    """Full-sync merge statements (one transaction).
+
+    delete-all mode (pg default; client.js:999-1005): partition-scoped DELETE
+    then blind insert of the deduped staging. merge mode (client.js:1006-1111):
+    anti-join delete + change-detecting update + insert-if-absent.
+    """
+    scope_pred = " AND ".join(
+        f"w.{c} IS NOT DISTINCT FROM {_lit(v)}" for c, v in scope.items()
+    ) or "TRUE"
+    dedup = dedup_subquery(staging, layout)
+    stmts: list[str] = []
+    if not prefer_updates_over_inserts:
+        stmts.append(f"DELETE FROM {target} w WHERE {scope_pred}")
+        stmts.append(f"INSERT INTO {target} ({_cols(layout)}) {dedup}")
+        return stmts
+    # merge mode
+    stmts.append(
+        f"DELETE FROM {target} w WHERE {scope_pred} AND NOT EXISTS ("
+        f"SELECT 1 FROM {staging} t WHERE {_key_eq('t', 'w', layout)})"
+    )
+    stmts.append(_update_sql(target, staging, layout, dialect))
+    stmts.append(_insert_if_absent_sql(target, staging, layout))
+    return stmts
+
+
+def generate_delta_sync_sql(
+    target: str,
+    staging_updates: str,
+    staging_deletes: str | None,
+    layout: TableLayout,
+    dialect: str = "postgresql",
+) -> list[str]:
+    """Delta-sync merge statements: C4 semi-join tombstone delete + C5
+    change-detecting update + C1-dedup/C6 insert-if-absent
+    (client.js:1033-1111)."""
+    stmts: list[str] = []
+    if staging_deletes:
+        if dialect == "mssql":
+            stmts.append(
+                f"DELETE w FROM {target} w INNER JOIN {staging_deletes} t "
+                f"ON {_key_eq('t', 'w', layout)}"
+            )
+        else:
+            stmts.append(
+                f"DELETE FROM {target} w USING {staging_deletes} t "
+                f"WHERE {_key_eq('t', 'w', layout)}"
+            )
+    stmts.append(_update_sql(target, staging_updates, layout, dialect))
+    stmts.append(_insert_if_absent_sql(target, staging_updates, layout))
+    return stmts
+
+
+def _update_sql(target: str, staging: str, layout: TableLayout, dialect: str) -> str:
+    """C5: null-aware change-detecting update (skip no-op writes;
+    predicate from client.js:1064/:932)."""
+    sets = "modified = t.modified, jsondata = t.jsondata" + (
+        ", resourcetype = t.resourcetype" if layout.has_resourcetype else ""
+    )
+    changed = "w.jsondata IS DISTINCT FROM t.jsondata"
+    if dialect == "mssql":
+        # MSSQL has no IS DISTINCT FROM until 2022; emit the reference's
+        # explicit null-aware form (client.js:932)
+        changed = (
+            "(w.jsondata <> t.jsondata OR (w.jsondata IS NULL AND t.jsondata IS NOT NULL)"
+            " OR (w.jsondata IS NOT NULL AND t.jsondata IS NULL))"
+        )
+        return (
+            f"UPDATE w SET {sets} FROM {target} w INNER JOIN {staging} t "
+            f"ON {_key_eq('t', 'w', layout)} WHERE {changed}"
+        )
+    return (
+        f"UPDATE {target} w SET {sets} FROM {staging} t "
+        f"WHERE {_key_eq('t', 'w', layout)} AND {changed}"
+    )
+
+
+def _insert_if_absent_sql(target: str, staging: str, layout: TableLayout) -> str:
+    """C1 dedup + C6 NOT-EXISTS guarded insert (client.js:1069-1111)."""
+    dedup = dedup_subquery(staging, layout)
+    return (
+        f"INSERT INTO {target} ({_cols(layout)}) "
+        f"SELECT {_cols(layout)} FROM ({dedup}) s WHERE NOT EXISTS ("
+        f"SELECT 1 FROM {target} w WHERE {_key_eq('s', 'w', layout)})"
+    )
+
+
+def _lit(v: str | None) -> str:
+    return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+
+@dataclass
+class JdbcResourceSink:
+    """Executes the staged-write + merge flow against a live JDBC target."""
+
+    spark: SparkSession
+    url: str
+    target_table: str
+    layout: TableLayout
+    properties: dict[str, str]
+    max_bulk_size: int = DEFAULT_MAX_BULK
+    dialect: str = "postgresql"
+
+    def _connection(self):
+        try:
+            jvm = self.spark._sc._jvm  # noqa: SLF001
+            props = jvm.java.util.Properties()
+            for k, v in self.properties.items():
+                props.setProperty(k, v)
+            return jvm.java.sql.DriverManager.getConnection(self.url, props)
+        except Exception as e:  # pragma: no cover - needs a live DB
+            raise JdbcUnavailable(f"no JDBC connectivity: {e}") from e
+
+    def write_staging(self, df: DataFrame, staging_table: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("batchsize", self.max_bulk_size)
+            .jdbc(self.url, staging_table, properties=self.properties)
+        )
+
+    def merge(self, statements: list[str], dry_run: bool = False) -> None:
+        """Run the generated statements in ONE transaction (D6); dry-run
+        rolls back instead of committing (client.js:1808-1813)."""
+        conn = self._connection()
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            for sql in statements:
+                st.executeUpdate(sql)
+            if dry_run:
+                conn.rollback()
+            else:
+                conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()

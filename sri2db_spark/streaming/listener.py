@@ -1,0 +1,98 @@
+"""Broadcast-triggered incremental sync (SURVEY D1-D4).
+
+The reference subscribes a socket.io client to a broadcast channel and runs
+the configured sync on every ``update`` event, with a 5 s reconnect loop and
+a 5 s failed-trigger retry loop (``src/lib/client.js:1981-2047``).
+
+Spark-side this is driver orchestration, not data-plane work: the listener
+consumes events from an injectable source (a socket client, a queue, a Kafka
+consumer — anything iterable), coalesces bursts, and triggers the engine's
+delta sync. The engine's single-flight mutex (D4) already rejects overlap;
+the listener treats a rejection as "a sync is in flight" and re-queues.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+RETRY_INTERVAL_S = 5.0  # reference: client.js:1997, :2039
+
+
+@dataclass
+class BroadcastListener:
+    """Runs ``sync_fn()`` once per received event, serialized, with retry.
+
+    ``connect`` returns an event iterator (blocking); raising from it models a
+    disconnect → the listener reconnects after ``retry_interval`` (D2). A
+    failed sync retries every ``retry_interval`` until success (D3).
+    """
+
+    connect: Callable[[], object]  # () -> iterator of events
+    sync_fn: Callable[[], object]  # () -> SyncResult
+    retry_interval: float = RETRY_INTERVAL_S
+    max_sync_retries: int = 60
+    _stop: threading.Event = field(default_factory=threading.Event, repr=False)
+    _pending: threading.Event = field(default_factory=threading.Event, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+    _worker: threading.Thread | None = field(default=None, repr=False)
+    events_seen: int = 0
+    syncs_run: int = 0
+    errors: int = 0
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "BroadcastListener":
+        self._thread = threading.Thread(target=self._listen_loop, daemon=True)
+        self._worker = threading.Thread(target=self._sync_loop, daemon=True)
+        self._thread.start()
+        self._worker.start()
+        return self
+
+    def stop(self, timeout: float = 30.0) -> None:
+        self._stop.set()
+        self._pending.set()  # wake the worker
+        for t in (self._thread, self._worker):
+            if t is not None:
+                t.join(timeout)
+
+    # -- loops -----------------------------------------------------------------
+
+    def _listen_loop(self) -> None:
+        """D1+D2: consume events; on source failure, reconnect after a pause."""
+        while not self._stop.is_set():
+            try:
+                for _event in self.connect():
+                    self.events_seen += 1
+                    self._pending.set()  # coalesce bursts into one pending flag
+                    if self._stop.is_set():
+                        return
+                return  # source exhausted cleanly
+            except Exception:
+                self.errors += 1
+                if self._stop.wait(self.retry_interval):
+                    return
+
+    def _sync_loop(self) -> None:
+        """D3: one sync per pending flag; failed sync retries until success."""
+        while not self._stop.is_set():
+            if not self._pending.wait(timeout=0.1):
+                continue
+            self._pending.clear()
+            for _attempt in range(self.max_sync_retries):
+                if self._stop.is_set():
+                    return
+                try:
+                    result = self.sync_fn()
+                    if getattr(result, "synctype", None) == "REJECTED":
+                        # another sync in flight: try again shortly (D4)
+                        time.sleep(0.05)
+                        continue
+                    self.syncs_run += 1
+                    break
+                except Exception:
+                    self.errors += 1
+                    if self._stop.wait(self.retry_interval):
+                        return

@@ -1,0 +1,144 @@
+"""CLI end-to-end (config → sync → report) and JDBC merge SQL generation."""
+
+from __future__ import annotations
+
+import json
+from unittest import mock
+
+from sri2db_spark import cli
+from sri2db_spark.model.schema import LAYOUT_LARGE, LAYOUT_SMALL
+from sri2db_spark.sinks.jdbc import (
+    generate_delta_sync_sql,
+    generate_full_sync_sql,
+)
+
+from .fake_api import FakeSriApi
+
+
+def _patched_reader(api):
+    """CLI builds real readers; patch the transport to the fake API."""
+    import sri2db_spark.cli as climod
+
+    orig = climod.SriApiReader
+
+    def factory(spark, base_url, **kw):
+        kw.pop("fetch_json", None)
+        return orig(spark, base_url, fetch_json=api.fetch_json, **kw)
+
+    return mock.patch.object(climod, "SriApiReader", factory)
+
+
+def test_cli_single_full_sync(spark, tmp_path, capsys):
+    api = FakeSriApi(n=7)
+    cfg = {
+        "api": {"baseUrl": "https://fake.api", "path": "/a", "limit": 3},
+        "db": {
+            "location": str(tmp_path / "table"),
+            "synctimes": str(tmp_path / "wm"),
+            "layout": "large",
+        },
+        "synctype": "fullSync",
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with _patched_reader(api):
+        rc = cli.main([str(cfg_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "FULL: 7 resources" in out
+
+
+def test_cli_multi_with_overwrites(spark, tmp_path, capsys):
+    api_a, api_b = FakeSriApi(path="/a", n=4), FakeSriApi(path="/b", n=2)
+
+    apis = {"/a": api_a, "/b": api_b}
+
+    import sri2db_spark.cli as climod
+
+    orig = climod.SriApiReader
+
+    class Factory:
+        def __call__(self, spark, base_url, **kw):
+            reader = orig(spark, base_url, **kw)
+            # dispatch per-path at fetch time: both fakes share URL space
+            reader.fetch_json = lambda url: apis[
+                "/a" if "/a" in url.split("?")[0] else "/b"
+            ].fetch_json(url)
+            return reader
+
+    cfg = {
+        "baseConfig": {
+            "api": {"baseUrl": "https://fake.api", "path": "/a", "limit": 3},
+            "db": {"location": str(tmp_path / "table"), "synctimes": str(tmp_path / "wm")},
+            "synctype": "fullSync",
+        },
+        "overwrites": [{}, {"api": {"path": "/b"}}],
+        "concurrency": 2,
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with mock.patch.object(climod, "SriApiReader", Factory()):
+        rc = cli.main([str(cfg_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "https://fake.api/a: FULL ok, 4 resources" in out
+    assert "https://fake.api/b: FULL ok, 2 resources" in out
+
+
+def test_cli_dry_run_flag(spark, tmp_path, capsys):
+    api = FakeSriApi(n=3)
+    cfg = {
+        "api": {"baseUrl": "https://fake.api", "path": "/a"},
+        "db": {"location": str(tmp_path / "table")},
+        "synctype": "fullSync",
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with _patched_reader(api):
+        rc = cli.main([str(cfg_path), "--dry-run"])
+    assert rc == 0
+    assert "(dry run)" in capsys.readouterr().out
+    import os
+
+    assert not os.path.exists(tmp_path / "table") or not any(
+        os.scandir(tmp_path / "table")
+    )
+
+
+# ---- JDBC merge SQL generation ------------------------------------------
+
+
+def test_full_sync_sql_delete_all_mode():
+    stmts = generate_full_sync_sql(
+        "resources", "stg", LAYOUT_LARGE,
+        scope={"baseurl": "https://x", "path": "/a"},
+        prefer_updates_over_inserts=False,
+    )
+    assert len(stmts) == 2
+    assert stmts[0].startswith("DELETE FROM resources")
+    assert "IS NOT DISTINCT FROM 'https://x'" in stmts[0]
+    assert "ROW_NUMBER() OVER (PARTITION BY baseurl, path, href" in stmts[1]
+
+
+def test_full_sync_sql_merge_mode():
+    stmts = generate_full_sync_sql(
+        "resources", "stg", LAYOUT_LARGE,
+        scope={"baseurl": None, "path": "/a"},
+        prefer_updates_over_inserts=True,
+    )
+    assert len(stmts) == 3
+    assert "NOT EXISTS" in stmts[0]  # C2 anti-join delete
+    assert "IS DISTINCT FROM" in stmts[1]  # C5 null-aware change detection
+    assert "NOT EXISTS" in stmts[2]  # C6 insert-if-absent
+    assert "IS NOT DISTINCT FROM NULL" in stmts[0]  # null scoping
+
+
+def test_delta_sync_sql_pg_vs_mssql():
+    pg = generate_delta_sync_sql("r", "stg_u", "stg_d", LAYOUT_SMALL, "postgresql")
+    ms = generate_delta_sync_sql("r", "stg_u", "stg_d", LAYOUT_SMALL, "mssql")
+    assert pg[0].startswith("DELETE FROM r w USING stg_d t")  # client.js:1033
+    assert ms[0].startswith("DELETE w FROM r w INNER JOIN stg_d t")  # client.js:899
+    assert "w.jsondata IS NULL AND t.jsondata IS NOT NULL" in ms[1]  # client.js:932
+    # small layout: key is href only
+    assert "s.href = w.href" in pg[2]
+    assert "baseurl" not in pg[2]

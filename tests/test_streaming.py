@@ -1,0 +1,162 @@
+"""Streaming layer tests: event-triggered listener (D1-D4) and the
+Structured Streaming foreachBatch merge path."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+from sri2db_spark.model.schema import LAYOUT_LARGE
+from sri2db_spark.operators.watermark import WatermarkStore
+from sri2db_spark.sinks.lake import LakeTable
+from sri2db_spark.sources.sri_api import SriApiReader
+from sri2db_spark.streaming.listener import BroadcastListener
+from sri2db_spark.streaming.stream_sync import stream_sync_from_files
+from sri2db_spark.sync.engine import Sri2DbSync
+
+from .fake_api import FakeSriApi
+
+BASEURL = "https://fake.api"
+
+
+def test_listener_triggers_sync_per_event(spark, tmp_path):
+    api = FakeSriApi(n=6)
+    sync = Sri2DbSync(
+        reader=SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3),
+        table=LakeTable(spark, str(tmp_path / "t"), LAYOUT_LARGE),
+        path="/a",
+        baseurl=BASEURL,
+        watermarks=WatermarkStore(spark, str(tmp_path / "wm")),
+    )
+
+    fired = threading.Event()
+
+    def connect():
+        yield {"type": "update"}
+        fired.set()
+        while not done.is_set():  # keep the "socket" open
+            time.sleep(0.05)
+
+    done = threading.Event()
+    listener = BroadcastListener(connect=connect, sync_fn=sync.delta_sync).start()
+    deadline = time.time() + 120
+    while listener.syncs_run < 1 and time.time() < deadline:
+        time.sleep(0.2)
+    done.set()
+    listener.stop()
+    assert listener.events_seen == 1
+    assert listener.syncs_run == 1
+    assert sync.table.count() == 6
+
+
+def test_listener_retries_failed_sync(spark):
+    calls = {"n": 0}
+
+    def flaky_sync():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return type("R", (), {"synctype": "DELTA"})()
+
+    def connect():
+        yield "update"
+        while not stop.is_set():
+            time.sleep(0.05)
+
+    stop = threading.Event()
+    listener = BroadcastListener(
+        connect=connect, sync_fn=flaky_sync, retry_interval=0.05
+    ).start()
+    deadline = time.time() + 30
+    while listener.syncs_run < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    stop.set()
+    listener.stop()
+    assert calls["n"] == 3  # two failures + one success (D3 retry loop)
+    assert listener.errors == 2
+
+
+def test_listener_reconnects_on_source_failure(spark):
+    attempts = {"n": 0}
+
+    def connect():
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise ConnectionError("socket down")  # D2: reconnect
+        yield "update"
+
+    listener = BroadcastListener(
+        connect=connect,
+        sync_fn=lambda: type("R", (), {"synctype": "DELTA"})(),
+        retry_interval=0.05,
+    ).start()
+    deadline = time.time() + 30
+    while listener.syncs_run < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    listener.stop()
+    assert attempts["n"] == 2
+    assert listener.syncs_run == 1
+
+
+def test_stream_sync_merges_updates_and_tombstones(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    table = LakeTable(spark, str(tmp_path / "table"), LAYOUT_LARGE)
+
+    def write_feed(name: str, records: list[dict]) -> None:
+        (feed / name).write_text("\n".join(json.dumps(r) for r in records))
+
+    def resource(i: int, modified: str, name: str = "x") -> dict:
+        return {
+            "href": f"/a/{i}",
+            "resource": json.dumps(
+                {
+                    "$$meta": {"permalink": f"/a/{i}", "modified": modified, "type": "_A"},
+                    "key": str(i),
+                    "name": name,
+                }
+            ),
+            "deleted": False,
+        }
+
+    write_feed(
+        "batch1.json",
+        [resource(i, "2020-01-01T00:00:00.000Z") for i in range(1, 6)],
+    )
+    q = stream_sync_from_files(
+        spark,
+        str(feed),
+        table,
+        LAYOUT_LARGE,
+        BASEURL,
+        "/a",
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert table.count() == 5
+
+    # batch 2: one update, one tombstone, one insert
+    write_feed(
+        "batch2.json",
+        [
+            resource(2, "2021-01-01T00:00:00.000Z", name="v2"),
+            {"href": "/a/4", "resource": None, "deleted": True},
+            resource(9, "2021-01-01T00:00:00.000Z"),
+        ],
+    )
+    q2 = stream_sync_from_files(
+        spark,
+        str(feed),
+        table,
+        LAYOUT_LARGE,
+        BASEURL,
+        "/a",
+        str(tmp_path / "ckpt"),  # same checkpoint: only new files processed
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    rows = {r["href"]: r for r in table.read().collect()}
+    assert set(rows) == {"/a/1", "/a/2", "/a/3", "/a/5", "/a/9"}
+    assert json.loads(rows["/a/2"]["jsondata"])["name"] == "v2"
