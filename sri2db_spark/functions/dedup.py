@@ -38,8 +38,22 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work is spread across all cores.
+
+    A small parquet file arrives as ONE input partition; exploding it into
+    millions of shingle rows and aggregating would then run single-threaded.
+    The repartition shuffles only the (small) source rows — cheap insurance
+    that is a no-op when the input is already parallel (the 100 TB case).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
+    return _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
     )
@@ -140,7 +154,11 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard), id_a < id_b.
     """
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    # Persist: the band self-join consumes the signature aggregation twice and
+    # Catalyst does not reuse the exchange across self-join sides here; without
+    # this the (expensive) 128-min aggregation runs twice. Spark's context
+    # cleaner reclaims the block once the result DataFrame is unreachable.
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm).persist()
     band_rows = sigs.select(
         "id",
         F.explode(
@@ -167,7 +185,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    shingle_sets = df.select(
+    shingle_sets = _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
     )
@@ -202,7 +220,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     Plan: explode distinct shingles → one groupBy(id) computing 48 conditional
     sums (single shuffle, map-side combined) → assemble the signature.
     """
-    tok = df.select(
+    tok = _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("t"),
     ).withColumn("h", F.xxhash64("t"))

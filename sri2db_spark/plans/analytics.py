@@ -44,6 +44,17 @@ def ns_to_ms(col: str = "ts") -> F.Column:
     return F.expr(f"{col} div 1000000")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but guarantees CPU-bound per-row work parallelizes: small
+    single-file parquet arrives as one partition; a cheap repartition spreads
+    md5/fold/vector work across all cores. Values are unaffected."""
+    df = _t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ms(col) -> F.Column:
     """Epoch millis from a (possibly NTZ) timestamp column; the session is
     pinned to UTC so NTZ wall time == the instant DuckDB's epoch_ms sees."""
@@ -349,21 +360,21 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_ann_cosine_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
 def q_ann_lsh_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
 def q_emb_centroids(spark, sf):
-    return S.cluster_centroids(_t(spark, sf, "embeddings"))
+    return S.cluster_centroids(_tp(spark, sf, "embeddings"))
 
 
 def q_text_token_stats(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -374,7 +385,7 @@ def q_text_token_stats(spark, sf):
 
 
 def q_text_quality(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -387,17 +398,17 @@ def q_text_quality(spark, sf):
 
 
 def q_text_lang_id(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_text_fingerprint(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.select("doc_id", X.fingerprint(F.col("text"), k=5).alias("fingerprint"))
 
 
 def q_multimodal_meta(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     media = to_media_table(docs, "doc_id", "text")
     n = F.col("meta.n_bytes")
     return media.select(
