@@ -420,6 +420,92 @@ def q_multimodal_meta(spark, sf):
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Advanced relational coverage: sessionization, as-of, range join, cube
+# --------------------------------------------------------------------------
+
+
+def q_events_sessionize(spark, sf):
+    """Gap-based sessionization (30-min gap) via lag + running sum — the
+    batch form of the streaming sessionizer."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 1_800_000_000_000  # 30 min in nanos
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_id", F.sum(is_new).over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("min(ts) div 1000000").alias("start_ms"),
+        F.expr("max(ts) div 1000000").alias("end_ms"),
+    )
+
+
+def q_events_cube(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "hour_ms", F.expr("ts div 3600000000000") * F.lit(3600000)
+    )
+    return ev.cube("event_type", "hour_ms").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+def q_asof_last_signup(spark, sf):
+    """As-of join expressed as a carry-forward window: for every event, the
+    timestamp of the user's latest signup at-or-before it."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return ev.withColumn("last_signup_ns", last_signup).select(
+        "event_id",
+        "user_id",
+        ns_to_ms().alias("ts_ms"),
+        F.expr("last_signup_ns div 1000000").alias("last_signup_ms"),
+    )
+
+
+def q_range_join_events(spark, sf):
+    """Bounded range self-join: events occurring within 5 minutes after each
+    event for the same user (equi key + range predicate — the scalable form
+    of an interval join)."""
+    ev = _t(spark, sf, "events")
+    a = ev.select(F.col("event_id").alias("event_id"), F.col("user_id").alias("u"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("eb"), F.col("user_id").alias("ub"), F.col("ts").alias("ts_b"))
+    win_ns = 300_000_000_000  # 5 min
+    joined = a.join(
+        b,
+        (F.col("u") == F.col("ub"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + win_ns),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count(F.col("eb")).alias("n_following"))
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (exact all-pairs; LSH is the scale
+    path — see ann_lsh_topk)."""
+    emb = _tp(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = S.cosine(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.3
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SRI merge operators (SURVEY §2.C)
     "c1_dedup_latest": q_c1_dedup_latest,
@@ -447,6 +533,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "json_extract_props": q_json_extract_props,
     # dedup / similarity / text / multimodal extensions
+    "events_sessionize": q_events_sessionize,
+    "events_cube": q_events_cube,
+    "asof_last_signup": q_asof_last_signup,
+    "range_join_events": q_range_join_events,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -215,6 +215,57 @@ ORACLES: dict[str, str] = {
                MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
     """,
+    # ---- advanced relational coverage -----------------------------------
+    "events_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, event_id,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               epoch_ns(min(ts)) // 1000000 AS start_ms,
+               epoch_ns(max(ts)) // 1000000 AS end_ms
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "events_cube": """
+        SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600000 AS hour_ms,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY CUBE (event_type, (epoch_ns(ts) // 3600000000000) * 3600000)
+    """,
+    "asof_last_signup": """
+        SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+               epoch_ns(last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // 1000000
+                 AS last_signup_ms
+        FROM events
+    """,
+    "range_join_events": """
+        SELECT a.event_id, COUNT(b.event_id) AS n_following
+        FROM events a
+        LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND epoch_ns(b.ts) > epoch_ns(a.ts)
+         AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 300000000000
+        GROUP BY a.event_id
+    """,
+    "dedup_embedding_cosine": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               (CAST(a.embedding[1] AS DOUBLE)*CAST(b.embedding[1] AS DOUBLE) + CAST(a.embedding[2] AS DOUBLE)*CAST(b.embedding[2] AS DOUBLE) + CAST(a.embedding[3] AS DOUBLE)*CAST(b.embedding[3] AS DOUBLE) + CAST(a.embedding[4] AS DOUBLE)*CAST(b.embedding[4] AS DOUBLE) + CAST(a.embedding[5] AS DOUBLE)*CAST(b.embedding[5] AS DOUBLE) + CAST(a.embedding[6] AS DOUBLE)*CAST(b.embedding[6] AS DOUBLE) + CAST(a.embedding[7] AS DOUBLE)*CAST(b.embedding[7] AS DOUBLE) + CAST(a.embedding[8] AS DOUBLE)*CAST(b.embedding[8] AS DOUBLE) + CAST(a.embedding[9] AS DOUBLE)*CAST(b.embedding[9] AS DOUBLE) + CAST(a.embedding[10] AS DOUBLE)*CAST(b.embedding[10] AS DOUBLE) + CAST(a.embedding[11] AS DOUBLE)*CAST(b.embedding[11] AS DOUBLE) + CAST(a.embedding[12] AS DOUBLE)*CAST(b.embedding[12] AS DOUBLE) + CAST(a.embedding[13] AS DOUBLE)*CAST(b.embedding[13] AS DOUBLE) + CAST(a.embedding[14] AS DOUBLE)*CAST(b.embedding[14] AS DOUBLE) + CAST(a.embedding[15] AS DOUBLE)*CAST(b.embedding[15] AS DOUBLE) + CAST(a.embedding[16] AS DOUBLE)*CAST(b.embedding[16] AS DOUBLE) + CAST(a.embedding[17] AS DOUBLE)*CAST(b.embedding[17] AS DOUBLE) + CAST(a.embedding[18] AS DOUBLE)*CAST(b.embedding[18] AS DOUBLE) + CAST(a.embedding[19] AS DOUBLE)*CAST(b.embedding[19] AS DOUBLE) + CAST(a.embedding[20] AS DOUBLE)*CAST(b.embedding[20] AS DOUBLE) + CAST(a.embedding[21] AS DOUBLE)*CAST(b.embedding[21] AS DOUBLE) + CAST(a.embedding[22] AS DOUBLE)*CAST(b.embedding[22] AS DOUBLE) + CAST(a.embedding[23] AS DOUBLE)*CAST(b.embedding[23] AS DOUBLE) + CAST(a.embedding[24] AS DOUBLE)*CAST(b.embedding[24] AS DOUBLE) + CAST(a.embedding[25] AS DOUBLE)*CAST(b.embedding[25] AS DOUBLE) + CAST(a.embedding[26] AS DOUBLE)*CAST(b.embedding[26] AS DOUBLE) + CAST(a.embedding[27] AS DOUBLE)*CAST(b.embedding[27] AS DOUBLE) + CAST(a.embedding[28] AS DOUBLE)*CAST(b.embedding[28] AS DOUBLE) + CAST(a.embedding[29] AS DOUBLE)*CAST(b.embedding[29] AS DOUBLE) + CAST(a.embedding[30] AS DOUBLE)*CAST(b.embedding[30] AS DOUBLE) + CAST(a.embedding[31] AS DOUBLE)*CAST(b.embedding[31] AS DOUBLE) + CAST(a.embedding[32] AS DOUBLE)*CAST(b.embedding[32] AS DOUBLE) + CAST(a.embedding[33] AS DOUBLE)*CAST(b.embedding[33] AS DOUBLE) + CAST(a.embedding[34] AS DOUBLE)*CAST(b.embedding[34] AS DOUBLE) + CAST(a.embedding[35] AS DOUBLE)*CAST(b.embedding[35] AS DOUBLE) + CAST(a.embedding[36] AS DOUBLE)*CAST(b.embedding[36] AS DOUBLE) + CAST(a.embedding[37] AS DOUBLE)*CAST(b.embedding[37] AS DOUBLE) + CAST(a.embedding[38] AS DOUBLE)*CAST(b.embedding[38] AS DOUBLE) + CAST(a.embedding[39] AS DOUBLE)*CAST(b.embedding[39] AS DOUBLE) + CAST(a.embedding[40] AS DOUBLE)*CAST(b.embedding[40] AS DOUBLE) + CAST(a.embedding[41] AS DOUBLE)*CAST(b.embedding[41] AS DOUBLE) + CAST(a.embedding[42] AS DOUBLE)*CAST(b.embedding[42] AS DOUBLE) + CAST(a.embedding[43] AS DOUBLE)*CAST(b.embedding[43] AS DOUBLE) + CAST(a.embedding[44] AS DOUBLE)*CAST(b.embedding[44] AS DOUBLE) + CAST(a.embedding[45] AS DOUBLE)*CAST(b.embedding[45] AS DOUBLE) + CAST(a.embedding[46] AS DOUBLE)*CAST(b.embedding[46] AS DOUBLE) + CAST(a.embedding[47] AS DOUBLE)*CAST(b.embedding[47] AS DOUBLE) + CAST(a.embedding[48] AS DOUBLE)*CAST(b.embedding[48] AS DOUBLE) + CAST(a.embedding[49] AS DOUBLE)*CAST(b.embedding[49] AS DOUBLE) + CAST(a.embedding[50] AS DOUBLE)*CAST(b.embedding[50] AS DOUBLE) + CAST(a.embedding[51] AS DOUBLE)*CAST(b.embedding[51] AS DOUBLE) + CAST(a.embedding[52] AS DOUBLE)*CAST(b.embedding[52] AS DOUBLE) + CAST(a.embedding[53] AS DOUBLE)*CAST(b.embedding[53] AS DOUBLE) + CAST(a.embedding[54] AS DOUBLE)*CAST(b.embedding[54] AS DOUBLE) + CAST(a.embedding[55] AS DOUBLE)*CAST(b.embedding[55] AS DOUBLE) + CAST(a.embedding[56] AS DOUBLE)*CAST(b.embedding[56] AS DOUBLE) + CAST(a.embedding[57] AS DOUBLE)*CAST(b.embedding[57] AS DOUBLE) + CAST(a.embedding[58] AS DOUBLE)*CAST(b.embedding[58] AS DOUBLE) + CAST(a.embedding[59] AS DOUBLE)*CAST(b.embedding[59] AS DOUBLE) + CAST(a.embedding[60] AS DOUBLE)*CAST(b.embedding[60] AS DOUBLE) + CAST(a.embedding[61] AS DOUBLE)*CAST(b.embedding[61] AS DOUBLE) + CAST(a.embedding[62] AS DOUBLE)*CAST(b.embedding[62] AS DOUBLE) + CAST(a.embedding[63] AS DOUBLE)*CAST(b.embedding[63] AS DOUBLE) + CAST(a.embedding[64] AS DOUBLE)*CAST(b.embedding[64] AS DOUBLE))
+               / (sqrt(CAST(a.embedding[1] AS DOUBLE)*CAST(a.embedding[1] AS DOUBLE) + CAST(a.embedding[2] AS DOUBLE)*CAST(a.embedding[2] AS DOUBLE) + CAST(a.embedding[3] AS DOUBLE)*CAST(a.embedding[3] AS DOUBLE) + CAST(a.embedding[4] AS DOUBLE)*CAST(a.embedding[4] AS DOUBLE) + CAST(a.embedding[5] AS DOUBLE)*CAST(a.embedding[5] AS DOUBLE) + CAST(a.embedding[6] AS DOUBLE)*CAST(a.embedding[6] AS DOUBLE) + CAST(a.embedding[7] AS DOUBLE)*CAST(a.embedding[7] AS DOUBLE) + CAST(a.embedding[8] AS DOUBLE)*CAST(a.embedding[8] AS DOUBLE) + CAST(a.embedding[9] AS DOUBLE)*CAST(a.embedding[9] AS DOUBLE) + CAST(a.embedding[10] AS DOUBLE)*CAST(a.embedding[10] AS DOUBLE) + CAST(a.embedding[11] AS DOUBLE)*CAST(a.embedding[11] AS DOUBLE) + CAST(a.embedding[12] AS DOUBLE)*CAST(a.embedding[12] AS DOUBLE) + CAST(a.embedding[13] AS DOUBLE)*CAST(a.embedding[13] AS DOUBLE) + CAST(a.embedding[14] AS DOUBLE)*CAST(a.embedding[14] AS DOUBLE) + CAST(a.embedding[15] AS DOUBLE)*CAST(a.embedding[15] AS DOUBLE) + CAST(a.embedding[16] AS DOUBLE)*CAST(a.embedding[16] AS DOUBLE) + CAST(a.embedding[17] AS DOUBLE)*CAST(a.embedding[17] AS DOUBLE) + CAST(a.embedding[18] AS DOUBLE)*CAST(a.embedding[18] AS DOUBLE) + CAST(a.embedding[19] AS DOUBLE)*CAST(a.embedding[19] AS DOUBLE) + CAST(a.embedding[20] AS DOUBLE)*CAST(a.embedding[20] AS DOUBLE) + CAST(a.embedding[21] AS DOUBLE)*CAST(a.embedding[21] AS DOUBLE) + CAST(a.embedding[22] AS DOUBLE)*CAST(a.embedding[22] AS DOUBLE) + CAST(a.embedding[23] AS DOUBLE)*CAST(a.embedding[23] AS DOUBLE) + CAST(a.embedding[24] AS DOUBLE)*CAST(a.embedding[24] AS DOUBLE) + CAST(a.embedding[25] AS DOUBLE)*CAST(a.embedding[25] AS DOUBLE) + CAST(a.embedding[26] AS DOUBLE)*CAST(a.embedding[26] AS DOUBLE) + CAST(a.embedding[27] AS DOUBLE)*CAST(a.embedding[27] AS DOUBLE) + CAST(a.embedding[28] AS DOUBLE)*CAST(a.embedding[28] AS DOUBLE) + CAST(a.embedding[29] AS DOUBLE)*CAST(a.embedding[29] AS DOUBLE) + CAST(a.embedding[30] AS DOUBLE)*CAST(a.embedding[30] AS DOUBLE) + CAST(a.embedding[31] AS DOUBLE)*CAST(a.embedding[31] AS DOUBLE) + CAST(a.embedding[32] AS DOUBLE)*CAST(a.embedding[32] AS DOUBLE) + CAST(a.embedding[33] AS DOUBLE)*CAST(a.embedding[33] AS DOUBLE) + CAST(a.embedding[34] AS DOUBLE)*CAST(a.embedding[34] AS DOUBLE) + CAST(a.embedding[35] AS DOUBLE)*CAST(a.embedding[35] AS DOUBLE) + CAST(a.embedding[36] AS DOUBLE)*CAST(a.embedding[36] AS DOUBLE) + CAST(a.embedding[37] AS DOUBLE)*CAST(a.embedding[37] AS DOUBLE) + CAST(a.embedding[38] AS DOUBLE)*CAST(a.embedding[38] AS DOUBLE) + CAST(a.embedding[39] AS DOUBLE)*CAST(a.embedding[39] AS DOUBLE) + CAST(a.embedding[40] AS DOUBLE)*CAST(a.embedding[40] AS DOUBLE) + CAST(a.embedding[41] AS DOUBLE)*CAST(a.embedding[41] AS DOUBLE) + CAST(a.embedding[42] AS DOUBLE)*CAST(a.embedding[42] AS DOUBLE) + CAST(a.embedding[43] AS DOUBLE)*CAST(a.embedding[43] AS DOUBLE) + CAST(a.embedding[44] AS DOUBLE)*CAST(a.embedding[44] AS DOUBLE) + CAST(a.embedding[45] AS DOUBLE)*CAST(a.embedding[45] AS DOUBLE) + CAST(a.embedding[46] AS DOUBLE)*CAST(a.embedding[46] AS DOUBLE) + CAST(a.embedding[47] AS DOUBLE)*CAST(a.embedding[47] AS DOUBLE) + CAST(a.embedding[48] AS DOUBLE)*CAST(a.embedding[48] AS DOUBLE) + CAST(a.embedding[49] AS DOUBLE)*CAST(a.embedding[49] AS DOUBLE) + CAST(a.embedding[50] AS DOUBLE)*CAST(a.embedding[50] AS DOUBLE) + CAST(a.embedding[51] AS DOUBLE)*CAST(a.embedding[51] AS DOUBLE) + CAST(a.embedding[52] AS DOUBLE)*CAST(a.embedding[52] AS DOUBLE) + CAST(a.embedding[53] AS DOUBLE)*CAST(a.embedding[53] AS DOUBLE) + CAST(a.embedding[54] AS DOUBLE)*CAST(a.embedding[54] AS DOUBLE) + CAST(a.embedding[55] AS DOUBLE)*CAST(a.embedding[55] AS DOUBLE) + CAST(a.embedding[56] AS DOUBLE)*CAST(a.embedding[56] AS DOUBLE) + CAST(a.embedding[57] AS DOUBLE)*CAST(a.embedding[57] AS DOUBLE) + CAST(a.embedding[58] AS DOUBLE)*CAST(a.embedding[58] AS DOUBLE) + CAST(a.embedding[59] AS DOUBLE)*CAST(a.embedding[59] AS DOUBLE) + CAST(a.embedding[60] AS DOUBLE)*CAST(a.embedding[60] AS DOUBLE) + CAST(a.embedding[61] AS DOUBLE)*CAST(a.embedding[61] AS DOUBLE) + CAST(a.embedding[62] AS DOUBLE)*CAST(a.embedding[62] AS DOUBLE) + CAST(a.embedding[63] AS DOUBLE)*CAST(a.embedding[63] AS DOUBLE) + CAST(a.embedding[64] AS DOUBLE)*CAST(a.embedding[64] AS DOUBLE)) * sqrt(CAST(b.embedding[1] AS DOUBLE)*CAST(b.embedding[1] AS DOUBLE) + CAST(b.embedding[2] AS DOUBLE)*CAST(b.embedding[2] AS DOUBLE) + CAST(b.embedding[3] AS DOUBLE)*CAST(b.embedding[3] AS DOUBLE) + CAST(b.embedding[4] AS DOUBLE)*CAST(b.embedding[4] AS DOUBLE) + CAST(b.embedding[5] AS DOUBLE)*CAST(b.embedding[5] AS DOUBLE) + CAST(b.embedding[6] AS DOUBLE)*CAST(b.embedding[6] AS DOUBLE) + CAST(b.embedding[7] AS DOUBLE)*CAST(b.embedding[7] AS DOUBLE) + CAST(b.embedding[8] AS DOUBLE)*CAST(b.embedding[8] AS DOUBLE) + CAST(b.embedding[9] AS DOUBLE)*CAST(b.embedding[9] AS DOUBLE) + CAST(b.embedding[10] AS DOUBLE)*CAST(b.embedding[10] AS DOUBLE) + CAST(b.embedding[11] AS DOUBLE)*CAST(b.embedding[11] AS DOUBLE) + CAST(b.embedding[12] AS DOUBLE)*CAST(b.embedding[12] AS DOUBLE) + CAST(b.embedding[13] AS DOUBLE)*CAST(b.embedding[13] AS DOUBLE) + CAST(b.embedding[14] AS DOUBLE)*CAST(b.embedding[14] AS DOUBLE) + CAST(b.embedding[15] AS DOUBLE)*CAST(b.embedding[15] AS DOUBLE) + CAST(b.embedding[16] AS DOUBLE)*CAST(b.embedding[16] AS DOUBLE) + CAST(b.embedding[17] AS DOUBLE)*CAST(b.embedding[17] AS DOUBLE) + CAST(b.embedding[18] AS DOUBLE)*CAST(b.embedding[18] AS DOUBLE) + CAST(b.embedding[19] AS DOUBLE)*CAST(b.embedding[19] AS DOUBLE) + CAST(b.embedding[20] AS DOUBLE)*CAST(b.embedding[20] AS DOUBLE) + CAST(b.embedding[21] AS DOUBLE)*CAST(b.embedding[21] AS DOUBLE) + CAST(b.embedding[22] AS DOUBLE)*CAST(b.embedding[22] AS DOUBLE) + CAST(b.embedding[23] AS DOUBLE)*CAST(b.embedding[23] AS DOUBLE) + CAST(b.embedding[24] AS DOUBLE)*CAST(b.embedding[24] AS DOUBLE) + CAST(b.embedding[25] AS DOUBLE)*CAST(b.embedding[25] AS DOUBLE) + CAST(b.embedding[26] AS DOUBLE)*CAST(b.embedding[26] AS DOUBLE) + CAST(b.embedding[27] AS DOUBLE)*CAST(b.embedding[27] AS DOUBLE) + CAST(b.embedding[28] AS DOUBLE)*CAST(b.embedding[28] AS DOUBLE) + CAST(b.embedding[29] AS DOUBLE)*CAST(b.embedding[29] AS DOUBLE) + CAST(b.embedding[30] AS DOUBLE)*CAST(b.embedding[30] AS DOUBLE) + CAST(b.embedding[31] AS DOUBLE)*CAST(b.embedding[31] AS DOUBLE) + CAST(b.embedding[32] AS DOUBLE)*CAST(b.embedding[32] AS DOUBLE) + CAST(b.embedding[33] AS DOUBLE)*CAST(b.embedding[33] AS DOUBLE) + CAST(b.embedding[34] AS DOUBLE)*CAST(b.embedding[34] AS DOUBLE) + CAST(b.embedding[35] AS DOUBLE)*CAST(b.embedding[35] AS DOUBLE) + CAST(b.embedding[36] AS DOUBLE)*CAST(b.embedding[36] AS DOUBLE) + CAST(b.embedding[37] AS DOUBLE)*CAST(b.embedding[37] AS DOUBLE) + CAST(b.embedding[38] AS DOUBLE)*CAST(b.embedding[38] AS DOUBLE) + CAST(b.embedding[39] AS DOUBLE)*CAST(b.embedding[39] AS DOUBLE) + CAST(b.embedding[40] AS DOUBLE)*CAST(b.embedding[40] AS DOUBLE) + CAST(b.embedding[41] AS DOUBLE)*CAST(b.embedding[41] AS DOUBLE) + CAST(b.embedding[42] AS DOUBLE)*CAST(b.embedding[42] AS DOUBLE) + CAST(b.embedding[43] AS DOUBLE)*CAST(b.embedding[43] AS DOUBLE) + CAST(b.embedding[44] AS DOUBLE)*CAST(b.embedding[44] AS DOUBLE) + CAST(b.embedding[45] AS DOUBLE)*CAST(b.embedding[45] AS DOUBLE) + CAST(b.embedding[46] AS DOUBLE)*CAST(b.embedding[46] AS DOUBLE) + CAST(b.embedding[47] AS DOUBLE)*CAST(b.embedding[47] AS DOUBLE) + CAST(b.embedding[48] AS DOUBLE)*CAST(b.embedding[48] AS DOUBLE) + CAST(b.embedding[49] AS DOUBLE)*CAST(b.embedding[49] AS DOUBLE) + CAST(b.embedding[50] AS DOUBLE)*CAST(b.embedding[50] AS DOUBLE) + CAST(b.embedding[51] AS DOUBLE)*CAST(b.embedding[51] AS DOUBLE) + CAST(b.embedding[52] AS DOUBLE)*CAST(b.embedding[52] AS DOUBLE) + CAST(b.embedding[53] AS DOUBLE)*CAST(b.embedding[53] AS DOUBLE) + CAST(b.embedding[54] AS DOUBLE)*CAST(b.embedding[54] AS DOUBLE) + CAST(b.embedding[55] AS DOUBLE)*CAST(b.embedding[55] AS DOUBLE) + CAST(b.embedding[56] AS DOUBLE)*CAST(b.embedding[56] AS DOUBLE) + CAST(b.embedding[57] AS DOUBLE)*CAST(b.embedding[57] AS DOUBLE) + CAST(b.embedding[58] AS DOUBLE)*CAST(b.embedding[58] AS DOUBLE) + CAST(b.embedding[59] AS DOUBLE)*CAST(b.embedding[59] AS DOUBLE) + CAST(b.embedding[60] AS DOUBLE)*CAST(b.embedding[60] AS DOUBLE) + CAST(b.embedding[61] AS DOUBLE)*CAST(b.embedding[61] AS DOUBLE) + CAST(b.embedding[62] AS DOUBLE)*CAST(b.embedding[62] AS DOUBLE) + CAST(b.embedding[63] AS DOUBLE)*CAST(b.embedding[63] AS DOUBLE) + CAST(b.embedding[64] AS DOUBLE)*CAST(b.embedding[64] AS DOUBLE))) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE (CAST(a.embedding[1] AS DOUBLE)*CAST(b.embedding[1] AS DOUBLE) + CAST(a.embedding[2] AS DOUBLE)*CAST(b.embedding[2] AS DOUBLE) + CAST(a.embedding[3] AS DOUBLE)*CAST(b.embedding[3] AS DOUBLE) + CAST(a.embedding[4] AS DOUBLE)*CAST(b.embedding[4] AS DOUBLE) + CAST(a.embedding[5] AS DOUBLE)*CAST(b.embedding[5] AS DOUBLE) + CAST(a.embedding[6] AS DOUBLE)*CAST(b.embedding[6] AS DOUBLE) + CAST(a.embedding[7] AS DOUBLE)*CAST(b.embedding[7] AS DOUBLE) + CAST(a.embedding[8] AS DOUBLE)*CAST(b.embedding[8] AS DOUBLE) + CAST(a.embedding[9] AS DOUBLE)*CAST(b.embedding[9] AS DOUBLE) + CAST(a.embedding[10] AS DOUBLE)*CAST(b.embedding[10] AS DOUBLE) + CAST(a.embedding[11] AS DOUBLE)*CAST(b.embedding[11] AS DOUBLE) + CAST(a.embedding[12] AS DOUBLE)*CAST(b.embedding[12] AS DOUBLE) + CAST(a.embedding[13] AS DOUBLE)*CAST(b.embedding[13] AS DOUBLE) + CAST(a.embedding[14] AS DOUBLE)*CAST(b.embedding[14] AS DOUBLE) + CAST(a.embedding[15] AS DOUBLE)*CAST(b.embedding[15] AS DOUBLE) + CAST(a.embedding[16] AS DOUBLE)*CAST(b.embedding[16] AS DOUBLE) + CAST(a.embedding[17] AS DOUBLE)*CAST(b.embedding[17] AS DOUBLE) + CAST(a.embedding[18] AS DOUBLE)*CAST(b.embedding[18] AS DOUBLE) + CAST(a.embedding[19] AS DOUBLE)*CAST(b.embedding[19] AS DOUBLE) + CAST(a.embedding[20] AS DOUBLE)*CAST(b.embedding[20] AS DOUBLE) + CAST(a.embedding[21] AS DOUBLE)*CAST(b.embedding[21] AS DOUBLE) + CAST(a.embedding[22] AS DOUBLE)*CAST(b.embedding[22] AS DOUBLE) + CAST(a.embedding[23] AS DOUBLE)*CAST(b.embedding[23] AS DOUBLE) + CAST(a.embedding[24] AS DOUBLE)*CAST(b.embedding[24] AS DOUBLE) + CAST(a.embedding[25] AS DOUBLE)*CAST(b.embedding[25] AS DOUBLE) + CAST(a.embedding[26] AS DOUBLE)*CAST(b.embedding[26] AS DOUBLE) + CAST(a.embedding[27] AS DOUBLE)*CAST(b.embedding[27] AS DOUBLE) + CAST(a.embedding[28] AS DOUBLE)*CAST(b.embedding[28] AS DOUBLE) + CAST(a.embedding[29] AS DOUBLE)*CAST(b.embedding[29] AS DOUBLE) + CAST(a.embedding[30] AS DOUBLE)*CAST(b.embedding[30] AS DOUBLE) + CAST(a.embedding[31] AS DOUBLE)*CAST(b.embedding[31] AS DOUBLE) + CAST(a.embedding[32] AS DOUBLE)*CAST(b.embedding[32] AS DOUBLE) + CAST(a.embedding[33] AS DOUBLE)*CAST(b.embedding[33] AS DOUBLE) + CAST(a.embedding[34] AS DOUBLE)*CAST(b.embedding[34] AS DOUBLE) + CAST(a.embedding[35] AS DOUBLE)*CAST(b.embedding[35] AS DOUBLE) + CAST(a.embedding[36] AS DOUBLE)*CAST(b.embedding[36] AS DOUBLE) + CAST(a.embedding[37] AS DOUBLE)*CAST(b.embedding[37] AS DOUBLE) + CAST(a.embedding[38] AS DOUBLE)*CAST(b.embedding[38] AS DOUBLE) + CAST(a.embedding[39] AS DOUBLE)*CAST(b.embedding[39] AS DOUBLE) + CAST(a.embedding[40] AS DOUBLE)*CAST(b.embedding[40] AS DOUBLE) + CAST(a.embedding[41] AS DOUBLE)*CAST(b.embedding[41] AS DOUBLE) + CAST(a.embedding[42] AS DOUBLE)*CAST(b.embedding[42] AS DOUBLE) + CAST(a.embedding[43] AS DOUBLE)*CAST(b.embedding[43] AS DOUBLE) + CAST(a.embedding[44] AS DOUBLE)*CAST(b.embedding[44] AS DOUBLE) + CAST(a.embedding[45] AS DOUBLE)*CAST(b.embedding[45] AS DOUBLE) + CAST(a.embedding[46] AS DOUBLE)*CAST(b.embedding[46] AS DOUBLE) + CAST(a.embedding[47] AS DOUBLE)*CAST(b.embedding[47] AS DOUBLE) + CAST(a.embedding[48] AS DOUBLE)*CAST(b.embedding[48] AS DOUBLE) + CAST(a.embedding[49] AS DOUBLE)*CAST(b.embedding[49] AS DOUBLE) + CAST(a.embedding[50] AS DOUBLE)*CAST(b.embedding[50] AS DOUBLE) + CAST(a.embedding[51] AS DOUBLE)*CAST(b.embedding[51] AS DOUBLE) + CAST(a.embedding[52] AS DOUBLE)*CAST(b.embedding[52] AS DOUBLE) + CAST(a.embedding[53] AS DOUBLE)*CAST(b.embedding[53] AS DOUBLE) + CAST(a.embedding[54] AS DOUBLE)*CAST(b.embedding[54] AS DOUBLE) + CAST(a.embedding[55] AS DOUBLE)*CAST(b.embedding[55] AS DOUBLE) + CAST(a.embedding[56] AS DOUBLE)*CAST(b.embedding[56] AS DOUBLE) + CAST(a.embedding[57] AS DOUBLE)*CAST(b.embedding[57] AS DOUBLE) + CAST(a.embedding[58] AS DOUBLE)*CAST(b.embedding[58] AS DOUBLE) + CAST(a.embedding[59] AS DOUBLE)*CAST(b.embedding[59] AS DOUBLE) + CAST(a.embedding[60] AS DOUBLE)*CAST(b.embedding[60] AS DOUBLE) + CAST(a.embedding[61] AS DOUBLE)*CAST(b.embedding[61] AS DOUBLE) + CAST(a.embedding[62] AS DOUBLE)*CAST(b.embedding[62] AS DOUBLE) + CAST(a.embedding[63] AS DOUBLE)*CAST(b.embedding[63] AS DOUBLE) + CAST(a.embedding[64] AS DOUBLE)*CAST(b.embedding[64] AS DOUBLE))
+              / (sqrt(CAST(a.embedding[1] AS DOUBLE)*CAST(a.embedding[1] AS DOUBLE) + CAST(a.embedding[2] AS DOUBLE)*CAST(a.embedding[2] AS DOUBLE) + CAST(a.embedding[3] AS DOUBLE)*CAST(a.embedding[3] AS DOUBLE) + CAST(a.embedding[4] AS DOUBLE)*CAST(a.embedding[4] AS DOUBLE) + CAST(a.embedding[5] AS DOUBLE)*CAST(a.embedding[5] AS DOUBLE) + CAST(a.embedding[6] AS DOUBLE)*CAST(a.embedding[6] AS DOUBLE) + CAST(a.embedding[7] AS DOUBLE)*CAST(a.embedding[7] AS DOUBLE) + CAST(a.embedding[8] AS DOUBLE)*CAST(a.embedding[8] AS DOUBLE) + CAST(a.embedding[9] AS DOUBLE)*CAST(a.embedding[9] AS DOUBLE) + CAST(a.embedding[10] AS DOUBLE)*CAST(a.embedding[10] AS DOUBLE) + CAST(a.embedding[11] AS DOUBLE)*CAST(a.embedding[11] AS DOUBLE) + CAST(a.embedding[12] AS DOUBLE)*CAST(a.embedding[12] AS DOUBLE) + CAST(a.embedding[13] AS DOUBLE)*CAST(a.embedding[13] AS DOUBLE) + CAST(a.embedding[14] AS DOUBLE)*CAST(a.embedding[14] AS DOUBLE) + CAST(a.embedding[15] AS DOUBLE)*CAST(a.embedding[15] AS DOUBLE) + CAST(a.embedding[16] AS DOUBLE)*CAST(a.embedding[16] AS DOUBLE) + CAST(a.embedding[17] AS DOUBLE)*CAST(a.embedding[17] AS DOUBLE) + CAST(a.embedding[18] AS DOUBLE)*CAST(a.embedding[18] AS DOUBLE) + CAST(a.embedding[19] AS DOUBLE)*CAST(a.embedding[19] AS DOUBLE) + CAST(a.embedding[20] AS DOUBLE)*CAST(a.embedding[20] AS DOUBLE) + CAST(a.embedding[21] AS DOUBLE)*CAST(a.embedding[21] AS DOUBLE) + CAST(a.embedding[22] AS DOUBLE)*CAST(a.embedding[22] AS DOUBLE) + CAST(a.embedding[23] AS DOUBLE)*CAST(a.embedding[23] AS DOUBLE) + CAST(a.embedding[24] AS DOUBLE)*CAST(a.embedding[24] AS DOUBLE) + CAST(a.embedding[25] AS DOUBLE)*CAST(a.embedding[25] AS DOUBLE) + CAST(a.embedding[26] AS DOUBLE)*CAST(a.embedding[26] AS DOUBLE) + CAST(a.embedding[27] AS DOUBLE)*CAST(a.embedding[27] AS DOUBLE) + CAST(a.embedding[28] AS DOUBLE)*CAST(a.embedding[28] AS DOUBLE) + CAST(a.embedding[29] AS DOUBLE)*CAST(a.embedding[29] AS DOUBLE) + CAST(a.embedding[30] AS DOUBLE)*CAST(a.embedding[30] AS DOUBLE) + CAST(a.embedding[31] AS DOUBLE)*CAST(a.embedding[31] AS DOUBLE) + CAST(a.embedding[32] AS DOUBLE)*CAST(a.embedding[32] AS DOUBLE) + CAST(a.embedding[33] AS DOUBLE)*CAST(a.embedding[33] AS DOUBLE) + CAST(a.embedding[34] AS DOUBLE)*CAST(a.embedding[34] AS DOUBLE) + CAST(a.embedding[35] AS DOUBLE)*CAST(a.embedding[35] AS DOUBLE) + CAST(a.embedding[36] AS DOUBLE)*CAST(a.embedding[36] AS DOUBLE) + CAST(a.embedding[37] AS DOUBLE)*CAST(a.embedding[37] AS DOUBLE) + CAST(a.embedding[38] AS DOUBLE)*CAST(a.embedding[38] AS DOUBLE) + CAST(a.embedding[39] AS DOUBLE)*CAST(a.embedding[39] AS DOUBLE) + CAST(a.embedding[40] AS DOUBLE)*CAST(a.embedding[40] AS DOUBLE) + CAST(a.embedding[41] AS DOUBLE)*CAST(a.embedding[41] AS DOUBLE) + CAST(a.embedding[42] AS DOUBLE)*CAST(a.embedding[42] AS DOUBLE) + CAST(a.embedding[43] AS DOUBLE)*CAST(a.embedding[43] AS DOUBLE) + CAST(a.embedding[44] AS DOUBLE)*CAST(a.embedding[44] AS DOUBLE) + CAST(a.embedding[45] AS DOUBLE)*CAST(a.embedding[45] AS DOUBLE) + CAST(a.embedding[46] AS DOUBLE)*CAST(a.embedding[46] AS DOUBLE) + CAST(a.embedding[47] AS DOUBLE)*CAST(a.embedding[47] AS DOUBLE) + CAST(a.embedding[48] AS DOUBLE)*CAST(a.embedding[48] AS DOUBLE) + CAST(a.embedding[49] AS DOUBLE)*CAST(a.embedding[49] AS DOUBLE) + CAST(a.embedding[50] AS DOUBLE)*CAST(a.embedding[50] AS DOUBLE) + CAST(a.embedding[51] AS DOUBLE)*CAST(a.embedding[51] AS DOUBLE) + CAST(a.embedding[52] AS DOUBLE)*CAST(a.embedding[52] AS DOUBLE) + CAST(a.embedding[53] AS DOUBLE)*CAST(a.embedding[53] AS DOUBLE) + CAST(a.embedding[54] AS DOUBLE)*CAST(a.embedding[54] AS DOUBLE) + CAST(a.embedding[55] AS DOUBLE)*CAST(a.embedding[55] AS DOUBLE) + CAST(a.embedding[56] AS DOUBLE)*CAST(a.embedding[56] AS DOUBLE) + CAST(a.embedding[57] AS DOUBLE)*CAST(a.embedding[57] AS DOUBLE) + CAST(a.embedding[58] AS DOUBLE)*CAST(a.embedding[58] AS DOUBLE) + CAST(a.embedding[59] AS DOUBLE)*CAST(a.embedding[59] AS DOUBLE) + CAST(a.embedding[60] AS DOUBLE)*CAST(a.embedding[60] AS DOUBLE) + CAST(a.embedding[61] AS DOUBLE)*CAST(a.embedding[61] AS DOUBLE) + CAST(a.embedding[62] AS DOUBLE)*CAST(a.embedding[62] AS DOUBLE) + CAST(a.embedding[63] AS DOUBLE)*CAST(a.embedding[63] AS DOUBLE) + CAST(a.embedding[64] AS DOUBLE)*CAST(a.embedding[64] AS DOUBLE)) * sqrt(CAST(b.embedding[1] AS DOUBLE)*CAST(b.embedding[1] AS DOUBLE) + CAST(b.embedding[2] AS DOUBLE)*CAST(b.embedding[2] AS DOUBLE) + CAST(b.embedding[3] AS DOUBLE)*CAST(b.embedding[3] AS DOUBLE) + CAST(b.embedding[4] AS DOUBLE)*CAST(b.embedding[4] AS DOUBLE) + CAST(b.embedding[5] AS DOUBLE)*CAST(b.embedding[5] AS DOUBLE) + CAST(b.embedding[6] AS DOUBLE)*CAST(b.embedding[6] AS DOUBLE) + CAST(b.embedding[7] AS DOUBLE)*CAST(b.embedding[7] AS DOUBLE) + CAST(b.embedding[8] AS DOUBLE)*CAST(b.embedding[8] AS DOUBLE) + CAST(b.embedding[9] AS DOUBLE)*CAST(b.embedding[9] AS DOUBLE) + CAST(b.embedding[10] AS DOUBLE)*CAST(b.embedding[10] AS DOUBLE) + CAST(b.embedding[11] AS DOUBLE)*CAST(b.embedding[11] AS DOUBLE) + CAST(b.embedding[12] AS DOUBLE)*CAST(b.embedding[12] AS DOUBLE) + CAST(b.embedding[13] AS DOUBLE)*CAST(b.embedding[13] AS DOUBLE) + CAST(b.embedding[14] AS DOUBLE)*CAST(b.embedding[14] AS DOUBLE) + CAST(b.embedding[15] AS DOUBLE)*CAST(b.embedding[15] AS DOUBLE) + CAST(b.embedding[16] AS DOUBLE)*CAST(b.embedding[16] AS DOUBLE) + CAST(b.embedding[17] AS DOUBLE)*CAST(b.embedding[17] AS DOUBLE) + CAST(b.embedding[18] AS DOUBLE)*CAST(b.embedding[18] AS DOUBLE) + CAST(b.embedding[19] AS DOUBLE)*CAST(b.embedding[19] AS DOUBLE) + CAST(b.embedding[20] AS DOUBLE)*CAST(b.embedding[20] AS DOUBLE) + CAST(b.embedding[21] AS DOUBLE)*CAST(b.embedding[21] AS DOUBLE) + CAST(b.embedding[22] AS DOUBLE)*CAST(b.embedding[22] AS DOUBLE) + CAST(b.embedding[23] AS DOUBLE)*CAST(b.embedding[23] AS DOUBLE) + CAST(b.embedding[24] AS DOUBLE)*CAST(b.embedding[24] AS DOUBLE) + CAST(b.embedding[25] AS DOUBLE)*CAST(b.embedding[25] AS DOUBLE) + CAST(b.embedding[26] AS DOUBLE)*CAST(b.embedding[26] AS DOUBLE) + CAST(b.embedding[27] AS DOUBLE)*CAST(b.embedding[27] AS DOUBLE) + CAST(b.embedding[28] AS DOUBLE)*CAST(b.embedding[28] AS DOUBLE) + CAST(b.embedding[29] AS DOUBLE)*CAST(b.embedding[29] AS DOUBLE) + CAST(b.embedding[30] AS DOUBLE)*CAST(b.embedding[30] AS DOUBLE) + CAST(b.embedding[31] AS DOUBLE)*CAST(b.embedding[31] AS DOUBLE) + CAST(b.embedding[32] AS DOUBLE)*CAST(b.embedding[32] AS DOUBLE) + CAST(b.embedding[33] AS DOUBLE)*CAST(b.embedding[33] AS DOUBLE) + CAST(b.embedding[34] AS DOUBLE)*CAST(b.embedding[34] AS DOUBLE) + CAST(b.embedding[35] AS DOUBLE)*CAST(b.embedding[35] AS DOUBLE) + CAST(b.embedding[36] AS DOUBLE)*CAST(b.embedding[36] AS DOUBLE) + CAST(b.embedding[37] AS DOUBLE)*CAST(b.embedding[37] AS DOUBLE) + CAST(b.embedding[38] AS DOUBLE)*CAST(b.embedding[38] AS DOUBLE) + CAST(b.embedding[39] AS DOUBLE)*CAST(b.embedding[39] AS DOUBLE) + CAST(b.embedding[40] AS DOUBLE)*CAST(b.embedding[40] AS DOUBLE) + CAST(b.embedding[41] AS DOUBLE)*CAST(b.embedding[41] AS DOUBLE) + CAST(b.embedding[42] AS DOUBLE)*CAST(b.embedding[42] AS DOUBLE) + CAST(b.embedding[43] AS DOUBLE)*CAST(b.embedding[43] AS DOUBLE) + CAST(b.embedding[44] AS DOUBLE)*CAST(b.embedding[44] AS DOUBLE) + CAST(b.embedding[45] AS DOUBLE)*CAST(b.embedding[45] AS DOUBLE) + CAST(b.embedding[46] AS DOUBLE)*CAST(b.embedding[46] AS DOUBLE) + CAST(b.embedding[47] AS DOUBLE)*CAST(b.embedding[47] AS DOUBLE) + CAST(b.embedding[48] AS DOUBLE)*CAST(b.embedding[48] AS DOUBLE) + CAST(b.embedding[49] AS DOUBLE)*CAST(b.embedding[49] AS DOUBLE) + CAST(b.embedding[50] AS DOUBLE)*CAST(b.embedding[50] AS DOUBLE) + CAST(b.embedding[51] AS DOUBLE)*CAST(b.embedding[51] AS DOUBLE) + CAST(b.embedding[52] AS DOUBLE)*CAST(b.embedding[52] AS DOUBLE) + CAST(b.embedding[53] AS DOUBLE)*CAST(b.embedding[53] AS DOUBLE) + CAST(b.embedding[54] AS DOUBLE)*CAST(b.embedding[54] AS DOUBLE) + CAST(b.embedding[55] AS DOUBLE)*CAST(b.embedding[55] AS DOUBLE) + CAST(b.embedding[56] AS DOUBLE)*CAST(b.embedding[56] AS DOUBLE) + CAST(b.embedding[57] AS DOUBLE)*CAST(b.embedding[57] AS DOUBLE) + CAST(b.embedding[58] AS DOUBLE)*CAST(b.embedding[58] AS DOUBLE) + CAST(b.embedding[59] AS DOUBLE)*CAST(b.embedding[59] AS DOUBLE) + CAST(b.embedding[60] AS DOUBLE)*CAST(b.embedding[60] AS DOUBLE) + CAST(b.embedding[61] AS DOUBLE)*CAST(b.embedding[61] AS DOUBLE) + CAST(b.embedding[62] AS DOUBLE)*CAST(b.embedding[62] AS DOUBLE) + CAST(b.embedding[63] AS DOUBLE)*CAST(b.embedding[63] AS DOUBLE) + CAST(b.embedding[64] AS DOUBLE)*CAST(b.embedding[64] AS DOUBLE))) >= 0.3
+    """,
     # ---- dedup / similarity / text / multimodal --------------------------
     "dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies
