@@ -506,6 +506,55 @@ def q_dedup_embedding_cosine(spark, sf):
     )
 
 
+
+
+def q_percentiles_by_type(spark, sf):
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont, verified bit-identical)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: highly selective scan — every predicate reaches the
+    parquet reader as a pushed filter."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: group-HAVING on the fact table, then join back to
+    dimensions (the aggregate side is small after HAVING → broadcast)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SRI merge operators (SURVEY §2.C)
     "c1_dedup_latest": q_c1_dedup_latest,
@@ -531,6 +580,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "top_customers_per_nation": q_top_customers_per_nation,
     "events_hourly": q_events_hourly,
+    "percentiles_by_type": q_percentiles_by_type,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q18_large_orders": q18_large_orders,
     "json_extract_props": q_json_extract_props,
     # dedup / similarity / text / multimodal extensions
     "events_sessionize": q_events_sessionize,

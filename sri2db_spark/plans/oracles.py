@@ -215,6 +215,34 @@ ORACLES: dict[str, str] = {
                MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
     """,
+    "percentiles_by_type": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY event_type
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey, total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
     # ---- advanced relational coverage -----------------------------------
     "events_sessionize": """
         WITH flagged AS (
