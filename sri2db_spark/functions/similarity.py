@@ -190,3 +190,126 @@ def cluster_centroids(
             ).alias("centroid")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF: inverted-file ANN (k-means-lite coarse quantizer + cluster-pruned scan)
+# --------------------------------------------------------------------------
+
+
+def _sq_dist(vec, center: list[float]):
+    arr = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_lite(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic coarse quantizer: init = the k lowest-id vectors, then
+    ``iters`` Lloyd rounds. Assignment is a per-row argmin over k broadcast
+    literal centroids (no shuffle); the update is one quantized-exact
+    aggregation per round. Returns (centroids, assignment df (id, cid)).
+
+    Scale: per round, one scan + one groupBy(k·dim) — centroids always fit on
+    the driver (k·dim doubles), so this is the standard big-data k-means shape.
+    """
+    seed_rows = (
+        df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seed_rows]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        choices = F.array(
+            *[
+                F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        # array_min over (d, cid) structs = argmin with cid tie-break
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.array_min(choices).getField("cid").alias("cid"),
+        )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(df)
+        upd = (
+            assigned.select("cid", F.posexplode("v").alias("dim_idx", "x"))
+            .groupBy("cid", "dim_idx")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x").cast("double") * F.lit(QUANT)).cast("long"))
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / F.lit(QUANT)
+                ).alias("c")
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in upd:
+            new_centroids[r["cid"]][r["dim_idx"]] = r["c"]
+        centroids = new_centroids
+    return centroids, assign(df).select("id", "cid")
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """IVF ANN: partition the corpus into ``nlist`` cells with kmeans_lite,
+    probe only each query's ``nprobe`` nearest cells, exact-rerank inside.
+
+    Scans ~nprobe/nlist of the corpus per query — the classic recall/cost
+    dial. On clustered corpora recall approaches 1 at small nprobe; on
+    near-uniform data it degrades gracefully toward nprobe/nlist coverage.
+    """
+    centroids, assignment = kmeans_lite(corpus, id_col, vec_col, nlist, kmeans_iters)
+
+    def probes(frame: DataFrame, idname: str) -> DataFrame:
+        choices = F.array(
+            *[
+                F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return frame.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname}_v"),
+            F.explode(F.slice(F.array_sort(choices), 1, nprobe)).alias("p"),
+        ).select(idname, f"{idname}_v", F.col("p.cid").alias("cid"))
+
+    q = probes(queries, "query_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")).join(
+        assignment.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, (q["cid"] == c["cid"]) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "query_id_v", "neighbor_id", "nv")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_id_v"), F.col("nv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -369,6 +369,11 @@ def q_ann_lsh_topk(spark, sf):
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_ann_ivf_topk(spark, sf):
+    emb = _tp(spark, sf, "embeddings")
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, nlist=16, nprobe=4)
+
+
 def q_emb_centroids(spark, sf):
     return S.cluster_centroids(_tp(spark, sf, "embeddings"))
 
@@ -596,6 +601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "emb_centroids": q_emb_centroids,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,

@@ -138,3 +138,22 @@ def test_no_python_udfs_in_hot_paths(spark, docs):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_ann_recall_beats_coverage(spark, emb):
+    """IVF with nprobe/nlist = 4/16 scans ~25% of the corpus but must find
+    far more than 25% of true neighbors (clusters concentrate neighbors)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_ann_topk(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_kmeans_lite_deterministic(spark, emb):
+    c1, a1 = S.kmeans_lite(emb, k=8, iters=2)
+    c2, a2 = S.kmeans_lite(emb, k=8, iters=2)
+    assert c1 == c2
+    assert a1.collect() == a2.collect()
