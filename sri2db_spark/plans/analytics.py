@@ -134,6 +134,20 @@ def q_c6_insert_if_absent(spark, sf):
     return insert_if_absent(target, staged, ["o_orderkey"]).select("o_orderkey")
 
 
+def q_c9_gap_insert(spark, sf):
+    """C9 — safe-delta gap insert: fetched membership rows are inserted only
+    where the target lacks the key (same insert_if_absent primitive as C6,
+    exercised on the membership-reconciliation shape)."""
+    cust = _t(spark, sf, "customer")
+    target = cust.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey", F.col("c_acctbal").alias("modified")
+    )
+    fetched_gap = cust.select("c_custkey", F.col("c_acctbal").alias("modified"))
+    return insert_if_absent(target, fetched_gap, ["c_custkey"], order_col="modified").select(
+        "c_custkey"
+    )
+
+
 def q_c7_set_difference(spark, sf):
     orders = _t(spark, sf, "orders")
     all_cust = orders.select("o_custkey").distinct()
@@ -570,6 +584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c6_insert_if_absent": q_c6_insert_if_absent,
     "c7_set_difference": q_c7_set_difference,
     "c8_missing_members": q_c8_missing_members,
+    "c9_gap_insert": q_c9_gap_insert,
     "c10_counts": q_c10_counts,
     "c11_top1": q_c11_top1,
     "c12_watermark_upsert": q_c12_watermark_upsert,

@@ -115,6 +115,9 @@ ORACLES: dict[str, str] = {
         SELECT p_partkey, p_name FROM part p
         WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
     """,
+    "c9_gap_insert": """
+        SELECT c_custkey FROM customer
+    """,
     "c10_counts": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "c11_top1": """
         SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
