@@ -122,3 +122,86 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline transforms: chunking, redaction, packing, sampling
+# --------------------------------------------------------------------------
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the standard
+    pre-embedding chunker. One narrow projection + posexplode; no shuffle.
+
+    Chunk i covers words [i·stride, i·stride + chunk_words); the last window
+    starts at the final stride position that still introduces new words.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(chunk_words)) / F.lit(stride)).cast("int") + 1
+    )
+    chunk_ids = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        chunk_ids,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_words)
+            ).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic PII scrubbing: emails and phone-like digit runs replaced
+    by typed placeholders (regexp_replace — JVM-side, RE2-compatible)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn("text_redacted", scrubbed).withColumn(
+        "n_redactions",
+        F.size(F.split(scrubbed, "<EMAIL>|<PHONE>")) - 1,
+    )
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, text_col: str, target_tokens: int = 512
+) -> DataFrame:
+    """Contiguous sequence packing: assign docs (in id order) to training
+    sequences of ~target_tokens by cumulative token count — the deterministic,
+    shuffle-light form of context-window packing (greedy bin packing needs a
+    sequential pass; contiguous packing is its scalable approximation).
+    Returns (doc_id, n_tokens, seq_id)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    n_tok = token_count_ws(F.col(text_col))
+    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(target_tokens)).cast("long").alias("seq_id"),
+    )
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate_pct: int = 10) -> DataFrame:
+    """Reproducible sampling by key arithmetic (id % 100 < rate_pct) —
+    engine-portable, unlike hash- or RNG-based sampling."""
+    return df.filter(F.pmod(F.col(id_col), F.lit(100)) < rate_pct)

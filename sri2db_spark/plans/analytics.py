@@ -574,6 +574,27 @@ def q18_large_orders(spark, sf):
     )
 
 
+
+
+def q_chunk_documents(spark, sf):
+    return X.chunk_documents(_tp(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_redact_pii(spark, sf):
+    docs = _tp(spark, sf, "documents")
+    return X.redact_pii(docs).select("doc_id", "text_redacted", "n_redactions")
+
+
+def q_pack_sequences(spark, sf):
+    return X.pack_sequences(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_deterministic_sample(spark, sf):
+    return X.deterministic_sample(_t(spark, sf, "documents"), "doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SRI merge operators (SURVEY §2.C)
     "c1_dedup_latest": q_c1_dedup_latest,
@@ -622,5 +643,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "chunk_documents": q_chunk_documents,
+    "redact_pii": q_redact_pii,
+    "pack_sequences": q_pack_sequences,
+    "deterministic_sample": q_deterministic_sample,
     "multimodal_meta": q_multimodal_meta,
 }

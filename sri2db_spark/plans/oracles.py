@@ -297,6 +297,34 @@ ORACLES: dict[str, str] = {
         WHERE (CAST(a.embedding[1] AS DOUBLE)*CAST(b.embedding[1] AS DOUBLE) + CAST(a.embedding[2] AS DOUBLE)*CAST(b.embedding[2] AS DOUBLE) + CAST(a.embedding[3] AS DOUBLE)*CAST(b.embedding[3] AS DOUBLE) + CAST(a.embedding[4] AS DOUBLE)*CAST(b.embedding[4] AS DOUBLE) + CAST(a.embedding[5] AS DOUBLE)*CAST(b.embedding[5] AS DOUBLE) + CAST(a.embedding[6] AS DOUBLE)*CAST(b.embedding[6] AS DOUBLE) + CAST(a.embedding[7] AS DOUBLE)*CAST(b.embedding[7] AS DOUBLE) + CAST(a.embedding[8] AS DOUBLE)*CAST(b.embedding[8] AS DOUBLE) + CAST(a.embedding[9] AS DOUBLE)*CAST(b.embedding[9] AS DOUBLE) + CAST(a.embedding[10] AS DOUBLE)*CAST(b.embedding[10] AS DOUBLE) + CAST(a.embedding[11] AS DOUBLE)*CAST(b.embedding[11] AS DOUBLE) + CAST(a.embedding[12] AS DOUBLE)*CAST(b.embedding[12] AS DOUBLE) + CAST(a.embedding[13] AS DOUBLE)*CAST(b.embedding[13] AS DOUBLE) + CAST(a.embedding[14] AS DOUBLE)*CAST(b.embedding[14] AS DOUBLE) + CAST(a.embedding[15] AS DOUBLE)*CAST(b.embedding[15] AS DOUBLE) + CAST(a.embedding[16] AS DOUBLE)*CAST(b.embedding[16] AS DOUBLE) + CAST(a.embedding[17] AS DOUBLE)*CAST(b.embedding[17] AS DOUBLE) + CAST(a.embedding[18] AS DOUBLE)*CAST(b.embedding[18] AS DOUBLE) + CAST(a.embedding[19] AS DOUBLE)*CAST(b.embedding[19] AS DOUBLE) + CAST(a.embedding[20] AS DOUBLE)*CAST(b.embedding[20] AS DOUBLE) + CAST(a.embedding[21] AS DOUBLE)*CAST(b.embedding[21] AS DOUBLE) + CAST(a.embedding[22] AS DOUBLE)*CAST(b.embedding[22] AS DOUBLE) + CAST(a.embedding[23] AS DOUBLE)*CAST(b.embedding[23] AS DOUBLE) + CAST(a.embedding[24] AS DOUBLE)*CAST(b.embedding[24] AS DOUBLE) + CAST(a.embedding[25] AS DOUBLE)*CAST(b.embedding[25] AS DOUBLE) + CAST(a.embedding[26] AS DOUBLE)*CAST(b.embedding[26] AS DOUBLE) + CAST(a.embedding[27] AS DOUBLE)*CAST(b.embedding[27] AS DOUBLE) + CAST(a.embedding[28] AS DOUBLE)*CAST(b.embedding[28] AS DOUBLE) + CAST(a.embedding[29] AS DOUBLE)*CAST(b.embedding[29] AS DOUBLE) + CAST(a.embedding[30] AS DOUBLE)*CAST(b.embedding[30] AS DOUBLE) + CAST(a.embedding[31] AS DOUBLE)*CAST(b.embedding[31] AS DOUBLE) + CAST(a.embedding[32] AS DOUBLE)*CAST(b.embedding[32] AS DOUBLE) + CAST(a.embedding[33] AS DOUBLE)*CAST(b.embedding[33] AS DOUBLE) + CAST(a.embedding[34] AS DOUBLE)*CAST(b.embedding[34] AS DOUBLE) + CAST(a.embedding[35] AS DOUBLE)*CAST(b.embedding[35] AS DOUBLE) + CAST(a.embedding[36] AS DOUBLE)*CAST(b.embedding[36] AS DOUBLE) + CAST(a.embedding[37] AS DOUBLE)*CAST(b.embedding[37] AS DOUBLE) + CAST(a.embedding[38] AS DOUBLE)*CAST(b.embedding[38] AS DOUBLE) + CAST(a.embedding[39] AS DOUBLE)*CAST(b.embedding[39] AS DOUBLE) + CAST(a.embedding[40] AS DOUBLE)*CAST(b.embedding[40] AS DOUBLE) + CAST(a.embedding[41] AS DOUBLE)*CAST(b.embedding[41] AS DOUBLE) + CAST(a.embedding[42] AS DOUBLE)*CAST(b.embedding[42] AS DOUBLE) + CAST(a.embedding[43] AS DOUBLE)*CAST(b.embedding[43] AS DOUBLE) + CAST(a.embedding[44] AS DOUBLE)*CAST(b.embedding[44] AS DOUBLE) + CAST(a.embedding[45] AS DOUBLE)*CAST(b.embedding[45] AS DOUBLE) + CAST(a.embedding[46] AS DOUBLE)*CAST(b.embedding[46] AS DOUBLE) + CAST(a.embedding[47] AS DOUBLE)*CAST(b.embedding[47] AS DOUBLE) + CAST(a.embedding[48] AS DOUBLE)*CAST(b.embedding[48] AS DOUBLE) + CAST(a.embedding[49] AS DOUBLE)*CAST(b.embedding[49] AS DOUBLE) + CAST(a.embedding[50] AS DOUBLE)*CAST(b.embedding[50] AS DOUBLE) + CAST(a.embedding[51] AS DOUBLE)*CAST(b.embedding[51] AS DOUBLE) + CAST(a.embedding[52] AS DOUBLE)*CAST(b.embedding[52] AS DOUBLE) + CAST(a.embedding[53] AS DOUBLE)*CAST(b.embedding[53] AS DOUBLE) + CAST(a.embedding[54] AS DOUBLE)*CAST(b.embedding[54] AS DOUBLE) + CAST(a.embedding[55] AS DOUBLE)*CAST(b.embedding[55] AS DOUBLE) + CAST(a.embedding[56] AS DOUBLE)*CAST(b.embedding[56] AS DOUBLE) + CAST(a.embedding[57] AS DOUBLE)*CAST(b.embedding[57] AS DOUBLE) + CAST(a.embedding[58] AS DOUBLE)*CAST(b.embedding[58] AS DOUBLE) + CAST(a.embedding[59] AS DOUBLE)*CAST(b.embedding[59] AS DOUBLE) + CAST(a.embedding[60] AS DOUBLE)*CAST(b.embedding[60] AS DOUBLE) + CAST(a.embedding[61] AS DOUBLE)*CAST(b.embedding[61] AS DOUBLE) + CAST(a.embedding[62] AS DOUBLE)*CAST(b.embedding[62] AS DOUBLE) + CAST(a.embedding[63] AS DOUBLE)*CAST(b.embedding[63] AS DOUBLE) + CAST(a.embedding[64] AS DOUBLE)*CAST(b.embedding[64] AS DOUBLE))
               / (sqrt(CAST(a.embedding[1] AS DOUBLE)*CAST(a.embedding[1] AS DOUBLE) + CAST(a.embedding[2] AS DOUBLE)*CAST(a.embedding[2] AS DOUBLE) + CAST(a.embedding[3] AS DOUBLE)*CAST(a.embedding[3] AS DOUBLE) + CAST(a.embedding[4] AS DOUBLE)*CAST(a.embedding[4] AS DOUBLE) + CAST(a.embedding[5] AS DOUBLE)*CAST(a.embedding[5] AS DOUBLE) + CAST(a.embedding[6] AS DOUBLE)*CAST(a.embedding[6] AS DOUBLE) + CAST(a.embedding[7] AS DOUBLE)*CAST(a.embedding[7] AS DOUBLE) + CAST(a.embedding[8] AS DOUBLE)*CAST(a.embedding[8] AS DOUBLE) + CAST(a.embedding[9] AS DOUBLE)*CAST(a.embedding[9] AS DOUBLE) + CAST(a.embedding[10] AS DOUBLE)*CAST(a.embedding[10] AS DOUBLE) + CAST(a.embedding[11] AS DOUBLE)*CAST(a.embedding[11] AS DOUBLE) + CAST(a.embedding[12] AS DOUBLE)*CAST(a.embedding[12] AS DOUBLE) + CAST(a.embedding[13] AS DOUBLE)*CAST(a.embedding[13] AS DOUBLE) + CAST(a.embedding[14] AS DOUBLE)*CAST(a.embedding[14] AS DOUBLE) + CAST(a.embedding[15] AS DOUBLE)*CAST(a.embedding[15] AS DOUBLE) + CAST(a.embedding[16] AS DOUBLE)*CAST(a.embedding[16] AS DOUBLE) + CAST(a.embedding[17] AS DOUBLE)*CAST(a.embedding[17] AS DOUBLE) + CAST(a.embedding[18] AS DOUBLE)*CAST(a.embedding[18] AS DOUBLE) + CAST(a.embedding[19] AS DOUBLE)*CAST(a.embedding[19] AS DOUBLE) + CAST(a.embedding[20] AS DOUBLE)*CAST(a.embedding[20] AS DOUBLE) + CAST(a.embedding[21] AS DOUBLE)*CAST(a.embedding[21] AS DOUBLE) + CAST(a.embedding[22] AS DOUBLE)*CAST(a.embedding[22] AS DOUBLE) + CAST(a.embedding[23] AS DOUBLE)*CAST(a.embedding[23] AS DOUBLE) + CAST(a.embedding[24] AS DOUBLE)*CAST(a.embedding[24] AS DOUBLE) + CAST(a.embedding[25] AS DOUBLE)*CAST(a.embedding[25] AS DOUBLE) + CAST(a.embedding[26] AS DOUBLE)*CAST(a.embedding[26] AS DOUBLE) + CAST(a.embedding[27] AS DOUBLE)*CAST(a.embedding[27] AS DOUBLE) + CAST(a.embedding[28] AS DOUBLE)*CAST(a.embedding[28] AS DOUBLE) + CAST(a.embedding[29] AS DOUBLE)*CAST(a.embedding[29] AS DOUBLE) + CAST(a.embedding[30] AS DOUBLE)*CAST(a.embedding[30] AS DOUBLE) + CAST(a.embedding[31] AS DOUBLE)*CAST(a.embedding[31] AS DOUBLE) + CAST(a.embedding[32] AS DOUBLE)*CAST(a.embedding[32] AS DOUBLE) + CAST(a.embedding[33] AS DOUBLE)*CAST(a.embedding[33] AS DOUBLE) + CAST(a.embedding[34] AS DOUBLE)*CAST(a.embedding[34] AS DOUBLE) + CAST(a.embedding[35] AS DOUBLE)*CAST(a.embedding[35] AS DOUBLE) + CAST(a.embedding[36] AS DOUBLE)*CAST(a.embedding[36] AS DOUBLE) + CAST(a.embedding[37] AS DOUBLE)*CAST(a.embedding[37] AS DOUBLE) + CAST(a.embedding[38] AS DOUBLE)*CAST(a.embedding[38] AS DOUBLE) + CAST(a.embedding[39] AS DOUBLE)*CAST(a.embedding[39] AS DOUBLE) + CAST(a.embedding[40] AS DOUBLE)*CAST(a.embedding[40] AS DOUBLE) + CAST(a.embedding[41] AS DOUBLE)*CAST(a.embedding[41] AS DOUBLE) + CAST(a.embedding[42] AS DOUBLE)*CAST(a.embedding[42] AS DOUBLE) + CAST(a.embedding[43] AS DOUBLE)*CAST(a.embedding[43] AS DOUBLE) + CAST(a.embedding[44] AS DOUBLE)*CAST(a.embedding[44] AS DOUBLE) + CAST(a.embedding[45] AS DOUBLE)*CAST(a.embedding[45] AS DOUBLE) + CAST(a.embedding[46] AS DOUBLE)*CAST(a.embedding[46] AS DOUBLE) + CAST(a.embedding[47] AS DOUBLE)*CAST(a.embedding[47] AS DOUBLE) + CAST(a.embedding[48] AS DOUBLE)*CAST(a.embedding[48] AS DOUBLE) + CAST(a.embedding[49] AS DOUBLE)*CAST(a.embedding[49] AS DOUBLE) + CAST(a.embedding[50] AS DOUBLE)*CAST(a.embedding[50] AS DOUBLE) + CAST(a.embedding[51] AS DOUBLE)*CAST(a.embedding[51] AS DOUBLE) + CAST(a.embedding[52] AS DOUBLE)*CAST(a.embedding[52] AS DOUBLE) + CAST(a.embedding[53] AS DOUBLE)*CAST(a.embedding[53] AS DOUBLE) + CAST(a.embedding[54] AS DOUBLE)*CAST(a.embedding[54] AS DOUBLE) + CAST(a.embedding[55] AS DOUBLE)*CAST(a.embedding[55] AS DOUBLE) + CAST(a.embedding[56] AS DOUBLE)*CAST(a.embedding[56] AS DOUBLE) + CAST(a.embedding[57] AS DOUBLE)*CAST(a.embedding[57] AS DOUBLE) + CAST(a.embedding[58] AS DOUBLE)*CAST(a.embedding[58] AS DOUBLE) + CAST(a.embedding[59] AS DOUBLE)*CAST(a.embedding[59] AS DOUBLE) + CAST(a.embedding[60] AS DOUBLE)*CAST(a.embedding[60] AS DOUBLE) + CAST(a.embedding[61] AS DOUBLE)*CAST(a.embedding[61] AS DOUBLE) + CAST(a.embedding[62] AS DOUBLE)*CAST(a.embedding[62] AS DOUBLE) + CAST(a.embedding[63] AS DOUBLE)*CAST(a.embedding[63] AS DOUBLE) + CAST(a.embedding[64] AS DOUBLE)*CAST(a.embedding[64] AS DOUBLE)) * sqrt(CAST(b.embedding[1] AS DOUBLE)*CAST(b.embedding[1] AS DOUBLE) + CAST(b.embedding[2] AS DOUBLE)*CAST(b.embedding[2] AS DOUBLE) + CAST(b.embedding[3] AS DOUBLE)*CAST(b.embedding[3] AS DOUBLE) + CAST(b.embedding[4] AS DOUBLE)*CAST(b.embedding[4] AS DOUBLE) + CAST(b.embedding[5] AS DOUBLE)*CAST(b.embedding[5] AS DOUBLE) + CAST(b.embedding[6] AS DOUBLE)*CAST(b.embedding[6] AS DOUBLE) + CAST(b.embedding[7] AS DOUBLE)*CAST(b.embedding[7] AS DOUBLE) + CAST(b.embedding[8] AS DOUBLE)*CAST(b.embedding[8] AS DOUBLE) + CAST(b.embedding[9] AS DOUBLE)*CAST(b.embedding[9] AS DOUBLE) + CAST(b.embedding[10] AS DOUBLE)*CAST(b.embedding[10] AS DOUBLE) + CAST(b.embedding[11] AS DOUBLE)*CAST(b.embedding[11] AS DOUBLE) + CAST(b.embedding[12] AS DOUBLE)*CAST(b.embedding[12] AS DOUBLE) + CAST(b.embedding[13] AS DOUBLE)*CAST(b.embedding[13] AS DOUBLE) + CAST(b.embedding[14] AS DOUBLE)*CAST(b.embedding[14] AS DOUBLE) + CAST(b.embedding[15] AS DOUBLE)*CAST(b.embedding[15] AS DOUBLE) + CAST(b.embedding[16] AS DOUBLE)*CAST(b.embedding[16] AS DOUBLE) + CAST(b.embedding[17] AS DOUBLE)*CAST(b.embedding[17] AS DOUBLE) + CAST(b.embedding[18] AS DOUBLE)*CAST(b.embedding[18] AS DOUBLE) + CAST(b.embedding[19] AS DOUBLE)*CAST(b.embedding[19] AS DOUBLE) + CAST(b.embedding[20] AS DOUBLE)*CAST(b.embedding[20] AS DOUBLE) + CAST(b.embedding[21] AS DOUBLE)*CAST(b.embedding[21] AS DOUBLE) + CAST(b.embedding[22] AS DOUBLE)*CAST(b.embedding[22] AS DOUBLE) + CAST(b.embedding[23] AS DOUBLE)*CAST(b.embedding[23] AS DOUBLE) + CAST(b.embedding[24] AS DOUBLE)*CAST(b.embedding[24] AS DOUBLE) + CAST(b.embedding[25] AS DOUBLE)*CAST(b.embedding[25] AS DOUBLE) + CAST(b.embedding[26] AS DOUBLE)*CAST(b.embedding[26] AS DOUBLE) + CAST(b.embedding[27] AS DOUBLE)*CAST(b.embedding[27] AS DOUBLE) + CAST(b.embedding[28] AS DOUBLE)*CAST(b.embedding[28] AS DOUBLE) + CAST(b.embedding[29] AS DOUBLE)*CAST(b.embedding[29] AS DOUBLE) + CAST(b.embedding[30] AS DOUBLE)*CAST(b.embedding[30] AS DOUBLE) + CAST(b.embedding[31] AS DOUBLE)*CAST(b.embedding[31] AS DOUBLE) + CAST(b.embedding[32] AS DOUBLE)*CAST(b.embedding[32] AS DOUBLE) + CAST(b.embedding[33] AS DOUBLE)*CAST(b.embedding[33] AS DOUBLE) + CAST(b.embedding[34] AS DOUBLE)*CAST(b.embedding[34] AS DOUBLE) + CAST(b.embedding[35] AS DOUBLE)*CAST(b.embedding[35] AS DOUBLE) + CAST(b.embedding[36] AS DOUBLE)*CAST(b.embedding[36] AS DOUBLE) + CAST(b.embedding[37] AS DOUBLE)*CAST(b.embedding[37] AS DOUBLE) + CAST(b.embedding[38] AS DOUBLE)*CAST(b.embedding[38] AS DOUBLE) + CAST(b.embedding[39] AS DOUBLE)*CAST(b.embedding[39] AS DOUBLE) + CAST(b.embedding[40] AS DOUBLE)*CAST(b.embedding[40] AS DOUBLE) + CAST(b.embedding[41] AS DOUBLE)*CAST(b.embedding[41] AS DOUBLE) + CAST(b.embedding[42] AS DOUBLE)*CAST(b.embedding[42] AS DOUBLE) + CAST(b.embedding[43] AS DOUBLE)*CAST(b.embedding[43] AS DOUBLE) + CAST(b.embedding[44] AS DOUBLE)*CAST(b.embedding[44] AS DOUBLE) + CAST(b.embedding[45] AS DOUBLE)*CAST(b.embedding[45] AS DOUBLE) + CAST(b.embedding[46] AS DOUBLE)*CAST(b.embedding[46] AS DOUBLE) + CAST(b.embedding[47] AS DOUBLE)*CAST(b.embedding[47] AS DOUBLE) + CAST(b.embedding[48] AS DOUBLE)*CAST(b.embedding[48] AS DOUBLE) + CAST(b.embedding[49] AS DOUBLE)*CAST(b.embedding[49] AS DOUBLE) + CAST(b.embedding[50] AS DOUBLE)*CAST(b.embedding[50] AS DOUBLE) + CAST(b.embedding[51] AS DOUBLE)*CAST(b.embedding[51] AS DOUBLE) + CAST(b.embedding[52] AS DOUBLE)*CAST(b.embedding[52] AS DOUBLE) + CAST(b.embedding[53] AS DOUBLE)*CAST(b.embedding[53] AS DOUBLE) + CAST(b.embedding[54] AS DOUBLE)*CAST(b.embedding[54] AS DOUBLE) + CAST(b.embedding[55] AS DOUBLE)*CAST(b.embedding[55] AS DOUBLE) + CAST(b.embedding[56] AS DOUBLE)*CAST(b.embedding[56] AS DOUBLE) + CAST(b.embedding[57] AS DOUBLE)*CAST(b.embedding[57] AS DOUBLE) + CAST(b.embedding[58] AS DOUBLE)*CAST(b.embedding[58] AS DOUBLE) + CAST(b.embedding[59] AS DOUBLE)*CAST(b.embedding[59] AS DOUBLE) + CAST(b.embedding[60] AS DOUBLE)*CAST(b.embedding[60] AS DOUBLE) + CAST(b.embedding[61] AS DOUBLE)*CAST(b.embedding[61] AS DOUBLE) + CAST(b.embedding[62] AS DOUBLE)*CAST(b.embedding[62] AS DOUBLE) + CAST(b.embedding[63] AS DOUBLE)*CAST(b.embedding[63] AS DOUBLE) + CAST(b.embedding[64] AS DOUBLE)*CAST(b.embedding[64] AS DOUBLE))) >= 0.3
     """,
+    "chunk_documents": f"""
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(list_slice({_W}, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+        FROM documents, range(0, 64) t(i)
+        WHERE i < greatest(1, CAST(ceil((len({_W}) - 64) / 48.0) AS INT) + 1)
+    """,
+    "redact_pii": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+               len(string_split_regex(
+                   regexp_replace(regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+                   '<EMAIL>|<PHONE>')) - 1 AS n_redactions
+        FROM documents
+    """,
+    "pack_sequences": f"""
+        SELECT doc_id, len({_W}) AS n_tokens,
+               CAST(floor((SUM(len({_W})) OVER (ORDER BY doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - len({_W})) / 512.0) AS BIGINT) AS seq_id
+        FROM documents
+    """,
+    "deterministic_sample": """
+        SELECT doc_id, source, lang FROM documents WHERE doc_id % 100 < 10
+    """,
     # ---- dedup / similarity / text / multimodal --------------------------
     "dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies
