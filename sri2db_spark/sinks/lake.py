@@ -42,6 +42,27 @@ class LakeTable:
     location: str
     layout: TableLayout
 
+    @classmethod
+    def discover(cls, spark: SparkSession, location: str) -> "LakeTable":
+        """A9 parity — infer the optional-column layout from an existing
+        dataset instead of configuration, as the reference infers it from
+        information_schema/sys.columns (client.js:361-410, 534-546).
+
+        Partition directories reveal baseurl/path; the parquet footer reveals
+        resourcetype. Raises on an empty/missing dataset (nothing to probe —
+        callers fall back to an explicit layout, as the reference warns and
+        aborts when the target table is missing, client.js:1711-1717).
+        """
+        df = spark.read.parquet(location)
+        cols = set(df.columns)
+        layout = TableLayout(
+            has_path="path" in cols,
+            has_baseurl="baseurl" in cols,
+            has_resourcetype="resourcetype" in cols,
+            name="discovered",
+        )
+        return cls(spark, location, layout)
+
     def _partition_dir(self, baseurl: str | None, path: str | None) -> str:
         parts = []
         if self.layout.has_baseurl:

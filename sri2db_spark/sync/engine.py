@@ -86,6 +86,7 @@ class Sri2DbSync:
     prefer_updates_over_inserts: bool = False  # pg default, client.js:113
     deleted_not_implemented: bool = False  # README.md:78
     dry_run: bool = False
+    explain: bool = False  # print the merge's physical plan (client.js:168-179)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     # -- public entry points (client.js:1923-1941) ---------------------------
@@ -186,6 +187,10 @@ class Sri2DbSync:
                 if gap_max is not None:
                     last_seen_ms = max(last_seen_ms or gap_max, gap_max)
             merged = set_difference_delete(merged, membership, keys)  # C7
+
+        # EXPLAIN instrumentation hook (client.js:168-179)
+        if self.explain:
+            merged.explain("formatted")
 
         # Commit or dry-run rollback (D6, client.js:1808-1813)
         if self.dry_run:

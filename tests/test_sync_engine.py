@@ -223,3 +223,25 @@ def test_expand_none_rows_href_only(spark, tmp_path):
     out = repair_resources(df).collect()
     assert all(r["resource"] is None and r["modified"] is None for r in out)
     assert {r["key"] for r in out} == {"1", "2", "3"}
+
+
+def test_layout_discovery_from_existing_dataset(spark, tmp_path):
+    """A9 parity: layout inferred from the dataset, not configuration."""
+    from sri2db_spark.sinks.lake import LakeTable
+
+    api = FakeSriApi(n=4)
+    sync = make_sync(spark, tmp_path, api, layout=LAYOUT_MEDIUM)
+    sync.full_sync()
+    discovered = LakeTable.discover(spark, str(tmp_path / "table"))
+    assert discovered.layout.has_path is True
+    assert discovered.layout.has_baseurl is False
+    assert discovered.layout.has_resourcetype is True
+    assert discovered.count() == 4
+
+
+def test_explain_hook_prints_plan(spark, tmp_path, capsys):
+    api = FakeSriApi(n=3)
+    sync = make_sync(spark, tmp_path, api, explain=True)
+    sync.full_sync()
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
