@@ -64,7 +64,10 @@ class FakeSriApi:
 
     def add(self, i: int, modified: str) -> None:
         r = make_resource(self.path, i, modified)
-        self.resources[r["$$meta"]["permalink"]] = r
+        href = r["$$meta"]["permalink"]
+        self.resources[href] = r
+        # a recreated resource no longer appears in the deleted feed
+        self.deleted.pop(href, None)
 
     # -- request handling ----------------------------------------------------
 
