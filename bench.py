@@ -72,6 +72,39 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # ETL throughput: full sync of a 20k-resource fake SRI collection at the
+    # reference's defaults (500/page) into a lake partition — the number most
+    # directly comparable to the reference's records/s (its only published
+    # signals are sync timings, BASELINE.md).
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fake_api import FakeSriApi  # noqa: E402, PLC0415
+
+    from sri2db_spark.model.schema import LAYOUT_LARGE  # noqa: PLC0415
+    from sri2db_spark.sinks.lake import LakeTable  # noqa: PLC0415
+    from sri2db_spark.sources.sri_api import SriApiReader  # noqa: PLC0415
+    from sri2db_spark.sync.engine import Sri2DbSync  # noqa: PLC0415
+
+    n_resources = 20_000
+    api = FakeSriApi(n=n_resources, page_size=500)
+    tmp = tempfile.mkdtemp(prefix="bench_sync_")
+    sync = Sri2DbSync(
+        reader=SriApiReader(spark, "https://bench.local", fetch_json=api.fetch_json, limit=500),
+        table=LakeTable(spark, os.path.join(tmp, "table"), LAYOUT_LARGE),
+        path="/a",
+        baseurl="https://bench.local",
+        layout=LAYOUT_LARGE,
+    )
+    t0 = time.perf_counter()
+    result = sync.full_sync()
+    sync_s = time.perf_counter() - t0
+    assert result.rows_after == n_resources
+    timings["sri_full_sync_20k"] = round(sync_s, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

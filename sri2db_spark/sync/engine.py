@@ -160,8 +160,11 @@ class Sri2DbSync:
             self.path, modified_since=None if full else modified_since, expand="FULL"
         )
         staged = self._stage(raw)
-        n_staged = staged.count()
-        last_seen_ms = max_modified_millis(staged) if n_staged else None
+        # one job for batch size + watermark max (B5)
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("n"), F.unix_millis(F.max("modified")).alias("mx")
+        ).first()
+        n_staged, last_seen_ms = stats["n"], stats["mx"]
 
         # Merge (C1-C6)
         if full:

@@ -9,7 +9,15 @@ reader needs no HTTP server.
 
 from __future__ import annotations
 
+import datetime as dt
 import urllib.parse
+
+_BASE = dt.datetime(2019, 7, 16, 7, 0, 0, tzinfo=dt.timezone.utc)
+
+
+def seq_ts(i: int) -> str:
+    """Valid, strictly increasing ISO timestamp for any index."""
+    return (_BASE + dt.timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%S.000Z")
 
 
 def make_resource(path: str, i: int, modified: str, name: str | None = None) -> dict:
@@ -35,7 +43,7 @@ class FakeSriApi:
         self.request_log: list[str] = []
         self.broken_next_links = False
         for i in range(1, n + 1):
-            r = make_resource(path, i, f"2019-07-16T07:{i:02d}:00.000Z")
+            r = make_resource(path, i, seq_ts(60 * i))
             self.resources[r["$$meta"]["permalink"]] = r
 
     # -- mutation helpers (delta scenarios) ---------------------------------
