@@ -56,6 +56,13 @@ def test_query_matches_oracle(spark, duck, name):
         # rows-only check (approximate operators)
         assert len(spark_rows) >= 0
         return
+    # Driver's value-hash is type-sensitive: DuckDB HUGEINT (int128, e.g. from
+    # SUM() OVER) never matches Spark BIGINT even when values are identical.
+    # Lint the oracle's output types so that mismatch fails locally too.
+    desc = duck.execute(f"DESCRIBE {sql}").fetchall()
+    huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
+    assert not huge, f"{name}: oracle emits HUGEINT column(s) {huge} — CAST to BIGINT"
+
     res = duck.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
