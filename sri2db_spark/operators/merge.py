@@ -51,6 +51,26 @@ def dedup_latest(
     )
 
 
+def _nullsafe_key_join(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], how: str
+) -> DataFrame:
+    """Anti/semi join on scoping keys with null-safe equality.
+
+    The reference's merge SQL compares key columns with ``IS NOT DISTINCT
+    FROM`` (mirrored in sinks/jdbc.py), because nullable scoping columns —
+    baseurl is NULL whenever the endpoint has no baseUrl configured, the
+    engine's default — must still match. Plain ``on=keys`` equality silently
+    drops every NULL-keyed row from the join. EqualNullSafe is still an
+    equi-join key for Catalyst, so this stays hash-joinable/broadcastable.
+    """
+    r = right.select(*[F.col(k).alias(f"__k_{k}") for k in keys]).distinct()
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else cond & c
+    return left.join(r, cond, how)
+
+
 def anti_join_missing(
     left: DataFrame, right: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
@@ -60,7 +80,7 @@ def anti_join_missing(
     client.js:1006-1015) and missing-member detection (LEFT JOIN … IS NULL,
     client.js:1266-1280). Both are the one canonical left-anti join.
     """
-    return left.join(right.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return _nullsafe_key_join(left, right, keys, "left_anti")
 
 
 def semi_join_delete(
@@ -72,7 +92,7 @@ def semi_join_delete(
     (client.js:1033-1038). In DataFrame terms survivors = left_anti against
     the tombstone keys.
     """
-    return target.join(tombstones.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return _nullsafe_key_join(target, tombstones, keys, "left_anti")
 
 
 def change_detecting_upsert(
@@ -95,14 +115,23 @@ def change_detecting_upsert(
     outer join; AQE broadcast-joins when staged is small.
     """
     t_cols = target.columns
-    staged_r = staged.select(
-        *[F.col(c).alias(f"__s_{c}") for c in staged.columns]
+    # Explicit presence markers: key columns cannot serve as the "row exists
+    # on this side" sentinel because scoping keys are legitimately NULL
+    # (baseurl=None is the engine default) — a NULL key is a value, not
+    # absence. The reference compares keys with IS NOT DISTINCT FROM
+    # (client.js:1057-1111 via the null-safe WHERE at :1064).
+    t = target.withColumn("__t_present", F.lit(1))
+    staged_r = staged.withColumn("__present", F.lit(1)).select(
+        *[F.col(c).alias(f"__s_{c}") for c in [*staged.columns, "__present"]]
     )
-    cond = [F.col(k) == F.col(f"__s_{k}") for k in keys]
-    joined = target.join(staged_r, on=cond, how="full_outer")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__s_{k}"))
+        cond = c if cond is None else cond & c
+    joined = t.join(staged_r, on=cond, how="full_outer")
 
-    take_staged = F.col(f"__s_{keys[0]}").isNotNull() & (
-        F.col(keys[0]).isNull()  # insert: key only in staged
+    take_staged = F.col("__s___present").isNotNull() & (
+        F.col("__t_present").isNull()  # insert: key only in staged
         | ~(F.col(payload_col).eqNullSafe(F.col(f"__s_{payload_col}")))
     )
     out = joined.select(
@@ -125,8 +154,8 @@ def insert_if_absent(
     Reference: dedup subquery + NOT EXISTS insert (client.js:1069-1111,
     1201-1232). Used standalone by the safe-delta gap insert.
     """
-    fresh = dedup_latest(staged, keys, order_col).join(
-        target.select(*keys).distinct(), on=list(keys), how="left_anti"
+    fresh = _nullsafe_key_join(
+        dedup_latest(staged, keys, order_col), target, keys, "left_anti"
     )
     return target.unionByName(fresh.select(*target.columns))
 
@@ -142,7 +171,7 @@ def set_difference_delete(
     baseurl/path partition first — the reference comment at client.js:1138
     warns exactly about forgetting that scoping.
     """
-    return target.join(membership.select(*keys).distinct(), on=list(keys), how="left_semi")
+    return _nullsafe_key_join(target, membership, keys, "left_semi")
 
 
 def merge_full(
@@ -167,7 +196,7 @@ def merge_full(
     staged_d = dedup_latest(staged, keys, order_col)
     if not prefer_updates_over_inserts:
         return staged_d.select(*target.columns)  # C3: partition replace
-    survivors = target.join(staged_d.select(*keys).distinct(), on=list(keys), how="left_semi")
+    survivors = _nullsafe_key_join(target, staged_d, keys, "left_semi")
     return change_detecting_upsert(survivors, staged_d, keys)
 
 

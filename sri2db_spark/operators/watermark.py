@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 from dataclasses import dataclass
 
@@ -22,6 +23,18 @@ from ..model.schema import SYNCTIMES_SCHEMA
 
 # Cold-start watermark: 1900-01-01T00:00:00Z (client.js:1597)
 COLD_START_MILLIS = -2208988800000
+
+# Per-location process-level locks: Sri2DbMulti(concurrency>1) shares one
+# synctimes location across endpoints; an unsynchronized read-modify-replace
+# would lose whichever put raced. (Cross-process writers would need storage
+# with an atomic commit protocol; the reference runs one process per target.)
+_STORE_LOCKS: dict[str, threading.Lock] = {}
+_STORE_LOCKS_GUARD = threading.Lock()
+
+
+def _lock_for(location: str) -> threading.Lock:
+    with _STORE_LOCKS_GUARD:
+        return _STORE_LOCKS.setdefault(os.path.abspath(location), threading.Lock())
 
 # Clock-skew compensation factors (client.js:1826-1834, README.md:248):
 # assume client/server clocks drift <= 1%.
@@ -97,13 +110,14 @@ class WatermarkStore:
         self, tablename: str, baseurl: str | None, path: str | None, synctype: str
     ) -> tuple[int | None, int | None]:
         """Return (lastmodified_ms, syncstart_ms) or (None, None)."""
-        df = self._read()
-        row = df.filter(
-            (F.col("tablename") == tablename)
-            & F.col("baseurl").eqNullSafe(F.lit(baseurl))
-            & F.col("path").eqNullSafe(F.lit(path))
-            & (F.col("synctype") == synctype)
-        ).first()
+        with _lock_for(self.location):  # held through the action: the swap in
+            # put momentarily renames the directory away
+            row = self._read().filter(
+                (F.col("tablename") == tablename)
+                & F.col("baseurl").eqNullSafe(F.lit(baseurl))
+                & F.col("path").eqNullSafe(F.lit(path))
+                & (F.col("synctype") == synctype)
+            ).first()
         if row is None:
             return None, None
         return row["lastmodified"], row["syncstart"]
@@ -118,7 +132,23 @@ class WatermarkStore:
         syncstart_ms: int,
     ) -> None:
         """DELETE+INSERT upsert by the 4-column key (client.js:714-751),
-        committed via atomic swap of the control-table directory."""
+        committed via atomic swap of the control-table directory. Serialized
+        per location: concurrent endpoint syncs sharing one store must not
+        lose each other's writes in the read-modify-replace."""
+        with _lock_for(self.location):
+            self._put_locked(
+                tablename, baseurl, path, synctype, lastmodified_ms, syncstart_ms
+            )
+
+    def _put_locked(
+        self,
+        tablename: str,
+        baseurl: str | None,
+        path: str | None,
+        synctype: str,
+        lastmodified_ms: int,
+        syncstart_ms: int,
+    ) -> None:
         current = self._read()
         survivors = current.filter(
             ~(

@@ -110,11 +110,19 @@ class LakeTable:
         Returns the row count written (the write itself is the action that
         materializes it).
         """
+        from pyspark.sql import Observation  # noqa: PLC0415
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         part_dir = self._partition_dir(baseurl, path)
         tmp = f"{part_dir}__tmp_{uuid.uuid4().hex}"
-        data = new_rows.select(*self._data_columns())
+        # observe() rides the write job itself — no second scan of the
+        # written files just to count them.
+        obs = Observation()
+        data = new_rows.select(*self._data_columns()).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
         data.write.mode("overwrite").parquet(tmp)
-        n = self.spark.read.parquet(tmp).count()
+        n = int(obs.get["n"])
         old = f"{part_dir}__old_{uuid.uuid4().hex}"
         if os.path.exists(part_dir):
             os.rename(part_dir, old)

@@ -245,6 +245,57 @@ class SriApiReader:
                 rows.extend(page)
         return self.spark.createDataFrame(rows, PAGE_SCHEMA)
 
+    def get_hrefs_distributed(self, path: str, hrefs_df: DataFrame) -> DataFrame:
+        """A3 at scale — executor-side keyIn fetch of an unbounded gap list.
+
+        The driver-side ``get_all_hrefs`` materializes the full href list on
+        the driver; after an outage on a very large collection the safe-delta
+        gap list is unbounded, so this variant keeps it distributed: each
+        executor task batches its own partition of hrefs into keyIn groups
+        (same ≤500-key / ≤2048-char limits, client.js:1524-1577) and fetches
+        them with Arrow batching. Nothing but per-batch pages ever
+        materializes in one process.
+        """
+        import pandas as pd  # noqa: PLC0415
+
+        fetch = self.fetch_json
+        base_root = self.base_url
+        base = strip_query(path)
+        base_len = len(self._full_url(base)) + len("?keyIn=")
+        limit = self.limit
+
+        def run(iterator):
+            def flush(keys: list[str]):
+                url = base_root + base + f"?keyIn={','.join(keys)}&limit={max(limit, len(keys))}"
+                url = set_expand_on_path(url, "FULL")
+                rows: list[tuple[str | None, str | None]] = []
+                u: str | None = url
+                while u is not None:
+                    payload = fetch(u)
+                    rows.extend(translate_page(payload))
+                    nxt = None
+                    if isinstance(payload, dict):
+                        nxt = (payload.get("$$meta") or {}).get("next")
+                    u = None if nxt is None else (nxt if nxt.startswith("http") else base_root + nxt)
+                return pd.DataFrame(rows, columns=["href", "resource"])
+
+            cur: list[str] = []
+            cur_len = base_len
+            for pdf in iterator:
+                for href in pdf.iloc[:, 0]:
+                    k = str(href).rsplit("/", 1)[-1]
+                    if cur and (
+                        len(cur) >= KEYIN_MAX_KEYS or cur_len + len(k) + 1 > KEYIN_MAX_URL
+                    ):
+                        yield flush(cur)
+                        cur, cur_len = [], base_len
+                    cur.append(k)
+                    cur_len += len(k) + 1
+            if cur:
+                yield flush(cur)
+
+        return hrefs_df.mapInPandas(run, PAGE_SCHEMA)
+
     # -- scale path ----------------------------------------------------------
 
     def read_offset_sharded(

@@ -112,10 +112,19 @@ class Sri2DbSync:
     def _keys(self) -> tuple[str, ...]:
         return self.layout.key_columns
 
-    def _stage(self, pages_df):
-        """repair (B2) + project (B3) a raw (href, resource) scan to row shape."""
+    def _stage(self, pages_df, ingest_ts=None):
+        """repair (B2) + project (B3) a raw (href, resource) scan to row shape.
+
+        ``ingest_ts`` is the sync's fixed driver-side ingest timestamp: the
+        default-``modified`` repair must not re-evaluate ``current_timestamp()``
+        per job, or the watermark-stats job and the final write would see
+        different values for the same repaired row.
+        """
         return project_to_row(
-            repair_resources(pages_df), self.layout, self.baseurl, self.path.split("?")[0]
+            repair_resources(pages_df, ingest_ts),
+            self.layout,
+            self.baseurl,
+            self.path.split("?")[0],
         )
 
     def _sync(self, modified_since: str | None, full: bool, safe: bool = False) -> SyncResult:
@@ -132,6 +141,10 @@ class Sri2DbSync:
         syncstart = _now_ms()
         synctype = "FULL" if full else ("SAFEDELTA" if safe else "DELTA")
         explicit_since = modified_since is not None
+        # one fixed ingest timestamp for every staging step of this sync
+        ingest = F.lit(
+            dt.datetime.fromtimestamp(syncstart / 1000.0, tz=dt.timezone.utc)
+        )
 
         prev_wm_ms = prev_start_ms = None
         if not full and self.watermarks is not None:
@@ -145,21 +158,25 @@ class Sri2DbSync:
         keys = self._keys()
         target = self.table.read_partition(self.baseurl, self.path.split("?")[0])
 
-        # Phase 0 (delta only): tombstone scan (A5, client.js:1726-1741)
+        # Phase 0 (delta only): tombstone scan (A5, client.js:1726-1741).
+        # Deliberately skipped on safeDeltaSync, exactly like the reference
+        # (client.js:1726: !isFullSync && !isSafeDeltaSync) — membership
+        # reconciliation already covers deletions there; the extra scan would
+        # be a full wasted API pass per safe sync.
         deletes_df = None
         n_deletes = 0
-        if not full and not self.deleted_not_implemented:
+        if not full and not safe and not self.deleted_not_implemented:
             raw_deletes = self.reader.read_collection(
                 self.path, modified_since=modified_since, expand="NONE", deleted=True
             )
-            deletes_df = self._stage(raw_deletes).select(*keys)
+            deletes_df = self._stage(raw_deletes, ingest).select(*keys)
             n_deletes = deletes_df.count()
 
         # Scan + stage (A1/A4/A6 → B1/B2/B3)
         raw = self.reader.read_collection(
             self.path, modified_since=None if full else modified_since, expand="FULL"
         )
-        staged = self._stage(raw)
+        staged = self._stage(raw, ingest)
         # one job for batch size + watermark max (B5)
         stats = staged.agg(
             F.count(F.lit(1)).alias("n"), F.unix_millis(F.max("modified")).alias("mx")
@@ -176,16 +193,23 @@ class Sri2DbSync:
 
         # Safe-delta membership reconciliation (A7/C7/C8/C9/A3,
         # client.js:1776-1805) against the post-merge contents.
+        gap_rows = None
         if safe:
             membership_raw = self.reader.read_collection(self.path, expand="NONE")
-            membership = self._stage(membership_raw).select(*keys)
+            membership = self._stage(membership_raw, ingest).select(*keys)
             missing = anti_join_missing(membership, merged, keys)  # C8
-            missing_hrefs = [r["href"] for r in missing.select("href").collect()]
-            if missing_hrefs:
-                fetched = self.reader.get_all_hrefs(self.path, missing_hrefs)  # A3
-                gap_rows = self._stage(fetched)
+            # The gap list is unbounded after an outage, so it never
+            # materializes on the driver: executor-side keyIn fetch (A3)
+            # over the missing hrefs, persisted because both the watermark
+            # stats and the merge consume it.
+            n_missing = missing.count()
+            if n_missing:
+                fetched = self.reader.get_hrefs_distributed(
+                    self.path, missing.select("href")
+                )  # A3
+                gap_rows = self._stage(fetched, ingest).persist()
                 merged = insert_if_absent(merged, gap_rows, keys)  # C9
-                n_staged += len(missing_hrefs)
+                n_staged += n_missing
                 gap_max = max_modified_millis(gap_rows)
                 if gap_max is not None:
                     last_seen_ms = max(last_seen_ms or gap_max, gap_max)
@@ -202,6 +226,8 @@ class Sri2DbSync:
             rows_after = self.table.replace_partition(
                 merged, self.baseurl, self.path.split("?")[0]
             )
+        if gap_rows is not None:
+            gap_rows.unpersist()
 
         # Watermark advance (B6) — skipped on explicit modifiedSince
         # (client.js:1816, README.md:174) and on dry runs.

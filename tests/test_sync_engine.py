@@ -239,6 +239,133 @@ def test_layout_discovery_from_existing_dataset(spark, tmp_path):
     assert discovered.count() == 4
 
 
+def make_null_baseurl_sync(spark, tmp_path, api: FakeSriApi, **kw) -> Sri2DbSync:
+    """The engine's *default* constructor shape: LAYOUT_LARGE with
+    baseurl=None — every scoping join sees a NULL key column."""
+    reader = SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3)
+    table = LakeTable(spark, str(tmp_path / "table"), LAYOUT_LARGE)
+    wm = WatermarkStore(spark, str(tmp_path / "synctimes"))
+    return Sri2DbSync(
+        reader=reader, table=table, path=api.path, baseurl=None,
+        layout=LAYOUT_LARGE, watermarks=wm, **kw,
+    )
+
+
+@pytest.mark.parametrize("prefer_updates", [False, True])
+def test_null_baseurl_full_delta_safe_reconcile(spark, tmp_path, prefer_updates):
+    """Regression (ADVICE r1 / VERDICT r2 #1): NULL scoping keys must behave
+    as values in every merge join (IS NOT DISTINCT FROM semantics, like the
+    JDBC path) — plain == joins silently corrupted all three sync flavors."""
+    api = FakeSriApi(n=10)
+    sync = make_null_baseurl_sync(
+        spark, tmp_path, api, prefer_updates_over_inserts=prefer_updates
+    )
+    res = sync.full_sync()
+    assert res.rows_after == 10
+    rows = {r["href"]: r for r in sync.table.read().collect()}
+    assert set(rows) == {f"/a/{i}" for i in range(1, 11)}
+    assert all(r["baseurl"] is None for r in rows.values())
+    # no all-NULL phantom rows from a broken insert sentinel
+    assert sync.table.read().filter(F.col("href").isNull()).count() == 0
+
+    # delta: update + tombstone delete must both land
+    api.update(2, "2020-06-01T00:00:00.000Z", name="v2")
+    api.delete(5, "2020-06-01T00:00:01.000Z")
+    res = sync.delta_sync()
+    assert res.rows_after == 9
+    rows = {r["href"]: r for r in sync.table.read().collect()}
+    assert "/a/5" not in rows
+    assert json.loads(rows["/a/2"]["jsondata"])["name"] == "v2"
+
+    # safe delta: silent exit + old-modified entry; C7 must NOT empty the
+    # partition on NULL keys
+    api.drop_silently(4)
+    api.add(11, "2019-01-01T00:00:00.000Z")
+    res = sync.safe_delta_sync()
+    rows = {r["href"] for r in sync.table.read().collect()}
+    assert "/a/4" not in rows
+    assert "/a/11" in rows
+    assert res.rows_after == 9
+
+
+def test_safe_delta_skips_tombstone_scan(spark, tmp_path):
+    """Reference skips the deleted-feed scan on safeDeltaSync
+    (client.js:1726) — membership reconciliation covers deletions."""
+    api = FakeSriApi(n=5)
+    sync = make_sync(spark, tmp_path, api)
+    sync.full_sync()
+    api.delete(3, "2020-06-01T00:00:00.000Z")
+    api.request_log.clear()
+    res = sync.safe_delta_sync()
+    assert not any("$$meta.deleted=true" in u for u in api.request_log)
+    assert res.deletes_synced == 0  # reported like the reference
+    assert "/a/3" not in {r["href"] for r in sync.table.read().collect()}
+
+
+def test_safe_delta_gap_exceeds_one_keyin_batch(spark, tmp_path):
+    """Gap list > one keyIn batch (≤500 keys / ≤2048 URL chars): the
+    executor-side fetch must batch correctly and insert every gap row without
+    materializing the href list on the driver."""
+    api = FakeSriApi(n=5)
+    sync = make_sync(spark, tmp_path, api)
+    sync.full_sync()
+    # 520 resources entering with an old modified — invisible to the delta
+    # scan, only membership reconciliation sees them
+    for i in range(100, 620):
+        api.add(i, "2019-01-01T00:00:00.000Z")
+    res = sync.safe_delta_sync()
+    assert res.rows_after == 525
+    assert sync.table.count() == 525
+    row = sync.table.read().filter(F.col("href") == "/a/300").first()
+    assert row is not None and row["jsondata"] is not None
+
+
+def test_repair_ingest_timestamp_fixed_across_jobs(spark, tmp_path):
+    """ADVICE r1 item 2: the default-modified repair timestamp must be one
+    fixed driver-side value per sync, not a per-job current_timestamp() —
+    the watermark-stats job and the write job must agree."""
+    api = FakeSriApi(n=3)
+    for r in api.resources.values():
+        del r["$$meta"]["modified"]
+    sync = make_sync(spark, tmp_path, api)
+    res = sync.full_sync()
+    ms_vals = {
+        r["ms"]
+        for r in sync.table.read().select(F.unix_millis("modified").alias("ms")).collect()
+    }
+    assert len(ms_vals) == 1  # one ingest instant for the whole batch
+    m_ms = ms_vals.pop()
+    # first sync: watermark = lastSeen − 1.01·duration (client.js:1826-1834);
+    # lastSeen comes from the stats job, the stored modified from the write
+    # job — they must be the same instant for this identity to hold.
+    assert res.watermark_ms == int(m_ms - 1.01 * res.elapsed_ms)
+
+
+def test_watermark_store_concurrent_puts(spark, tmp_path):
+    """ADVICE r1 item 4: concurrent puts to one shared store location must
+    not lose writes (read-modify-replace is serialized per location)."""
+    import threading
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    errs: list[Exception] = []
+
+    def put(i: int) -> None:
+        try:
+            store.put("t", None, f"/p{i}", "DELTA", 1000 + i, 2000 + i)
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    threads = [threading.Thread(target=put, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for i in range(6):
+        wm, ss = store.get("t", None, f"/p{i}", "DELTA")
+        assert (wm, ss) == (1000 + i, 2000 + i)
+
+
 def test_explain_hook_prints_plan(spark, tmp_path, capsys):
     api = FakeSriApi(n=3)
     sync = make_sync(spark, tmp_path, api, explain=True)
