@@ -211,19 +211,31 @@ SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """48-bit SimHash per document from distinct k-word-shingle xxhash64 bit
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, portable: bool = False
+) -> DataFrame:
+    """48-bit SimHash per document from distinct k-word-shingle hash bit
     votes. Shingle features (not unigrams): on corpora with small vocabularies
     every document shares most unigrams, which collapses all signatures
     together; k-grams keep features document-specific.
 
+    ``portable=True`` swaps the feature hash from xxhash64 (fastest, JVM
+    codegen) to the first 48 bits of md5 — slightly slower but reproducible
+    by any engine with md5, which makes the whole operator oracle-checkable
+    across engines. Both are codegen expressions; the plan is identical.
+
     Plan: explode distinct shingles → one groupBy(id) computing 48 conditional
     sums (single shuffle, map-side combined) → assemble the signature.
     """
+    feature_hash = (
+        F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("t")
+    )
     tok = _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", feature_hash)
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
@@ -240,7 +252,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -250,7 +266,7 @@ def simhash_pairs(
     """
     # persist: the band self-join reads the signature aggregation twice
     # (same non-reuse as minhash_lsh_pairs)
-    sigs = simhash(df, id_col, text_col).persist()
+    sigs = simhash(df, id_col, text_col, portable=portable).persist()
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sigs.select(
         "id",

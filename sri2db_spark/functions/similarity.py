@@ -206,25 +206,69 @@ def _sq_dist(vec, center: list[float]):
     )
 
 
+def farthest_point_seeds(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[list[float]]:
+    """Deterministic k-means++-style seeding: start at the lowest id, then
+    greedily take the vector with the largest min-squared-distance to the
+    chosen set (ties → lowest id). Guarantees one seed per well-separated
+    cluster — the property that makes IVF recall robust; lowest-id or
+    hash-spread seeding can drop whole clusters.
+
+    Cost: one tiny (1-row) job per seed over ``df``. At 100 TB, pass a
+    deterministic hash-mod sample (functions.text.deterministic_sample) as
+    ``df`` — seeding quality needs only a sketch of the density, not the
+    full corpus.
+    """
+    first = df.orderBy(F.col(id_col).asc()).limit(1).select(vec_col).collect()
+    seeds = [[float(x) for x in first[0][0]]]
+    state = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _sq_dist(F.col(vec_col), seeds[0]).alias("dmin"),
+    )
+    for _ in range(k - 1):
+        nxt = (
+            state.orderBy(F.col("dmin").desc(), F.col("id").asc())
+            .limit(1)
+            .select("v")
+            .collect()
+        )
+        c = [float(x) for x in nxt[0][0]]
+        seeds.append(c)
+        state = state.select(
+            "id", "v", F.least(F.col("dmin"), _sq_dist(F.col("v"), c)).alias("dmin")
+        )
+    return seeds
+
+
 def kmeans_lite(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 2,
+    seeding: str = "id",
 ) -> tuple[list[list[float]], DataFrame]:
-    """Deterministic coarse quantizer: init = the k lowest-id vectors, then
-    ``iters`` Lloyd rounds. Assignment is a per-row argmin over k broadcast
-    literal centroids (no shuffle); the update is one quantized-exact
-    aggregation per round. Returns (centroids, assignment df (id, cid)).
+    """Deterministic coarse quantizer: seeds + ``iters`` Lloyd rounds.
+    Assignment is a per-row argmin over k broadcast literal centroids (no
+    shuffle); the update is one quantized-exact aggregation per round.
+    Returns (centroids, assignment df (id, cid)).
+
+    ``seeding``: "id" (default) takes the k lowest-id vectors — one cheap
+    job, and measured best on id-interleaved corpora; "farthest" runs
+    deterministic k-means++-style farthest-point seeding — use it when id
+    order is correlated with the embedding space (e.g. ids assigned
+    cluster-by-cluster), where "id" seeding would drop whole clusters.
 
     Scale: per round, one scan + one groupBy(k·dim) — centroids always fit on
     the driver (k·dim doubles), so this is the standard big-data k-means shape.
     """
-    seed_rows = (
-        df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in seed_rows]
+    if seeding == "farthest":
+        centroids = farthest_point_seeds(df, id_col, vec_col, k)
+    else:
+        seed_rows = df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+        centroids = [[float(x) for x in r[0]] for r in seed_rows]
 
     def assign(frame: DataFrame) -> DataFrame:
         choices = F.array(
@@ -272,6 +316,7 @@ def ivf_ann_topk(
     nlist: int = 16,
     nprobe: int = 4,
     kmeans_iters: int = 2,
+    seeding: str = "id",
 ) -> DataFrame:
     """IVF ANN: partition the corpus into ``nlist`` cells with kmeans_lite,
     probe only each query's ``nprobe`` nearest cells, exact-rerank inside.
@@ -280,7 +325,9 @@ def ivf_ann_topk(
     dial. On clustered corpora recall approaches 1 at small nprobe; on
     near-uniform data it degrades gracefully toward nprobe/nlist coverage.
     """
-    centroids, assignment = kmeans_lite(corpus, id_col, vec_col, nlist, kmeans_iters)
+    centroids, assignment = kmeans_lite(
+        corpus, id_col, vec_col, nlist, kmeans_iters, seeding
+    )
 
     def probes(frame: DataFrame, idname: str) -> DataFrame:
         choices = F.array(

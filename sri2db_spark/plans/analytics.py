@@ -370,7 +370,11 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    return D.simhash_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=3)
+    # portable md5-derived feature hash so the DuckDB oracle reproduces the
+    # exact signatures (xxhash64 stays the production default)
+    return D.simhash_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3, portable=True
+    )
 
 
 def q_ann_cosine_topk(spark, sf):
@@ -379,8 +383,10 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
+    # n_tables=8 keeps the generated oracle SQL (one simulated signature per
+    # table per row) tractable; the library default stays 24 tables.
     emb = _tp(spark, sf, "embeddings")
-    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_tables=8)
 
 
 def q_ann_ivf_topk(spark, sf):

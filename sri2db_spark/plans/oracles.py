@@ -3,15 +3,40 @@
 Each statement is the *semantic* mirror of its Spark plan with identical
 arithmetic shape (decimal-cast sums, left-associative double folds, floor
 before bigint casts, epoch-millis timestamps), so order-insensitive value
-hashes match bit-for-bit. Keys intentionally absent (weaker rows-only check):
-``dedup_simhash`` and ``ann_lsh_topk`` — both are sketch/approximate
-operators whose exact output is engine-hash-specific; their correctness is
-asserted in tests/ against exact ground truth instead.
+hashes match bit-for-bit. The sketch operators are oracled by *simulating the
+sketch itself*: ``dedup_simhash`` uses a portable md5-derived feature hash
+both engines compute identically; ``ann_lsh_topk`` inlines the fixed
+hyperplanes as literals and re-derives every bucket; ``ann_ivf_topk`` replays
+the deterministic k-means (hash-spread seeding + quantized-exact Lloyd
+updates) in SQL. Double folds use ``list_reduce(list_prepend(0.0, …))`` —
+verified bit-identical to Spark's ``aggregate(…, 0.0, acc+x)`` left fold.
 """
 
 from __future__ import annotations
 
+from ..functions.similarity import _fixed_planes
+
 DIM = 64
+
+
+def _fold(terms_expr: str) -> str:
+    """Left fold with 0.0 init — matches Spark's F.aggregate(lit(0.0), +)."""
+    return f"list_reduce(list_prepend(0.0, {terms_expr}), (acc, x) -> acc + x)"
+
+
+def _dotv(a: str, b: str) -> str:
+    """Dot product of two DOUBLE[] expressions, sequential accumulation."""
+    return _fold(f"list_transform(range(1, {DIM + 1}), i -> {a}[i] * {b}[i])")
+
+
+def _sqdist(a: str, b: str) -> str:
+    return _fold(
+        f"list_transform(range(1, {DIM + 1}), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+    )
+
+
+def _cosv(a: str, b: str) -> str:
+    return f"{_dotv(a, b)} / (sqrt({_dotv(a, a)}) * sqrt({_dotv(b, b)}))"
 
 _W = "string_split(text, ' ')"
 
@@ -58,6 +83,165 @@ JOIN sz sa ON id_a = sa.doc_id
 JOIN sz sb ON id_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
 """
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """Full SimHash simulation (functions/dedup.py simhash/simhash_pairs with
+    portable=True): md5-derived 48-bit feature hash → bit votes → 4×12-bit
+    band candidates → exact Hamming filter."""
+    h = "CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT)"
+    votes = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(48)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(48)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id AS id, unnest(list_distinct({_SHINGLES3})) AS t FROM documents
+        ),
+        hs AS (SELECT id, {h} AS h FROM tok),
+        votes AS (SELECT id,
+                 {votes}
+          FROM hs GROUP BY id),
+        sigs AS (SELECT id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+        banded AS (
+          SELECT id, simhash, band, (simhash >> (band * 12)) & 4095 AS bkey
+          FROM sigs, range(0, 4) tb(band)
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        ) WHERE hamming <= {max_hamming}
+    """
+
+
+def _lsh_ann_oracle(n_tables: int = 8, n_planes: int = 6, k: int = 5) -> str:
+    """Full hyperplane-LSH simulation (functions/similarity.py lsh_ann_topk):
+    the fixed pseudo-random planes are inlined as DOUBLE[] literals, buckets
+    re-derived per table, union of same-bucket candidates exactly re-scored."""
+    tables = [_fixed_planes(DIM, n_planes, seed=7 + 13 * t) for t in range(n_tables)]
+
+    def dlist(p: list[float]) -> str:
+        return "([" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
+
+    sig_cols = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN {_dotv('v', dlist(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        sig_cols.append(f"({bits}) AS b{t}")
+    sig_select = ",\n          ".join(sig_cols)
+    bcols = ", ".join(f"b{t}" for t in range(n_tables))
+    or_cond = " OR ".join(f"q.b{t} = s.b{t}" for t in range(n_tables))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        sigs AS (SELECT vec_id, v,
+          {sig_select}
+          FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, {bcols} FROM sigs WHERE vec_id < 8),
+        cand AS (
+          SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+          FROM q JOIN sigs s ON s.vec_id <> q.query_id AND ({or_cond})
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id, {_cosv('qv', 'nv')} AS cos_sim
+          FROM cand c
+          JOIN q ON q.query_id = c.query_id
+          JOIN (SELECT vec_id, v AS nv FROM e) n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _ivf_ann_oracle(
+    nlist: int = 16, nprobe: int = 4, iters: int = 2, k: int = 5
+) -> str:
+    """Full IVF simulation (functions/similarity.py kmeans_lite+ivf_ann_topk,
+    default "id" seeding): lowest-id seeds, ``iters`` quantized-exact Lloyd
+    rounds, nprobe-pruned candidate scan, exact re-rank. Every float fold is
+    sequential, every centroid update is integer-exact — so assignments
+    match bit-for-bit."""
+    q12 = "1000000000000.0"
+    seeds_sql = f"""seeds AS (
+          SELECT rn - 1 AS cid, v FROM (
+            SELECT row_number() OVER (ORDER BY vec_id ASC) AS rn, v FROM e
+          ) WHERE rn <= {nlist}
+        )"""
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+        a{r - 1} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_sqdist('e.v', 'c.cl')} ASC, c.cid ASC) AS rn
+            FROM e CROSS JOIN cl{r - 1} c
+          ) WHERE rn = 1
+        ),
+        u{r} AS (
+          SELECT cid, i AS dim_idx,
+                 CAST(SUM(CAST(floor(v[i + 1] * {q12}) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / {q12} AS c
+          FROM a{r - 1}, range(0, {DIM}) tu{r}(i) GROUP BY cid, i
+        ),
+        cent{r} AS (
+          SELECT c.cid, c.dim_idx, COALESCE(u.c, c.c) AS c
+          FROM cent{r - 1} c LEFT JOIN u{r} u USING (cid, dim_idx)
+        ),
+        cl{r} AS (SELECT cid, list(c ORDER BY dim_idx) AS cl FROM cent{r} GROUP BY cid)""")
+    rounds_sql = ",".join(rounds)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        {seeds_sql},
+        cent0 AS (SELECT cid, i AS dim_idx, v[i + 1] AS c FROM seeds, range(0, {DIM}) td(i)),
+        cl0 AS (SELECT cid, list(c ORDER BY dim_idx) AS cl FROM cent0 GROUP BY cid),{rounds_sql},
+        afin AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_sqdist('e.v', 'c.cl')} ASC, c.cid ASC) AS rn
+            FROM e CROSS JOIN cl{iters} c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_sqdist('q.v', 'c.cl')} ASC, c.cid ASC) AS rn
+            FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) q CROSS JOIN cl{iters} c
+          ) WHERE rn <= {nprobe}
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN afin a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id, {_cosv('qv', 'nv')} AS cos_sim
+          FROM cand c
+          JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = c.query_id
+          JOIN (SELECT vec_id, v AS nv FROM e) n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
 
 ORACLES: dict[str, str] = {
     # ---- SRI merge operators -------------------------------------------
@@ -335,6 +519,9 @@ ORACLES: dict[str, str] = {
     # j ≥ 0.5, and every candidate is verified with exact Jaccard — so its
     # output equals the exact algorithm's.
     "dedup_minhash_lsh": _JACCARD_PAIRS,
+    "dedup_simhash": _simhash_oracle(),
+    "ann_lsh_topk": _lsh_ann_oracle(),
+    "ann_ivf_topk": _ivf_ann_oracle(),
     "ann_cosine_topk": f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
         scored AS (

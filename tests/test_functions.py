@@ -152,6 +152,31 @@ def test_ivf_ann_recall_beats_coverage(spark, emb):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_ivf_fps_recall_on_clustered_corpus(spark):
+    """Farthest-point (k-means++-style) seeding: on a tightly clustered
+    corpus whose ids are assigned cluster-by-cluster — the adversarial case
+    for lowest-id seeding, which would put every seed in cluster 0 — IVF
+    with one probe must still recover ≥0.9 of true neighbors, because FPS
+    guarantees one seed per separated cluster."""
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(24):
+            vec = [10.0 * (d == c) + 0.01 * ((vid * 7 + d * 3) % 5) for d in range(8)]
+            rows.append((vid, c, vec))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 24 == 0)  # one query per cluster
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(df, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_ann_topk(
+            df, queries, k=5, nlist=8, nprobe=1, kmeans_iters=2, seeding="farthest"
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
 def test_kmeans_lite_deterministic(spark, emb):
     c1, a1 = S.kmeans_lite(emb, k=8, iters=2)
     c2, a2 = S.kmeans_lite(emb, k=8, iters=2)
