@@ -152,6 +152,36 @@ def test_ivf_ann_recall_beats_coverage(spark, emb):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_lsh_bucket_cap_survives_boilerplate_corpus(spark):
+    """Adversarial near-identical corpus: 200 clones share every LSH bucket,
+    which un-capped would generate ~20k candidate pairs from one bucket.
+    With the cap, the clone buckets are dropped (logged), the query stays
+    linear, and pairs living in normal-sized buckets are still found."""
+    clone = "the quick brown fox jumps over the lazy dog again and again " * 5
+    # varied vocabulary → many distinct shared shingles → tiny Hamming gap
+    base = " ".join(f"token{i} word{i * 3 % 97}" for i in range(150))
+    pair_a = base + " with a final note on shuffles"
+    pair_b = base + " with a final note on sorting"
+    rows = [(i, clone) for i in range(200)]
+    rows += [(1000, pair_a), (1001, pair_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, max_bucket_size=50
+        ).collect()
+    }
+    assert (1000, 1001) in out  # normal near-dup pair preserved
+    assert not any(a < 200 and b < 200 for a, b in out)  # clone bucket dropped
+    # same corpus under simhash's cap
+    sim = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_pairs(df, "doc_id", "text", max_bucket_size=50).collect()
+    }
+    assert (1000, 1001) in sim
+    assert not any(a < 200 and b < 200 for a, b in sim)
+
+
 def test_ivf_fps_recall_on_clustered_corpus(spark):
     """Farthest-point (k-means++-style) seeding: on a tightly clustered
     corpus whose ids are assigned cluster-by-cluster — the adversarial case
