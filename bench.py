@@ -57,20 +57,24 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         _t(spark, sf_dir, t).count()
 
-    # Best-of-N per query with cache clearing between queries: sketch ops
+    # Median-of-N per query with cache clearing between runs: sketch ops
     # persist intermediates, and leftover cached blocks + GC make single
-    # runs noisy. Best-of reflects steady-state capability.
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    # runs noisy (round-2 showed ±50-90% phantom swings on unchanged code).
+    # The reported spread (max−min) makes the residual noise visible.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(repeat):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = round(runs[-1] - runs[0], 3)
 
     # ETL throughput: full sync of a 20k-resource fake SRI collection at the
     # reference's defaults (500/page) into a lake partition — the number most
@@ -98,11 +102,15 @@ def main() -> None:
         baseurl="https://bench.local",
         layout=LAYOUT_LARGE,
     )
-    t0 = time.perf_counter()
-    result = sync.full_sync()
-    sync_s = time.perf_counter() - t0
-    assert result.rows_after == n_resources
-    timings["sri_full_sync_20k"] = round(sync_s, 3)
+    sync_runs: list[float] = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        result = sync.full_sync()
+        sync_runs.append(time.perf_counter() - t0)
+        assert result.rows_after == n_resources
+    sync_runs.sort()
+    timings["sri_full_sync_20k"] = round(sync_runs[len(sync_runs) // 2], 3)
+    spreads["sri_full_sync_20k"] = round(sync_runs[-1] - sync_runs[0], 3)
     shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -113,6 +121,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spreads": spreads,
+                "repeat": repeat,
                 "sf": sf,
                 "cpus": int(cpus),
             }

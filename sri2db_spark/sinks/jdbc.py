@@ -21,6 +21,7 @@ Spark classpath (gated — raises JdbcUnavailable otherwise).
 
 from __future__ import annotations
 
+from collections.abc import Iterable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +33,73 @@ DEFAULT_MAX_BULK = 10_000  # reference maxBulkSize default (client.js:112)
 
 class JdbcUnavailable(RuntimeError):
     pass
+
+
+def layout_from_columns(columns: Iterable[str]) -> TableLayout:
+    """A9 — infer the optional-column layout from a target table's column
+    list, exactly as the reference derives it from its catalog probe
+    (client.js:361-410: presence of path/baseurl/resourcetype decides the
+    statement shapes). Raises when the fixed core columns are absent — the
+    reference warns and aborts on a missing/incompatible table
+    (client.js:1711-1717)."""
+    cols = {c.lower() for c in columns}
+    required = {"href", "key", "modified", "jsondata"}
+    missing = required - cols
+    if missing:
+        raise ValueError(
+            f"target table lacks required resource columns: {sorted(missing)}"
+        )
+    return TableLayout(
+        has_path="path" in cols,
+        has_baseurl="baseurl" in cols,
+        has_resourcetype="resourcetype" in cols,
+        name="discovered",
+    )
+
+
+def catalog_probe_query(table: str, dialect: str = "postgresql") -> str:
+    """The dialect-specific column-catalog probe, as a JDBC subquery.
+
+    postgresql: information_schema.columns (client.js:361-377);
+    mssql: sys.columns joined to sys.objects (client.js:534-546).
+    ``schema.table`` names scope the probe to that schema.
+    """
+    schema = None
+    name = table
+    if "." in table:
+        schema, name = table.split(".", 1)
+    if dialect == "mssql":
+        scope = f" AND SCHEMA_NAME(o.schema_id) = '{schema}'" if schema else ""
+        return (
+            "(SELECT c.name AS column_name FROM sys.columns c "
+            "JOIN sys.objects o ON o.object_id = c.object_id "
+            f"WHERE o.name = '{name}'{scope}) cols"
+        )
+    scope = f" AND table_schema = '{schema}'" if schema else ""
+    return (
+        "(SELECT column_name FROM information_schema.columns "
+        f"WHERE table_name = '{name}'{scope}) cols"
+    )
+
+
+def discover_layout_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    dialect: str = "postgresql",
+) -> TableLayout:
+    """A9 — discover the target table's layout from the live database's
+    column catalog via ``spark.read.jdbc`` (gated like the rest of the JDBC
+    sink: raises JdbcUnavailable without driver/connectivity)."""
+    try:
+        df = spark.read.jdbc(url, catalog_probe_query(table, dialect), properties=properties)
+        names = [r[0] for r in df.collect()]
+    except ValueError:
+        raise
+    except Exception as e:  # pragma: no cover - needs a live DB
+        raise JdbcUnavailable(f"no JDBC connectivity for catalog probe: {e}") from e
+    return layout_from_columns(names)
 
 
 def _key_eq(alias_a: str, alias_b: str, layout: TableLayout) -> str:

@@ -91,6 +91,84 @@ def make_sessionizer(gap_ns: int = GAP_NS, timeout_ms: int | None = 60_000):
     return sessionize
 
 
+def make_event_time_sessionizer(gap_ns: int = GAP_NS):
+    """Event-time variant of the per-group function.
+
+    The open session's close is scheduled at ``last_event + gap`` in EVENT
+    time (``setTimeoutTimestamp``); the stream's watermark passing that
+    instant fires the flush. Because the watermark progression is derived
+    from the data, replaying the same input closes the same sessions at the
+    same points — the processing-time variant's idle flushes depend on wall
+    clock and are not reproducible.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def sessionize(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        user_id = key[0]
+        closed: list[tuple[int, int, int, int, str]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((user_id, start, last, n, "watermark"))
+                state.remove()
+            yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+            return
+
+        start, last, n = state.get if state.exists else (None, None, 0)
+        ts_all: list[int] = []
+        for pdf in batches:
+            ts_all.extend(int(t) for t in pdf["ts"])
+        for ts in sorted(ts_all):
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_ns:
+                closed.append((user_id, start, last, n, "gap"))
+                start, last, n = ts, ts, 1
+            else:
+                last = ts
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+            # close at last+gap in event time; must stay above the current
+            # watermark or the registration is rejected
+            close_ms = (last + gap_ns) // 1_000_000
+            state.setTimeoutTimestamp(max(close_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+    return sessionize
+
+
+def stream_sessionize_event_time(
+    events: DataFrame,
+    gap_ns: int = GAP_NS,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time sessionization of a streaming (user_id, ts-nanos) frame:
+    watermark on the event time, sessions closed by gap or by the watermark
+    passing ``last + gap``. Deterministic under replay."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    with_time = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        with_time.withWatermark("event_time", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_event_time_sessionizer(gap_ns),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     gap_ns: int = GAP_NS,

@@ -142,3 +142,52 @@ def test_delta_sync_sql_pg_vs_mssql():
     # small layout: key is href only
     assert "s.href = w.href" in pg[2]
     assert "baseurl" not in pg[2]
+
+
+def test_layout_from_columns_matrix():
+    """A9 — layout discovery from a column catalog (client.js:361-410)."""
+    from sri2db_spark.sinks.jdbc import layout_from_columns
+
+    large = layout_from_columns(
+        ["href", "key", "modified", "jsondata", "resourcetype", "path", "baseurl"]
+    )
+    assert (large.has_baseurl, large.has_path, large.has_resourcetype) == (True, True, True)
+    assert large.key_columns == ("baseurl", "path", "href")
+    small = layout_from_columns(["HREF", "KEY", "MODIFIED", "JSONDATA"])  # case-blind
+    assert (small.has_baseurl, small.has_path, small.has_resourcetype) == (False, False, False)
+    assert small.key_columns == ("href",)
+    import pytest
+
+    with pytest.raises(ValueError, match="jsondata"):
+        layout_from_columns(["href", "key", "modified"])
+
+
+def test_catalog_probe_query_dialects():
+    from sri2db_spark.sinks.jdbc import catalog_probe_query
+
+    pg = catalog_probe_query("myschema.resources", "postgresql")
+    assert "information_schema.columns" in pg
+    assert "table_name = 'resources'" in pg and "table_schema = 'myschema'" in pg
+    ms = catalog_probe_query("resources", "mssql")
+    assert "sys.columns" in ms and "o.name = 'resources'" in ms
+
+
+def test_discover_layout_jdbc_via_injected_resultset(spark):
+    """discover_layout_jdbc maps the probe resultset to a TableLayout; the
+    JDBC transport is injected (no DB in the sandbox)."""
+    from unittest import mock
+
+    from sri2db_spark.sinks import jdbc as J
+
+    probe = spark.createDataFrame(
+        [("href",), ("key",), ("modified",), ("jsondata",), ("path",)],
+        "column_name string",
+    )
+    reader = mock.MagicMock()
+    reader.jdbc.return_value = probe
+    with mock.patch.object(type(spark), "read", mock.PropertyMock(return_value=reader)):
+        layout = J.discover_layout_jdbc(spark, "jdbc:postgresql://x/db", "resources", {})
+    assert (layout.has_baseurl, layout.has_path, layout.has_resourcetype) == (
+        False, True, False,
+    )
+    assert reader.jdbc.call_args[0][1].startswith("(SELECT column_name FROM information_schema")

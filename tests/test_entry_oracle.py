@@ -25,6 +25,52 @@ def duck():
     return con
 
 
+def _duck_family(t: str) -> str:
+    """Map a DuckDB DESCRIBE type to a hash-compatibility family."""
+    u = t.upper()
+    if "HUGEINT" in u:
+        return "int128"  # never hash-compatible — CAST to BIGINT
+    if u.startswith("DECIMAL"):
+        return u.replace(" ", "")  # exact precision/scale must match
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if u in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if u == "VARCHAR":
+        return "string"
+    if u == "BOOLEAN":
+        return "bool"
+    if "TIMESTAMP" in u:
+        return "timestamp"
+    if u == "DATE":
+        return "date"
+    if u == "BLOB":
+        return "binary"
+    return u.lower()
+
+
+def _spark_family(s: str) -> str:
+    """Map a Spark simpleString type to the same family space."""
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("double", "float"):
+        return "float"
+    if s == "string":
+        return "string"
+    if s.startswith("decimal"):
+        return s.upper().replace(" ", "")
+    if s == "boolean":
+        return "bool"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "date":
+        return "date"
+    if s == "binary":
+        return "binary"
+    return s.lower()
+
+
 def normalize(rows, columns):
     """Column-name-sorted, row-sorted, float-rounded canonical form."""
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
@@ -56,12 +102,24 @@ def test_query_matches_oracle(spark, duck, name):
         # rows-only check (approximate operators)
         assert len(spark_rows) >= 0
         return
-    # Driver's value-hash is type-sensitive: DuckDB HUGEINT (int128, e.g. from
-    # SUM() OVER) never matches Spark BIGINT even when values are identical.
-    # Lint the oracle's output types so that mismatch fails locally too.
+    # Driver's value-hash is type-sensitive. Int widths ≤64 are interchangeable
+    # (proven by green rank columns: Spark INT vs DuckDB BIGINT row_number),
+    # but cross-family mismatches are not: DuckDB HUGEINT (int128, e.g. bare
+    # SUM() OVER), an uncast DECIMAL against a Spark DOUBLE, or a stringified
+    # number would all pass a string-compare locally yet mismatch remotely.
+    # Lint every column's type family against the Spark schema.
     desc = duck.execute(f"DESCRIBE {sql}").fetchall()
-    huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
-    assert not huge, f"{name}: oracle emits HUGEINT column(s) {huge} — CAST to BIGINT"
+    duck_types = {str(r[0]).lower(): _duck_family(str(r[1])) for r in desc}
+    spark_types = {
+        f.name.lower(): _spark_family(f.dataType.simpleString()) for f in df.schema.fields
+    }
+    for col in sorted(spark_types):
+        if col in duck_types:
+            assert spark_types[col] == duck_types[col], (
+                f"{name}.{col}: type-family mismatch — Spark {spark_types[col]} "
+                f"vs DuckDB {duck_types[col]}; CAST the oracle (or alias the "
+                f"Spark column) so the driver's type-sensitive hash matches"
+            )
 
     res = duck.execute(sql)
     duck_cols = [d[0] for d in res.description]
