@@ -299,6 +299,54 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair list: (id, component) where component =
+    the minimum id reachable through the pair graph.
+
+    Deduplication needs groups, not pairs — "keep one representative per
+    cluster" requires the transitive closure of the pairwise matches. This
+    is iterative min-label propagation: each round joins labels across edges
+    and takes the min; converges in O(cluster diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds in practice). Each round is
+    one shuffle join + one aggregation; the fixpoint is unique, so the
+    result is deterministic regardless of execution order. The per-round
+    convergence check is a cheap driver-side count on the (small) label
+    delta — the standard Spark shape for connected components without a
+    graph library.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).persist()
+    for _ in range(max_iters):
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            edges["src"].alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))
+
+
 SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 

@@ -205,3 +205,74 @@ def deterministic_sample(df: DataFrame, id_col: str, rate_pct: int = 10) -> Data
     """Reproducible sampling by key arithmetic (id % 100 < rate_pct) —
     engine-portable, unlike hash- or RNG-based sampling."""
     return df.filter(F.pmod(F.col(id_col), F.lit(100)) < rate_pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 10,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff
+    ``id % 100 < pct(stratum)`` — the data-mixing knob of a training
+    pipeline (e.g. upsample scarce languages) with exact, reproducible
+    rates and no RNG. One codegen filter, no shuffle."""
+    pct = F.lit(default_pct)
+    for name, p in sorted(rates_pct.items()):
+        pct = F.when(F.col(strata_col) == name, F.lit(p)).otherwise(pct)
+    return df.filter(F.pmod(F.col(id_col), F.lit(100)) < pct)
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf·idf: (doc_id, term, score, rank).
+
+    idf is the division form (N+1)/(df+1) rather than its logarithm: the
+    ranking is identical (log is monotone) and IEEE division is exactly
+    rounded, so scores reproduce bit-for-bit on any engine — ln() differs
+    in the last ulp across math libraries. Plan: one explode + two
+    hash-aggregations + a broadcast-sized df join + per-doc window.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    score = F.col("tf").cast("double") * (
+        F.lit(float(n_docs + 1)) / (F.col("df").cast("double") + F.lit(1.0))
+    )
+    scored = tf.join(dfreq, "term").select("doc_id", "term", score.alias("score"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ngram_overlap_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination probe: corpus docs sharing ≥1 k-word
+    shingle with the benchmark set, as (doc_id, n_overlapping).
+
+    The benchmark's distinct shingle set is small → broadcast; the corpus
+    side streams through one explode + broadcast semi-join + count — no
+    corpus shuffle until the tiny per-doc aggregation. This is the standard
+    eval-set leak filter for training corpora.
+    """
+    bset = benchmark.select(
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s")
+    ).distinct()
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
+    )
+    return (
+        dg.join(F.broadcast(bset), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )

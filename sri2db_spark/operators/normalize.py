@@ -90,6 +90,62 @@ def project_to_row(
     return df.select(*cols)
 
 
+def string_hash_java(col) -> F.Column:
+    """B7 — the reference's ``hashCode`` (utils.js:31-42): the classic Java
+    31-multiplier string hash with signed-int32 wrap, used there only for
+    keying connection pools / staging-table names. Pure codegen fold:
+    acc*31 + codepoint per char, re-wrapped to [-2³¹, 2³¹) each step
+    (long arithmetic, so no ANSI overflow)."""
+    c = F.col(col) if isinstance(col, str) else col
+    wrap = lambda x: F.pmod(x + F.lit(2**31), F.lit(2**32)) - F.lit(2**31)  # noqa: E731
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: wrap(acc * 31 + F.ascii(ch)),
+    ).cast("int")
+
+
+def scrub_dollar_fields_deep(df: DataFrame, json_col: str = "jsondata") -> DataFrame:
+    """B4 (full) — recursive removeDollarFields (utils.js:14-25): drop every
+    ``$$``-prefixed key except ``$$meta`` at ANY depth, recursing into kept
+    objects and arrays exactly like the reference.
+
+    Dead code in the reference's sync path (imported, never called —
+    client.js:20 vs :338), so this parity op is NOT on any hot path; a
+    vectorized (Arrow-batched) pandas UDF is the honest implementation for
+    arbitrary-depth JSON, which no codegen expression can express. The
+    output document keeps the engine's canonical dump form (sorted keys,
+    compact separators) so scrubbing is idempotent with staging."""
+    import json  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _scrub(obj):
+        if isinstance(obj, dict):
+            return {
+                k: _scrub(v)
+                for k, v in obj.items()
+                if not (k.startswith("$$") and k != "$$meta")
+            }
+        if isinstance(obj, list):
+            return [_scrub(v) for v in obj]
+        return obj
+
+    def _scrub_series(s):
+        return s.map(
+            lambda v: v
+            if v is None
+            else json.dumps(_scrub(json.loads(v)), separators=(",", ":"), sort_keys=True)
+        )
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would otherwise hide the Series->Series signature from pandas_udf
+    _scrub_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    scrub = pandas_udf(_scrub_series, "string")
+    return df.withColumn(json_col, scrub(F.col(json_col)))
+
+
 def scrub_dollar_fields(df: DataFrame, json_col: str = "jsondata") -> DataFrame:
     """B4 — removeDollarFields (utils.js:14-25): strip ``$$``-prefixed
     expansion keys except ``$$meta`` from the document.

@@ -213,6 +213,15 @@ def q_b2_record_repair(spark, sf):
     )
 
 
+def q_b7_string_hash(spark, sf):
+    """B7 — the reference's Java-style hashCode (utils.js:31-42) as a
+    distributed codegen fold, demoed over customer names."""
+    from ..operators.normalize import string_hash_java  # noqa: PLC0415
+
+    cust = _t(spark, sf, "customer")
+    return cust.select("c_custkey", string_hash_java(F.col("c_name")).alias("name_hash"))
+
+
 def q_b5_watermark_max(spark, sf):
     return _t(spark, sf, "events").agg(F.expr("max(ts) div 1000000").alias("lastmodified_ms"))
 
@@ -601,6 +610,34 @@ def q_deterministic_sample(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    return X.stratified_sample(
+        _t(spark, sf, "documents"), "doc_id", "lang", {"en": 20}, default_pct=10
+    ).select("doc_id", "lang")
+
+
+def q_dedup_components(spark, sf):
+    """Near-dup clusters: transitive closure of the exact-Jaccard pairs via
+    iterative min-label propagation (unique fixpoint → deterministic)."""
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", k=3, threshold=0.5
+    )
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+def q_text_tfidf_topk(spark, sf):
+    return X.tfidf_topk(_tp(spark, sf, "documents"), "doc_id", "text", k=3)
+
+
+def q_decontaminate_overlap(spark, sf):
+    docs = _tp(spark, sf, "documents")
+    benchmark = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) < 2)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) >= 2)
+    return X.ngram_overlap_contamination(corpus, benchmark, "doc_id", "text", k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SRI merge operators (SURVEY §2.C)
     "c1_dedup_latest": q_c1_dedup_latest,
@@ -617,6 +654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c12_watermark_upsert": q_c12_watermark_upsert,
     # record-level transforms (§2.B)
     "b2_record_repair": q_b2_record_repair,
+    "b7_string_hash": q_b7_string_hash,
     "b5_watermark_max": q_b5_watermark_max,
     "b6_watermark_advance": q_b6_watermark_advance,
     # relational analytics
@@ -653,5 +691,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": q_redact_pii,
     "pack_sequences": q_pack_sequences,
     "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "dedup_components": q_dedup_components,
+    "text_tfidf_topk": q_text_tfidf_topk,
+    "decontaminate_overlap": q_decontaminate_overlap,
     "multimodal_meta": q_multimodal_meta,
 }

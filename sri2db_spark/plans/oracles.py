@@ -59,12 +59,19 @@ def _dot(a: str, b: str) -> str:
     )
 
 
-_SHINGLES3 = (
-    f"CASE WHEN len({_W}) >= 3 THEN "
-    f"list_transform(range(1, len({_W}) - 1), i -> "
-    f"{_W}[i] || ' ' || {_W}[i+1] || ' ' || {_W}[i+2]) "
-    f"ELSE [text] END"
-)
+def _shingles_sql(k: int) -> str:
+    """k-word shingle list, mirroring functions.text.word_shingles (short
+    docs yield [text])."""
+    concat = " || ' ' || ".join(f"{_W}[i + {j}]" if j else f"{_W}[i]" for j in range(k))
+    return (
+        f"CASE WHEN len({_W}) >= {k} THEN "
+        f"list_transform(range(1, len({_W}) - {k - 2}), i -> {concat}) "
+        f"ELSE [text] END"
+    )
+
+
+_SHINGLES3 = _shingles_sql(3)
+_SHINGLES5 = _shingles_sql(5)
 
 _JACCARD_PAIRS = f"""
 WITH ds AS (
@@ -322,6 +329,18 @@ ORACLES: dict[str, str] = {
                         946684800000) AS modified_ms
         FROM events
     """,
+    # Java hashCode fold: acc*31 + codepoint, signed-int32 wrap per step
+    # (double-mod because DuckDB % keeps the sign of the dividend)
+    "b7_string_hash": """
+        SELECT c_custkey,
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(c_name, ''), ch -> CAST(ord(ch) AS BIGINT))),
+                 (acc, c) -> ((acc * 31 + c + 2147483648) % 4294967296 + 4294967296)
+                             % 4294967296 - 2147483648
+               ) AS INT) AS name_hash
+        FROM customer
+    """,
     "b5_watermark_max": "SELECT epoch_ns(max(ts)) // 1000000 AS lastmodified_ms FROM events",
     "b6_watermark_advance": """
         SELECT CAST(floor(greatest(
@@ -508,6 +527,57 @@ ORACLES: dict[str, str] = {
     """,
     "deterministic_sample": """
         SELECT doc_id, source, lang FROM documents WHERE doc_id % 100 < 10
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 10 END)
+    """,
+    # transitive closure of the exact near-dup pairs; min reachable id per
+    # node == the unique fixpoint of Spark's min-label propagation
+    "dedup_components": f"""
+        WITH RECURSIVE p AS ({_JACCARD_PAIRS}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM p
+        ),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst
+        )
+        SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """,
+    "text_tfidf_topk": f"""
+        WITH toks AS (SELECT doc_id, unnest({_W}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT doc_id, term,
+                 CAST(tf AS DOUBLE) * (
+                   (SELECT CAST(count(*) + 1 AS DOUBLE) FROM documents)
+                   / (CAST(df AS DOUBLE) + 1.0)) AS score
+          FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc_id, term, score, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """,
+    "decontaminate_overlap": f"""
+        WITH bset AS (
+          SELECT DISTINCT s FROM (
+            SELECT unnest(list_distinct({_SHINGLES5})) AS s
+            FROM documents WHERE doc_id % 100 < 2
+          )
+        ),
+        dg AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES5})) AS s
+          FROM documents WHERE doc_id % 100 >= 2
+        )
+        SELECT doc_id, count(*) AS n_overlapping
+        FROM dg JOIN bset USING (s) GROUP BY doc_id
     """,
     # ---- dedup / similarity / text / multimodal --------------------------
     "dedup_exact": """

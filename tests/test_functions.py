@@ -152,6 +152,46 @@ def test_ivf_ann_recall_beats_coverage(spark, emb):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_connected_components_chains_and_singletons(spark):
+    """Min-label propagation reaches the fixpoint across multi-hop chains
+    (diameter > 1 iteration) and keeps disjoint clusters apart."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (23, 22), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 rare1"),
+            (2, "common shared"),
+            (3, "common shared other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.tfidf_topk(docs, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' is in every doc -> lowest idf; doc 1's top term is its rare one
+    assert top[1] == "rare1"
+    assert top[2] == "shared"
+
+
+def test_stratified_sample_rates(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out = X.stratified_sample(docs, "doc_id", "lang", {"en": 50}, default_pct=10).collect()
+    en = sum(1 for r in out if r.lang == "en")
+    de = sum(1 for r in out if r.lang == "de")
+    # en docs are the even ids: exactly those with id%100 in {0,2,...,48} -> 50/200
+    assert en == 100 // 2 * 200 // 100  # 50% of 200
+    assert de == 10 * 200 // 100  # 10% of 200
+
+
 def test_lsh_bucket_cap_survives_boilerplate_corpus(spark):
     """Adversarial near-identical corpus: 200 clones share every LSH bucket,
     which un-capped would generate ~20k candidate pairs from one bucket.

@@ -129,3 +129,53 @@ def test_broken_next_links_offset_fallback(spark):
     )
     df = reader.read_collection("/a")
     assert df.count() == 10  # reader synthesizes offset pages (A2)
+
+
+def test_string_hash_java_matches_reference_algorithm(spark):
+    """B7 — expression fold == the reference's JS hashCode (utils.js:31-42)."""
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.operators.normalize import string_hash_java
+
+    def js_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        return h - 2**32 if h >= 2**31 else h
+
+    samples = ["", "a", "abc", "/persons/123?expand=FULL", "x" * 50, "Hello World"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", string_hash_java(F.col("s")).alias("h")).collect()}
+    for s in samples:
+        assert got[s] == js_hash(s), s
+    assert js_hash("abc") == 96354  # known Java hashCode fixture
+
+
+def test_scrub_dollar_fields_deep_recursive(spark):
+    """B4 full parity — $$-keys removed at every depth, $$meta kept (and
+    itself recursed), arrays descended (utils.js:14-25)."""
+    import json
+
+    from sri2db_spark.operators.normalize import scrub_dollar_fields_deep
+
+    doc = {
+        "$$meta": {"permalink": "/a/1", "$$inner": 1, "nested": {"$$x": 2, "keep": 3}},
+        "$$expanded": {"big": "drop me"},
+        "name": "n",
+        "children": [
+            {"$$ref": "x", "key": "c1", "deeper": {"$$gone": True, "stay": [1, 2]}},
+            "scalar",
+        ],
+    }
+    df = spark.createDataFrame(
+        [(json.dumps(doc),), (None,)], "jsondata string"
+    )
+    rows = scrub_dollar_fields_deep(df).collect()
+    out = json.loads(rows[0]["jsondata"])
+    assert "$$expanded" not in out
+    assert out["$$meta"]["permalink"] == "/a/1"
+    assert "$$inner" not in out["$$meta"]  # recursed INTO $$meta too
+    assert out["$$meta"]["nested"] == {"keep": 3}
+    assert out["children"][0] == {"key": "c1", "deeper": {"stay": [1, 2]}}
+    assert out["children"][1] == "scalar"
+    assert rows[1]["jsondata"] is None
