@@ -347,6 +347,25 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The end-to-end dedup pipeline's output: the corpus with every
+    non-representative near-duplicate removed (each cluster keeps its
+    minimum-id member).
+
+    Composes any pair source (exact Jaccard, MinHash+LSH, SimHash) with
+    :func:`connected_components`; the drop set is one left-anti join keyed
+    on id. The drop list is proportional to the duplicate count, not the
+    corpus — at 100 TB the anti-join's build side stays small.
+    """
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 

@@ -249,6 +249,97 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher-style repetition filter
+    family): (doc_id, n_ngrams, n_distinct, dup_ngram_frac, top_ngram_frac).
+
+    ``dup_ngram_frac`` = 1 − distinct/total word-k-grams — high for docs that
+    loop the same phrases; ``top_ngram_frac`` = occurrences of the most
+    frequent k-gram / total — high for single-phrase spam. Both are IEEE
+    divisions of exact integer counts, so any engine reproduces them
+    bit-for-bit. Plan: one explode + two map-side-combined hash
+    aggregations keyed by doc — no joins, scale-linear.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("g"),
+    )
+    per = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    tot = F.col("n_ngrams").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / tot).alias("dup_ngram_frac"),
+        (F.col("top_c").cast("double") / tot).alias("top_ngram_frac"),
+    )
+
+
+def boilerplate_shingles(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3, min_docs: int = 10
+) -> DataFrame:
+    """Corpus-level boilerplate dictionary (the CCNet-style shared-fragment
+    detector, shingle-based because documents need not have line structure):
+    (shingle, n_docs) for every k-word shingle appearing in ≥ ``min_docs``
+    distinct documents.
+
+    ``array_distinct`` per document first, so a plain COUNT equals the
+    distinct-document count — one exploded hash aggregation, no
+    count-distinct shuffle. The ≥min_docs filter keeps only heavy hitters,
+    so the output is tiny relative to the corpus at any scale.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3, min_docs: int = 10
+) -> DataFrame:
+    """Per-document boilerplate load: (doc_id, n_shingles, n_boilerplate,
+    boilerplate_frac) — the fraction of a doc's shingle occurrences that are
+    corpus-wide boilerplate (from :func:`boilerplate_shingles`).
+
+    The dictionary is the heavy-hitter set — orders of magnitude smaller
+    than the corpus — so the probe join is broadcast-eligible; AQE converts
+    it at runtime once the build side's true size is known (it is derived
+    from the corpus itself, so it has no compile-time size).
+    """
+    bp = boilerplate_shingles(docs, id_col, text_col, k, min_docs).select("shingle")
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    flagged = grams.join(
+        bp.withColumn("__bp", F.lit(1)), "shingle", "left"
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__bp"), F.lit(0))).alias("n_boilerplate"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_boilerplate",
+        (F.col("n_boilerplate").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "boilerplate_frac"
+        ),
+    )
+
+
 def ngram_overlap_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

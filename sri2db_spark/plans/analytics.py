@@ -638,6 +638,174 @@ def q_decontaminate_overlap(spark, sf):
     return X.ngram_overlap_contamination(corpus, benchmark, "doc_id", "text", k=5)
 
 
+def q4_late_shipment_priority(spark, sf):
+    """TPC-H Q4 shape: EXISTS-style semi-join with a non-equi residual (any
+    lineitem shipped >60 days after the order date), counted by priority.
+    Plans as one shuffle semi-join on orderkey with the date comparison as
+    the join residual — no correlated re-scan per order."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    cond = (li["l_orderkey"] == orders["o_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape: shipping volume between distinct nation pairs by
+    year. Both nation dims broadcast; one fact-fact shuffle join on
+    orderkey."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(revenue).alias("volume"))
+    )
+
+
+def q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. TakeOrdered top-k (no global sort materialization); total
+    order via the custkey tiebreak."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: promotion revenue share in one month — conditional
+    aggregation ratio, single row."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(revenue)).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    aggregate, broadcast the 1-row max back, equality join on the exact
+    decimal-derived double."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(dsum(revenue).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["__max_rev"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand,
+    where 'small' is relative to the part's own average quantity. The
+    correlated scalar subquery decorrelates into one per-part aggregate
+    joined back to the fact — each side shuffles once on partkey."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(pq, li["l_partkey"] == pq["pk"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_dormant_customers(spark, sf):
+    """TPC-H Q22 shape: high-balance customers with no recent orders, per
+    nation — scalar subquery (global positive-balance average, broadcast
+    back) + anti-join against the recent-order keys."""
+    cust = _t(spark, sf, "customer")
+    recent = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("__avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+def q_text_repetition(spark, sf):
+    return X.repetition_metrics(_tp(spark, sf, "documents"), "doc_id", "text", k=2)
+
+
+def q_boilerplate_shingles(spark, sf):
+    return X.boilerplate_shingles(
+        _tp(spark, sf, "documents"), "doc_id", "text", k=3, min_docs=5
+    )
+
+
+def q_boilerplate_frac(spark, sf):
+    return X.boilerplate_fraction(
+        _tp(spark, sf, "documents"), "doc_id", "text", k=3, min_docs=5
+    )
+
+
+def q_dedup_survivors(spark, sf):
+    """End-to-end dedup: exact-Jaccard pairs → components → keep the min-id
+    representative per cluster; returns the surviving corpus keys."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return D.dedup_survivors(docs, pairs, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SRI merge operators (SURVEY §2.C)
     "c1_dedup_latest": q_c1_dedup_latest,
@@ -667,6 +835,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "percentiles_by_type": q_percentiles_by_type,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_late_shipment_priority": q4_late_shipment_priority,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
     "q18_large_orders": q18_large_orders,
     "json_extract_props": q_json_extract_props,
     # dedup / similarity / text / multimodal extensions
@@ -693,6 +868,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
     "dedup_components": q_dedup_components,
+    "dedup_survivors": q_dedup_survivors,
+    "text_repetition": q_text_repetition,
+    "boilerplate_shingles": q_boilerplate_shingles,
+    "boilerplate_frac": q_boilerplate_frac,
     "text_tfidf_topk": q_text_tfidf_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "multimodal_meta": q_multimodal_meta,

@@ -70,6 +70,7 @@ def _shingles_sql(k: int) -> str:
     )
 
 
+_SHINGLES2 = _shingles_sql(2)
 _SHINGLES3 = _shingles_sql(3)
 _SHINGLES5 = _shingles_sql(5)
 
@@ -527,6 +528,147 @@ ORACLES: dict[str, str] = {
     """,
     "deterministic_sample": """
         SELECT doc_id, source, lang FROM documents WHERE doc_id % 100 < 10
+    """,
+    "q4_late_shipment_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q7_nation_volume": """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name <> n2.n_name)
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                 AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q14_promo_revenue": """
+        SELECT 100.0 * CAST(SUM(CAST(
+                 CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                 AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                 AS DOUBLE) AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q17_small_quantity_revenue": """
+        WITH pq AS (
+          SELECT l_partkey AS pk,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                   AS avg_qty
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN pq ON l_partkey = pk
+        WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+    """,
+    "q22_dormant_customers": """
+        WITH ab AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                   AS avg_bal
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        FROM customer, ab
+        WHERE c_acctbal > avg_bal
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+    """,
+    "text_repetition": f"""
+        WITH grams AS (SELECT doc_id, unnest({_SHINGLES2}) AS g FROM documents),
+        per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+        agg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                 count(*) AS n_distinct, max(c) AS top_c
+          FROM per GROUP BY doc_id)
+        SELECT doc_id, n_ngrams, n_distinct,
+               1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+                 AS dup_ngram_frac,
+               CAST(top_c AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS top_ngram_frac
+        FROM agg
+    """,
+    "boilerplate_shingles": f"""
+        SELECT s AS shingle, count(*) AS n_docs FROM (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s FROM documents)
+        GROUP BY s HAVING count(*) >= 5
+    """,
+    "boilerplate_frac": f"""
+        WITH bp AS (
+          SELECT s FROM (
+            SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s FROM documents)
+          GROUP BY s HAVING count(*) >= 5),
+        grams AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM documents)
+        SELECT g.doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN bp.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boilerplate,
+               CAST(sum(CASE WHEN bp.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS boilerplate_frac
+        FROM grams g LEFT JOIN bp ON g.s = bp.s
+        GROUP BY g.doc_id
+    """,
+    "dedup_survivors": f"""
+        WITH RECURSIVE p AS ({_JACCARD_PAIRS}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM p
+        ),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
     """,
     "stratified_sample": """
         SELECT doc_id, lang FROM documents

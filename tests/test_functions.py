@@ -192,6 +192,49 @@ def test_stratified_sample_rates(spark):
     assert de == 10 * 200 // 100  # 10% of 200
 
 
+def test_repetition_metrics_flags_loops(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one bigram repeated 5x
+            (2, "every word here is fully unique"),
+        ],
+        "doc_id long, text string",
+    )
+    m = {r.doc_id: r for r in X.repetition_metrics(docs, "doc_id", "text", k=2).collect()}
+    assert m[1].n_ngrams == 5 and m[1].n_distinct == 1
+    assert m[1].dup_ngram_frac == 0.8 and m[1].top_ngram_frac == 1.0
+    assert m[2].dup_ngram_frac == 0.0 and m[2].top_ngram_frac == 0.2
+
+
+def test_boilerplate_dictionary_and_fraction(spark):
+    footer = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} body text {i} " + footer) for i in range(6)]
+        + [(99, "no shared fragment at all here")],
+        "doc_id long, text string",
+    )
+    bp = X.boilerplate_shingles(docs, "doc_id", "text", k=3, min_docs=5)
+    shingles = {r.shingle for r in bp.collect()}
+    assert "all rights reserved" in shingles and "rights reserved worldwide" in shingles
+    assert not any("unique" in s for s in shingles)
+    frac = {r.doc_id: r for r in
+            X.boilerplate_fraction(docs, "doc_id", "text", k=3, min_docs=5).collect()}
+    assert frac[99].n_boilerplate == 0 and frac[99].boilerplate_frac == 0.0
+    assert frac[0].n_boilerplate == 2  # the two footer shingles
+    assert 0.0 < frac[0].boilerplate_frac < 1.0
+
+
+def test_dedup_survivors_keeps_min_id_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in D.dedup_survivors(docs, pairs).collect())
+    assert kept == [1, 5, 7]  # {1,2,3}->1, {7,9}->7, singleton 5 untouched
+
+
 def test_lsh_bucket_cap_survives_boilerplate_corpus(spark):
     """Adversarial near-identical corpus: 200 clones share every LSH bucket,
     which un-capped would generate ~20k candidate pairs from one bucket.
