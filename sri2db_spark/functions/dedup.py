@@ -323,23 +323,27 @@ def connected_components(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    # localCheckpoint (not persist) every round: persist caches data but the
+    # logical plan still accumulates — after k rounds the plan holds O(2^k)
+    # join nodes and driver-side planning explodes. Truncating lineage each
+    # round (the GraphX-style pattern for iterative algorithms) keeps the
+    # plan one scan deep regardless of iteration count.
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
             edges["src"].alias("id"), F.col("comp")
         )
         new_labels = (
             labels.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).persist()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

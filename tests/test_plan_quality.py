@@ -57,9 +57,52 @@ def test_dedup_window_uses_group_limit(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q1_pricing_summary", "dedup_minhash_lsh", "text_quality", "ann_cosine_topk"],
+    [
+        "q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "text_quality",
+        "ann_cosine_topk",
+        "text_repetition",
+        "boilerplate_frac",
+        "q7_nation_volume",
+    ],
 )
 def test_no_python_in_hot_paths(spark, name):
     plan = formatted_plan(QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q7_broadcasts_all_dimensions(spark):
+    """Only the lineitem-orders fact-fact join may shuffle; supplier,
+    customer, and both nation sides must broadcast."""
+    plan = formatted_plan(QUERIES["q7_nation_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_plans_as_semi_join(spark):
+    """The EXISTS must decorrelate into one semi-join with the date
+    comparison as a residual — no per-order re-scan, no cartesian."""
+    plan = formatted_plan(QUERIES["q4_late_shipment_priority"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_connected_components_plan_stays_shallow(spark):
+    """Iterative label propagation must truncate lineage each round
+    (localCheckpoint): the returned plan is a checkpoint scan plus the
+    final projection, not the unrolled join tree of every iteration."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from sri2db_spark.functions.dedup import connected_components  # noqa: PLC0415
+
+    # a 6-hop chain forces >3 iterations
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs)
+    assert {r.component for r in out.collect()} == {1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") <= 2, f"lineage not truncated: {plan.count('Join')} joins"
+    assert "ExistingRDD" in plan or "Scan" in plan
