@@ -37,6 +37,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "text_fingerprint",
+    "text_repetition",
+    "boilerplate_frac",
+    "dedup_survivors",
+    "q7_nation_volume",
     "multimodal_meta",
 ]
 

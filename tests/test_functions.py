@@ -235,6 +235,41 @@ def test_dedup_survivors_keeps_min_id_per_cluster(spark):
     assert kept == [1, 5, 7]  # {1,2,3}->1, {7,9}->7, singleton 5 untouched
 
 
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property: min-label propagation equals a driver-side union-find on
+    arbitrary edge lists (cycles, self-loops, disconnected chunks)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 30), st.integers(0, 30))
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(edge, min_size=1, max_size=25))
+    def check(edges):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.id: r.component for r in D.connected_components(pairs).collect()}
+        assert got == expected
+
+    check()
+
+
 def test_lsh_bucket_cap_survives_boilerplate_corpus(spark):
     """Adversarial near-identical corpus: 200 clones share every LSH bucket,
     which un-capped would generate ~20k candidate pairs from one bucket.

@@ -1,0 +1,111 @@
+"""Streaming dedup: first-arrival-wins across micro-batches, state bounded
+by the event-time watermark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from sri2db_spark.streaming.dedup_stream import (
+    stream_exact_dedup,
+    stream_exact_dedup_global,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ]
+)
+
+
+def _write_batch(feed_dir, name, rows, mtime: int):
+    p = feed_dir / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    # FileStreamSource orders by modification time; pin it so batch order
+    # is deterministic
+    os.utime(p, (mtime, mtime))
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    _write_batch(
+        feed,
+        "b1.json",
+        [
+            {"doc_id": 1, "text": "alpha", "event_time": "2024-01-01T10:00:00"},
+            {"doc_id": 2, "text": "alpha", "event_time": "2024-01-01T10:00:30"},
+            {"doc_id": 3, "text": "beta", "event_time": "2024-01-01T10:01:00"},
+        ],
+        mtime=1_000,
+    )
+    # duplicate arrives in a LATER micro-batch but inside the watermark
+    # window -> state must carry across batches and drop it
+    _write_batch(
+        feed,
+        "b2.json",
+        [
+            {"doc_id": 4, "text": "alpha", "event_time": "2024-01-01T10:02:00"},
+            {"doc_id": 5, "text": "gamma", "event_time": "2024-01-01T10:02:30"},
+        ],
+        mtime=2_000,
+    )
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    deduped = stream_exact_dedup(
+        stream, "text", "event_time", watermark_delay="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.read.schema(deduped.schema).parquet(str(out_dir)).collect()
+    kept = sorted(r.doc_id for r in rows)
+    assert kept == [1, 3, 5]  # docs 2 and 4 are content-duplicates of 1
+    assert len({r.content_hash for r in rows}) == 3
+
+
+def test_stream_dedup_global_finite_feed(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_batch(
+        feed,
+        "b1.json",
+        [
+            {"doc_id": 1, "text": "x", "event_time": "2024-01-01T00:00:00"},
+            {"doc_id": 2, "text": "x", "event_time": "2024-01-01T00:00:01"},
+            {"doc_id": 3, "text": "y", "event_time": "2024-01-01T00:00:02"},
+        ],
+        mtime=1_000,
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(feed))
+    deduped = stream_exact_dedup_global(stream, "text")
+    out_dir, ckpt = tmp_path / "out2", tmp_path / "ckpt2"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.schema(deduped.schema).parquet(str(out_dir)).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 3]
