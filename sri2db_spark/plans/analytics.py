@@ -806,6 +806,21 @@ def q_dedup_survivors(spark, sf):
     return D.dedup_survivors(docs, pairs, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+def q_corpus_curation(spark, sf):
+    """Flagship composition: quality filter → exact dedup → benchmark
+    decontamination → stratified sample → token accounting, as ONE lazy
+    DataFrame plan (filters reach the scan; only the dedup agg and the
+    decontamination probe shuffle)."""
+    from ..functions.pipeline import curate_corpus  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    benchmark = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) < 2)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) >= 2)
+    return curate_corpus(
+        corpus, benchmark, min_quality=0.24, rates_pct={"en": 80}, default_pct=50
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SRI merge operators (SURVEY §2.C)
     "c1_dedup_latest": q_c1_dedup_latest,
@@ -874,5 +889,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_frac": q_boilerplate_frac,
     "text_tfidf_topk": q_text_tfidf_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
+    "corpus_curation": q_corpus_curation,
     "multimodal_meta": q_multimodal_meta,
 }

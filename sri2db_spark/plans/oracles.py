@@ -721,6 +721,32 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_overlapping
         FROM dg JOIN bset USING (s) GROUP BY doc_id
     """,
+    # the composed curation chain, stage by stage as CTEs
+    "corpus_curation": f"""
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+                 0.5 * ({_stop_ratio(_EN_STOPS)})
+                   + 0.3 * least((CAST(list_sum(list_transform({_W}, t -> length(t))) AS DOUBLE)
+                        / CAST(len({_W}) AS DOUBLE)) / 8.0, 1.0)
+                   + 0.2 * least(CAST(len({_W}) AS DOUBLE) / 200.0, 1.0) AS quality
+          FROM documents WHERE doc_id % 100 >= 2),
+        qf AS (SELECT * FROM scored WHERE quality >= 0.24),
+        reps AS (SELECT min(doc_id) AS rid FROM qf GROUP BY md5(text)),
+        dd AS (SELECT * FROM qf WHERE doc_id IN (SELECT rid FROM reps)),
+        bset AS (
+          SELECT DISTINCT s FROM (
+            SELECT unnest(list_distinct({_SHINGLES5})) AS s
+            FROM documents WHERE doc_id % 100 < 2)),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(list_distinct({_SHINGLES5})) AS s FROM dd) dg
+          JOIN bset USING (s)),
+        clean AS (SELECT * FROM dd
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        sampled AS (SELECT * FROM clean
+          WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 80 ELSE 50 END))
+        SELECT doc_id, lang, len({_W}) AS n_tokens, quality FROM sampled
+    """,
     # ---- dedup / similarity / text / multimodal --------------------------
     "dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies

@@ -270,6 +270,29 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
     check()
 
 
+def test_curate_corpus_every_stage_drops(spark, docs):
+    """The composed pipeline must exercise all stages: quality filter,
+    exact dedup, decontamination, and sampling each remove documents."""
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.functions.pipeline import curate_corpus
+
+    benchmark = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) < 2)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) >= 2)
+    n_corpus = corpus.count()
+    out = curate_corpus(
+        corpus, benchmark, min_quality=0.24, rates_pct={"en": 80}, default_pct=50
+    )
+    rows = out.collect()
+    assert 0 < len(rows) < n_corpus
+    assert all(r.quality >= 0.24 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+    # sampling respects strata arithmetic
+    for r in rows:
+        cap = 80 if r.lang == "en" else 50
+        assert r.doc_id % 100 < cap
+
+
 def test_lsh_bucket_cap_survives_boilerplate_corpus(spark):
     """Adversarial near-identical corpus: 200 clones share every LSH bucket,
     which un-capped would generate ~20k candidate pairs from one bucket.
