@@ -806,6 +806,62 @@ def q_dedup_survivors(spark, sf):
     return D.dedup_survivors(docs, pairs, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+def q_events_funnel(spark, sf):
+    """Ordered conversion funnel signup → view → purchase: each step's
+    first timestamp must follow the previous step's. All three step
+    resolutions are windows over the SAME user partitioning, so the whole
+    funnel costs one shuffle; the final count is a single-row aggregate."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", ns_to_ms("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id")
+    step = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).over(w)
+    )
+    step = step.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts_ms") > F.col("t1")),
+                F.col("ts_ms"),
+            )
+        ).over(w),
+    )
+    step = step.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_ms") > F.col("t2")),
+                F.col("ts_ms"),
+            )
+        ).over(w),
+    )
+    per_user = step.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view_after_signup"),
+        F.count("t3").alias("n_purchase_after_view"),
+    )
+
+
+def q_events_retention(spark, sf):
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    counted per (cohort_week, weeks-since-cohort). Integer week arithmetic
+    (ms div 604800000) — engine-portable, no calendar-anchor ambiguity."""
+    week = F.expr("(ts div 1000000) div 604800000")
+    ev = _t(spark, sf, "events").select("user_id", week.alias("week"))
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def q_corpus_curation(spark, sf):
     """Flagship composition: quality filter → exact dedup → benchmark
     decontamination → stratified sample → token accounting, as ONE lazy
@@ -848,6 +904,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "top_customers_per_nation": q_top_customers_per_nation,
     "events_hourly": q_events_hourly,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "percentiles_by_type": q_percentiles_by_type,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_late_shipment_priority": q4_late_shipment_priority,

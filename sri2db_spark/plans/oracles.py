@@ -721,6 +721,36 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_overlapping
         FROM dg JOIN bset USING (s) GROUP BY doc_id
     """,
+    "events_funnel": """
+        WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms
+                   FROM events),
+        u1 AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t1
+          FROM e GROUP BY user_id),
+        u2 AS (
+          SELECT e.user_id, u1.t1,
+                 min(CASE WHEN event_type = 'view' AND ts_ms > t1 THEN ts_ms END) AS t2
+          FROM e JOIN u1 USING (user_id) GROUP BY e.user_id, u1.t1),
+        u3 AS (
+          SELECT e.user_id, u2.t1, u2.t2,
+                 min(CASE WHEN event_type = 'purchase' AND ts_ms > t2 THEN ts_ms END) AS t3
+          FROM e JOIN u2 USING (user_id) GROUP BY e.user_id, u2.t1, u2.t2)
+        SELECT count(t1) AS n_signup,
+               count(t2) AS n_view_after_signup,
+               count(t3) AS n_purchase_after_view
+        FROM u3
+    """,
+    "events_retention": """
+        WITH e AS (
+          SELECT user_id, (epoch_ns(ts) // 1000000) // 604800000 AS week
+          FROM events),
+        c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN c USING (user_id)
+        GROUP BY cohort_week, week_offset
+    """,
     # the composed curation chain, stage by stage as CTEs
     "corpus_curation": f"""
         WITH scored AS (
