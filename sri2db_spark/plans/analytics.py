@@ -806,6 +806,22 @@ def q_dedup_survivors(spark, sf):
     return D.dedup_survivors(docs, pairs, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+def q_top_events_salted(spark, sf):
+    """Per-type top-3 events via the salted two-phase top-k (skew-resilient
+    path); output is provably identical to the single-window formulation —
+    the oracle IS that formulation."""
+    from ..operators.skew import salted_top_k  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    return salted_top_k(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+        salt=8,
+    )
+
+
 def q_events_funnel(spark, sf):
     """Ordered conversion funnel signup → view → purchase: each step's
     first timestamp must follow the previous step's. All three step
@@ -905,6 +921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers_per_nation": q_top_customers_per_nation,
     "events_hourly": q_events_hourly,
     "events_funnel": q_events_funnel,
+    "top_events_salted": q_top_events_salted,
     "events_retention": q_events_retention,
     "percentiles_by_type": q_percentiles_by_type,
     "q6_forecast_revenue": q6_forecast_revenue,

@@ -721,6 +721,15 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_overlapping
         FROM dg JOIN bset USING (s) GROUP BY doc_id
     """,
+    "top_events_salted": """
+        SELECT event_id, event_type, value, rank FROM (
+          SELECT event_id, event_type, value,
+                 CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id ASC) AS INT) AS rank
+          FROM events)
+        WHERE rank <= 3
+    """,
     "events_funnel": """
         WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms
                    FROM events),
