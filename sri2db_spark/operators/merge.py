@@ -200,6 +200,31 @@ def merge_full(
     return change_detecting_upsert(survivors, staged_d, keys)
 
 
+def versioned_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """SCD2-style version history: each row gains ``valid_from`` (its own
+    timestamp), ``valid_to`` (the next version's timestamp, NULL while
+    current) and ``is_current``.
+
+    The lakehouse companion to :func:`change_detecting_upsert` — where the
+    merge keeps only the latest state (the reference's target-table
+    semantics), this derives the full validity timeline from the same
+    ordered versions: one window over the key partitioning, no joins.
+    ``tiebreak`` columns make the order total when timestamps can tie.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def merge_incremental(
     target: DataFrame,
     staged_updates: DataFrame,

@@ -806,6 +806,24 @@ def q_dedup_survivors(spark, sf):
     return D.dedup_survivors(docs, pairs, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+def q_orders_history(spark, sf):
+    """SCD2 validity timeline per customer: one window, no joins; the
+    current version is the NULL-valid_to row."""
+    from ..operators.merge import versioned_history  # noqa: PLC0415
+
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    hist = versioned_history(
+        orders, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"]
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        ms("valid_from").alias("valid_from_ms"),
+        ms("valid_to").alias("valid_to_ms"),
+        "is_current",
+    )
+
+
 def q_top_events_salted(spark, sf):
     """Per-type top-3 events via the salted two-phase top-k (skew-resilient
     path); output is provably identical to the single-window formulation —
@@ -922,6 +940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_funnel": q_events_funnel,
     "top_events_salted": q_top_events_salted,
+    "orders_history": q_orders_history,
     "events_retention": q_events_retention,
     "percentiles_by_type": q_percentiles_by_type,
     "q6_forecast_revenue": q6_forecast_revenue,

@@ -721,6 +721,15 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_overlapping
         FROM dg JOIN bset USING (s) GROUP BY doc_id
     """,
+    "orders_history": """
+        SELECT o_custkey, o_orderkey,
+               epoch_ms(o_orderdate) AS valid_from_ms,
+               epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms,
+               lead(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
     "top_events_salted": """
         SELECT event_id, event_type, value, rank FROM (
           SELECT event_id, event_type, value,

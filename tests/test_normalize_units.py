@@ -131,6 +131,30 @@ def test_broken_next_links_offset_fallback(spark):
     assert df.count() == 10  # reader synthesizes offset pages (A2)
 
 
+def test_versioned_history_scd2_semantics(spark):
+    """Each version's valid_to equals the next version's valid_from; exactly
+    one current row per key; singleton keys are immediately current."""
+    from sri2db_spark.operators.merge import versioned_history
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 100), ("a", 2, 200), ("a", 3, 300),
+            ("b", 4, 150),
+        ],
+        "key string, version int, ts long",
+    )
+    rows = {
+        (r.key, r.version): r
+        for r in versioned_history(df, ["key"], "ts", tiebreak=["version"]).collect()
+    }
+    assert rows[("a", 1)].valid_to == 200 and not rows[("a", 1)].is_current
+    assert rows[("a", 2)].valid_to == 300
+    assert rows[("a", 3)].valid_to is None and rows[("a", 3)].is_current
+    assert rows[("b", 4)].is_current
+    currents = [k for k, r in rows.items() if r.is_current]
+    assert sorted(currents) == [("a", 3), ("b", 4)]
+
+
 def test_string_hash_java_matches_reference_algorithm(spark):
     """B7 — expression fold == the reference's JS hashCode (utils.js:31-42)."""
     from pyspark.sql import functions as F
