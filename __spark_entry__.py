@@ -2,8 +2,8 @@
 
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 100 TB-pipeline extensions; ``oracle_sql()`` gives the DuckDB mirror of each
-(two approximate/sketch operators are intentionally rows-only — see
-sri2db_spark/plans/oracles.py).
+— every registry query has a hash-matchable oracle (sketch operators are
+checked via containment against their already-oracled exact counterparts).
 """
 
 from __future__ import annotations
