@@ -782,6 +782,346 @@ def q22_dormant_customers(spark, sf):
     )
 
 
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (schema-adapted: no partsupp table, so the part ×
+    supplier offer list is derived from lineitem): for every LARGE part,
+    the supplier(s) quoting the minimum average unit price. The correlated
+    MIN decorrelates into one per-part aggregate joined back onto the
+    offer list — both sides reuse the same partkey shuffle."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "LARGE")
+    supp = _t(spark, sf, "supplier")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        (dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_price")
+    )
+    min_offer = offers.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        offers.join(
+            min_offer,
+            (offers["l_partkey"] == min_offer["mk"])
+            & (offers["unit_price"] == min_offer["min_price"]),
+        )
+        .join(F.broadcast(part), offers["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), offers["l_suppkey"] == supp["s_suppkey"])
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price")
+    )
+
+
+def q8_market_share(spark, sf):
+    """TPC-H Q8 shape: one nation's market share inside one region's
+    customer base, per order year — conditional-sum ratio. Every dimension
+    broadcasts; the fact-fact orderkey join is the only real shuffle."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation_c = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation_s = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation_c), cust["c_nationkey"] == nation_c["n_nationkey"])
+        .join(F.broadcast(region), nation_c["n_regionkey"] == region["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation_s), supp["s_nationkey"] == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(nat_rev) / dsum(rev)).alias("mkt_share"))
+    )
+
+
+def q9_product_profit(spark, sf):
+    """TPC-H Q9 shape (ps_supplycost approximated by p_retailprice — the
+    schema has no partsupp): profit by supplier nation and order year for
+    parts matching a name pattern."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    part = _t(spark, sf, "part").filter(F.col("p_name").contains("widget"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+def q11_important_parts(spark, sf):
+    """TPC-H Q11 shape: parts whose revenue exceeds a fixed fraction of
+    global revenue — HAVING against a broadcast scalar subquery. The
+    global total re-aggregates the per-part decimal-exact sums, so it is
+    order-independent and bit-stable."""
+    li = _t(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(rev).alias("part_value"))
+    total = per_part.agg(
+        dsum(F.col("part_value")).alias("__total_value"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
+    # scale-free threshold: 1.5x the average per-part share, so the query
+    # returns a stable "important" slice at any SF instead of an absolute
+    # fraction that empties out as the part count grows
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > 1.5 / F.col("__n_parts").cast("double") * F.col("__total_value")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+def q12_lateness_priority(spark, sf):
+    """TPC-H Q12 shape (no l_shipmode/l_commitdate in this schema: the
+    ship-lateness bucket stands in for shipmode): urgent vs non-urgent
+    line counts per lateness bucket — conditional aggregation over the
+    one fact-fact join."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(late > 90, F.lit("LATE"))
+        .when(late > 30, F.lit("SLOW"))
+        .otherwise(F.lit("ONTIME"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13 shape: histogram of orders-per-customer *including
+    zero-order customers* — left outer join + two-level aggregation (one
+    custkey shuffle, then a tiny histogram agg)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q16_supplier_part_counts(spark, sf):
+    """TPC-H Q16 shape (supplier-part pairs derived from lineitem — no
+    partsupp): distinct-supplier count per (brand, type, size) for a size
+    basket, excluding one brand. Distinct pairs first, then the grouped
+    exact distinct count."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs predicate mixing part and lineitem
+    columns (brand × size × quantity windows). Catalyst keeps the
+    disjunction as one broadcast-join residual instead of three scans."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(5, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q20_heavy_suppliers(spark, sf):
+    """TPC-H Q20 shape (ps_availqty stands in as the supplier's own
+    shipped quantity): suppliers that shipped >30% of a widget part's
+    total 1996 volume — two-level aggregate + LEFT SEMI join back to the
+    supplier dim."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf, "supplier")
+    per_ps = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("supp_qty"))
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dsum(F.col("supp_qty")).alias("part_qty")
+    )
+    heavy = (
+        per_ps.join(per_p, per_ps["l_partkey"] == per_p["pk"])
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return supp.join(
+        heavy, supp["s_suppkey"] == heavy["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the *only* late supplier on a
+    multi-supplier order (late = shipped >60 days after the order date).
+    The reference EXISTS / NOT EXISTS pair collapses into per-order
+    supplier stats (agg + two windows); when the fact-fact join sort-merges
+    on orderkey, the agg and the windows both reuse that partitioning, so
+    at scale the whole query is a single orderkey shuffle."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    supp = _t(spark, sf, "supplier")
+    per_os = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = per_os.select(
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    return (
+        stats.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_profile_columns(spark, sf):
+    """One-pass column profiler — the pre-publish quality gate a lake
+    ingest runs per partition: null count, exact distinct count, and
+    min/max per column, unpivoted to one row per column. All 24 aggregates
+    run in a SINGLE aggregate job (one scan, no per-column passes); the
+    double column's min/max is represented as integer cents (floor(x*100))
+    so the repr is engine-portable."""
+    orders = _t(spark, sf, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+
+    def srepr(c):
+        if c == "o_totalprice":
+            return F.floor(F.col(c) * 100).cast("long").cast("string")
+        return F.col(c).cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__n_{c}"),
+            F.countDistinct(c).alias(f"__d_{c}"),
+            F.min(srepr(c)).alias(f"__lo_{c}"),
+            F.max(srepr(c)).alias(f"__hi_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack = ", ".join(f"'{c}', __n_{c}, __d_{c}, __lo_{c}, __hi_{c}" for c in cols)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        )
+    )
+
+
+def q_heavy_hitters(spark, sf):
+    """Key-skew profiler: frequency, share, and hot-key flag for every
+    value of a join/grouping column. This is the pre-flight a 100 TB join
+    runs to decide whether to salt (operators/skew.py) — one map-side
+    combined agg plus a broadcast of the single-row total."""
+    ev = _t(spark, sf, "events")
+    total = ev.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "event_type",
+            "n",
+            (F.col("n").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("n").cast("double") / F.col("__total").cast("double") > 0.25
+            ).alias("is_hot"),
+        )
+    )
+
+
+def q_approx_distinct(spark, sf):
+    """HyperLogLog++ distinct-count sketch checked against the exact
+    count. At 100 TB the sketch replaces a full distinct shuffle with one
+    fixed-size mergeable register set per partition; the oracle asserts
+    the exact count and the 10%-containment flag (HLL++ at rsd=0.02 is
+    deterministic for a given dataset, so the flag is stable)."""
+    ev = _t(spark, sf, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.02)
+    return ev.agg(
+        exact.alias("exact_distinct"),
+        (F.abs(approx - exact) <= 0.1 * exact).alias("sketch_within_10pct"),
+    )
+
+
 def q_text_repetition(spark, sf):
     return X.repetition_metrics(_tp(spark, sf, "documents"), "doc_id", "text", k=2)
 
@@ -952,6 +1292,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_dormant_customers": q22_dormant_customers,
     "q18_large_orders": q18_large_orders,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_lateness_priority": q12_lateness_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_heavy_suppliers": q20_heavy_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    # engine-completeness / scale-ops
+    "profile_columns": q_profile_columns,
+    "heavy_hitters": q_heavy_hitters,
+    "approx_distinct": q_approx_distinct,
     "json_extract_props": q_json_extract_props,
     # dedup / similarity / text / multimodal extensions
     "events_sessionize": q_events_sessionize,

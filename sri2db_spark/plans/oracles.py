@@ -622,6 +622,199 @@ ORACLES: dict[str, str] = {
             WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey
     """,
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS unit_price
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        mo AS (SELECT l_partkey AS mk, min(unit_price) AS min_price
+               FROM offers GROUP BY l_partkey)
+        SELECT p_partkey, p_name, s_suppkey, s_name, min_price
+        FROM offers
+        JOIN mo ON l_partkey = mk AND unit_price = min_price
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_type = 'LARGE'
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                    AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        GROUP BY o_year
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      - p_retailprice * l_quantity AS DECIMAL(18,4)))
+                 AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, o_year
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+          FROM lineitem GROUP BY l_partkey),
+        tot AS (
+          SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+                 count(*) AS n_parts
+          FROM per_part)
+        SELECT l_partkey, part_value
+        FROM per_part, tot
+        WHERE part_value > 1.5 / CAST(n_parts AS DOUBLE) * total_value
+    """,
+    "q12_lateness_priority": """
+        SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) > 90 THEN 'LATE'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) > 30 THEN 'SLOW'
+                    ELSE 'ONTIME' END AS ship_bucket,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY ship_bucket
+    """,
+    "q13_customer_distribution": """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 5 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 10 AND 40)
+    """,
+    "q20_heavy_suppliers": """
+        WITH per_ps AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS supp_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%widget%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey),
+        per_p AS (
+          SELECT l_partkey AS pk,
+                 CAST(SUM(CAST(supp_qty AS DECIMAL(18,4))) AS DOUBLE) AS part_qty
+          FROM per_ps GROUP BY l_partkey)
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM per_ps JOIN per_p ON l_partkey = pk
+          WHERE supp_qty > 0.3 * part_qty)
+    """,
+    "q21_waiting_suppliers": """
+        WITH per_os AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS is_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY l_orderkey, l_suppkey),
+        stats AS (
+          SELECT l_suppkey, is_late,
+                 count(*) OVER (PARTITION BY l_orderkey) AS n_suppliers,
+                 SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM per_os)
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM stats JOIN supplier ON l_suppkey = s_suppkey
+        WHERE is_late = 1 AND n_suppliers >= 2 AND n_late = 1
+        GROUP BY s_suppkey, s_name
+    """,
+    "profile_columns": """
+        SELECT 'o_orderkey' AS col_name,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               min(CAST(o_orderkey AS VARCHAR)) AS min_repr,
+               max(CAST(o_orderkey AS VARCHAR)) AS max_repr
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_custkey),
+               min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_totalprice),
+               min(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)),
+               max(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderdate),
+               min(CAST(o_orderdate AS VARCHAR)), max(CAST(o_orderdate AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    "heavy_hitters": """
+        WITH tot AS (SELECT count(*) AS total FROM events)
+        SELECT event_type, count(*) AS n,
+               CAST(count(*) AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+               CAST(count(*) AS DOUBLE) / CAST(total AS DOUBLE) > 0.25 AS is_hot
+        FROM events, tot
+        GROUP BY event_type, total
+    """,
+    "approx_distinct": """
+        SELECT count(DISTINCT user_id) AS exact_distinct,
+               TRUE AS sketch_within_10pct
+        FROM events
+    """,
     "text_repetition": f"""
         WITH grams AS (SELECT doc_id, unnest({_SHINGLES2}) AS g FROM documents),
         per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),

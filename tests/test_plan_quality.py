@@ -89,6 +89,31 @@ def test_q4_plans_as_semi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q8_broadcasts_all_dimensions(spark):
+    """Six dimension joins (part, customer, nation x2, region, supplier)
+    must all broadcast; only the lineitem-orders fact-fact join may
+    shuffle."""
+    plan = formatted_plan(QUERIES["q8_market_share"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_plans_as_semi_join(spark):
+    plan = formatted_plan(QUERIES["q20_heavy_suppliers"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_columns_single_scan(spark):
+    """24 aggregates over 6 columns must run as ONE scan of the table
+    (multi-countDistinct plans via Expand), not per-column passes.
+    formatted-explain prints each node twice (tree + details), so one
+    physical scan == exactly 2 mentions."""
+    plan = formatted_plan(QUERIES["profile_columns"](spark, SF))
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" in plan
+
+
 def test_connected_components_plan_stays_shallow(spark):
     """Iterative label propagation must truncate lineage each round
     (localCheckpoint): the returned plan is a checkpoint scan plus the
