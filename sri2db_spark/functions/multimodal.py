@@ -99,6 +99,35 @@ def decode_image_features(media: DataFrame, batch_partitions: int | None = None)
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+def media_chunks(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Split each blob into fixed-size chunks entirely JVM-side — the
+    shuffle-free pre-step for chunked hashing / upload / dedup of large media:
+    ``sequence`` of offsets + ``explode`` + binary ``substring``; no Python
+    ever touches the bytes. Emits the chunk's size and lowercase hex so
+    downstream (and the DuckDB oracle) can verify content without an opaque
+    binary column.
+    """
+    n = F.col("meta.n_bytes")
+    off = F.col("__off")
+    chunk = F.expr(f"substring(content, __off + 1, {chunk_bytes})")
+    return (
+        media.filter(n > 0)
+        .select(
+            "media_id",
+            "content",
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(chunk_bytes))
+            ).alias("__off"),
+        )
+        .select(
+            "media_id",
+            (off / chunk_bytes).cast("long").alias("chunk_id"),
+            F.length(chunk).cast("long").alias("chunk_bytes"),
+            F.lower(F.hex(chunk)).alias("chunk_hex"),
+        )
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Frame sampling' plumbing demo: one output row per sampled offset of
     each blob (video → frames analogue). Pure built-ins: sequence + explode;

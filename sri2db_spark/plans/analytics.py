@@ -1122,6 +1122,53 @@ def q_approx_distinct(spark, sf):
     )
 
 
+def q_incremental_rollup(spark, sf):
+    """Rollup refresh without history re-scan: the materialized aggregate
+    (orders before 1999) merges with the delta partition's partial
+    aggregate via operators/incremental.merge_partial_aggs. The oracle is
+    the FULL recompute — green means incremental == full, bit-exact."""
+    from ..operators.incremental import merge_partial_aggs  # noqa: PLC0415
+
+    orders = _t(spark, sf, "orders")
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            dsum("o_totalprice").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    existing = agg(orders.filter(F.col("o_orderdate") < "1999-01-01"))
+    delta = agg(orders.filter(F.col("o_orderdate") >= "1999-01-01"))
+    return merge_partial_aggs(
+        existing, delta, ["o_orderpriority"], ["total_revenue"], "n"
+    )
+
+
+def q_approx_quantiles(spark, sf):
+    """t-digest-style approximate median (percentile_approx, mergeable
+    fixed-size sketch — the 100 TB path) checked against the exact
+    interpolated percentile: the oracle asserts the exact quartiles and
+    that the sketch lands inside the exact interquartile band."""
+    ev = _t(spark, sf, "events")
+    exact = F.percentile("value", F.lit(0.5))
+    p25 = F.percentile("value", F.lit(0.25))
+    p75 = F.percentile("value", F.lit(0.75))
+    approx = F.percentile_approx("value", F.lit(0.5), F.lit(2500))
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_p50"),
+        p25.alias("exact_p25"),
+        p75.alias("exact_p75"),
+        ((approx >= p25) & (approx <= p75)).alias("sketch_in_band"),
+    )
+
+
+def q_media_chunks(spark, sf):
+    from ..functions.multimodal import media_chunks  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    return media_chunks(to_media_table(docs, "doc_id", "text"), chunk_bytes=256)
+
+
 def q_text_repetition(spark, sf):
     return X.repetition_metrics(_tp(spark, sf, "documents"), "doc_id", "text", k=2)
 
@@ -1306,6 +1353,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_columns": q_profile_columns,
     "heavy_hitters": q_heavy_hitters,
     "approx_distinct": q_approx_distinct,
+    "incremental_rollup": q_incremental_rollup,
+    "approx_quantiles": q_approx_quantiles,
+    "media_chunks": q_media_chunks,
     "json_extract_props": q_json_extract_props,
     # dedup / similarity / text / multimodal extensions
     "events_sessionize": q_events_sessionize,

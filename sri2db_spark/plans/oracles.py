@@ -815,6 +815,32 @@ ORACLES: dict[str, str] = {
                TRUE AS sketch_within_10pct
         FROM events
     """,
+    "incremental_rollup": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_revenue,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "approx_quantiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS exact_p50,
+               quantile_cont(value, 0.25) AS exact_p25,
+               quantile_cont(value, 0.75) AS exact_p75,
+               TRUE AS sketch_in_band
+        FROM events GROUP BY event_type
+    """,
+    "media_chunks": """
+        WITH m AS (
+          SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) > 0)
+        SELECT media_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(least(256, n - i * 256) AS BIGINT) AS chunk_bytes,
+               substring(hx, i * 512 + 1, 512) AS chunk_hex
+        FROM m, range(0, 4096) t(i)
+        WHERE i * 256 < n
+    """,
     "text_repetition": f"""
         WITH grams AS (SELECT doc_id, unnest({_SHINGLES2}) AS g FROM documents),
         per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
