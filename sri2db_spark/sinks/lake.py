@@ -133,3 +133,46 @@ class LakeTable:
 
     def count(self) -> int:
         return self.read().count()
+
+    def compact_partition(
+        self,
+        baseurl: str | None,
+        path: str | None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> tuple[int, int]:
+        """Rewrite one partition's small files into ~target-sized files.
+
+        Delta syncs append a few rows per run; after thousands of syncs a
+        partition is thousands of tiny files and every scan pays the
+        per-file open cost. Compaction = read the partition, coalesce to
+        ceil(bytes / target) output files, atomic-swap (same write-new +
+        rename protocol as replace_partition, so readers never see a
+        half-compacted partition). Values are untouched — only the file
+        layout changes. Returns (files_before, files_after).
+
+        ``coalesce`` (not ``repartition``): compaction must not shuffle —
+        each output task concatenates whole input files.
+        """
+        part_dir = self._partition_dir(baseurl, path)
+        if not os.path.exists(part_dir):
+            return (0, 0)
+        files = [
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return (0, 0)
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total_bytes // target_file_bytes))
+        df = self.spark.read.parquet(part_dir).coalesce(int(n_out))
+        tmp = f"{part_dir}__tmp_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{part_dir}__old_{uuid.uuid4().hex}"
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        files_after = len(
+            [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        )
+        return (len(files), files_after)

@@ -372,3 +372,31 @@ def test_explain_hook_prints_plan(spark, tmp_path, capsys):
     sync.full_sync()
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_compact_partition_shrinks_files_keeps_data(spark, tmp_path):
+    """Thousands of delta syncs leave a partition as many tiny files;
+    compaction must rewrite the layout (fewer files) without changing a
+    single value, via the same atomic-swap protocol as replace_partition."""
+    api = FakeSriApi(n=40, page_size=7)
+    sync = make_sync(spark, tmp_path, api)
+    sync.full_sync()
+    table = sync.table
+    # fragment the partition: rewrite it from a deliberately over-split plan
+    frag = table.read_partition(BASEURL, api.path).repartition(16)
+    table.replace_partition(frag, BASEURL, api.path)
+    before_rows = sorted(
+        (r["href"], r["jsondata"]) for r in table.read().collect()
+    )
+    n_before, n_after = table.compact_partition(BASEURL, api.path)
+    assert n_before > 1 and n_after < n_before
+    assert n_after == 1  # tiny data → one target-sized file
+    after_rows = sorted(
+        (r["href"], r["jsondata"]) for r in table.read().collect()
+    )
+    assert after_rows == before_rows
+
+
+def test_compact_partition_missing_is_noop(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "table"), LAYOUT_LARGE)
+    assert table.compact_partition("https://x", "/nope") == (0, 0)
