@@ -44,6 +44,34 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def normalize_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize each embedding and quantize to int8 — the storage /
+    transport format for a 100 TB embedding table (4x smaller than float32;
+    dot products stay integer-SIMD-able, rescaled by the stored norm).
+
+    q_i = floor(x_i / ||x|| * 127): ``floor`` (not round) because
+    round-half-even vs half-up differs across engines — floor of the same
+    IEEE double is portable, so the quantized codes are bit-identical
+    everywhere. Pure codegen expressions; no shuffle, no Python.
+    """
+    vec = F.col(vec_col)
+    nrm = _norm(vec)
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") / nrm * F.lit(127.0)).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        nrm.alias("l2_norm"),
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias(
+            "q_codes"
+        ),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

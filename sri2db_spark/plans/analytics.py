@@ -1169,6 +1169,39 @@ def q_media_chunks(spark, sf):
     return media_chunks(to_media_table(docs, "doc_id", "text"), chunk_bytes=256)
 
 
+def q_emb_quantize(spark, sf):
+    """int8 embedding quantization (S.normalize_quantize): floor-based
+    codes are engine-portable, so the whole array hash-matches DuckDB."""
+    return S.normalize_quantize(_tp(spark, sf, "embeddings"))
+
+
+def q_events_anomaly(spark, sf):
+    """Deterministic z-score anomaly detection over hourly event counts.
+    Variance comes from exact integer sums (n, Σx, Σx²) — not Spark's
+    order-dependent streaming stddev — so the flagged set is bit-stable at
+    any parallelism. One shuffle (hourly agg); the per-type moments reuse
+    the window partitioning."""
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    var = (
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / cnt
+    ) / (cnt - 1)
+    z = (F.col("n") - s1.cast("double") / cnt) / F.sqrt(var)
+    return hourly.select(
+        "event_type",
+        "hour_bucket",
+        "n",
+        z.alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
 def q_text_repetition(spark, sf):
     return X.repetition_metrics(_tp(spark, sf, "documents"), "doc_id", "text", k=2)
 
@@ -1356,6 +1389,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_rollup": q_incremental_rollup,
     "approx_quantiles": q_approx_quantiles,
     "media_chunks": q_media_chunks,
+    "emb_quantize": q_emb_quantize,
+    "events_anomaly": q_events_anomaly,
     "json_extract_props": q_json_extract_props,
     # dedup / similarity / text / multimodal extensions
     "events_sessionize": q_events_sessionize,

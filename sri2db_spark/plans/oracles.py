@@ -830,6 +830,42 @@ ORACLES: dict[str, str] = {
                TRUE AS sketch_in_band
         FROM events GROUP BY event_type
     """,
+    "emb_quantize": f"""
+        WITH n AS (
+          SELECT vec_id,
+                 sqrt({_fold(f"list_transform(range(1, {DIM + 1}), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")})
+                   AS l2_norm,
+                 embedding
+          FROM embeddings)
+        SELECT vec_id, l2_norm,
+               array_to_string(
+                 list_transform(range(1, {DIM + 1}),
+                   i -> CAST(CAST(floor(CAST(embedding[i] AS DOUBLE) / l2_norm * 127.0)
+                        AS INT) AS VARCHAR)),
+                 ',') AS q_codes
+        FROM n
+    """,
+    "events_anomaly": """
+        WITH hourly AS (
+          SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT event_type, hour_bucket, n,
+                 count(*) OVER w AS cnt,
+                 SUM(n) OVER w AS s1,
+                 SUM(n * n) OVER w AS s2
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type))
+        SELECT event_type, hour_bucket, n,
+               (n - CAST(s1 AS DOUBLE) / cnt)
+                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / cnt)
+                        / (cnt - 1)) AS zscore,
+               abs((n - CAST(s1 AS DOUBLE) / cnt)
+                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / cnt)
+                        / (cnt - 1))) > 3.0 AS is_anomaly
+        FROM stats
+    """,
     "media_chunks": """
         WITH m AS (
           SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
