@@ -1,0 +1,181 @@
+"""Time-series and robust-statistics operators.
+
+Everything here is pure built-in-function DataFrame planning (whole-stage
+codegen, no Python in the hot path) and engineered for bit-exact determinism
+at any parallelism:
+
+- windowed sums go through decimal (order-independent) and come back as
+  double, mirroring :func:`sri2db_spark.plans.analytics.dsum`;
+- correlation is computed from exact decimal moment sums, never from the
+  order-dependent streaming ``corr``/``stddev`` aggregates;
+- every window order has a total tie-break.
+
+Scale notes (100 TB): each operator is a single keyed shuffle (the window
+partition key or the groupBy key); nothing collects to the driver and no
+operator joins the fact table against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dsum(col: Column, scale: str = "decimal(18,4)") -> Column:
+    return F.sum(col.cast(scale)).cast("double")
+
+
+def rolling_mean(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n: int,
+) -> DataFrame:
+    """Trailing-``n``-rows mean of ``value_col`` per partition.
+
+    The frame sum is decimal-exact, so the mean is bit-stable regardless of
+    partition layout. One shuffle on ``part_cols``. The reference has no
+    windowed analytics; this extends its diagnostic aggregates
+    (/root/reference/src/lib/client.js:1580-1620) to ordered history.
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    frame_sum = F.sum(F.col(value_col).cast("decimal(18,4)")).over(w).cast("double")
+    frame_n = F.count(F.lit(1)).over(w)
+    return df.withColumn("roll_mean", frame_sum / frame_n).withColumn(
+        "frame_n", frame_n
+    )
+
+
+def activity_streaks(
+    df: DataFrame, entity_col: str, day_col: Column
+) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per entity.
+
+    ``day_col`` must evaluate to an integer day index. Classic
+    ``day - row_number()`` island key; two window passes over the same
+    partitioning (one shuffle), then one tiny aggregate.
+    """
+    days = df.select(F.col(entity_col).alias("entity"), day_col.alias("day")).distinct()
+    w = Window.partitionBy("entity").orderBy("day")
+    islands = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("entity", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("entity")
+        .agg(
+            F.sum("streak_len").alias("n_days"),
+            F.max("streak_len").alias("longest_streak"),
+        )
+        .select(
+            F.col("entity").alias(entity_col), "n_days", "longest_streak"
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile clipping (robust outlier handling).
+
+    Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, verified bit-identical by the percentiles_by_type
+    oracle), broadcast back onto the facts, then a decimal-exact clipped sum.
+    Two shuffles: the percentile agg and the final group agg; the join is a
+    broadcast (|groups| rows).
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo)).alias("p_lo"),
+        F.percentile(value_col, F.lit(hi)).alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_lo").alias("p_lo"),
+            F.min("p_hi").alias("p_hi"),
+            _dsum(clipped).alias("clipped_sum"),
+        )
+    )
+
+
+def exact_corr(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Pearson correlation from exact decimal moment sums.
+
+    Spark's ``corr`` (like DuckDB's) folds doubles in partition order —
+    non-deterministic under repartitioning. Here n, Σx, Σy, Σxy, Σx², Σy²
+    are accumulated as decimals (exact, order-independent), and the final
+    formula runs once per group in double. One shuffle (map-side combined).
+    """
+    # decimal(19,4) operands: width ≥19 forces DuckDB onto int128 storage
+    # (int64 DECIMAL(18) products overflow), and 19+19 stays inside its hard
+    # 38-width product cap; Spark adjusts the product to decimal(38,7) —
+    # still exact for ≤4-decimal true scales — so both engines compute the
+    # identical exact value before the double cast.
+    x = F.col(x_col).cast("decimal(19,4)")
+    y = F.col(y_col).cast("decimal(19,4)")
+    moments = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sx2"),
+        F.sum(y * y).cast("double").alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") * n - sx * sy
+    vx = F.col("sx2") * n - sx * sx
+    vy = F.col("sy2") * n - sy * sy
+    # quantize the statistic to 8 decimal places: the moment sums exceed
+    # 2^53 in unscaled-int form, and DuckDB's decimal→double cast rounds a
+    # different way than the JVM's at that magnitude (1-ulp noise); 8
+    # decimals is far above the noise floor and well below any analytical
+    # use of a correlation coefficient.
+    return moments.select(
+        group_col,
+        n.cast("bigint").alias("n"),
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).cast("decimal(12,8)").alias("corr_xy"),
+    )
+
+
+def expectation_report(
+    df: DataFrame, checks: dict[str, Column]
+) -> DataFrame:
+    """Data-quality expectations: each check is a boolean Column flagging a
+    VIOLATION; the report is one row per check with violation / total counts.
+
+    One pass over the data (single agg, no shuffle beyond the final
+    single-row exchange), then an unpivot of the tiny result. Mirrors the
+    reference's post-sync count diagnostics
+    (/root/reference/src/lib/client.js:1580-1620) generalized to predicates.
+    """
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+        for name, cond in checks.items()
+    ]
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{name}', `{name}`" for name in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {pairs}) as (check_name, violations)",
+        "__total as total",
+    ).select(
+        "check_name",
+        "violations",
+        "total",
+        (F.col("violations").cast("double") / F.col("total")).alias("violation_rate"),
+    )

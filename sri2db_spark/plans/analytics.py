@@ -1331,6 +1331,86 @@ def q_corpus_curation(spark, sf):
     )
 
 
+def q_events_rolling(spark, sf):
+    """Trailing-7-event rolling mean per user: one window shuffle, frame sum
+    decimal-exact (bit-stable at any parallelism)."""
+    from ..functions.stats import rolling_mean  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    return rolling_mean(ev, ["user_id"], ["ts", "event_id"], "value", 7).select(
+        "event_id", "user_id", "roll_mean", "frame_n"
+    )
+
+
+def q_user_streaks(spark, sf):
+    """Gaps-and-islands: longest consecutive-active-day streak per user.
+    Integer day index from the nanos epoch — engine-portable."""
+    from ..functions.stats import activity_streaks  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events")
+    return activity_streaks(ev, "user_id", F.expr("ts div 86400000000000"))
+
+
+def q_snapshot_diff(spark, sf):
+    """Snapshot-to-snapshot change classification (added/removed/changed/
+    unchanged) via one null-safe full outer join, aggregated per class."""
+    from ..operators.incremental import snapshot_diff  # noqa: PLC0415
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    key = F.col("o_orderkey")
+    snap_a = o.filter(key % 10 < 8)
+    snap_b = o.filter(key % 10 >= 1).withColumn(
+        "o_totalprice",
+        F.when(key % 3 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    diff = snapshot_diff(
+        snap_a, snap_b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("price_sum")
+    )
+
+
+def q_winsorize_values(spark, sf):
+    """Per-type percentile clipping: exact interpolated p05/p95, broadcast
+    join back, decimal-exact clipped sum."""
+    from ..functions.stats import winsorize  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    return winsorize(ev, "event_type", "value", 0.05, 0.95)
+
+
+def q_numeric_corr(spark, sf):
+    """Pearson correlation per return-flag from exact decimal moments —
+    deterministic, unlike the order-dependent streaming corr aggregate."""
+    from ..functions.stats import exact_corr  # noqa: PLC0415
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return exact_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def q_quality_expectations(spark, sf):
+    """Declarative data-quality report over orders: one scan, one tiny
+    unpivot; each row is (check, violations, total, rate)."""
+    from ..functions.stats import expectation_report  # noqa: PLC0415
+
+    o = _t(spark, sf, "orders")
+    return expectation_report(
+        o,
+        {
+            "null_custkey": F.col("o_custkey").isNull(),
+            "nonpositive_price": F.col("o_totalprice") <= 0.0,
+            "bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_before_1990": F.col("o_orderdate") < "1990-01-01",
+            "price_over_500k": F.col("o_totalprice") > 500000.0,
+        },
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SRI merge operators (SURVEY §2.C)
     "c1_dedup_latest": q_c1_dedup_latest,
@@ -1391,6 +1471,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_chunks": q_media_chunks,
     "emb_quantize": q_emb_quantize,
     "events_anomaly": q_events_anomaly,
+    "events_rolling": q_events_rolling,
+    "user_streaks": q_user_streaks,
+    "snapshot_diff": q_snapshot_diff,
+    "winsorize_values": q_winsorize_values,
+    "numeric_corr": q_numeric_corr,
+    "quality_expectations": q_quality_expectations,
     "json_extract_props": q_json_extract_props,
     # dedup / similarity / text / multimodal extensions
     "events_sessionize": q_events_sessionize,

@@ -1128,6 +1128,117 @@ ORACLES: dict[str, str] = {
                ELSE md5(text) END AS fingerprint
         FROM documents
     """,
+    "events_rolling": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w AS roll_mean,
+               COUNT(*) OVER w AS frame_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "user_streaks": """
+        WITH days AS (
+          SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+          FROM events),
+        isl AS (
+          SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+          FROM days),
+        st AS (
+          SELECT user_id, island, COUNT(*) AS streak_len
+          FROM isl GROUP BY user_id, island)
+        SELECT user_id, CAST(SUM(streak_len) AS BIGINT) AS n_days,
+               MAX(streak_len) AS longest_streak
+        FROM st GROUP BY user_id
+    """,
+    "snapshot_diff": """
+        WITH a AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 10 < 8),
+        b AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 10 >= 1),
+        d AS (
+          SELECT COALESCE(b.o_totalprice, a.o_totalprice) AS o_totalprice,
+                 CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                      WHEN b.o_orderkey IS NULL THEN 'removed'
+                      WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                       AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                        THEN 'unchanged'
+                      ELSE 'changed' END AS change_type
+          FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        SELECT change_type, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS price_sum
+        FROM d GROUP BY change_type
+    """,
+    "winsorize_values": """
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS p_lo,
+                 quantile_cont(value, 0.95) AS p_hi
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, COUNT(*) AS n,
+               MIN(b.p_lo) AS p_lo, MIN(b.p_hi) AS p_hi,
+               CAST(SUM(CAST(least(greatest(e.value, b.p_lo), b.p_hi)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS clipped_sum
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type
+    """,
+    "numeric_corr": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                          * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sxy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                          * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sx2,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                          * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sy2
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST((sxy * n - sx * sy)
+                 / (sqrt(sx2 * n - sx * sx) * sqrt(sy2 * n - sy * sy))
+                 AS DECIMAL(12,8)) AS corr_xy
+        FROM m
+    """,
+    "quality_expectations": """
+        WITH agg AS (
+          SELECT COUNT(*) AS total,
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS null_custkey,
+            SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+              AS nonpositive_price,
+            SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+              AS bad_status,
+            SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0
+                END) AS date_before_1990,
+            SUM(CASE WHEN o_totalprice > 500000.0 THEN 1 ELSE 0 END)
+              AS price_over_500k
+          FROM orders)
+        SELECT check_name, CAST(violations AS BIGINT) AS violations, total,
+               CAST(violations AS DOUBLE) / total AS violation_rate
+        FROM (
+          SELECT 'null_custkey' AS check_name, null_custkey AS violations,
+                 total FROM agg
+          UNION ALL SELECT 'nonpositive_price', nonpositive_price, total
+                 FROM agg
+          UNION ALL SELECT 'bad_status', bad_status, total FROM agg
+          UNION ALL SELECT 'date_before_1990', date_before_1990, total
+                 FROM agg
+          UNION ALL SELECT 'price_over_500k', price_over_500k, total FROM agg)
+    """,
     "multimodal_meta": """
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
