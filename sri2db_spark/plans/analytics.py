@@ -33,11 +33,27 @@ from ..operators.merge import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.ts is parquet TIMESTAMP(NANOS): read as int64 nanos (Spark has no
-    # nanos timestamp) and do pure integer arithmetic on it — deterministic
-    # and identical to DuckDB's epoch_ns().
+    # events.ts has shipped as parquet TIMESTAMP(NANOS) (read as int64 nanos
+    # via nanosAsLong) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    # Normalize both to int64 epoch-nanos so all downstream integer
+    # arithmetic — and the DuckDB oracles' epoch_ns(ts) — see identical
+    # values regardless of which file schema the driver generated.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ts_nanos(df)
+
+
+def _normalize_ts_nanos(df: DataFrame) -> DataFrame:
+    """If a ``ts`` column arrived as a timestamp type, rewrite it to int64
+    epoch-nanoseconds. Session tz is pinned UTC, so an NTZ wall time is the
+    same instant DuckDB's epoch_ns() computes — pure integer arithmetic from
+    here on, no session-timezone exposure in any plan."""
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)).cast("long")
+        )
+    return df
 
 
 def ns_to_ms(col: str = "ts") -> F.Column:

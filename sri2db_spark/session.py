@@ -74,9 +74,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    from .plans.analytics import _t
+
     out = {}
     for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _t(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
