@@ -1427,6 +1427,12 @@ def q_quality_expectations(spark, sf):
     )
 
 
+# NOTE on ordering: the driver's correctness runner executes entries in dict
+# order under a global time budget (round 3 stopped after 48 of 93). The order
+# below front-loads one representative of every operator family — SRI merge
+# parity, record transforms, LLM-pipeline dedup/similarity/text/multimodal,
+# streaming/time-series — so a truncated run still covers the full inventory;
+# the TPC-H-shape variants (all green since round 3) run last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SRI merge operators (SURVEY §2.C)
     "c1_dedup_latest": q_c1_dedup_latest,
@@ -1446,84 +1452,85 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b7_string_hash": q_b7_string_hash,
     "b5_watermark_max": q_b5_watermark_max,
     "b6_watermark_advance": q_b6_watermark_advance,
-    # relational analytics
+    # headline relational analytics
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
-    "window_running_total": q_window_running_total,
-    "rollup_revenue": q_rollup_revenue,
-    "top_customers_per_nation": q_top_customers_per_nation,
-    "events_hourly": q_events_hourly,
-    "events_funnel": q_events_funnel,
-    "top_events_salted": q_top_events_salted,
-    "orders_history": q_orders_history,
-    "events_retention": q_events_retention,
-    "percentiles_by_type": q_percentiles_by_type,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q4_late_shipment_priority": q4_late_shipment_priority,
-    "q7_nation_volume": q7_nation_volume,
-    "q10_returned_items": q10_returned_items,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q22_dormant_customers": q22_dormant_customers,
-    "q18_large_orders": q18_large_orders,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q8_market_share": q8_market_share,
-    "q9_product_profit": q9_product_profit,
-    "q11_important_parts": q11_important_parts,
-    "q12_lateness_priority": q12_lateness_priority,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q20_heavy_suppliers": q20_heavy_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    # engine-completeness / scale-ops
-    "profile_columns": q_profile_columns,
-    "heavy_hitters": q_heavy_hitters,
-    "approx_distinct": q_approx_distinct,
-    "incremental_rollup": q_incremental_rollup,
-    "approx_quantiles": q_approx_quantiles,
-    "media_chunks": q_media_chunks,
-    "emb_quantize": q_emb_quantize,
-    "events_anomaly": q_events_anomaly,
-    "events_rolling": q_events_rolling,
-    "user_streaks": q_user_streaks,
-    "snapshot_diff": q_snapshot_diff,
-    "winsorize_values": q_winsorize_values,
-    "numeric_corr": q_numeric_corr,
-    "quality_expectations": q_quality_expectations,
-    "json_extract_props": q_json_extract_props,
     # dedup / similarity / text / multimodal extensions
-    "events_sessionize": q_events_sessionize,
-    "events_cube": q_events_cube,
-    "asof_last_signup": q_asof_last_signup,
-    "range_join_events": q_range_join_events,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_components": q_dedup_components,
+    "dedup_survivors": q_dedup_survivors,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_centroids": q_emb_centroids,
+    "emb_quantize": q_emb_quantize,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
+    "boilerplate_shingles": q_boilerplate_shingles,
+    "boilerplate_frac": q_boilerplate_frac,
+    "text_tfidf_topk": q_text_tfidf_topk,
     "chunk_documents": q_chunk_documents,
     "redact_pii": q_redact_pii,
     "pack_sequences": q_pack_sequences,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
-    "dedup_components": q_dedup_components,
-    "dedup_survivors": q_dedup_survivors,
-    "text_repetition": q_text_repetition,
-    "boilerplate_shingles": q_boilerplate_shingles,
-    "boilerplate_frac": q_boilerplate_frac,
-    "text_tfidf_topk": q_text_tfidf_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "corpus_curation": q_corpus_curation,
     "multimodal_meta": q_multimodal_meta,
+    "media_chunks": q_media_chunks,
+    # events / time-series / scale ops
+    "events_sessionize": q_events_sessionize,
+    "events_hourly": q_events_hourly,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_cube": q_events_cube,
+    "events_anomaly": q_events_anomaly,
+    "events_rolling": q_events_rolling,
+    "user_streaks": q_user_streaks,
+    "top_events_salted": q_top_events_salted,
+    "asof_last_signup": q_asof_last_signup,
+    "range_join_events": q_range_join_events,
+    "percentiles_by_type": q_percentiles_by_type,
+    "window_running_total": q_window_running_total,
+    "rollup_revenue": q_rollup_revenue,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "orders_history": q_orders_history,
+    "snapshot_diff": q_snapshot_diff,
+    "winsorize_values": q_winsorize_values,
+    "numeric_corr": q_numeric_corr,
+    "quality_expectations": q_quality_expectations,
+    "json_extract_props": q_json_extract_props,
+    "incremental_rollup": q_incremental_rollup,
+    "approx_quantiles": q_approx_quantiles,
+    "approx_distinct": q_approx_distinct,
+    "heavy_hitters": q_heavy_hitters,
+    "profile_columns": q_profile_columns,
+    # TPC-H-shape sweep (redundant coverage; safe to truncate)
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_late_shipment_priority": q4_late_shipment_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q12_lateness_priority": q12_lateness_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_heavy_suppliers": q20_heavy_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_dormant_customers": q22_dormant_customers,
 }
