@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import word_shingles
@@ -477,4 +477,62 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.5,
+    seeding: str = "id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs over an embedding column.
+
+    Partition the corpus with the deterministic coarse quantizer
+    (``similarity.kmeans_lite``), then compare vectors **only within their
+    cluster** — cosine ≥ ``threshold`` marks the higher-id vector as a
+    duplicate of the lowest-id match. Returns one row per duplicate:
+    (id_keep, id_dup, cid, cos_sim).
+
+    Scale: the cluster self-join replaces the quadratic all-pairs scan with
+    k independent blocks — choose k ≈ N / target_cluster_size so each block's
+    pair count stays bounded; assignment itself is shuffle-free (argmin over
+    broadcast centroid literals). With only k distinct join keys the shuffle
+    is inherently skewed — AQE skew-join splitting handles block imbalance,
+    and raising k is the structural fix.
+
+    Fully deterministic (both seeding modes + quantized-exact Lloyd updates +
+    sequential cosine folds), so an external engine can replay it exactly.
+    ``seeding="farthest"`` (k-means++-style) is the robust choice when id
+    order correlates with the embedding space; "id" is cheapest.
+    """
+    from .similarity import cosine, kmeans_lite  # noqa: PLC0415 (cycle-free lazy import)
+
+    _, assigned = kmeans_lite(df, id_col, vec_col, k=k, iters=iters, seeding=seeding)
+    # join the vectors back (the assignment df carries only (id, cid));
+    # persist so the self-join's two branches don't re-run the argmin scan
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assigned = assigned.join(vecs, "id").persist()
+    a = assigned.select(F.col("id").alias("id_keep"), F.col("v").alias("va"), "cid")
+    b = assigned.select(F.col("id").alias("id_dup"), F.col("v").alias("vb"), "cid")
+    scored = (
+        a.join(b, "cid")
+        .filter(F.col("id_keep") < F.col("id_dup"))
+        .select(
+            "cid",
+            "id_keep",
+            "id_dup",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("id_dup").orderBy(F.col("id_keep").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("id_keep", "id_dup", "cid", "cos_sim")
     )

@@ -558,6 +558,16 @@ def q_dedup_embedding_cosine(spark, sf):
 
 
 
+def q_dedup_semantic(spark, sf):
+    """SemDeDup-style semantic near-dup detection: deterministic k-means
+    blocks + within-cluster cosine threshold (functions/dedup.py
+    semantic_dedup_pairs). The scale path for embedding dedup — replaces the
+    quadratic all-pairs scan of dedup_embedding_cosine with k independent
+    cluster blocks."""
+    emb = _tp(spark, sf, "embeddings")
+    return D.semantic_dedup_pairs(emb, "vec_id", "embedding", k=16, iters=2, threshold=0.3)
+
+
 def q_percentiles_by_type(spark, sf):
     """Exact interpolated percentiles (Spark percentile ≡ DuckDB
     quantile_cont, verified bit-identical)."""
@@ -1462,6 +1472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_semantic": q_dedup_semantic,
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
     "ann_cosine_topk": q_ann_cosine_topk,

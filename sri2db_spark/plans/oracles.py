@@ -172,14 +172,13 @@ def _lsh_ann_oracle(n_tables: int = 8, n_planes: int = 6, k: int = 5) -> str:
     """
 
 
-def _ivf_ann_oracle(
-    nlist: int = 16, nprobe: int = 4, iters: int = 2, k: int = 5
-) -> str:
-    """Full IVF simulation (functions/similarity.py kmeans_lite+ivf_ann_topk,
-    default "id" seeding): lowest-id seeds, ``iters`` quantized-exact Lloyd
-    rounds, nprobe-pruned candidate scan, exact re-rank. Every float fold is
-    sequential, every centroid update is integer-exact — so assignments
-    match bit-for-bit."""
+def _kmeans_ctes(nlist: int, iters: int) -> str:
+    """WITH-body prefix replaying kmeans_lite (default "id" seeding):
+    lowest-id seeds, ``iters`` quantized-exact Lloyd rounds. Defines
+    ``e`` (vec_id, v), ``cl{iters}`` (centroid lists) and ``afin``
+    (final assignment: vec_id, v, cid). Every float fold is sequential and
+    every centroid update integer-exact, so assignments match Spark's
+    bit-for-bit. Shared by the IVF-ANN and semantic-dedup oracles."""
     q12 = "1000000000000.0"
     seeds_sql = f"""seeds AS (
           SELECT rn - 1 AS cid, v FROM (
@@ -209,8 +208,7 @@ def _ivf_ann_oracle(
         ),
         cl{r} AS (SELECT cid, list(c ORDER BY dim_idx) AS cl FROM cent{r} GROUP BY cid)""")
     rounds_sql = ",".join(rounds)
-    return f"""
-        WITH e AS (
+    return f"""e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
         ),
@@ -224,7 +222,38 @@ def _ivf_ann_oracle(
                      ORDER BY {_sqdist('e.v', 'c.cl')} ASC, c.cid ASC) AS rn
             FROM e CROSS JOIN cl{iters} c
           ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _semantic_dedup_oracle(
+    nlist: int = 16, iters: int = 2, threshold: float = 0.3
+) -> str:
+    """Replay of functions/dedup.py semantic_dedup_pairs: kmeans_lite
+    clustering (shared CTEs) → within-cluster cosine pairs ≥ threshold →
+    one row per duplicate keeping the lowest-id match."""
+    return f"""
+        WITH {_kmeans_ctes(nlist, iters)},
+        pairs AS (
+          SELECT a.cid, a.vec_id AS id_keep, b.vec_id AS id_dup,
+                 {_cosv('a.v', 'b.v')} AS cos_sim
+          FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        )
+        SELECT id_keep, id_dup, cid, cos_sim FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY id_dup ORDER BY id_keep ASC) AS rn
+          FROM pairs WHERE cos_sim >= {threshold}
+        ) WHERE rn = 1
+    """
+
+
+def _ivf_ann_oracle(
+    nlist: int = 16, nprobe: int = 4, iters: int = 2, k: int = 5
+) -> str:
+    """Full IVF simulation (functions/similarity.py kmeans_lite+ivf_ann_topk,
+    default "id" seeding): clustering replay (shared CTEs) + nprobe-pruned
+    candidate scan + exact re-rank."""
+    return f"""
+        WITH {_kmeans_ctes(nlist, iters)},
         probes AS (
           SELECT query_id, cid FROM (
             SELECT q.vec_id AS query_id, c.cid,
@@ -1063,6 +1092,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "ann_lsh_topk": _lsh_ann_oracle(),
     "ann_ivf_topk": _ivf_ann_oracle(),
+    "dedup_semantic": _semantic_dedup_oracle(),
     "ann_cosine_topk": f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
         scored AS (

@@ -353,3 +353,33 @@ def test_kmeans_lite_deterministic(spark, emb):
     c2, a2 = S.kmeans_lite(emb, k=8, iters=2)
     assert c1 == c2
     assert a1.collect() == a2.collect()
+
+
+def test_semantic_dedup_pairs(spark):
+    """Near-identical vectors in the same k-means block dedup to the
+    lowest-id keeper; well-separated vectors survive untouched."""
+    import sri2db_spark.functions.dedup as D
+
+    rows = []
+    vid = 0
+    for c in range(4):
+        base = [5.0 * (d == c) for d in range(8)]
+        # 3 near-identical copies per cluster + 1 distinct outlier direction
+        for j in range(3):
+            rows.append((vid, c, [x + 0.001 * j for x in base]))
+            vid += 1
+        rows.append((vid, c, [-x for x in base]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    pairs = D.semantic_dedup_pairs(df, "vec_id", "embedding", k=4, iters=2, threshold=0.99, seeding="farthest")
+    got = {(r.id_keep, r.id_dup) for r in pairs.collect()}
+    # every higher-id copy collapses onto the lowest id of its triple
+    expect = {(c * 4, c * 4 + 1) for c in range(4)} | {(c * 4, c * 4 + 2) for c in range(4)}
+    assert got == expect
+    # one row per duplicate, keeper is always the minimum matching id
+    ids_dup = [r.id_dup for r in pairs.collect()]
+    assert len(ids_dup) == len(set(ids_dup))
+    # deterministic across runs
+    again = {(r.id_keep, r.id_dup) for r in
+             D.semantic_dedup_pairs(df, "vec_id", "embedding", k=4, iters=2, threshold=0.99, seeding="farthest").collect()}
+    assert again == got
