@@ -11,7 +11,7 @@ stopword/quality scoring, heuristic language ID, shingle fingerprinting
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small multilingual stopword lists for the heuristic language scorer.
@@ -366,4 +366,99 @@ def ngram_overlap_contamination(
         dg.join(F.broadcast(bset), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws priority −ln(u)/w and the k smallest
+    priorities per group win — inclusion probability proportional to weight,
+    exactly the data-mixing primitive a training pipeline needs ("sample 5
+    docs per language, longer docs more likely").
+
+    No RNG anywhere: u ∈ (0,1] derives from the first 48 bits of
+    md5(id) — portable, so any engine with md5 replays the identical
+    sample. One codegen projection + one per-group top-k window
+    (WindowGroupLimit at scale, no full sort).
+
+    Returns (group, id, weight, rank); priority itself is excluded from the
+    output (ln() may differ in the last ulp across math libraries — order is
+    unaffected unless two priorities collide within 1 ulp, vanishing odds).
+    """
+    two48 = float(1 << 48)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(two48)
+    priority = -F.log(u) / F.col(weight_col).cast("double")
+    grp = [group_col] if group_col else []
+    w = Window.partitionBy(*grp).orderBy(F.col("__priority").asc(), F.col(id_col).asc())
+    return (
+        df.select(*grp, id_col, weight_col, priority.alias("__priority"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__priority")
+    )
+
+
+def char_gini_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-diversity quality score per document: Gini impurity of the
+    character distribution, 1 − Σ (cᵢ/N)². Low values flag junk documents
+    (one repeated character/symbol); high values indicate natural text.
+
+    Chosen over Shannon entropy deliberately: Gini needs only integer counts
+    and one final division — exact and engine-portable — where entropy's
+    ln() differs in the last ulp across math libraries. Plan: explode chars →
+    one map-side-combined count aggregation → per-doc integer sums.
+
+    Returns (id, n_chars, gini).
+    """
+    chars = F.expr(f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))")
+    per_char = (
+        df.select(F.col(id_col).alias("id"), F.explode(chars).alias("ch"))
+        .groupBy("id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_char.groupBy("id").agg(
+        F.sum("c").alias("n_chars"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def source_quality_stats(
+    df: DataFrame, id_col: str, text_col: str, source_col: str, lang_col: str
+) -> DataFrame:
+    """Per-(source, lang) corpus curation scorecard: document count, total /
+    mean length, and how many documents are exact duplicates of content seen
+    anywhere in the corpus — the signal used to prune low-quality crawl
+    sources. Exact integer aggregates + one final division; the duplicate
+    flag comes from a corpus-wide md5 content count joined back (shuffle on
+    content hash, then on (source, lang) — both map-side combined).
+    """
+    hashed = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).alias("len"),
+        F.md5(text_col).alias("content_hash"),
+    )
+    counts = hashed.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        hashed.join(counts, "content_hash")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("total_chars"),
+            (F.sum("len").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_chars"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+        )
     )

@@ -568,6 +568,30 @@ def q_dedup_semantic(spark, sf):
     return D.semantic_dedup_pairs(emb, "vec_id", "embedding", k=16, iters=2, threshold=0.3)
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling (Efraimidis-Spirakis with an
+    md5-derived uniform): 5 docs per language, longer docs more likely."""
+    return X.weighted_sample_topk(
+        _t(spark, sf, "documents"), "doc_id", "n_chars", group_col="lang", k=5
+    ).select("lang", "doc_id", "n_chars", "rank")
+
+
+def q_char_diversity(spark, sf):
+    """Character-distribution Gini impurity per doc — junk detector built
+    from exact integer counts (portable, unlike entropy's ln)."""
+    return X.char_gini_diversity(_tp(spark, sf, "documents"), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_chars", "gini"
+    )
+
+
+def q_source_stats(spark, sf):
+    """Per-(source, lang) curation scorecard: counts, lengths, exact-dup
+    share — the prune-this-crawl-source signal."""
+    return X.source_quality_stats(
+        _t(spark, sf, "documents"), "doc_id", "text", "source", "lang"
+    )
+
+
 def q_percentiles_by_type(spark, sf):
     """Exact interpolated percentiles (Spark percentile ≡ DuckDB
     quantile_cont, verified bit-identical)."""
@@ -1493,6 +1517,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "char_diversity": q_char_diversity,
+    "source_stats": q_source_stats,
     "decontaminate_overlap": q_decontaminate_overlap,
     "corpus_curation": q_corpus_curation,
     "multimodal_meta": q_multimodal_meta,

@@ -958,6 +958,46 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang FROM documents
         WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 10 END)
     """,
+    # Efraimidis-Spirakis A-ES replay: identical md5-derived uniform,
+    # identical -ln(u)/w priority, identical (priority, id) total order.
+    "weighted_sample": """
+        WITH w AS (
+          SELECT lang, doc_id, n_chars,
+                 -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                     / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS priority
+          FROM documents
+        )
+        SELECT lang, doc_id, n_chars, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY priority ASC, doc_id ASC) AS rank
+          FROM w
+        ) WHERE rank <= 5
+    """,
+    "char_diversity": """
+        WITH ch AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, length(text) + 1),
+                                       i -> substr(text, i, 1))) AS ch
+          FROM documents
+        ),
+        pc AS (SELECT id, ch, count(*) AS c FROM ch GROUP BY id, ch)
+        SELECT id AS doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+               1.0 - CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+        FROM pc GROUP BY id
+    """,
+    "source_stats": """
+        WITH h AS (
+          SELECT source, lang, length(text) AS len, md5(text) AS content_hash
+          FROM documents
+        ),
+        c AS (SELECT content_hash, count(*) AS n_copies FROM h GROUP BY content_hash)
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(SUM(len) AS BIGINT) AS total_chars,
+               CAST(SUM(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+               CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        FROM h JOIN c USING (content_hash)
+        GROUP BY source, lang
+    """,
     # transitive closure of the exact near-dup pairs; min reachable id per
     # node == the unique fixpoint of Spark's min-label propagation
     "dedup_components": f"""

@@ -383,3 +383,54 @@ def test_semantic_dedup_pairs(spark):
     again = {(r.id_keep, r.id_dup) for r in
              D.semantic_dedup_pairs(df, "vec_id", "embedding", k=4, iters=2, threshold=0.99, seeding="farthest").collect()}
     assert again == got
+
+
+def test_weighted_sample_topk(spark):
+    import sri2db_spark.functions.text as X
+
+    rows = [(i, "g", 1) for i in range(50)] + [(99, "g", 10**9)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    out = X.weighted_sample_topk(df, "id", "w", group_col="grp", k=5).collect()
+    assert len(out) == 5
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    # the overwhelming weight wins rank 1 (priority ~ 1e-9 of the others)
+    assert sorted(out, key=lambda r: r.rank)[0].id == 99
+    # deterministic
+    again = X.weighted_sample_topk(df, "id", "w", group_col="grp", k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_char_gini_diversity(spark):
+    import sri2db_spark.functions.text as X
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "aabb")], "doc_id long, text string"
+    )
+    got = {r.id: (r.n_chars, r.gini) for r in
+           X.char_gini_diversity(df, "doc_id", "text").collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 0.75)
+    assert got[3] == (4, 0.5)
+
+
+def test_source_quality_stats(spark):
+    import sri2db_spark.functions.text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "web", "en"),
+            (2, "same text", "web", "en"),
+            (3, "unique one", "web", "en"),
+            (4, "same text", "book", "en"),
+            (5, "autre", "web", "fr"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    got = {(r.source, r.lang): r for r in
+           X.source_quality_stats(df, "doc_id", "text", "source", "lang").collect()}
+    web_en = got[("web", "en")]
+    assert web_en.n_docs == 3 and web_en.n_dup_docs == 2
+    # the cross-source copy counts as a duplicate too (corpus-wide hash)
+    assert got[("book", "en")].n_dup_docs == 1
+    assert got[("web", "fr")].n_dup_docs == 0
+    assert web_en.total_chars == 9 + 9 + 10 and abs(web_en.avg_chars - 28 / 3) < 1e-12

@@ -131,3 +131,18 @@ def test_connected_components_plan_stays_shallow(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") <= 2, f"lineage not truncated: {plan.count('Join')} joins"
     assert "ExistingRDD" in plan or "Scan" in plan
+
+
+def test_weighted_sample_uses_group_limit(spark):
+    """rank<=k per group must plan as WindowGroupLimit (top-k pushdown into
+    the shuffle), never a full per-group sort."""
+    plan = formatted_plan(QUERIES["weighted_sample"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_new_text_ops_stay_jvm_side(spark):
+    for name in ("char_diversity", "source_stats", "dedup_semantic"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
