@@ -223,6 +223,24 @@ def oph_signatures(
     return filled.select("id", F.concat(segments, tail).alias("sig"))
 
 
+def _band_keys(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bkey) rows: one hashed band key per signature slice."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * r + 1, r)).alias("bkey"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -258,20 +276,7 @@ def minhash_lsh_pairs(
     # cleaner reclaims the block once the result DataFrame is unreachable.
     sig_fn = oph_signatures if method == "oph" else minhash_signatures
     sigs = sig_fn(df, id_col, text_col, k, num_perm).persist()
-    band_rows = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(F.slice("sig", i * r + 1, r)).alias("bkey"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bkey")
+    band_rows = _band_keys(sigs, bands, r)
     band_rows = _drop_oversized_buckets(band_rows, max_bucket_size, "minhash_lsh_pairs")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -535,4 +540,94 @@ def semantic_dedup_pairs(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .select("id_keep", "id_dup", "cid", "cos_sim")
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the reusable half of an LSH near-dup join: the corpus's
+    band keys and shingle sets, both persisted. Build once, filter many
+    arriving batches against it — the stream-vs-static idiom from
+    streaming/dedup_stream.py (a stream-stream self-join would hold
+    quadratic state; the index refresh is a periodic batch job).
+
+    Returns (band_rows (id, band, bkey), shingle_sets (id, sh)).
+    """
+    r = num_perm // bands
+    sigs = oph_signatures(df, id_col, text_col, k, num_perm)
+    band_rows = _band_keys(sigs, bands, r).persist()
+    shingle_sets = (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+        )
+        .persist()
+    )
+    return band_rows, shingle_sets
+
+
+def neardup_filter_against_index(
+    incoming: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop arriving documents that are near-duplicates (Jaccard ≥ threshold)
+    of anything in a pre-built LSH index; returns the surviving rows of
+    ``incoming`` unchanged.
+
+    Candidates come from band-key collisions against the index (sub-linear:
+    only colliding pairs are scored), then exact Jaccard verifies — so the
+    decision matches a full cross-corpus comparison with banding-recall
+    ≈ 1 − 10⁻⁸ at the default r=2/64-band shape. The incoming batch is
+    typically small vs the index: its band keys broadcast, the index never
+    reshuffles.
+    """
+    r = num_perm // bands
+    inc_sigs = oph_signatures(incoming, id_col, text_col, k, num_perm)
+    inc_bands = _band_keys(inc_sigs, bands, r)
+    cand = (
+        inc_bands.alias("n")
+        .join(
+            index_bands.alias("x"),
+            (F.col("n.band") == F.col("x.band")) & (F.col("n.bkey") == F.col("x.bkey")),
+        )
+        .select(F.col("n.id").alias("inc_id"), F.col("x.id").alias("idx_id"))
+        .distinct()
+    )
+    inc_sh = (
+        _parallelize(incoming)
+        .select(
+            F.col(id_col).alias("inc_id"),
+            F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh_n"),
+        )
+    )
+    dup_ids = (
+        cand.join(inc_sh, "inc_id")
+        .join(index_shingles.select(F.col("id").alias("idx_id"), F.col("sh").alias("sh_x")), "idx_id")
+        .select(
+            "inc_id",
+            (
+                F.size(F.array_intersect("sh_n", "sh_x")).cast("double")
+                / F.size(F.array_union("sh_n", "sh_x")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("inc_id")
+        .distinct()
+    )
+    return incoming.join(
+        dup_ids.withColumnRenamed("inc_id", id_col), id_col, "left_anti"
     )

@@ -568,6 +568,21 @@ def q_dedup_semantic(spark, sf):
     return D.semantic_dedup_pairs(emb, "vec_id", "embedding", k=16, iters=2, threshold=0.3)
 
 
+def q_crosscorpus_neardup(spark, sf):
+    """Cross-corpus near-dup filter (the stream-vs-static idiom, run batch):
+    docs with doc_id % 10 == 0 arrive as the 'new batch' and are dropped if
+    they near-duplicate (Jaccard ≥ 0.5) anything in the standing corpus
+    (the other 90%). Candidates from LSH band collisions, decisions from
+    exact Jaccard — so the output equals a full cross-corpus comparison."""
+    docs = _tp(spark, sf, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bands_df, shingles_df = D.build_lsh_index(corpus, "doc_id", "text")
+    return D.neardup_filter_against_index(
+        incoming, bands_df, shingles_df, "doc_id", "text", threshold=0.5
+    ).select("doc_id", "lang", "source")
+
+
 def q_weighted_sample(spark, sf):
     """Deterministic weighted sampling (Efraimidis-Spirakis with an
     md5-derived uniform): 5 docs per language, longer docs more likely."""
@@ -1521,6 +1536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_diversity": q_char_diversity,
     "source_stats": q_source_stats,
     "decontaminate_overlap": q_decontaminate_overlap,
+    "crosscorpus_neardup": q_crosscorpus_neardup,
     "corpus_curation": q_corpus_curation,
     "multimodal_meta": q_multimodal_meta,
     "media_chunks": q_media_chunks,

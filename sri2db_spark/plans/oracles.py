@@ -1031,6 +1031,29 @@ ORACLES: dict[str, str] = {
           FROM scored
         ) WHERE rank <= 3
     """,
+    # LSH banding at r=2/64 bands has miss prob ~1e-8 at Jaccard 0.5 and the
+    # engine verifies every candidate exactly, so the semantic mirror is the
+    # exact cross-corpus Jaccard comparison.
+    "crosscorpus_neardup": f"""
+        WITH ds AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s FROM documents
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT n.doc_id AS inc_id, x.doc_id AS idx_id, count(*) AS ninter
+          FROM ds n JOIN ds x ON n.s = x.s
+          WHERE n.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
+          GROUP BY 1, 2
+        ),
+        dups AS (
+          SELECT DISTINCT inc_id FROM inter
+          JOIN sz sn ON inc_id = sn.doc_id
+          JOIN sz sx ON idx_id = sx.doc_id
+          WHERE CAST(ninter AS DOUBLE) / CAST(sn.sz + sx.sz - ninter AS DOUBLE) >= 0.5
+        )
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT inc_id FROM dups)
+    """,
     "decontaminate_overlap": f"""
         WITH bset AS (
           SELECT DISTINCT s FROM (

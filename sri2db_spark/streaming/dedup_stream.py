@@ -52,3 +52,40 @@ def stream_exact_dedup_global(stream: DataFrame, text_col: str) -> DataFrame:
     return stream.withColumn("content_hash", F.md5(F.col(text_col))).dropDuplicates(
         ["content_hash"]
     )
+
+
+def stream_neardup_dedup(
+    stream: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """Stream-vs-static near-dup dedup: every micro-batch is LSH-filtered
+    against a pre-built corpus index (functions.dedup.build_lsh_index) and
+    survivors append to ``out_dir`` as parquet.
+
+    This is the scale-safe continuous near-dup shape: state lives in the
+    periodically refreshed static index, not in the stream — a
+    stream-stream self-join would hold quadratic state. Exactly-once comes
+    from checkpointed offsets + append-only parquet.
+    """
+    from ..functions.dedup import neardup_filter_against_index  # noqa: PLC0415
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        survivors = neardup_filter_against_index(
+            batch_df, index_bands, index_shingles, id_col, text_col,
+            threshold=threshold,
+        )
+        survivors.write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

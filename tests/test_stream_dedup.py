@@ -109,3 +109,43 @@ def test_stream_dedup_global_finite_feed(spark, tmp_path):
     q.awaitTermination(300)
     rows = spark.read.schema(deduped.schema).parquet(str(out_dir)).collect()
     assert sorted(r.doc_id for r in rows) == [1, 3]
+
+
+def test_stream_neardup_against_static_index(spark, tmp_path):
+    """Arriving docs that near-duplicate the standing corpus are dropped
+    mid-stream; novel docs survive to the parquet sink."""
+    from sri2db_spark.functions.dedup import build_lsh_index
+    from sri2db_spark.streaming.dedup_stream import stream_neardup_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely different reference material here for the index")],
+        "doc_id long, text string",
+    )
+    bands_df, shingles_df = build_lsh_index(corpus, "doc_id", "text")
+
+    feed = tmp_path / "nfeed"
+    feed.mkdir()
+    _write_batch(
+        feed,
+        "b1.json",
+        [
+            # near-identical to doc 100 (one word changed) -> dropped
+            {"doc_id": 1, "text": base.replace("lazy", "sleepy"),
+             "event_time": "2024-01-01T10:00:00"},
+            # novel -> survives
+            {"doc_id": 2, "text": "a totally novel document about spark physical plans",
+             "event_time": "2024-01-01T10:00:30"},
+        ],
+        mtime=1_000,
+    )
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).json(str(feed)).select("doc_id", "text")
+    )
+    q = stream_neardup_dedup(
+        stream, bands_df, shingles_df,
+        str(tmp_path / "nout"), str(tmp_path / "nckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "nout")).collect()}
+    assert got == {2}
