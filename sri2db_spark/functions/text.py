@@ -462,3 +462,46 @@ def source_quality_stats(
             F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_docs"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 1000
+) -> DataFrame:
+    """Per-document vocabulary coverage: the fraction of a doc's tokens that
+    fall inside the corpus's top-``vocab_size`` terms by document frequency
+    (ties broken lexicographically). A cheap unigram-LM proxy: low coverage
+    flags gibberish, OCR noise, and out-of-domain text without any model.
+
+    Plan: one doc-frequency aggregation → top-k (tiny, broadcast back) →
+    one explode + broadcast semi-match + per-doc ratio of exact integer
+    counts. The vocab is O(vocab_size) rows — always broadcastable.
+
+    Returns (id, n_tokens, n_in_vocab, coverage).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:  # single-file input: spread the explode
+        df = df.repartition(target)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    vocab = (
+        toks.select("id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("__in"), F.lit(0))).alias("n_in_vocab"),
+        (
+            F.sum(F.coalesce(F.col("__in"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("coverage"),
+    )

@@ -568,6 +568,15 @@ def q_dedup_semantic(spark, sf):
     return D.semantic_dedup_pairs(emb, "vec_id", "embedding", k=16, iters=2, threshold=0.3)
 
 
+def q_vocab_coverage(spark, sf):
+    """Unigram-LM proxy quality signal: share of each doc's tokens inside
+    the corpus top-500 vocabulary (by document frequency, ties lexicographic).
+    The vocab is tiny and broadcast; integer counts keep it engine-exact."""
+    return X.vocab_coverage(_t(spark, sf, "documents"), "doc_id", "text", 500).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_in_vocab", "coverage"
+    )
+
+
 def q_crosscorpus_neardup(spark, sf):
     """Cross-corpus near-dup filter (the stream-vs-static idiom, run batch):
     docs with doc_id % 10 == 0 arrive as the 'new batch' and are dropped if
@@ -1537,6 +1546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_stats": q_source_stats,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,
+    "vocab_coverage": q_vocab_coverage,
     "corpus_curation": q_corpus_curation,
     "multimodal_meta": q_multimodal_meta,
     "media_chunks": q_media_chunks,

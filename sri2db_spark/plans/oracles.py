@@ -1054,6 +1054,23 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT inc_id FROM dups)
     """,
+    "vocab_coverage": """
+        WITH toks AS (
+          SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, count(DISTINCT id) AS df FROM toks GROUP BY tok
+          ) ORDER BY df DESC, tok ASC LIMIT 500
+        )
+        SELECT id AS doc_id,
+               count(*) AS n_tokens,
+               CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_in_vocab,
+               CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS coverage
+        FROM toks GROUP BY id
+    """,
     "decontaminate_overlap": f"""
         WITH bset AS (
           SELECT DISTINCT s FROM (

@@ -434,3 +434,22 @@ def test_source_quality_stats(spark):
     assert got[("book", "en")].n_dup_docs == 1
     assert got[("web", "fr")].n_dup_docs == 0
     assert web_en.total_chars == 9 + 9 + 10 and abs(web_en.avg_chars - 28 / 3) < 1e-12
+
+
+def test_vocab_coverage(spark):
+    import sri2db_spark.functions.text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1"),
+            (2, "common other rare2"),
+            (3, "common other zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    # vocab_size=2 -> top terms by doc frequency: common (3 docs), other (2)
+    got = {r.id: (r.n_tokens, r.n_in_vocab, r.coverage) for r in
+           X.vocab_coverage(df, "doc_id", "text", vocab_size=2).collect()}
+    assert got[1] == (3, 2, 2 / 3)   # 'common' twice counts twice
+    assert got[2] == (3, 2, 2 / 3)
+    assert got[3] == (3, 2, 2 / 3)
