@@ -505,3 +505,183 @@ def vocab_coverage(
             / F.count(F.lit(1)).cast("double")
         ).alias("coverage"),
     )
+
+
+def segment_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int = 10
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup, adapted to flat text: split
+    each document into consecutive non-overlapping ``seg_words``-word
+    segments, hash each, and mark a segment duplicated when its content
+    appears in ≥2 distinct documents. The classic transform drops duplicated
+    paragraphs; this returns the bookkeeping a pipeline needs to do that:
+    (id, n_segments, n_dup_segments, n_tokens, n_tokens_kept) where
+    ``n_tokens_kept`` counts tokens in segments unique to this document.
+
+    Plan: sequence+slice builds segments inside codegen (no Python), one
+    explode, one md5 hash-aggregation for the global distinct-doc count
+    (array_distinct per doc first so COUNT == distinct-doc count), a probe
+    join back, and one per-doc aggregation. Two shuffles total, both
+    map-side combined; segment hashes are uniform so no skew — the same
+    plan holds at 100 TB (the duplicate dictionary is NOT broadcast; the
+    probe is a shuffle join sized by the corpus, which AQE handles).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_words))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_words + 1, seg_words)),
+    )
+    segs = df.select(F.col(id_col).alias("id"), F.explode(seg_arr).alias("seg")).select(
+        "id", F.md5("seg").alias("h"), F.size(F.split(F.col("seg"), " ")).alias("seg_toks")
+    )
+    # distinct (id, h) first so the count is a distinct-document count
+    ndocs = (
+        segs.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    flagged = segs.join(ndocs, "h")
+    dup = (F.col("n_docs") >= 2).cast("int")
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(dup).alias("n_dup_segments"),
+        F.sum("seg_toks").alias("n_tokens"),
+        F.sum(F.when(F.col("n_docs") >= 2, 0).otherwise(F.col("seg_toks"))).alias(
+            "n_tokens_kept"
+        ),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Deterministic BM25 retrieval: score every document against a fixed
+    term set and return the top-``k`` as (id, score, rank).
+
+    Two documented deviations make it bit-reproducible on any engine:
+    the idf is the division form (N − df + 0.5)/(df + 0.5) WITHOUT the
+    logarithm (per-term monotone; ln() differs in the last ulp across math
+    libraries), and the per-term contributions are combined in the FIXED
+    order of ``query_terms`` (one conditional aggregate per term, then a
+    left-associative double sum) — no order-nondeterministic SUM over
+    doubles anywhere.
+
+    Plan: tokens are filtered to the query terms BEFORE the tf aggregation,
+    so the expensive explode→agg path carries only matching rows (a ~|Q|/|V|
+    fraction of the corpus); df-per-term is a tiny aggregate joined back by
+    term (broadcast); doc length and the corpus-average length come from one
+    exact integer aggregate. One corpus scan, two small shuffles. Top-k is
+    orderBy+limit (per-partition map-side top-k, k rows to the driver).
+    """
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    lens = df.select(
+        F.col(id_col).alias("id"), token_count_ws(F.col(text_col)).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["total"]) / float(stats["n"])
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.array_contains(qarr, F.col("term")))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_norm = F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    contrib = idf * (tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * dl_norm)
+
+    # Pivot: one column per query term (each doc contributes ≤1 row per term,
+    # so the per-term SUM aggregates a single value — exact), then add in
+    # fixed term order.
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, contrib)).alias(f"__c_{i}")
+                for i, t in enumerate(query_terms)
+            ]
+        )
+    )
+    score = F.coalesce(F.col("__c_0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"__c_{i}"), F.lit(0.0))
+    scored = per_term.select("id", score.alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def ngram_topk(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level top-``k`` word n-grams with counts: (gram, c, rank) —
+    the n-gram LM count table used for contamination screens and corpus
+    fingerprinting, truncated to the global head.
+
+    Plan: one explode + one map-side-combined hash aggregation, then
+    TakeOrderedAndProject for the global top-k (per-partition top-k on the
+    map side, k rows per partition to the driver — never a full sort).
+    Ties break lexicographically so the cut is deterministic.
+    """
+    grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("gram").asc())
+    return (
+        counts.orderBy(F.col("c").desc(), F.col("gram").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def mixing_rates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Training-mixture planner: given target mixture ``weights`` per source
+    and a total token ``budget_tokens``, compute the per-source sampling
+    rate that realizes the mixture: rate = min(1, budget·weight / tokens).
+    Returns (source, n_docs, n_tokens, weight, sample_rate) — the driver
+    table a pipeline feeds into deterministic_sample per source.
+
+    One exact integer aggregation over the corpus; the output is
+    O(#sources) rows. All divisions are IEEE over exact integers.
+    """
+    per = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count_ws(F.col(text_col)).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    weight = F.coalesce(wmap[F.col("source")], F.lit(0.0))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_tokens)) * weight / F.col("n_tokens").cast("double"),
+    )
+    return per.select(
+        "source", "n_docs", "n_tokens", weight.alias("weight"), rate.alias("sample_rate")
+    )

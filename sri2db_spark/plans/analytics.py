@@ -712,6 +712,41 @@ def q_decontaminate_overlap(spark, sf):
     return X.ngram_overlap_contamination(corpus, benchmark, "doc_id", "text", k=5)
 
 
+def q_segment_dedup(spark, sf):
+    """CCNet-style paragraph(segment)-level exact dedup bookkeeping."""
+    return X.segment_dedup_stats(_tp(spark, sf, "documents"), "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "n_segments",
+        "n_dup_segments",
+        "n_tokens",
+        "n_tokens_kept",
+    )
+
+
+def q_bm25_topk(spark, sf):
+    """Deterministic BM25 retrieval over the documents table."""
+    return X.bm25_topk(
+        _tp(spark, sf, "documents"), "doc_id", "text", ("spark", "merge", "window")
+    ).select(F.col("id").alias("doc_id"), "score", "rank")
+
+
+def q_ngram_topk(spark, sf):
+    """Corpus-level top-20 bigram count table."""
+    return X.ngram_topk(_tp(spark, sf, "documents"), "doc_id", "text", n=2, k=20)
+
+
+def q_mixing_rates(spark, sf):
+    """Training-mixture planner: per-source sampling rates for a token budget."""
+    return X.mixing_rates(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        budget_tokens=10_000,
+    )
+
+
 def q4_late_shipment_priority(spark, sf):
     """TPC-H Q4 shape: EXISTS-style semi-join with a non-equi residual (any
     lineitem shipped >60 days after the order date), counted by priority.
@@ -1547,6 +1582,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,
     "vocab_coverage": q_vocab_coverage,
+    "segment_dedup": q_segment_dedup,
+    "bm25_topk": q_bm25_topk,
+    "ngram_topk": q_ngram_topk,
+    "mixing_rates": q_mixing_rates,
     "corpus_curation": q_corpus_curation,
     "multimodal_meta": q_multimodal_meta,
     "media_chunks": q_media_chunks,

@@ -1071,6 +1071,99 @@ ORACLES: dict[str, str] = {
                  / CAST(count(*) AS DOUBLE) AS coverage
         FROM toks GROUP BY id
     """,
+    # Non-overlapping 10-word segments; a segment is duplicated when its md5
+    # appears in ≥2 distinct documents (CCNet paragraph dedup, flat-text form).
+    "segment_dedup": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        seg AS (
+          SELECT doc_id,
+                 md5(array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS h,
+                 len(t[(i*10+1):(i*10+10)]) AS seg_toks
+          FROM toks, unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)
+        ),
+        nd AS (
+          SELECT h, count(*) AS n_docs
+          FROM (SELECT DISTINCT doc_id, h FROM seg) GROUP BY h
+        )
+        SELECT doc_id,
+               count(*) AS n_segments,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_segments,
+               CAST(sum(seg_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 0 ELSE seg_toks END) AS BIGINT)
+                 AS n_tokens_kept
+        FROM seg JOIN nd USING (h) GROUP BY doc_id
+    """,
+    # Division-form idf (no log), contributions added in fixed term order —
+    # mirrors functions.text.bm25_topk exactly (k1=1.2, b=0.75).
+    "bm25_topk": """
+        WITH lens AS (
+          SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM lens
+        ),
+        toks AS (
+          SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+          SELECT id, term, count(*) AS tf FROM toks
+          WHERE term IN ('spark', 'merge', 'window') GROUP BY id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT id, term,
+                 ((stats.n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                 * (CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / stats.avgdl)) AS c
+          FROM tf JOIN dfreq USING (term) JOIN lens USING (id), stats
+        ),
+        pivoted AS (
+          SELECT id,
+                 max(CASE WHEN term = 'spark' THEN c END) AS c0,
+                 max(CASE WHEN term = 'merge' THEN c END) AS c1,
+                 max(CASE WHEN term = 'window' THEN c END) AS c2
+          FROM contrib GROUP BY id
+        ),
+        scored AS (
+          SELECT id AS doc_id,
+                 coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0) AS score
+          FROM pivoted
+        )
+        SELECT doc_id, score, rank FROM (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+    """,
+    "ngram_topk": f"""
+        WITH grams AS (SELECT unnest({_SHINGLES2}) AS gram FROM documents),
+        counts AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram)
+        SELECT gram, c, rank FROM (
+          SELECT gram, c,
+                 row_number() OVER (ORDER BY c DESC, gram ASC) AS rank
+          FROM counts
+        ) WHERE rank <= 20
+    """,
+    "mixing_rates": """
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS weight,
+               least(CAST(1.0 AS DOUBLE),
+                     CAST(10000.0 AS DOUBLE)
+                     * CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                        WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE)) AS sample_rate
+        FROM per
+    """,
     "decontaminate_overlap": f"""
         WITH bset AS (
           SELECT DISTINCT s FROM (

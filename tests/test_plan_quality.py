@@ -146,3 +146,28 @@ def test_new_text_ops_stay_jvm_side(spark):
         plan = formatted_plan(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_bm25_filters_before_aggregation(spark):
+    """The query-term filter must run before the tf aggregation (the explode
+    output is pruned to ~|Q|/|V| of the corpus), the dfreq join must
+    broadcast, and the top-k must be a TakeOrderedAndProject, not a global
+    sort."""
+    plan = formatted_plan(QUERIES["bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_topk_takes_ordered(spark):
+    """Global top-k over n-gram counts must plan as TakeOrderedAndProject
+    (map-side per-partition top-k), never a full global sort."""
+    plan = formatted_plan(QUERIES["ngram_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round4_ops_stay_jvm_side(spark):
+    for name in ("segment_dedup", "bm25_topk", "ngram_topk", "mixing_rates"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
