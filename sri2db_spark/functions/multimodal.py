@@ -142,3 +142,58 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
         ).alias("frame_offset"),
     )
+
+
+MEDIA_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _encode_stub(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake encoder: ``dim`` doubles in [0,1) derived from md5
+    of the content hex — an honest stand-in for a real image/audio encoder
+    (swap in a CLIP/wav2vec call; schema, batching, and everything downstream
+    are unchanged). Deliberately md5-based so an external engine can replay
+    it and verify the full binary→embedding→dedup path end-to-end.
+    """
+    import hashlib  # noqa: PLC0415
+
+    hx = payload.hex()
+    return [
+        int(hashlib.md5(f"{hx}_{i}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        for i in range(dim)
+    ]
+
+
+def media_embeddings(
+    media: DataFrame, dim: int = 8, batch_partitions: int | None = None
+) -> DataFrame:
+    """Arrow-batched content→embedding extraction over binary media rows:
+    (media_id, embedding array<double>).
+
+    The encoder runs inside ``mapInPandas`` — the one place Python belongs
+    (opaque-binary decode); blobs stream through executor-side Arrow batches
+    and never hit the driver. ``batch_partitions`` bounds per-task byte
+    volume for large blob tables. Downstream similarity/dedup stays JVM-side.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    df = media.select("media_id", "content")
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "embedding": [
+                        _encode_stub(bytes(b or b""), dim) for b in pdf["content"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, MEDIA_EMBED_SCHEMA)

@@ -1278,6 +1278,25 @@ def q_media_chunks(spark, sf):
     return media_chunks(to_media_table(docs, "doc_id", "text"), chunk_bytes=256)
 
 
+def q_media_embed_neardup(spark, sf):
+    """Full multimodal dedup path: binary content → Arrow-batched embedding
+    extraction (mapInPandas; deterministic stub encoder) → exact cosine
+    near-dup pairs, JVM-side folds. All-pairs is the oracle baseline; at
+    scale the same embeddings feed semantic_dedup_pairs / LSH blocks."""
+    from ..functions.multimodal import media_embeddings  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    emb = media_embeddings(to_media_table(docs, "doc_id", "text"), dim=8)
+    a = emb.select(F.col("media_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("media_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.99)
+    )
+
+
 def q_emb_quantize(spark, sf):
     """int8 embedding quantization (S.normalize_quantize): floor-based
     codes are engine-portable, so the whole array hash-matches DuckDB."""
@@ -1589,6 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "multimodal_meta": q_multimodal_meta,
     "media_chunks": q_media_chunks,
+    "media_embed_neardup": q_media_embed_neardup,
     # events / time-series / scale ops
     "events_sessionize": q_events_sessionize,
     "events_hourly": q_events_hourly,

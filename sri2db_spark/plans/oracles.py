@@ -1164,6 +1164,32 @@ ORACLES: dict[str, str] = {
                      / CAST(n_tokens AS DOUBLE)) AS sample_rate
         FROM per
     """,
+    # Replays the deterministic stub encoder (md5-of-content-hex → 8 doubles)
+    # and the sequential-fold cosine, verifying binary→embedding→dedup
+    # end-to-end. 0x-prefixed hex parse == Python int(h[:8], 16).
+    "media_embed_neardup": """
+        WITH emb AS (
+          SELECT doc_id, list_transform(range(0, 8), i ->
+            CAST(CAST('0x' || substr(
+                   md5(lower(hex(encode(text))) || '_' || i), 1, 8) AS BIGINT)
+                 AS DOUBLE) / 4294967296.0) AS v
+          FROM documents
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 9), i -> a.v[i] * b.v[i])),
+                   (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(range(1, 9), i -> a.v[i] * a.v[i])),
+                      (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_prepend(0.0,
+                        list_transform(range(1, 9), i -> b.v[i] * b.v[i])),
+                        (acc, x) -> acc + x))) AS cos_sim
+          FROM emb a JOIN emb b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
+    """,
     "decontaminate_overlap": f"""
         WITH bset AS (
           SELECT DISTINCT s FROM (
