@@ -42,6 +42,9 @@ HEADLINE = [
     "dedup_survivors",
     "q7_nation_volume",
     "multimodal_meta",
+    "segment_dedup",
+    "bm25_topk",
+    "ngram_topk",
 ]
 
 
@@ -95,6 +98,9 @@ def main() -> None:
     import tempfile
 
     sys.path.insert(0, os.path.join(REPO, "tests"))
+    # the sharded sync pickles the fake API's fetch_json into executor
+    # Python workers, which need the module importable there too
+    spark.sparkContext.addPyFile(os.path.join(REPO, "tests", "fake_api.py"))
     from fake_api import FakeSriApi  # noqa: E402, PLC0415
 
     from sri2db_spark.model.schema import LAYOUT_LARGE  # noqa: PLC0415
@@ -121,6 +127,27 @@ def main() -> None:
     sync_runs.sort()
     timings["sri_full_sync_20k"] = round(sync_runs[len(sync_runs) // 2], 3)
     spreads["sri_full_sync_20k"] = round(sync_runs[-1] - sync_runs[0], 3)
+
+    # Same 20k full sync through the A2 offset-sharded scale path: disjoint
+    # executor-owned offset ranges paged inside Python workers (the shape a
+    # 1000-executor ingest uses) instead of driver-sequential next links.
+    sync_sh = Sri2DbSync(
+        reader=SriApiReader(spark, "https://bench.local", fetch_json=api.fetch_json, limit=500),
+        table=LakeTable(spark, os.path.join(tmp, "table_sh"), LAYOUT_LARGE),
+        path="/a",
+        baseurl="https://bench.local",
+        layout=LAYOUT_LARGE,
+        full_sync_shard_size=2500,
+    )
+    sh_runs: list[float] = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        result = sync_sh.full_sync()
+        sh_runs.append(time.perf_counter() - t0)
+        assert result.rows_after == n_resources
+    sh_runs.sort()
+    timings["sri_full_sync_20k_sharded"] = round(sh_runs[len(sh_runs) // 2], 3)
+    spreads["sri_full_sync_20k_sharded"] = round(sh_runs[-1] - sh_runs[0], 3)
     shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)

@@ -134,6 +134,19 @@ class SriApiReader:
             return path_or_url
         return self.base_url + path_or_url
 
+    def probe_count(self, path: str) -> int | None:
+        """Cheap collection-size probe: fetch one row and read
+        ``$$meta.count`` (SRI servers report the filtered total unless count
+        is disabled). Returns None when the server doesn't expose it — the
+        caller must fall back to sequential next-link paging."""
+        sep = "&" if "?" in path else "?"
+        payload = self.fetch_json(self._full_url(f"{path}{sep}limit=1"))
+        if isinstance(payload, dict):
+            c = (payload.get("$$meta") or {}).get("count")
+            if isinstance(c, int):
+                return c
+        return None
+
     def iter_pages(self, path: str) -> Iterator[list[tuple[str | None, str | None]]]:
         """A1/A2 — follow $$meta.next with a 1-deep prefetch thread
         (client.js:1485-1522; prefetch at :1506; broken-links fallback

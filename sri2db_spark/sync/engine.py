@@ -87,6 +87,12 @@ class Sri2DbSync:
     deleted_not_implemented: bool = False  # README.md:78
     dry_run: bool = False
     explain: bool = False  # print the merge's physical plan (client.js:168-179)
+    # Scale path for full syncs: when set, probe $$meta.count and read the
+    # collection as disjoint executor-owned offset shards of this many rows
+    # (A2 offset addressing, client.js:1498-1501) instead of sequential
+    # next-link paging. Requires an offset-addressable server; falls back to
+    # sequential when the count probe returns nothing.
+    full_sync_shard_size: int | None = None
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     # -- public entry points (client.js:1923-1941) ---------------------------
@@ -172,10 +178,20 @@ class Sri2DbSync:
             deletes_df = self._stage(raw_deletes, ingest).select(*keys)
             n_deletes = deletes_df.count()
 
-        # Scan + stage (A1/A4/A6 → B1/B2/B3)
-        raw = self.reader.read_collection(
-            self.path, modified_since=None if full else modified_since, expand="FULL"
-        )
+        # Scan + stage (A1/A4/A6 → B1/B2/B3); full syncs optionally use the
+        # distributed offset-sharded scan (A2) — executor-side paging over
+        # disjoint ranges — instead of driver-sequential next links.
+        raw = None
+        if full and self.full_sync_shard_size:
+            total = self.reader.probe_count(self.path)
+            if total is not None and total > 0:
+                raw = self.reader.read_offset_sharded(
+                    self.path, total_count=total, shard_size=self.full_sync_shard_size
+                )
+        if raw is None:
+            raw = self.reader.read_collection(
+                self.path, modified_since=None if full else modified_since, expand="FULL"
+            )
         staged = self._stage(raw, ingest)
         # one job for batch size + watermark max (B5)
         stats = staged.agg(

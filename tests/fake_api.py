@@ -116,7 +116,7 @@ class FakeSriApi:
             else:
                 results.append({"href": href, "$$expanded": r})
 
-        meta: dict = {"current": url}
+        meta: dict = {"current": url, "count": len(items)}
         if offset + limit < len(items) and not self.broken_next_links:
             nxt_q = dict(q, offset=str(offset + limit))
             meta["next"] = f"{parsed.path}?{urllib.parse.urlencode(nxt_q)}"

@@ -400,3 +400,55 @@ def test_compact_partition_shrinks_files_keeps_data(spark, tmp_path):
 def test_compact_partition_missing_is_noop(spark, tmp_path):
     table = LakeTable(spark, str(tmp_path / "table"), LAYOUT_LARGE)
     assert table.compact_partition("https://x", "/nope") == (0, 0)
+
+
+def test_full_sync_offset_sharded_matches_sequential(spark, tmp_path):
+    """The A2 offset-sharded full sync (executor-side disjoint ranges) must
+    produce byte-identical table contents to sequential next-link paging,
+    and must actually fan out offset requests instead of walking next
+    links."""
+    api_seq = FakeSriApi(n=50, page_size=7)
+    seq = make_sync(spark, tmp_path / "seq", api_seq)
+    seq.full_sync()
+    want = sorted(
+        (r["href"], r["jsondata"]) for r in seq.table.read().collect()
+    )
+
+    api_sh = FakeSriApi(n=50, page_size=7)
+    sharded = make_sync(
+        spark, tmp_path / "sh", api_sh, full_sync_shard_size=10
+    )
+    res = sharded.full_sync()
+    assert res.resources_synced == 50
+    got = sorted(
+        (r["href"], r["jsondata"]) for r in sharded.table.read().collect()
+    )
+    assert got == want
+    # fetches ran executor-side: the driver-process request log saw ONLY the
+    # count probe (the sharded page reads hit the pickled copy inside the
+    # Python workers), whereas sequential paging logs every page here
+    driver_pages = [u for u in api_sh.request_log if "offset=" not in u]
+    assert len(api_sh.request_log) == 1, api_sh.request_log
+    assert "limit=1" in driver_pages[0]
+
+
+def test_sharded_full_sync_falls_back_without_count(spark, tmp_path):
+    """A server that doesn't report $$meta.count must silently get the
+    sequential path — same results, no crash."""
+    api = FakeSriApi(n=12, page_size=5)
+    orig = api.fetch_json
+
+    def no_count(url):
+        payload = orig(url)
+        payload.get("$$meta", {}).pop("count", None)
+        return payload
+
+    api.fetch_json = no_count
+    reader = SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=5)
+    table = LakeTable(spark, str(tmp_path / "table"), LAYOUT_LARGE)
+    sync = Sri2DbSync(
+        reader=reader, table=table, path=api.path, baseurl=BASEURL,
+        layout=LAYOUT_LARGE, full_sync_shard_size=4,
+    )
+    res = sync.full_sync()
+    assert res.rows_after == 12
