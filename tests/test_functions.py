@@ -453,3 +453,59 @@ def test_vocab_coverage(spark):
     assert got[1] == (3, 2, 2 / 3)   # 'common' twice counts twice
     assert got[2] == (3, 2, 2 / 3)
     assert got[3] == (3, 2, 2 / 3)
+
+
+def test_segment_dedup_invariants(spark, docs):
+    """Per-doc bookkeeping must be internally consistent: token totals add
+    up, kept <= total, and a doc whose text is globally unique keeps
+    everything."""
+    out = X.segment_dedup_stats(docs, "doc_id", "text").collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 0 <= r.n_dup_segments <= r.n_segments
+        assert 0 <= r.n_tokens_kept <= r.n_tokens
+        if r.n_dup_segments == 0:
+            assert r.n_tokens_kept == r.n_tokens
+
+
+def test_segment_dedup_flags_cross_doc_duplicates(spark):
+    base = " ".join(f"w{i}" for i in range(20))  # exactly 2 segments of 10
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " unique tail segment here"), (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in X.segment_dedup_stats(df, "doc_id", "text").collect()}
+    # docs 1 and 2 share their first two 10-word segments
+    assert got[1].n_dup_segments == 2 and got[1].n_tokens_kept == 0
+    assert got[2].n_dup_segments == 2 and got[2].n_tokens_kept == 4
+    assert got[3].n_dup_segments == 0
+
+
+def test_bm25_ranks_term_frequency_over_length(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark and nothing else"),
+            (2, "spark appears once in a much longer document " + "pad " * 50),
+            (3, "no relevant terms at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.bm25_topk(df, "doc_id", "text", ("spark",), k=3).collect()
+    ids = [r.id for r in sorted(out, key=lambda r: r.rank)]
+    assert ids[0] == 1  # high tf, short doc wins
+    assert 3 not in ids  # zero-match docs never score
+
+
+def test_mixing_rates_caps_at_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "big"), (2, "d e", "small")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r
+        for r in X.mixing_rates(
+            df, "doc_id", "text", "source", {"big": 0.5, "small": 0.5}, 1000
+        ).collect()
+    }
+    assert got["big"].sample_rate == 1.0 and got["small"].sample_rate == 1.0
+    assert got["big"].n_tokens == 3 and got["small"].n_tokens == 2
