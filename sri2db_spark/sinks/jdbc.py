@@ -102,17 +102,33 @@ def discover_layout_jdbc(
     return layout_from_columns(names)
 
 
-def _key_eq(alias_a: str, alias_b: str, layout: TableLayout) -> str:
-    return " AND ".join(
-        f"{alias_a}.{c} IS NOT DISTINCT FROM {alias_b}.{c}"
-        if c in ("baseurl", "path")
-        else f"{alias_a}.{c} = {alias_b}.{c}"
-        for c in layout.key_columns
-    )
+def _q(c: str, dialect: str) -> str:
+    """ANSI dialect double-quotes column identifiers: it targets engines
+    (Derby, Oracle) that fold unquoted names to UPPERCASE, while Spark's JDBC
+    writer creates staging columns quoted-lowercase — and ``key`` is a
+    reserved word on several of them. pg/mssql keep the reference's unquoted
+    style (client.js generates unquoted SQL)."""
+    return f'"{c}"' if dialect == "ansi" else c
 
 
-def _cols(layout: TableLayout) -> str:
-    return ", ".join(layout.columns)
+def _key_eq(alias_a: str, alias_b: str, layout: TableLayout, dialect: str = "postgresql") -> str:
+    def one(c: str) -> str:
+        qc = _q(c, dialect)
+        if c not in ("baseurl", "path"):
+            return f"{alias_a}.{qc} = {alias_b}.{qc}"
+        if dialect == "ansi":
+            # portable null-aware equality (Derby etc. lack IS NOT DISTINCT FROM)
+            return (
+                f"({alias_a}.{qc} = {alias_b}.{qc} OR "
+                f"({alias_a}.{qc} IS NULL AND {alias_b}.{qc} IS NULL))"
+            )
+        return f"{alias_a}.{qc} IS NOT DISTINCT FROM {alias_b}.{qc}"
+
+    return " AND ".join(one(c) for c in layout.key_columns)
+
+
+def _cols(layout: TableLayout, dialect: str = "postgresql") -> str:
+    return ", ".join(_q(c, dialect) for c in layout.columns)
 
 
 def dedup_subquery(staging: str, layout: TableLayout) -> str:
@@ -141,22 +157,41 @@ def generate_full_sync_sql(
     then blind insert of the deduped staging. merge mode (client.js:1006-1111):
     anti-join delete + change-detecting update + insert-if-absent.
     """
-    scope_pred = " AND ".join(
-        f"w.{c} IS NOT DISTINCT FROM {_lit(v)}" for c, v in scope.items()
-    ) or "TRUE"
-    dedup = dedup_subquery(staging, layout)
+    if dialect == "ansi":
+        scope_pred = " AND ".join(
+            f'w."{c}" IS NULL' if v is None else f'w."{c}" = {_lit(v)}'
+            for c, v in scope.items()
+        ) or "1=1"
+    else:
+        scope_pred = " AND ".join(
+            f"w.{c} IS NOT DISTINCT FROM {_lit(v)}" for c, v in scope.items()
+        ) or "TRUE"
     stmts: list[str] = []
     if not prefer_updates_over_inserts:
         stmts.append(f"DELETE FROM {target} w WHERE {scope_pred}")
-        stmts.append(f"INSERT INTO {target} ({_cols(layout)}) {dedup}")
+        if dialect == "ansi":
+            # ANSI path: staging arrives C1-deduped from Spark (dedup_latest
+            # is one window in the engine, cheaper than re-deriving it
+            # server-side; Derby has no partitioned ROW_NUMBER anyway)
+            stmts.append(
+                f"INSERT INTO {target} ({_cols(layout, dialect)}) "
+                f"SELECT {_cols(layout, dialect)} FROM {staging}"
+            )
+        else:
+            stmts.append(
+                f"INSERT INTO {target} ({_cols(layout)}) {dedup_subquery(staging, layout)}"
+            )
         return stmts
     # merge mode
     stmts.append(
         f"DELETE FROM {target} w WHERE {scope_pred} AND NOT EXISTS ("
-        f"SELECT 1 FROM {staging} t WHERE {_key_eq('t', 'w', layout)})"
+        f"SELECT 1 FROM {staging} t WHERE {_key_eq('t', 'w', layout, dialect)})"
     )
-    stmts.append(_update_sql(target, staging, layout, dialect))
-    stmts.append(_insert_if_absent_sql(target, staging, layout))
+    if dialect == "ansi":
+        stmts.append(_merge_upsert_sql(target, staging, layout))
+    else:
+        stmts.append(_update_sql(target, staging, layout, dialect))
+        stmts.append(_insert_if_absent_sql(target, staging, layout))
     return stmts
 
 
@@ -177,14 +212,45 @@ def generate_delta_sync_sql(
                 f"DELETE w FROM {target} w INNER JOIN {staging_deletes} t "
                 f"ON {_key_eq('t', 'w', layout)}"
             )
+        elif dialect == "ansi":
+            stmts.append(
+                f"DELETE FROM {target} w WHERE EXISTS ("
+                f"SELECT 1 FROM {staging_deletes} t WHERE {_key_eq('t', 'w', layout, dialect)})"
+            )
         else:
             stmts.append(
                 f"DELETE FROM {target} w USING {staging_deletes} t "
                 f"WHERE {_key_eq('t', 'w', layout)}"
             )
-    stmts.append(_update_sql(target, staging_updates, layout, dialect))
-    stmts.append(_insert_if_absent_sql(target, staging_updates, layout))
+    if dialect == "ansi":
+        stmts.append(_merge_upsert_sql(target, staging_updates, layout))
+    else:
+        stmts.append(_update_sql(target, staging_updates, layout, dialect))
+        stmts.append(_insert_if_absent_sql(target, staging_updates, layout))
     return stmts
+
+
+def _merge_upsert_sql(target: str, staging: str, layout: TableLayout) -> str:
+    """C5+C6 as one standard ``MERGE`` (SQL:2003; runs on Derby 10.11+,
+    Postgres 15+, Oracle, DB2): change-detecting update on match, insert on
+    no-match. Staging must arrive C1-deduped (MERGE raises on duplicate
+    source matches by spec — a free integrity check on the Spark-side
+    dedup)."""
+    sets = '"modified" = t."modified", "jsondata" = t."jsondata"' + (
+        ', "resourcetype" = t."resourcetype"' if layout.has_resourcetype else ""
+    )
+    changed = (
+        '(w."jsondata" <> t."jsondata"'
+        ' OR (w."jsondata" IS NULL AND t."jsondata" IS NOT NULL)'
+        ' OR (w."jsondata" IS NOT NULL AND t."jsondata" IS NULL))'
+    )
+    vals = ", ".join(f't."{c}"' for c in layout.columns)
+    return (
+        f"MERGE INTO {target} w USING {staging} t "
+        f"ON {_key_eq('t', 'w', layout, 'ansi')} "
+        f"WHEN MATCHED AND {changed} THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({_cols(layout, 'ansi')}) VALUES ({vals})"
+    )
 
 
 def _update_sql(target: str, staging: str, layout: TableLayout, dialect: str) -> str:
@@ -247,12 +313,17 @@ class JdbcResourceSink:
         except Exception as e:  # pragma: no cover - needs a live DB
             raise JdbcUnavailable(f"no JDBC connectivity: {e}") from e
 
-    def write_staging(self, df: DataFrame, staging_table: str) -> None:
-        (
-            df.write.mode("overwrite")
-            .option("batchsize", self.max_bulk_size)
-            .jdbc(self.url, staging_table, properties=self.properties)
-        )
+    def write_staging(
+        self, df: DataFrame, staging_table: str, column_types: str | None = None
+    ) -> None:
+        """A8 — executors bulk-insert the staged batch (batchsize =
+        maxBulkSize). ``column_types`` optionally overrides the created
+        table's column DDL (e.g. VARCHAR instead of a dialect's default CLOB,
+        which some engines refuse to compare in merge predicates)."""
+        w = df.write.mode("overwrite").option("batchsize", self.max_bulk_size)
+        if column_types:
+            w = w.option("createTableColumnTypes", column_types)
+        w.jdbc(self.url, staging_table, properties=self.properties)
 
     def merge(self, statements: list[str], dry_run: bool = False) -> None:
         """Run the generated statements in ONE transaction (D6); dry-run

@@ -1,0 +1,189 @@
+"""LIVE JDBC end-to-end: staged bulk write + one-transaction server-side
+merge against embedded Apache Derby (a real SQL database shipped with
+Spark's jars) via the ANSI MERGE dialect.
+
+This exercises the exact flow the reference runs against Postgres/MSSQL
+(client.js:871-1239): Spark executors bulk-insert a staging table over
+JDBC, then the driver executes the generated merge statements inside a
+single DB transaction — update-if-changed, insert-if-absent, tombstone
+delete, dry-run rollback. Derby folds unquoted identifiers to uppercase
+and reserves ``key``, which is why the ANSI dialect quotes columns.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+import pytest
+
+from sri2db_spark.model.schema import LAYOUT_LARGE
+from sri2db_spark.operators.merge import dedup_latest
+from sri2db_spark.sinks.jdbc import (
+    JdbcResourceSink,
+    generate_delta_sync_sql,
+    generate_full_sync_sql,
+)
+
+_dbseq = itertools.count()
+
+BASEURL = "https://db.api"
+COLTYPES = (
+    "href VARCHAR(200), key VARCHAR(64), modified TIMESTAMP, "
+    "jsondata VARCHAR(2000), resourcetype VARCHAR(32), "
+    "path VARCHAR(200), baseurl VARCHAR(200)"
+)
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day, 12, 0, 0)
+
+
+def _row(i: int, day: int, payload: str):
+    return (
+        f"/a/{i}",
+        str(i),
+        _ts(day),
+        payload,
+        "_A",
+        "/a",
+        BASEURL,
+    )
+
+
+@pytest.fixture()
+def sink(spark):
+    url = f"jdbc:derby:memory:e2e{next(_dbseq)};create=true"
+    s = JdbcResourceSink(
+        spark=spark,
+        url=url,
+        target_table="tgt",
+        layout=LAYOUT_LARGE,
+        properties={},
+        dialect="ansi",
+    )
+    conn = s._connection()
+    cols = ", ".join(
+        f'"{c}" ' + t
+        for c, t in [
+            ("href", "VARCHAR(200)"),
+            ("key", "VARCHAR(64)"),
+            ("modified", "TIMESTAMP"),
+            ("jsondata", "VARCHAR(2000)"),
+            ("resourcetype", "VARCHAR(32)"),
+            ("path", "VARCHAR(200)"),
+            ("baseurl", "VARCHAR(200)"),
+        ]
+    )
+    conn.createStatement().executeUpdate(f"CREATE TABLE tgt ({cols})")
+    conn.close()
+    yield s
+
+
+def _staged(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "href string, key string, modified timestamp, jsondata string, "
+        "resourcetype string, path string, baseurl string",
+    )
+    return df
+
+
+def _read_target(spark, sink):
+    df = spark.read.jdbc(sink.url, "tgt", properties={})
+    return {r["href"]: r for r in df.collect()}
+
+
+SCOPE = {"baseurl": BASEURL, "path": "/a"}
+
+
+def test_full_sync_merge_mode_live(spark, sink):
+    # pre-existing: one stale row (gets updated), one vanished row (deleted)
+    pre = generate_full_sync_sql("tgt", "stg", LAYOUT_LARGE, SCOPE, True, "ansi")
+    sink.write_staging(
+        _staged(spark, [_row(1, 1, "stale"), _row(99, 1, "vanished")]),
+        "stg",
+        COLTYPES,
+    )
+    sink.merge(pre)
+
+    # staged batch: duplicate href pages (Spark-side C1 keeps the newest),
+    # a changed row, and a brand-new row
+    staged = _staged(
+        spark,
+        [
+            _row(1, 2, "old-page-dup"),
+            _row(1, 3, "fresh"),
+            _row(2, 3, "brand-new"),
+        ],
+    )
+    deduped = dedup_latest(staged, LAYOUT_LARGE.key_columns)
+    sink.write_staging(deduped, "stg", COLTYPES)
+    stmts = generate_full_sync_sql("tgt", "stg", LAYOUT_LARGE, SCOPE, True, "ansi")
+    sink.merge(stmts)
+
+    got = _read_target(spark, sink)
+    assert set(got) == {"/a/1", "/a/2"}  # /a/99 anti-join-deleted
+    assert got["/a/1"]["jsondata"] == "fresh"  # newest page won, update applied
+    assert got["/a/2"]["jsondata"] == "brand-new"
+
+
+def test_delta_sync_update_insert_delete_live(spark, sink):
+    sink.write_staging(
+        _staged(
+            spark,
+            [_row(1, 1, "keep"), _row(2, 1, "to-update"), _row(3, 1, "to-delete")],
+        ),
+        "stg",
+        COLTYPES,
+    )
+    sink.merge(generate_full_sync_sql("tgt", "stg", LAYOUT_LARGE, SCOPE, False, "ansi"))
+
+    sink.write_staging(
+        _staged(spark, [_row(2, 5, "updated"), _row(4, 5, "inserted")]),
+        "stg_u",
+        COLTYPES,
+    )
+    sink.write_staging(
+        _staged(spark, [_row(3, 5, None)]).select(*LAYOUT_LARGE.key_columns),
+        "stg_d",
+        "href VARCHAR(200), path VARCHAR(200), baseurl VARCHAR(200)",
+    )
+    stmts = generate_delta_sync_sql("tgt", "stg_u", "stg_d", LAYOUT_LARGE, "ansi")
+    sink.merge(stmts)
+
+    got = _read_target(spark, sink)
+    assert set(got) == {"/a/1", "/a/2", "/a/4"}
+    assert got["/a/2"]["jsondata"] == "updated"
+    assert got["/a/1"]["jsondata"] == "keep"
+    # the no-op row kept its original modified (change detection skipped it)
+    assert got["/a/1"]["modified"] == _ts(1)
+
+
+def test_dry_run_rolls_back_live(spark, sink):
+    sink.write_staging(_staged(spark, [_row(1, 1, "committed")]), "stg", COLTYPES)
+    sink.merge(generate_full_sync_sql("tgt", "stg", LAYOUT_LARGE, SCOPE, False, "ansi"))
+
+    sink.write_staging(_staged(spark, [_row(2, 2, "phantom")]), "stg", COLTYPES)
+    stmts = generate_full_sync_sql("tgt", "stg", LAYOUT_LARGE, SCOPE, False, "ansi")
+    sink.merge(stmts, dry_run=True)
+
+    got = _read_target(spark, sink)
+    assert set(got) == {"/a/1"}  # the dry-run DELETE+INSERT fully rolled back
+    assert got["/a/1"]["jsondata"] == "committed"
+
+
+def test_merge_is_one_transaction_live(spark, sink):
+    """A failing statement mid-merge must leave the target untouched —
+    the whole statement list is one transaction (D6)."""
+    sink.write_staging(_staged(spark, [_row(1, 1, "base")]), "stg", COLTYPES)
+    sink.merge(generate_full_sync_sql("tgt", "stg", LAYOUT_LARGE, SCOPE, False, "ansi"))
+
+    sink.write_staging(_staged(spark, [_row(2, 2, "half")]), "stg", COLTYPES)
+    stmts = generate_full_sync_sql("tgt", "stg", LAYOUT_LARGE, SCOPE, False, "ansi")
+    stmts.append("INSERT INTO does_not_exist VALUES (1)")
+    with pytest.raises(Exception, match="does_not_exist|DOES_NOT_EXIST|42"):
+        sink.merge(stmts)
+    got = _read_target(spark, sink)
+    assert set(got) == {"/a/1"}
+    assert got["/a/1"]["jsondata"] == "base"
