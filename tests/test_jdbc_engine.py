@@ -1,0 +1,112 @@
+"""End-to-end API→live-DB sync engine tests on embedded Derby: the full
+reference deployment shape (paged API scan → Spark staging/dedup → bulk
+JDBC staging write → one-transaction server-side merge → watermarks)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from sri2db_spark.model.schema import LAYOUT_LARGE
+from sri2db_spark.operators.watermark import WatermarkStore
+from sri2db_spark.sinks.jdbc import JdbcResourceSink
+from sri2db_spark.sources.sri_api import SriApiReader
+from sri2db_spark.sync.jdbc_engine import Sri2DbJdbcSync
+
+from .fake_api import FakeSriApi
+
+BASEURL = "https://fake.api"
+COLTYPES = (
+    "href VARCHAR(200), key VARCHAR(64), modified TIMESTAMP, "
+    "jsondata VARCHAR(4000), resourcetype VARCHAR(32), "
+    "path VARCHAR(200), baseurl VARCHAR(200)"
+)
+_dbseq = itertools.count()
+
+
+@pytest.fixture()
+def db_sync(spark, tmp_path):
+    api = FakeSriApi(n=10, page_size=3)
+    url = f"jdbc:derby:memory:eng{next(_dbseq)};create=true"
+    sink = JdbcResourceSink(
+        spark=spark,
+        url=url,
+        target_table="resources",
+        layout=LAYOUT_LARGE,
+        properties={},
+        dialect="ansi",
+    )
+    conn = sink._connection()
+    cols = ", ".join(
+        f'"{c}" {t}'
+        for c, t in [
+            ("href", "VARCHAR(200)"), ("key", "VARCHAR(64)"),
+            ("modified", "TIMESTAMP"), ("jsondata", "VARCHAR(4000)"),
+            ("resourcetype", "VARCHAR(32)"), ("path", "VARCHAR(200)"),
+            ("baseurl", "VARCHAR(200)"),
+        ]
+    )
+    conn.createStatement().executeUpdate(f"CREATE TABLE resources ({cols})")
+    conn.close()
+    sync = Sri2DbJdbcSync(
+        reader=SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3),
+        sink=sink,
+        path=api.path,
+        baseurl=BASEURL,
+        layout=LAYOUT_LARGE,
+        watermarks=WatermarkStore(spark, str(tmp_path / "wm")),
+        staging_column_types=COLTYPES,
+    )
+    return api, sync
+
+
+def _db_rows(spark, sink):
+    df = spark.read.jdbc(sink.url, "resources", properties={})
+    return {r["href"]: r for r in df.collect()}
+
+
+def test_full_sync_into_live_db(spark, db_sync):
+    api, sync = db_sync
+    res = sync.full_sync()
+    assert res.synctype == "FULL"
+    assert res.resources_synced == 10
+    assert res.rows_after == 10
+    rows = _db_rows(spark, sync.sink)
+    assert set(rows) == {f"/a/{i}" for i in range(1, 11)}
+    assert rows["/a/7"]["key"] == "7"
+    assert rows["/a/7"]["baseurl"] == BASEURL
+
+
+def test_delta_sync_update_delete_insert_live_db(spark, db_sync):
+    api, sync = db_sync
+    sync.full_sync()
+    api.update(5, modified="2031-01-01T00:00:00Z", name="renamed")
+    api.delete(7, modified="2031-01-02T00:00:00Z")
+    api.add(11, modified="2031-01-03T00:00:00Z")
+
+    res = sync.delta_sync()
+    assert res.deletes_synced == 1
+    assert res.rows_after == 10  # 10 - deleted + added
+    rows = _db_rows(spark, sync.sink)
+    assert "/a/7" not in rows
+    assert "/a/11" in rows
+    assert '"renamed"' in rows["/a/5"]["jsondata"]
+
+
+def test_repeat_full_sync_idempotent_live_db(spark, db_sync):
+    api, sync = db_sync
+    sync.full_sync()
+    res = sync.full_sync()
+    assert res.rows_after == 10
+    assert len(_db_rows(spark, sync.sink)) == 10
+
+
+def test_dry_run_leaves_db_unchanged(spark, db_sync):
+    api, sync = db_sync
+    sync.full_sync()
+    api.add(12, modified="2031-01-01T00:00:00Z")
+    sync.dry_run = True
+    res = sync.full_sync()
+    assert res.dry_run
+    assert len(_db_rows(spark, sync.sink)) == 10  # rolled back
