@@ -61,13 +61,22 @@ def catalog_probe_query(table: str, dialect: str = "postgresql") -> str:
     """The dialect-specific column-catalog probe, as a JDBC subquery.
 
     postgresql: information_schema.columns (client.js:361-377);
-    mssql: sys.columns joined to sys.objects (client.js:534-546).
+    mssql: sys.columns joined to sys.objects (client.js:534-546);
+    derby: SYS.SYSCOLUMNS joined to SYS.SYSTABLES (no information_schema).
     ``schema.table`` names scope the probe to that schema.
     """
     schema = None
     name = table
     if "." in table:
         schema, name = table.split(".", 1)
+    if dialect == "derby":
+        scope = f" AND s.SCHEMANAME = '{schema}'" if schema else ""
+        join_schema = " JOIN SYS.SYSSCHEMAS s ON s.SCHEMAID = t.SCHEMAID" if schema else ""
+        return (
+            "(SELECT c.COLUMNNAME AS column_name FROM SYS.SYSCOLUMNS c "
+            "JOIN SYS.SYSTABLES t ON t.TABLEID = c.REFERENCEID"
+            f"{join_schema} WHERE t.TABLENAME = '{name}'{scope}) cols"
+        )
     if dialect == "mssql":
         scope = f" AND SCHEMA_NAME(o.schema_id) = '{schema}'" if schema else ""
         return (

@@ -187,3 +187,13 @@ def test_merge_is_one_transaction_live(spark, sink):
     got = _read_target(spark, sink)
     assert set(got) == {"/a/1"}
     assert got["/a/1"]["jsondata"] == "base"
+
+
+def test_discover_layout_live(spark, sink):
+    """A9 against a LIVE catalog: the Derby system-table probe discovers the
+    full optional-column layout of the real target table."""
+    from sri2db_spark.sinks.jdbc import discover_layout_jdbc
+
+    layout = discover_layout_jdbc(spark, sink.url, "TGT", {}, "derby")
+    assert layout.key_columns == ("baseurl", "path", "href")
+    assert layout.has_resourcetype
