@@ -10,6 +10,11 @@ Config shape (JSON; mirrors the reference's config module, README.md:28-110):
               "db": {"location": "/data/resources", "layout": "large",
                      "synctimes": "/data/synctimes", "table": "resources"},
               "synctype": "deltaSync", "dryRun": false}
+    jdbc:    same, but "db" carries {"jdbcUrl": "jdbc:...", "table": ...,
+              "dialect": "postgresql|mssql|ansi", "stagingTable": ...,
+              "stagingColumnTypes": ...} — syncs into a live database via
+              staging + one-transaction server-side merge instead of the
+              parquet lake
     multi:   {"baseConfig": {...}, "overwrites": [{...RFC-7386 patches...}],
               "concurrency": 1}
 
@@ -39,7 +44,7 @@ LAYOUTS: dict[str, TableLayout] = {
 }
 
 
-def build_sync(spark, cfg: dict, dry_run: bool = False) -> Sri2DbSync:
+def build_sync(spark, cfg: dict, dry_run: bool = False):
     api = cfg.get("api", {})
     db = cfg.get("db", {})
     layout = LAYOUTS[db.get("layout", "large")]
@@ -49,8 +54,36 @@ def build_sync(spark, cfg: dict, dry_run: bool = False) -> Sri2DbSync:
         limit=int(api.get("limit", 500)),
         next_links_broken=bool(api.get("nextLinksBroken", False)),
     )
-    table = LakeTable(spark, db["location"], layout)
     wm = WatermarkStore(spark, db["synctimes"]) if db.get("synctimes") else None
+    if db.get("jdbcUrl"):
+        from .sinks.jdbc import JdbcResourceSink  # noqa: PLC0415
+        from .sync.jdbc_engine import Sri2DbJdbcSync  # noqa: PLC0415
+
+        sink = JdbcResourceSink(
+            spark=spark,
+            url=db["jdbcUrl"],
+            target_table=db.get("table", "resources"),
+            layout=layout,
+            properties=db.get("properties", {}),
+            dialect=db.get("dialect", "postgresql"),
+        )
+        return Sri2DbJdbcSync(
+            reader=reader,
+            sink=sink,
+            path=api["path"],
+            baseurl=api["baseUrl"] if layout.has_baseurl else None,
+            layout=layout,
+            watermarks=wm,
+            tablename=db.get("table", "resources"),
+            staging_table=db.get("stagingTable", "stg_sri2db"),
+            staging_column_types=db.get("stagingColumnTypes"),
+            prefer_updates_over_inserts=bool(
+                cfg.get("preferUpdatesOverInserts", True)
+            ),
+            deleted_not_implemented=bool(api.get("deletedNotImplemented", False)),
+            dry_run=dry_run or bool(cfg.get("dryRun", False)),
+        )
+    table = LakeTable(spark, db["location"], layout)
     return Sri2DbSync(
         reader=reader,
         table=table,

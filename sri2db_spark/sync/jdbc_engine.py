@@ -64,6 +64,15 @@ class Sri2DbJdbcSync:
     def delta_sync(self, modified_since: str | None = None) -> SyncResult:
         return self._sync(modified_since, full=False)
 
+    def configured_sync(self, synctype: str = "deltaSync") -> SyncResult:
+        if synctype == "safeDeltaSync":
+            raise NotImplementedError(
+                "safeDeltaSync is lake-only (C7-C9 membership SQL is not "
+                "generated for JDBC targets yet); use the lake engine or "
+                "fullSync/deltaSync"
+            )
+        return {"fullSync": self.full_sync, "deltaSync": self.delta_sync}[synctype]()
+
     # -- internals -----------------------------------------------------------
 
     def _clean_path(self) -> str:

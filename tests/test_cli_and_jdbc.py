@@ -191,3 +191,48 @@ def test_discover_layout_jdbc_via_injected_resultset(spark):
         False, True, False,
     )
     assert reader.jdbc.call_args[0][1].startswith("(SELECT column_name FROM information_schema")
+
+
+def test_cli_jdbc_target_full_sync(spark, tmp_path, capsys):
+    """A jdbcUrl config routes the CLI to the live-DB engine: full sync into
+    embedded Derby via staging + one-transaction merge."""
+    api = FakeSriApi(n=6)
+    url = "jdbc:derby:memory:clidb;create=true"
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    cols = ", ".join(
+        f'"{c}" {t}'
+        for c, t in [
+            ("href", "VARCHAR(200)"), ("key", "VARCHAR(64)"),
+            ("modified", "TIMESTAMP"), ("jsondata", "VARCHAR(4000)"),
+            ("resourcetype", "VARCHAR(32)"), ("path", "VARCHAR(200)"),
+            ("baseurl", "VARCHAR(200)"),
+        ]
+    )
+    conn.createStatement().executeUpdate(f"CREATE TABLE resources ({cols})")
+    conn.close()
+    cfg = {
+        "api": {"baseUrl": "https://fake.api", "path": "/a", "limit": 3},
+        "db": {
+            "jdbcUrl": url,
+            "table": "resources",
+            "dialect": "ansi",
+            "synctimes": str(tmp_path / "wm"),
+            "layout": "large",
+            "stagingColumnTypes": (
+                "href VARCHAR(200), key VARCHAR(64), modified TIMESTAMP, "
+                "jsondata VARCHAR(4000), resourcetype VARCHAR(32), "
+                "path VARCHAR(200), baseurl VARCHAR(200)"
+            ),
+        },
+        "synctype": "fullSync",
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with _patched_reader(api):
+        rc = cli.main([str(cfg_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "FULL: 6 resources" in out
+    back = spark.read.jdbc(url, "resources", properties={})
+    assert back.count() == 6
