@@ -239,6 +239,38 @@ def generate_delta_sync_sql(
     return stmts
 
 
+def generate_safe_delta_sql(
+    target: str,
+    staging_updates: str,
+    staging_membership: str,
+    layout: TableLayout,
+    scope: dict[str, str | None],
+    dialect: str = "postgresql",
+) -> list[str]:
+    """Safe-delta merge statements: C5/C6 upsert of the staged batch (gap
+    rows already unioned in Spark-side, C9) + C7 set-difference delete —
+    rows inside this sync's scope that are no longer members of the filtered
+    collection (client.js:1184-1199; re-scoping rationale at :1138)."""
+    stmts: list[str] = []
+    if dialect == "ansi":
+        scope_pred = " AND ".join(
+            f'w."{c}" IS NULL' if v is None else f'w."{c}" = {_lit(v)}'
+            for c, v in scope.items()
+        ) or "1=1"
+        stmts.append(_merge_upsert_sql(target, staging_updates, layout))
+    else:
+        scope_pred = " AND ".join(
+            f"w.{c} IS NOT DISTINCT FROM {_lit(v)}" for c, v in scope.items()
+        ) or "TRUE"
+        stmts.append(_update_sql(target, staging_updates, layout, dialect))
+        stmts.append(_insert_if_absent_sql(target, staging_updates, layout))
+    stmts.append(
+        f"DELETE FROM {target} w WHERE {scope_pred} AND NOT EXISTS ("
+        f"SELECT 1 FROM {staging_membership} t WHERE {_key_eq('t', 'w', layout, dialect)})"
+    )
+    return stmts
+
+
 def _merge_upsert_sql(target: str, staging: str, layout: TableLayout) -> str:
     """C5+C6 as one standard ``MERGE`` (SQL:2003; runs on Derby 10.11+,
     Postgres 15+, Oracle, DB2): change-detecting update on match, insert on

@@ -11,8 +11,11 @@ Split of work, Spark-first:
 Unlike the lake engine, the target's current rows are never pulled through
 Spark: change detection (C5), anti-join deletes (C2), and insert-if-absent
 (C6) run server-side where the data already lives. Watermarks reuse the
-same store/advance logic as the lake engine. Safe-delta reconciliation is
-lake-only for now (C7-C9 membership SQL is not generated).
+same store/advance logic as the lake engine. Safe-delta reconciliation
+(C7-C9) splits naturally: gap DETECTION is a Spark anti-join over just the
+key columns (membership snapshot vs target keys read via a pruned JDBC
+query), gap FETCH is the distributed keyIn reader, and the set-difference
+DELETE (C7) executes server-side against the staged membership table.
 """
 
 from __future__ import annotations
@@ -31,10 +34,12 @@ from ..operators.watermark import (
     WatermarkStore,
     advance_watermark,
 )
+from ..operators.merge import anti_join_missing
 from ..sinks.jdbc import (
     JdbcResourceSink,
     generate_delta_sync_sql,
     generate_full_sync_sql,
+    generate_safe_delta_sql,
 )
 from ..sources.sri_api import SriApiReader
 from .engine import SyncResult, _ms_to_iso, _now_ms
@@ -64,14 +69,15 @@ class Sri2DbJdbcSync:
     def delta_sync(self, modified_since: str | None = None) -> SyncResult:
         return self._sync(modified_since, full=False)
 
+    def safe_delta_sync(self, modified_since: str | None = None) -> SyncResult:
+        return self._sync(modified_since, full=False, safe=True)
+
     def configured_sync(self, synctype: str = "deltaSync") -> SyncResult:
-        if synctype == "safeDeltaSync":
-            raise NotImplementedError(
-                "safeDeltaSync is lake-only (C7-C9 membership SQL is not "
-                "generated for JDBC targets yet); use the lake engine or "
-                "fullSync/deltaSync"
-            )
-        return {"fullSync": self.full_sync, "deltaSync": self.delta_sync}[synctype]()
+        return {
+            "fullSync": self.full_sync,
+            "deltaSync": self.delta_sync,
+            "safeDeltaSync": self.safe_delta_sync,
+        }[synctype]()
 
     # -- internals -----------------------------------------------------------
 
@@ -109,17 +115,29 @@ class Sri2DbJdbcSync:
         finally:
             conn.close()
 
-    def _sync(self, modified_since: str | None, full: bool) -> SyncResult:
+    def _target_keys(self):
+        """Pruned JDBC read of the target's key columns within this sync's
+        scope — the only time target data enters Spark, and it is keys-only
+        (the scope predicate and the projection both push into the query)."""
+        cols = ", ".join(f'"{c}"' for c in self.layout.key_columns)
+        pred = " AND ".join(
+            f'"{c}" IS NULL' if v is None else "\"" + c + "\" = '" + v.replace("'", "''") + "'"
+            for c, v in self._scope().items()
+        ) or "1=1"
+        q = f"(SELECT {cols} FROM {self.sink.target_table} WHERE {pred}) tk"
+        return self.sink.spark.read.jdbc(self.sink.url, q, properties=self.sink.properties)
+
+    def _sync(self, modified_since: str | None, full: bool, safe: bool = False) -> SyncResult:
         if not self._lock.acquire(blocking=False):
             return SyncResult("REJECTED", 0, 0, -1, 0, self.dry_run)
         try:
-            return self._inner(modified_since, full)
+            return self._inner(modified_since, full, safe)
         finally:
             self._lock.release()
 
-    def _inner(self, modified_since: str | None, full: bool) -> SyncResult:
+    def _inner(self, modified_since: str | None, full: bool, safe: bool = False) -> SyncResult:
         syncstart = _now_ms()
-        synctype = "FULL" if full else "DELTA"
+        synctype = "FULL" if full else ("SAFEDELTA" if safe else "DELTA")
         explicit_since = modified_since is not None
         ingest = F.lit(
             dt.datetime.fromtimestamp(syncstart / 1000.0, tz=dt.timezone.utc)
@@ -135,10 +153,11 @@ class Sri2DbJdbcSync:
                 prev_wm_ms if prev_wm_ms is not None else COLD_START_MILLIS
             )
 
-        # Tombstone scan (A5) — delta only, staged into its own table
+        # Tombstone scan (A5) — plain delta only; safe delta skips it like
+        # the reference (client.js:1726) — membership covers deletions
         n_deletes = 0
         deletes_table = None
-        if not full and not self.deleted_not_implemented:
+        if not full and not safe and not self.deleted_not_implemented:
             raw_deletes = self.reader.read_collection(
                 self.path, modified_since=modified_since, expand="NONE", deleted=True
             )
@@ -157,14 +176,47 @@ class Sri2DbJdbcSync:
             self.path, modified_since=None if full else modified_since, expand="FULL"
         )
         staged = dedup_latest(self._stage(raw, ingest), self.layout.key_columns)
+
+        # Safe-delta reconciliation (A7/C8/C9/A3): membership snapshot →
+        # Spark anti-join against (target keys ∪ staged keys) → distributed
+        # keyIn fetch of the gaps → unioned into the staged batch
+        membership_table = None
+        if safe:
+            keys = list(self.layout.key_columns)
+            membership_raw = self.reader.read_collection(self.path, expand="NONE")
+            membership = self._stage(membership_raw, ingest).select(*keys).persist()
+            membership_table = self.staging_table + "_m"
+            key_types = ", ".join(f"{c} VARCHAR(2048)" for c in keys)
+            self.sink.write_staging(membership, membership_table, key_types)
+            known = self._target_keys().unionByName(staged.select(*keys))
+            missing = anti_join_missing(membership, known, keys)  # C8
+            if missing.limit(1).count():
+                fetched = self.reader.get_hrefs_distributed(
+                    self.path, missing.select("href")
+                )  # A3
+                gap_rows = self._stage(fetched, ingest)
+                staged = dedup_latest(
+                    staged.unionByName(gap_rows), self.layout.key_columns
+                )  # C9 via the upsert merge
+            membership.unpersist()
+
         stats = staged.agg(
             F.count(F.lit(1)).alias("n"), F.unix_millis(F.max("modified")).alias("mx")
         ).first()
         n_staged, last_seen_ms = stats["n"], stats["mx"]
         self.sink.write_staging(staged, self.staging_table, self.staging_column_types)
 
-        # One-transaction server-side merge (C2-C6 / D6)
-        if full:
+        # One-transaction server-side merge (C2-C9 / D6)
+        if safe:
+            stmts = generate_safe_delta_sql(
+                self.sink.target_table,
+                self.staging_table,
+                membership_table,
+                self.layout,
+                self._scope(),
+                self.sink.dialect,
+            )
+        elif full:
             stmts = generate_full_sync_sql(
                 self.sink.target_table,
                 self.staging_table,

@@ -110,3 +110,26 @@ def test_dry_run_leaves_db_unchanged(spark, db_sync):
     res = sync.full_sync()
     assert res.dry_run
     assert len(_db_rows(spark, sync.sink)) == 10  # rolled back
+
+
+def test_safe_delta_sync_reconciles_live_db(spark, db_sync):
+    """Safe delta against a live DB: silent membership exits are deleted
+    (C7), watermark-missed additions are gap-fetched and inserted (C8/C9),
+    and normal updates still apply — all in one server-side transaction."""
+    api, sync = db_sync
+    sync.full_sync()
+
+    api.update(5, modified="2031-01-01T00:00:00Z", name="safely-updated")
+    api.drop_silently(4)  # membership exit without a tombstone
+    # an addition whose modified PREDATES the watermark: the delta scan
+    # misses it; only membership reconciliation can find it
+    api.add(11, modified="1990-01-01T00:00:00Z")
+
+    res = sync.safe_delta_sync()
+    assert res.synctype == "SAFEDELTA"
+    rows = _db_rows(spark, sync.sink)
+    assert "/a/4" not in rows  # C7 set-difference delete
+    assert "/a/11" in rows  # C8/C9 gap insert
+    assert '"safely-updated"' in rows["/a/5"]["jsondata"]
+    assert len(rows) == 10  # 10 - dropped + gap-added
+    assert res.rows_after == 10
