@@ -236,3 +236,68 @@ def test_cli_jdbc_target_full_sync(spark, tmp_path, capsys):
     assert "FULL: 6 resources" in out
     back = spark.read.jdbc(url, "resources", properties={})
     assert back.count() == 6
+
+
+def test_safe_delta_sql_dialects():
+    from sri2db_spark.sinks.jdbc import generate_safe_delta_sql
+
+    scope = {"baseurl": "https://x", "path": "/a"}
+    pg = generate_safe_delta_sql("r", "stg_u", "stg_m", LAYOUT_LARGE, scope, "postgresql")
+    ansi = generate_safe_delta_sql("r", "stg_u", "stg_m", LAYOUT_LARGE, scope, "ansi")
+    # pg: C5 update + C6 insert + C7 scoped set-difference delete
+    assert len(pg) == 3
+    assert "IS DISTINCT FROM" in pg[0]
+    assert pg[2].startswith("DELETE FROM r w WHERE")
+    assert "NOT EXISTS" in pg[2] and "stg_m" in pg[2]
+    assert "w.baseurl IS NOT DISTINCT FROM 'https://x'" in pg[2]
+    # ansi: one MERGE upsert + the same delete with quoted identifiers
+    assert len(ansi) == 2
+    assert ansi[0].startswith("MERGE INTO r w USING stg_u t")
+    assert 'w."baseurl" = \'https://x\'' in ansi[1]
+
+
+def test_multi_orchestrates_mixed_lake_and_jdbc_targets(spark, tmp_path):
+    """One Sri2DbMulti fleet can mix lake and live-DB endpoints — both expose
+    configured_sync, settled-results semantics unchanged."""
+    from sri2db_spark.model.schema import LAYOUT_LARGE as L
+    from sri2db_spark.sinks.jdbc import JdbcResourceSink
+    from sri2db_spark.sinks.lake import LakeTable
+    from sri2db_spark.sources.sri_api import SriApiReader
+    from sri2db_spark.sync.engine import Sri2DbSync
+    from sri2db_spark.sync.jdbc_engine import Sri2DbJdbcSync
+    from sri2db_spark.sync.multi import Sri2DbMulti
+
+    api1 = FakeSriApi(n=4)
+    api2 = FakeSriApi(n=5)
+    lake = Sri2DbSync(
+        reader=SriApiReader(spark, "https://a", fetch_json=api1.fetch_json, limit=3),
+        table=LakeTable(spark, str(tmp_path / "t"), L),
+        path="/a", baseurl="https://a", layout=L,
+    )
+    url = "jdbc:derby:memory:multidb;create=true"
+    sink = JdbcResourceSink(spark, url, "resources", L, {}, dialect="ansi")
+    conn = sink._connection()
+    cols = ", ".join(
+        f'"{c}" {t}'
+        for c, t in [
+            ("href", "VARCHAR(200)"), ("key", "VARCHAR(64)"),
+            ("modified", "TIMESTAMP"), ("jsondata", "VARCHAR(4000)"),
+            ("resourcetype", "VARCHAR(32)"), ("path", "VARCHAR(200)"),
+            ("baseurl", "VARCHAR(200)"),
+        ]
+    )
+    conn.createStatement().executeUpdate(f"CREATE TABLE resources ({cols})")
+    conn.close()
+    db = Sri2DbJdbcSync(
+        reader=SriApiReader(spark, "https://b", fetch_json=api2.fetch_json, limit=3),
+        sink=sink, path="/a", baseurl="https://b", layout=L,
+        staging_column_types=(
+            "href VARCHAR(200), key VARCHAR(64), modified TIMESTAMP, "
+            "jsondata VARCHAR(4000), resourcetype VARCHAR(32), "
+            "path VARCHAR(200), baseurl VARCHAR(200)"
+        ),
+    )
+    settled = Sri2DbMulti([lake, db], concurrency=2).configured_sync("fullSync")
+    assert all(s.is_fulfilled for s in settled)
+    assert settled[0].value.rows_after == 4
+    assert settled[1].value.rows_after == 5
