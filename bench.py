@@ -118,6 +118,7 @@ def main() -> None:
         baseurl="https://bench.local",
         layout=LAYOUT_LARGE,
     )
+    sync.full_sync()  # untimed warmup: merge-pipeline codegen
     sync_runs: list[float] = []
     for _ in range(repeat):
         t0 = time.perf_counter()
@@ -139,6 +140,7 @@ def main() -> None:
         layout=LAYOUT_LARGE,
         full_sync_shard_size=2500,
     )
+    sync_sh.full_sync()  # untimed warmup: Python worker spin-up + codegen
     sh_runs: list[float] = []
     for _ in range(repeat):
         t0 = time.perf_counter()
