@@ -44,15 +44,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_ts_nanos(df: DataFrame) -> DataFrame:
-    """If a ``ts`` column arrived as a timestamp type, rewrite it to int64
-    epoch-nanoseconds. Session tz is pinned UTC, so an NTZ wall time is the
-    same instant DuckDB's epoch_ns() computes — pure integer arithmetic from
-    here on, no session-timezone exposure in any plan."""
-    dt = dict(df.dtypes).get("ts")
-    if dt in ("timestamp", "timestamp_ntz"):
-        df = df.withColumn(
-            "ts", (F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)).cast("long")
-        )
+    """Canonicalize time-typed columns against driver-side testdata schema
+    drift (the round-3 breakage: events.ts flipped TIMESTAMP(NANOS)-as-long
+    → TIMESTAMP(MICROS)):
+
+    - a timestamp-typed ``ts`` becomes int64 epoch-nanoseconds (session tz
+      pinned UTC, so the NTZ wall time is the instant DuckDB's epoch_ns()
+      computes — pure integer arithmetic from here on);
+    - any DATE-typed column becomes a midnight timestamp, so date-valued
+      columns (l_shipdate, o_orderdate, ...) keep one type family no matter
+      which parquet logical type the generator emitted. DuckDB coerces
+      DATE/TIMESTAMP comparisons identically, so oracles are unaffected.
+    """
+    for name, dt in df.dtypes:
+        if name == "ts" and dt in ("timestamp", "timestamp_ntz"):
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)).cast("long"),
+            )
+        elif dt == "date":
+            df = df.withColumn(name, F.col(name).cast("timestamp_ntz"))
     return df
 
 
