@@ -685,3 +685,28 @@ def mixing_rates(
     return per.select(
         "source", "n_docs", "n_tokens", weight.alias("weight"), rate.alias("sample_rate")
     )
+
+
+def split_assign(
+    df: DataFrame, id_col: str, train_pct: int = 98, val_pct: int = 1
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: a content-independent
+    md5 hash of the id picks a bucket in [0,100); buckets fill train, then
+    val, then test. Hash-based (not ``id % N``) so sequential or clustered
+    ids cannot bias a split; stable across runs/engines with no RNG.
+    Returns (id, bucket, split). Pure projection — no shuffle.
+    """
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), bucket.alias("bucket"), split.alias("split")
+    )

@@ -1308,6 +1308,45 @@ def q_media_embed_neardup(spark, sf):
     )
 
 
+def q_split_assign(spark, sf):
+    """Deterministic hash-bucketed train/val/test split (98/1/1)."""
+    return X.split_assign(_t(spark, sf, "documents"), "doc_id").select(
+        F.col("id").alias("doc_id"), "bucket", "split"
+    )
+
+
+RAG_QUERY_TEXT = "spark merge window batch"
+
+
+def q_rag_chunk_topk(spark, sf):
+    """RAG-ingest composition, end to end: overlapping word-window chunking →
+    binary media wrap → Arrow-batched embedding extraction (stub encoder) →
+    exact cosine retrieval of the top-10 chunks for a fixed query. Each stage
+    is an already-oracled operator; this query verifies the composition."""
+    from ..functions.multimodal import media_embeddings, to_media_table  # noqa: PLC0415
+    from ..functions.multimodal import _encode_stub  # noqa: PLC0415
+
+    chunks = X.chunk_documents(_tp(spark, sf, "documents"), "doc_id", "text")
+    with_ids = chunks.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"), "chunk_text"
+    )
+    emb = media_embeddings(to_media_table(with_ids, "cid", "chunk_text"), dim=8)
+    qvec = _encode_stub(RAG_QUERY_TEXT.encode(), 8)
+    qcol = F.array(*[F.lit(v) for v in qvec])
+    scored = emb.select(
+        F.col("media_id").alias("cid"),
+        S.cosine(F.col("embedding"), qcol).alias("cos_sim"),
+    )
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    w = W.orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def q_emb_quantize(spark, sf):
     """int8 embedding quantization (S.normalize_quantize): floor-based
     codes are engine-portable, so the whole array hash-matches DuckDB."""
@@ -1620,6 +1659,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "media_chunks": q_media_chunks,
     "media_embed_neardup": q_media_embed_neardup,
+    "split_assign": q_split_assign,
+    "rag_chunk_topk": q_rag_chunk_topk,
     # events / time-series / scale ops
     "events_sessionize": q_events_sessionize,
     "events_hourly": q_events_hourly,

@@ -1190,6 +1190,66 @@ ORACLES: dict[str, str] = {
         )
         SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
     """,
+    "split_assign": """
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS BIGINT) % 100 AS bucket,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 100 < 98 THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 100 < 99 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    # Replays the whole RAG-ingest composition: chunking (as in
+    # chunk_documents), the md5 stub encoder per chunk, and the sequential-
+    # fold cosine against the fixed query vector (literals = Python reprs of
+    # _encode_stub("spark merge window batch"), round-trip exact).
+    "rag_chunk_topk": f"""
+        WITH chunks AS (
+          SELECT doc_id * 100 + i AS cid,
+                 array_to_string(list_slice({_W}, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+          FROM documents, range(0, 64) t(i)
+          WHERE i < greatest(1, CAST(ceil((len({_W}) - 64) / 48.0) AS INT) + 1)
+        ),
+        emb AS (
+          SELECT cid, list_transform(range(0, 8), i ->
+            CAST(CAST('0x' || substr(
+                   md5(lower(hex(encode(chunk_text))) || '_' || i), 1, 8) AS BIGINT)
+                 AS DOUBLE) / 4294967296.0) AS v
+          FROM chunks
+        ),
+        q AS (
+          -- string-cast each element: DuckDB types bare numeric literals as
+          -- DECIMAL(17,16), whose DOUBLE conversion is 1 ulp off strtod
+          SELECT [CAST('0.9128572547342628' AS DOUBLE),
+                  CAST('0.9738500406965613' AS DOUBLE),
+                  CAST('0.7075267389882356' AS DOUBLE),
+                  CAST('0.7608565995469689' AS DOUBLE),
+                  CAST('0.5671812151558697' AS DOUBLE),
+                  CAST('0.5354926153086126' AS DOUBLE),
+                  CAST('0.9292609789408743' AS DOUBLE),
+                  CAST('0.9735089344903827' AS DOUBLE)] AS qv
+        ),
+        scored AS (
+          SELECT cid,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 9), i -> v[i] * qv[i])),
+                   (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(range(1, 9), i -> v[i] * v[i])),
+                      (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_prepend(0.0,
+                        list_transform(range(1, 9), i -> qv[i] * qv[i])),
+                        (acc, x) -> acc + x))) AS cos_sim
+          FROM emb, q
+        )
+        SELECT cid, cos_sim, rank FROM (
+          SELECT cid, cos_sim,
+                 row_number() OVER (ORDER BY cos_sim DESC, cid ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+    """,
     "decontaminate_overlap": f"""
         WITH bset AS (
           SELECT DISTINCT s FROM (
