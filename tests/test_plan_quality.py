@@ -171,3 +171,12 @@ def test_round4_ops_stay_jvm_side(spark):
         plan = formatted_plan(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_split_assign_is_pure_projection(spark):
+    """Split assignment must not shuffle or touch Python: one scan, one
+    project."""
+    plan = formatted_plan(QUERIES["split_assign"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
