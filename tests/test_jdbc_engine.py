@@ -133,3 +133,37 @@ def test_safe_delta_sync_reconciles_live_db(spark, db_sync):
     assert '"safely-updated"' in rows["/a/5"]["jsondata"]
     assert len(rows) == 10  # 10 - dropped + gap-added
     assert res.rows_after == 10
+
+
+def test_broadcast_triggered_delta_into_live_db(spark, db_sync):
+    """D1 against a live DB: a broadcast event triggers the delta sync,
+    which lands the change in the database."""
+    import queue
+
+    from sri2db_spark.streaming.listener import BroadcastListener
+
+    api, sync = db_sync
+    sync.full_sync()
+    api.update(2, modified="2031-01-01T00:00:00Z", name="via-broadcast")
+
+    events: queue.Queue = queue.Queue()
+
+    def connect():
+        while True:
+            ev = events.get()
+            if ev is None:
+                return
+            yield ev
+
+    listener = BroadcastListener(
+        connect=connect, sync_fn=sync.delta_sync, retry_interval=0.2
+    ).start()
+    events.put("update")
+    deadline = __import__("time").time() + 60
+    while listener.syncs_run < 1 and __import__("time").time() < deadline:
+        __import__("time").sleep(0.2)
+    events.put(None)
+    listener.stop()
+    assert listener.syncs_run >= 1
+    rows = _db_rows(spark, sync.sink)
+    assert '"via-broadcast"' in rows["/a/2"]["jsondata"]
