@@ -5,13 +5,14 @@ compare row count, column names, and order-insensitive values."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
