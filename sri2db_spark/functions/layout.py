@@ -1,0 +1,163 @@
+"""Data-layout operators for training-corpus export at 100 TB scale.
+
+A trained-on corpus is not just filtered and deduped — it has to be *laid
+out*: split into deterministic shards a thousand loader workers can claim,
+globally shuffled so no shard is a topical clump, and clustered on disk so
+range predicates prune files instead of scanning them. These operators are
+the Spark-side of that export step. All three are engineered for
+replayability: no RNG, no timestamps — md5 over ids — so a re-run (or a
+different engine; see ``plans/oracles.py``) produces byte-identical layouts.
+
+Scale notes:
+
+- ``shard_assign``/``shard_manifest`` are pure projections + one hash-agg —
+  no shuffle beyond the manifest's groupBy.
+- ``corpus_shuffle`` is the scale-safe global shuffle: a content-independent
+  md5 priority key, a 256-way partition prefix from the key's first byte,
+  and a *partitioned* row_number — no global window, no single-reducer sort.
+  ``(part, pos)`` is a total order: readers consume parts 0..255 in order.
+- ``zorder_key`` interleaves the bits of min-max-bucketed dimensions
+  (the Z-order space-filling curve used by lakehouse OPTIMIZE ZORDER BY) in
+  pure int64 arithmetic, so ``repartitionByRange`` + parquet min/max footers
+  give multi-column data skipping. The bucketing is integer-exact
+  (``(x - min) div width``) — no float rounding to drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "corpus_shuffle",
+    "shard_assign",
+    "shard_manifest",
+    "zorder_key",
+    "zorder_repartition",
+]
+
+
+def _md5_bucket(col: F.Column, modulus: int) -> F.Column:
+    """First 8 md5 hex digits as a long, mod ``modulus`` — the repo's standard
+    engine-portable uniform hash (same construction as text.split_assign)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(modulus),
+    )
+
+
+def shard_assign(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Add a deterministic ``shard`` column in [0, n_shards).
+
+    Hash-based (not ``id % n``) so sequential/clustered ids spread evenly;
+    content-independent so re-curating a document never moves it between
+    shards. Pure projection — no shuffle."""
+    return df.withColumn("shard", _md5_bucket(F.col(id_col), n_shards))
+
+
+def shard_manifest(df: DataFrame, id_col: str, n_shards: int, size_col: str | None = None) -> DataFrame:
+    """Per-shard export manifest: row count, id span, and (optionally) total
+    payload size — the index a loader fleet uses to claim balanced work.
+    One hash-agg over the shard column."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).alias("total_size"))
+    return shard_assign(df, id_col, n_shards).groupBy("shard").agg(*aggs)
+
+
+def shard_export(df: DataFrame, id_col: str, n_shards: int, path: str) -> DataFrame:
+    """Write ``df`` hash-sharded to ``path`` (one directory per shard, the
+    layout a 1000-worker loader consumes) and return the manifest."""
+    sharded = shard_assign(df, id_col, n_shards)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    return shard_manifest(df, id_col, n_shards)
+
+
+def corpus_shuffle(
+    df: DataFrame, id_col: str, seed: str = "0", n_parts: int = 256
+) -> DataFrame:
+    """Deterministic seeded global shuffle for training-order export.
+
+    Every row gets a priority key ``md5(seed ':' id)``; its first byte picks
+    one of ``n_parts`` ordered partitions and a row_number *within* the
+    partition gives the position. ``(part, pos)`` read in part order is a
+    uniform pseudo-random total order over the corpus — changing ``seed``
+    produces an independent order; re-running reproduces it exactly.
+
+    Scale shape: one shuffle on ``part`` + per-partition sort. No global
+    window, no driver sort, no RNG state. ``n_parts`` must divide 16^k for
+    prefix uniformity — use 16/256/4096.
+    """
+    if n_parts not in (16, 256, 4096):
+        raise ValueError("n_parts must be 16, 256 or 4096 (hex-prefix uniformity)")
+    prefix_len = {16: 1, 256: 2, 4096: 3}[n_parts]
+    skey = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    out = df.withColumn("skey", skey).withColumn(
+        "part", F.conv(F.substring(F.col("skey"), 1, prefix_len), 16, 10).cast("int")
+    )
+    w = Window.partitionBy("part").orderBy("skey", id_col)
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, key_col: str = "zkey"
+) -> tuple[DataFrame, DataFrame]:
+    """Z-order (Morton) key over 2-4 long-typed columns.
+
+    Each column is bucketed to ``bits`` bits with integer-exact arithmetic —
+    ``(x - min) div width`` where ``width = (span div 2^bits) + 1`` — then the
+    bucket bits are interleaved, first column in the most-significant lane.
+    Rows close in every dimension get close keys, so a
+    ``repartitionByRange(zkey)`` write yields parquet files whose min/max
+    footers are tight in *all* dimensions at once: a filter on any z-ordered
+    column prunes most files (multi-column data skipping).
+
+    The per-column min/max is one scalar aggregate (returned as the second
+    DataFrame for manifest/reuse); bits*len(cols) must fit a signed int64.
+    """
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_key interleaves 2-4 columns")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62 (signed int64 key)")
+    bounds_df = df.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))]
+    )
+    b = bounds_df.collect()[0]  # 2k scalars — driver-safe at any data size
+
+    k = len(cols)
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = b[f"min_{c}"], b[f"max_{c}"]
+        span = int(hi) - int(lo)
+        if span >= (1 << bits):
+            # wide dimension: integer-exact down-bucketing
+            width = (span >> bits) + 1
+            bucket = F.expr(f"(CAST({c} AS BIGINT) - {int(lo)}L) DIV {width}L")
+        else:
+            # narrow dimension: scale UP so its values occupy the high bit
+            # lanes too — otherwise (e.g. a 15-value column against a
+            # millisecond timestamp) the interleave degenerates to a sort on
+            # the wide column alone and files stop pruning on this one.
+            scale = ((1 << bits) - 1) // max(span, 1)
+            bucket = F.expr(f"(CAST({c} AS BIGINT) - {int(lo)}L) * {scale}L")
+        # bit j of column ci lands at position j*k + (k-1-ci)
+        for j in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * k + (k - 1 - ci)
+            )
+    return df.withColumn(key_col, key.cast("long")), bounds_df
+
+
+def zorder_repartition(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = 16
+) -> DataFrame:
+    """Cluster ``df`` into ``n_files`` range-partitions of the Z-order key —
+    the write-side of OPTIMIZE ZORDER BY. Sorting within partitions keeps
+    parquet row-group stats tight too. Drop ``zkey`` after writing if the
+    consumer shouldn't see it."""
+    keyed, _ = zorder_key(df, cols, bits=bits)
+    return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")

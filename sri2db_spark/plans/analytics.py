@@ -1589,6 +1589,43 @@ def q_quality_expectations(spark, sf):
     )
 
 
+def q_shard_manifest(spark, sf):
+    """Deterministic 16-shard training-export manifest over documents:
+    md5-hash shard assignment + per-shard count/id-span/byte totals — the
+    claim index a 1000-worker loader fleet balances on."""
+    from ..functions.layout import shard_manifest  # noqa: PLC0415
+
+    return shard_manifest(_t(spark, sf, "documents"), "doc_id", 16, size_col="n_chars").select(
+        "shard",
+        "n_rows",
+        "min_id",
+        "max_id",
+        F.col("total_size").cast("long").alias("total_size"),
+    )
+
+
+def q_corpus_shuffle(spark, sf):
+    """Seeded deterministic global shuffle order: md5 priority key, hex-prefix
+    partition, *partitioned* row_number — a reproducible training order with
+    no global sort and no RNG."""
+    from ..functions.layout import corpus_shuffle  # noqa: PLC0415
+
+    return corpus_shuffle(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id", seed="42", n_parts=16
+    ).select("doc_id", "part", "pos")
+
+
+def q_zorder_events(spark, sf):
+    """Z-order (Morton) clustering key over (user_id, ts_ms): integer-exact
+    min-max bucketing + bit interleave, the OPTIMIZE ZORDER BY write key that
+    makes parquet min/max footers prune on BOTH columns."""
+    from ..functions.layout import zorder_key  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", ns_to_ms().alias("ts_ms"))
+    keyed, _ = zorder_key(ev, ["user_id", "ts_ms"], bits=16)
+    return keyed.select("event_id", "zkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness runner executes entries in
     # dict order under a global time budget (round 3 graded only the first
@@ -1660,6 +1697,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_stats": q_source_stats,
     "char_diversity": q_char_diversity,
     "corpus_curation": q_corpus_curation,
+    # training-export data layout (shards / shuffle order / z-order)
+    "shard_manifest": q_shard_manifest,
+    "corpus_shuffle": q_corpus_shuffle,
+    "zorder_events": q_zorder_events,
     # remaining events / time-series / stats
     "events_hourly": q_events_hourly,
     "events_funnel": q_events_funnel,

@@ -1528,6 +1528,57 @@ ORACLES: dict[str, str] = {
                  FROM agg
           UNION ALL SELECT 'price_over_500k', price_over_500k, total FROM agg)
     """,
+    # ---- training-export data layout -----------------------------------
+    "shard_manifest": """
+        SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 16 AS BIGINT) AS shard,
+               COUNT(*) AS n_rows,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id,
+               CAST(SUM(n_chars) AS BIGINT) AS total_size
+        FROM documents
+        GROUP BY 1
+    """,
+    "corpus_shuffle": """
+        WITH k AS (
+          SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(skey, 1, 1) AS BIGINT) AS INT) AS part,
+               ROW_NUMBER() OVER (
+                 PARTITION BY substr(skey, 1, 1) ORDER BY skey, doc_id) AS pos
+        FROM k
+    """,
+    # Bit-for-bit replay of the Morton interleave: the same integer-exact
+    # bucketing ((x - min) // width, width = span // 2^16 + 1) then bit j of
+    # user_id to position 2j+1 and of ts_ms to 2j.
+    "zorder_events": f"""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        ),
+        b AS (
+          SELECT MIN(user_id) AS lu, MAX(user_id) AS hu,
+                 MIN(ts_ms) AS lt, MAX(ts_ms) AS ht
+          FROM e
+        ),
+        k AS (
+          SELECT event_id,
+                 CASE WHEN (hu - lu) >= 65536
+                      THEN (user_id - lu) // (((hu - lu) // 65536) + 1)
+                      ELSE (user_id - lu) * (65535 // greatest(hu - lu, 1)) END AS bu,
+                 CASE WHEN (ht - lt) >= 65536
+                      THEN (ts_ms - lt) // (((ht - lt) // 65536) + 1)
+                      ELSE (ts_ms - lt) * (65535 // greatest(ht - lt, 1)) END AS bt
+          FROM e, b
+        )
+        SELECT event_id,
+               CAST({" + ".join(
+                   f"(((bu >> {j}) & 1) << {2 * j + 1}) + (((bt >> {j}) & 1) << {2 * j})"
+                   for j in range(16)
+               )} AS BIGINT) AS zkey
+        FROM k
+    """,
     "multimodal_meta": """
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

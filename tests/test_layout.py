@@ -1,0 +1,203 @@
+"""Behavioral tests for the training-export data-layout operators
+(functions/layout.py): hash sharding + manifests, seeded deterministic
+corpus shuffle, and Z-order clustering with real file-level data skipping."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sri2db_spark.functions.layout import (
+    corpus_shuffle,
+    shard_assign,
+    shard_export,
+    shard_manifest,
+    zorder_key,
+    zorder_repartition,
+)
+from sri2db_spark.plans.analytics import _t
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- sharding
+
+
+def test_shard_assign_range_and_balance(spark):
+    docs = _t(spark, SF, "documents")
+    n = docs.count()
+    stats = (
+        shard_assign(docs, "doc_id", 16)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert sorted(r["shard"] for r in stats) == list(range(16))
+    # md5-uniform: no shard more than 3x the even share on ~600 docs
+    assert max(r["count"] for r in stats) <= 3 * (n / 16)
+
+
+def test_shard_assign_is_projection_no_shuffle(spark):
+    plan = plan_of(shard_assign(_t(spark, SF, "documents"), "doc_id", 16))
+    assert "Exchange" not in plan
+
+
+def test_shard_export_layout_and_manifest(spark):
+    docs = _t(spark, SF, "documents")
+    with tempfile.TemporaryDirectory(prefix="shards_") as tmp:
+        path = os.path.join(tmp, "out")
+        manifest = shard_export(docs, "doc_id", 8, path)
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+        assert dirs == [f"shard={i}" for i in range(8)]
+        rows = {r["shard"]: r for r in manifest.collect()}
+        assert sum(r["n_rows"] for r in rows.values()) == docs.count()
+        # written files agree with the manifest, shard by shard
+        back = spark.read.parquet(path).groupBy("shard").count().collect()
+        for r in back:
+            assert rows[r["shard"]]["n_rows"] == r["count"]
+
+
+def test_shard_manifest_total_size(spark):
+    docs = _t(spark, SF, "documents")
+    m = shard_manifest(docs, "doc_id", 4, size_col="n_chars")
+    total = m.agg(F.sum("total_size")).collect()[0][0]
+    assert total == docs.agg(F.sum("n_chars")).collect()[0][0]
+
+
+# ---------------------------------------------------------------- shuffle
+
+
+def test_corpus_shuffle_total_order_and_determinism(spark):
+    docs = _t(spark, SF, "documents").select("doc_id")
+    n = docs.count()
+    out = corpus_shuffle(docs, "doc_id", seed="7", n_parts=16)
+    rows = out.collect()
+    assert len(rows) == n
+    # pos is 1..count within every part (contiguous, no gaps/dupes)
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["part"], []).append(r["pos"])
+    for positions in per_part.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # replay-identical
+    again = corpus_shuffle(docs, "doc_id", seed="7", n_parts=16).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different seed produces a genuinely different order
+    other = corpus_shuffle(docs, "doc_id", seed="8", n_parts=16)
+    moved = (
+        out.alias("a")
+        .join(other.alias("b"), "doc_id")
+        .filter((F.col("a.part") != F.col("b.part")) | (F.col("a.pos") != F.col("b.pos")))
+        .count()
+    )
+    assert moved > n * 0.8
+
+
+def test_corpus_shuffle_order_is_uniform_not_id_order(spark):
+    """Reading parts in order must interleave ids, not replay insertion
+    order: adjacent positions in the global order should rarely be adjacent
+    doc_ids."""
+    docs = _t(spark, SF, "documents").select("doc_id")
+    rows = corpus_shuffle(docs, "doc_id", seed="42", n_parts=16).collect()
+    ordered = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["part"], r["pos"]))]
+    adjacent = sum(1 for a, b in zip(ordered, ordered[1:]) if abs(a - b) == 1)
+    assert adjacent < len(ordered) * 0.05
+
+
+def test_corpus_shuffle_has_no_global_window(spark):
+    """The window must be partitioned by the hex prefix — a global
+    row_number would serialize 100 TB through one task."""
+    docs = _t(spark, SF, "documents").select("doc_id")
+    plan = plan_of(corpus_shuffle(docs, "doc_id", seed="1", n_parts=256))
+    assert "SinglePartition" not in plan
+
+
+def test_corpus_shuffle_rejects_non_hex_parts(spark):
+    docs = _t(spark, SF, "documents").select("doc_id")
+    with pytest.raises(ValueError):
+        corpus_shuffle(docs, "doc_id", n_parts=100)
+
+
+# ---------------------------------------------------------------- z-order
+
+
+def _py_zkey(vals, bounds, bits=16):
+    """Independent Python reference for the Morton interleave."""
+    k = len(vals)
+    key = 0
+    for ci, (x, (lo, hi)) in enumerate(zip(vals, bounds)):
+        width = ((hi - lo) // (1 << bits)) + 1
+        bucket = (x - lo) // width
+        for j in range(bits):
+            key += ((bucket >> j) & 1) << (j * k + (k - 1 - ci))
+    return key
+
+
+def test_zorder_key_matches_python_reference(spark):
+    data = [(1, 10, 1000), (2, 500, 2), (3, 9999, 123456), (4, 10, 123456)]
+    df = spark.createDataFrame(data, "id long, x long, y long")
+    keyed, bounds = zorder_key(df, ["x", "y"], bits=8)
+    b = bounds.collect()[0]
+    ref_bounds = [(b["min_x"], b["max_x"]), (b["min_y"], b["max_y"])]
+    for r in keyed.collect():
+        assert r["zkey"] == _py_zkey([r["x"], r["y"]], ref_bounds, bits=8)
+
+
+def test_zorder_key_three_columns_and_validation(spark):
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 7 % 50).alias("a"),
+        (F.col("id") * 13 % 31).alias("b"),
+        (F.col("id") * 3 % 17).alias("c"),
+    )
+    keyed, _ = zorder_key(df, ["a", "b", "c"], bits=10)
+    assert keyed.select("zkey").distinct().count() > 1
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a"], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a", "b"], bits=40)  # 80 bits > int64
+
+
+def test_zorder_write_skips_files_on_both_dimensions(spark):
+    """The point of Z-order: after clustering on (user_id, ts), per-file
+    min/max spans of BOTH columns are far tighter than the global span, so
+    a predicate on either column prunes most files."""
+    ev = _t(spark, SF, "events").select("event_id", "user_id", "ts")
+    n_files = 8
+    with tempfile.TemporaryDirectory(prefix="zorder_") as tmp:
+        path = os.path.join(tmp, "ev")
+        zorder_repartition(ev, ["user_id", "ts"], n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("uspan"),
+                (F.max("ts") - F.min("ts")).alias("tspan"),
+            )
+            .collect()
+        )
+        g = ev.agg(
+            (F.max("user_id") - F.min("user_id")).alias("uspan"),
+            (F.max("ts") - F.min("ts")).alias("tspan"),
+        ).collect()[0]
+        assert len(per_file) >= n_files // 2
+        avg_u = sum(r["uspan"] for r in per_file) / len(per_file)
+        avg_t = sum(r["tspan"] for r in per_file) / len(per_file)
+        # Z-order trades per-dimension tightness across dimensions; on 2 dims
+        # each file should still cover well under the full span of each.
+        assert avg_u < g["uspan"] * 0.7
+        assert avg_t < g["tspan"] * 0.7
