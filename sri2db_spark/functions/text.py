@@ -314,21 +314,33 @@ def boilerplate_fraction(
     corpus-wide boilerplate (from :func:`boilerplate_shingles`).
 
     The dictionary is the heavy-hitter set — orders of magnitude smaller
-    than the corpus — so the probe join is broadcast-eligible; AQE converts
-    it at runtime once the build side's true size is known (it is derived
-    from the corpus itself, so it has no compile-time size).
+    than the corpus — so the probe join is broadcast. The expensive part —
+    regex-splitting every document into k-word shingles — happens ONCE: the
+    corpus is reduced to per-(doc, shingle) occurrence counts and persisted;
+    both the dictionary aggregation and the per-document probe read that
+    (much smaller) pair table instead of re-shingling the corpus.
     """
-    bp = boilerplate_shingles(docs, id_col, text_col, k, min_docs).select("shingle")
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    pair = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .persist()
     )
-    flagged = grams.join(
-        bp.withColumn("__bp", F.lit(1)), "shingle", "left"
+    # each pair row IS one distinct (doc, shingle): a plain COUNT per shingle
+    # equals the distinct-document count — no count-distinct shuffle
+    bp = (
+        pair.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("shingle")
     )
+    flagged = pair.join(F.broadcast(bp.withColumn("__bp", F.lit(1))), "shingle", "left")
     agg = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(F.coalesce(F.col("__bp"), F.lit(0))).alias("n_boilerplate"),
+        F.sum("n_occ").alias("n_shingles"),
+        F.sum(F.col("n_occ") * F.coalesce(F.col("__bp"), F.lit(0))).alias("n_boilerplate"),
     )
     return agg.select(
         "doc_id",
