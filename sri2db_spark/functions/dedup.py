@@ -251,6 +251,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     method: str = "oph",
+    prefilter_sigma: float | None = 5.0,
 ) -> DataFrame:
     """Scalable near-dup pairs: MinHash → LSH banding → candidate bucket join
     → exact-Jaccard verification on candidates only.
@@ -268,6 +269,19 @@ def minhash_lsh_pairs(
     independent permutation hashes. Either way every candidate is verified
     with exact Jaccard, so the OUTPUT is identical as long as banding recall
     holds (both configurations keep the miss probability negligible).
+
+    ``prefilter_sigma``: r=2 banding buys its ~exact recall with low
+    precision — on a near-dup-rich corpus candidates outnumber true pairs
+    ~1000:1, and exact-verifying all of them (shingle-array intersects)
+    dominates the runtime. Before the exact step, estimate Jaccard from the
+    already-persisted signatures (matching components / num_perm, a
+    Binomial(num_perm, s) proportion) and drop candidates whose estimate is
+    more than ``prefilter_sigma`` standard deviations BELOW ``threshold``.
+    At the default 5σ a true pair at exactly the threshold is lost with
+    p ≈ 3e-7 (one-sided normal tail) while candidates at s ≪ threshold —
+    the overwhelming majority — are dropped without touching their shingle
+    sets. Exact verification (and the shingling it needs) then runs only on
+    survivors and only on the documents they mention. ``None`` disables.
     """
     r = num_perm // bands
     # Persist: the band self-join consumes the signature aggregation twice and
@@ -290,7 +304,44 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    shingle_sets = _parallelize(df).select(
+    docs = _parallelize(df)
+    if prefilter_sigma is not None:
+        import math  # noqa: PLC0415
+
+        cutoff = max(
+            0.0,
+            threshold
+            - prefilter_sigma * math.sqrt(threshold * (1.0 - threshold) / num_perm),
+        )
+        est = (
+            candidates.join(
+                sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+            )
+            .join(
+                sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(
+                        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+                    ).cast("double")
+                    / F.lit(float(num_perm))
+                ).alias("est"),
+            )
+        )
+        candidates = est.filter(F.col("est") >= cutoff).select("id_a", "id_b").persist()
+        # exact verification only needs the documents that survive — a
+        # left-semi against the (small) survivor id set keeps the expensive
+        # re-shingling off the rest of the corpus
+        surv_ids = (
+            candidates.select(F.col("id_a").alias("__vid"))
+            .union(candidates.select(F.col("id_b").alias("__vid")))
+            .distinct()
+        )
+        docs = docs.join(surv_ids, F.col(id_col) == F.col("__vid"), "left_semi")
+    shingle_sets = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
     )
@@ -480,8 +531,12 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is deterministic per pair, and most
+        # band-collision candidates fail the cut — dropping them first keeps
+        # the distinct's shuffle to the (small) true-near-dup volume instead
+        # of up to 4 rows per candidate pair
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
