@@ -430,6 +430,27 @@ def q_ann_ivf_topk(spark, sf):
     return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, nlist=16, nprobe=4)
 
 
+def q_ann_ivf_saved(spark, sf):
+    """Build-once/query-many IVF: train + materialize the index (cells
+    partitioned by cid → file-level pruning at query time), then answer the
+    same top-k batch as ``ann_ivf_topk`` from the saved index. Output is
+    identical (bit-exact float round-trip), so it shares that oracle."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    emb = _tp(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        S.build_ivf_index(emb, tmp, nlist=16)
+        out = S.ivf_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 8), k=5, nprobe=4
+        )
+        # materialize before the index directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_emb_centroids(spark, sf):
     return S.cluster_centroids(_tp(spark, sf, "embeddings"))
 
@@ -1669,6 +1690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_saved": q_ann_ivf_saved,
     "emb_centroids": q_emb_centroids,
     # text pipeline
     "text_quality": q_text_quality,

@@ -1351,6 +1351,9 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "ann_lsh_topk": _lsh_ann_oracle(),
     "ann_ivf_topk": _ivf_ann_oracle(),
+    # same parameters, same output — the saved-index path round-trips floats
+    # bit-exactly, so it shares the replayed-kmeans oracle
+    "ann_ivf_saved": _ivf_ann_oracle(),
     "dedup_semantic": _semantic_dedup_oracle(),
     "ann_cosine_topk": f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
