@@ -306,48 +306,82 @@ def minhash_lsh_pairs(
     )
     docs = _parallelize(df)
     if prefilter_sigma is not None:
-        import math  # noqa: PLC0415
-
-        cutoff = max(
-            0.0,
-            threshold
-            - prefilter_sigma * math.sqrt(threshold * (1.0 - threshold) / num_perm),
-        )
-        est = (
-            candidates.join(
-                sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
-            )
-            .join(
-                sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
-            )
-            .select(
-                "id_a",
-                "id_b",
-                (
-                    F.size(
-                        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-                    ).cast("double")
-                    / F.lit(float(num_perm))
-                ).alias("est"),
-            )
-        )
-        candidates = est.filter(F.col("est") >= cutoff).select("id_a", "id_b").persist()
+        candidates = _estimate_prefilter(
+            candidates, sigs, num_perm, threshold, prefilter_sigma
+        ).persist()
         # exact verification only needs the documents that survive — a
         # left-semi against the (small) survivor id set keeps the expensive
         # re-shingling off the rest of the corpus
-        surv_ids = (
-            candidates.select(F.col("id_a").alias("__vid"))
-            .union(candidates.select(F.col("id_b").alias("__vid")))
-            .distinct()
+        docs = _restrict_to_candidates(docs, candidates, id_col)
+    return _verify_jaccard(candidates, docs, id_col, text_col, k, threshold)
+
+
+def _estimate_prefilter(
+    candidates: DataFrame,
+    sigs: DataFrame,
+    num_perm: int,
+    threshold: float,
+    sigma: float,
+) -> DataFrame:
+    """Drop candidates whose signature-estimated Jaccard (matching components
+    / num_perm, a Binomial proportion) is more than ``sigma`` standard
+    deviations below ``threshold`` — see the ``prefilter_sigma`` discussion in
+    ``minhash_lsh_pairs``."""
+    import math  # noqa: PLC0415
+
+    cutoff = max(
+        0.0, threshold - sigma * math.sqrt(threshold * (1.0 - threshold) / num_perm)
+    )
+    est = (
+        candidates.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
         )
-        docs = docs.join(surv_ids, F.col(id_col) == F.col("__vid"), "left_semi")
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+                ).cast("double")
+                / F.lit(float(num_perm))
+            ).alias("est"),
+        )
+    )
+    return est.filter(F.col("est") >= cutoff).select("id_a", "id_b")
+
+
+def _restrict_to_candidates(
+    docs: DataFrame, candidates: DataFrame, id_col: str
+) -> DataFrame:
+    """Left-semi prune ``docs`` to the ids a candidate pair mentions."""
+    surv_ids = (
+        candidates.select(F.col("id_a").alias("__vid"))
+        .union(candidates.select(F.col("id_b").alias("__vid")))
+        .distinct()
+    )
+    return docs.join(surv_ids, F.col(id_col) == F.col("__vid"), "left_semi")
+
+
+def _verify_jaccard(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact k-shingle-Jaccard verification of (id_a, id_b) candidate pairs;
+    shingles only the docs present in ``docs`` (pre-pruned by the caller)."""
     shingle_sets = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
     )
     sa = shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
+    return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -360,6 +394,114 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def write_signature_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 3,
+    num_perm: int = 128,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize per-doc MinHash (OPH) signatures to ``path`` as parquet
+    ``(id, sig array<bigint>)`` — the persisted index for
+    ``incremental_neardup_pairs``.
+
+    At 100 TB the full corpus is never re-signatured per ingest batch: the
+    store holds one ~1 KB row per document (num_perm longs), three orders of
+    magnitude smaller than the corpus, and each batch appends only its own
+    signatures (``mode="append"``). Band keys are NOT stored — they are a
+    narrow per-row projection (64 hashes of signature slices) recomputed on
+    read, which keeps the store format independent of the banding config.
+    """
+    oph_signatures(df, id_col, text_col, k, num_perm).write.mode(mode).parquet(path)
+
+
+def incremental_neardup_pairs(
+    spark,
+    store_path: str,
+    new_docs: DataFrame,
+    docs_lookup: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+    prefilter_sigma: float | None = 5.0,
+    update_store: bool = True,
+) -> DataFrame:
+    """Batch-incremental near-dup detection against a persisted signature
+    store: signatures are computed for ``new_docs`` ONLY, and the returned
+    pairs are exactly the ``minhash_lsh_pairs`` pairs that involve at least
+    one new document (verified with exact shingle Jaccard, id_a < id_b).
+
+    This is the 100 TB ingest path: per-batch cost is O(batch) signature
+    work + one band-key join of the batch against the store — not the O(corpus)
+    re-signature a full re-run pays. ``docs_lookup`` supplies text for exact
+    verification; it is left-semi pruned to the handful of ids the surviving
+    candidates mention, so at scale it is a point-lookup-shaped scan of the
+    corpus, not a full read. With ``update_store`` the batch signatures are
+    appended so the next batch sees them.
+
+    Recall is identical to the full run's: the same (bands × rows) banding is
+    applied to the union of stored + new signatures, and a pair involving a
+    new doc collides in exactly the same buckets either way. Bucket-size
+    capping is likewise computed on the UNION so a boilerplate bucket that
+    would be dropped by the full run is also dropped here.
+    """
+    r = num_perm // bands
+    new_sigs = oph_signatures(new_docs, id_col, text_col, k, num_perm).persist()
+    # Pin the PRE-batch store to its explicit file list: the returned
+    # DataFrame executes lazily, possibly after ``update_store`` has appended
+    # this batch's signatures — a plain directory read re-resolved at that
+    # point would see the new files and double-count every new id.
+    try:
+        files = spark.read.parquet(store_path).inputFiles()
+    except Exception:  # nonexistent store: first batch bootstraps it
+        files = []
+    if files:
+        old_sigs = spark.read.parquet(*files).select("id", "sig")
+        all_sigs = old_sigs.unionByName(new_sigs)
+    else:
+        old_sigs = None
+        all_sigs = new_sigs
+    all_sigs = all_sigs.persist()
+    new_bands = _band_keys(new_sigs, bands, r)
+    all_bands = _band_keys(all_sigs, bands, r)
+    all_bands = _drop_oversized_buckets(
+        all_bands, max_bucket_size, "incremental_neardup_pairs"
+    )
+    n = new_bands.alias("n")
+    o = all_bands.alias("o")
+    # new × all join: every pair with ≥1 new member collides here; normalize
+    # the orientation (least/greatest) because new-new pairs arrive in both
+    # orders and new-old pairs in whichever order the ids happen to compare.
+    candidates = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bkey") == F.col("o.bkey"))
+            & (F.col("n.id") != F.col("o.id")),
+        )
+        .select(
+            F.least(F.col("n.id"), F.col("o.id")).alias("id_a"),
+            F.greatest(F.col("n.id"), F.col("o.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    if prefilter_sigma is not None:
+        candidates = _estimate_prefilter(
+            candidates, all_sigs, num_perm, threshold, prefilter_sigma
+        ).persist()
+    docs = _restrict_to_candidates(_parallelize(docs_lookup), candidates, id_col)
+    verified = _verify_jaccard(candidates, docs, id_col, text_col, k, threshold)
+    if update_store:
+        mode = "append" if old_sigs is not None else "overwrite"
+        new_sigs.write.mode(mode).parquet(store_path)
     return verified
 
 

@@ -405,6 +405,32 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+def q_neardup_incremental(spark, sf):
+    """Batch-incremental near-dup against a persisted signature store: the
+    store is built from the base corpus (doc_id % 7 != 0), then one ingest
+    batch (doc_id % 7 == 0) is processed incrementally — only the batch is
+    signatured; emitted pairs are exactly the near-dup pairs involving ≥1
+    batch doc, exact-verified. The 100 TB ingest path: per-batch cost is
+    O(batch), not O(corpus)."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    docs = _t(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="sigstore_")
+    try:
+        D.write_signature_store(
+            docs.filter(F.col("doc_id") % 7 != 0), "doc_id", "text", tmp
+        )
+        out = D.incremental_neardup_pairs(
+            spark, tmp, docs.filter(F.col("doc_id") % 7 == 0), docs,
+            "doc_id", "text", k=3, num_perm=128, bands=64, threshold=0.5,
+        )
+        # materialize before the store directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dedup_simhash(spark, sf):
     # portable md5-derived feature hash so the DuckDB oracle reproduces the
     # exact signatures (xxhash64 stays the production default)
@@ -1685,6 +1711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup + similarity flagships
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "neardup_incremental": q_neardup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_semantic": q_dedup_semantic,
     "ann_cosine_topk": q_ann_cosine_topk,

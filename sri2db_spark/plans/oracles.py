@@ -1348,6 +1348,11 @@ ORACLES: dict[str, str] = {
     # j ≥ 0.5, and every candidate is verified with exact Jaccard — so its
     # output equals the exact algorithm's.
     "dedup_minhash_lsh": _JACCARD_PAIRS,
+    # incremental run emits exactly the exact-Jaccard pairs touching the
+    # ingest batch (doc_id % 7 = 0); banding recall is exact on this corpus
+    "neardup_incremental": (
+        f"SELECT * FROM ({_JACCARD_PAIRS}) p WHERE id_a % 7 = 0 OR id_b % 7 = 0"
+    ),
     "dedup_simhash": _simhash_oracle(),
     "ann_lsh_topk": _lsh_ann_oracle(),
     "ann_ivf_topk": _ivf_ann_oracle(),

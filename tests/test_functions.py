@@ -48,6 +48,68 @@ def test_minhash_lsh_equals_exact_jaccard(spark, docs):
     assert len(exact) > 0  # the corpus has planted near-dups
 
 
+def test_incremental_neardup_matches_full_run(spark, docs, tmp_path):
+    """Incremental processing of an ingest batch against a signature store
+    must emit exactly the full-run pairs that involve ≥1 batch doc — no extra
+    signatures computed for the base corpus."""
+    store = str(tmp_path / "sigstore")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    D.write_signature_store(base, "doc_id", "text", store)
+    inc = {
+        (r.id_a, r.id_b)
+        for r in D.incremental_neardup_pairs(
+            spark, store, batch, docs, "doc_id", "text"
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        if r.id_a % 7 == 0 or r.id_b % 7 == 0
+    }
+    assert inc == full
+    assert len(inc) > 0  # the planted near-dups straddle the batch split
+
+
+def test_incremental_neardup_store_append_chains_batches(spark, docs, tmp_path):
+    """update_store appends the batch signatures, so a SECOND batch sees
+    first-batch docs as store members; an empty store bootstraps cleanly."""
+    store = str(tmp_path / "sigstore2")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    # batch 0 bootstraps an empty store: no prior sigs → only b0×b0 pairs
+    p0 = {
+        (r.id_a, r.id_b)
+        for r in D.incremental_neardup_pairs(
+            spark, store, b0, docs, "doc_id", "text"
+        ).collect()
+    }
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in D.incremental_neardup_pairs(
+            spark, store, b1, docs, "doc_id", "text"
+        ).collect()
+    }
+    p2 = {
+        (r.id_a, r.id_b)
+        for r in D.incremental_neardup_pairs(
+            spark, store, b2, docs, "doc_id", "text"
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    # each pair surfaces exactly once: in the batch where its LATER member
+    # arrives (the earlier member is already in the store by then)
+    assert p0 | p1 | p2 == full
+    assert not (p0 & p1) and not (p0 & p2) and not (p1 & p2)
+    # store now holds every doc's signature exactly once
+    n_sigs = spark.read.parquet(store).count()
+    assert n_sigs == docs.count()
+
+
 def test_simhash_pairs_are_true_near_dups(spark, docs):
     """SimHash(hamming≤3) over trigram shingles: high precision against the
     exact trigram-Jaccard ground truth (it's a stricter sketch)."""
