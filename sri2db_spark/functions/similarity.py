@@ -432,6 +432,45 @@ def build_ivf_index(
     )
 
 
+def ivf_index_upsert(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append an ingest batch to a saved IVF index WITHOUT retraining: each
+    new vector is assigned to its nearest existing centroid (same argmin +
+    lowest-cid tie-break as :func:`kmeans_lite`) and appended to that cell's
+    partition directory. Queries via :func:`ivf_query_index` see the batch
+    immediately.
+
+    The 100 TB ingest path: per-batch cost is one narrow scan of the batch
+    (the centroids are nlist·dim doubles, broadcast as literals) + an append
+    of batch-sized parquet into the probed-partition layout — the existing
+    corpus is never read or rewritten. Retrain (``build_ivf_index``) only
+    when drift degrades recall; the standard IVF maintenance split.
+    """
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    choices = F.array(
+        *[
+            F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    (
+        new_vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.array_min(choices).getField("cid").alias("cid"),
+        )
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/cells")
+    )
+
+
 def ivf_query_index(
     spark,
     path: str,

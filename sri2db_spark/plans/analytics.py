@@ -477,6 +477,27 @@ def q_ann_ivf_saved(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_ivf_upsert(spark, sf):
+    """Incremental IVF maintenance: index trained on the base corpus
+    (vec_id % 5 != 0), then an ingest batch (vec_id % 5 == 0) appended via
+    ``ivf_index_upsert`` — assigned to the EXISTING centroids, no retrain,
+    no rewrite of existing cells. The query batch then sees base + batch."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    emb = _tp(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_ups_")
+    try:
+        S.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), tmp, nlist=16)
+        S.ivf_index_upsert(spark, tmp, emb.filter(F.col("vec_id") % 5 == 0))
+        out = S.ivf_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 8), k=5, nprobe=4
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_emb_centroids(spark, sf):
     return S.cluster_centroids(_tp(spark, sf, "embeddings"))
 
@@ -1718,6 +1739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_saved": q_ann_ivf_saved,
+    "ann_ivf_upsert": q_ann_ivf_upsert,
     "emb_centroids": q_emb_centroids,
     # text pipeline
     "text_quality": q_text_quality,

@@ -172,17 +172,24 @@ def _lsh_ann_oracle(n_tables: int = 8, n_planes: int = 6, k: int = 5) -> str:
     """
 
 
-def _kmeans_ctes(nlist: int, iters: int) -> str:
+def _kmeans_ctes(nlist: int, iters: int, train_where: str | None = None) -> str:
     """WITH-body prefix replaying kmeans_lite (default "id" seeding):
     lowest-id seeds, ``iters`` quantized-exact Lloyd rounds. Defines
     ``e`` (vec_id, v), ``cl{iters}`` (centroid lists) and ``afin``
     (final assignment: vec_id, v, cid). Every float fold is sequential and
     every centroid update integer-exact, so assignments match Spark's
-    bit-for-bit. Shared by the IVF-ANN and semantic-dedup oracles."""
+    bit-for-bit. Shared by the IVF-ANN and semantic-dedup oracles.
+
+    ``train_where`` restricts the TRAINING corpus (seeds + Lloyd rounds) to a
+    subset while ``afin`` still assigns every vector — the replay of
+    ``build_ivf_index(base)`` + ``ivf_index_upsert(batch)``."""
+    src = "e" if train_where is None else "et"
+    et_sql = "" if train_where is None else f"""
+        et AS (SELECT * FROM e WHERE {train_where}),"""
     q12 = "1000000000000.0"
     seeds_sql = f"""seeds AS (
           SELECT rn - 1 AS cid, v FROM (
-            SELECT row_number() OVER (ORDER BY vec_id ASC) AS rn, v FROM e
+            SELECT row_number() OVER (ORDER BY vec_id ASC) AS rn, v FROM {src}
           ) WHERE rn <= {nlist}
         )"""
     rounds = []
@@ -190,10 +197,10 @@ def _kmeans_ctes(nlist: int, iters: int) -> str:
         rounds.append(f"""
         a{r - 1} AS (
           SELECT vec_id, v, cid FROM (
-            SELECT e.vec_id, e.v, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY {_sqdist('e.v', 'c.cl')} ASC, c.cid ASC) AS rn
-            FROM e CROSS JOIN cl{r - 1} c
+            SELECT {src}.vec_id, {src}.v, c.cid,
+                   row_number() OVER (PARTITION BY {src}.vec_id
+                     ORDER BY {_sqdist(f'{src}.v', 'c.cl')} ASC, c.cid ASC) AS rn
+            FROM {src} CROSS JOIN cl{r - 1} c
           ) WHERE rn = 1
         ),
         u{r} AS (
@@ -211,7 +218,7 @@ def _kmeans_ctes(nlist: int, iters: int) -> str:
     return f"""e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
-        ),
+        ),{et_sql}
         {seeds_sql},
         cent0 AS (SELECT cid, i AS dim_idx, v[i + 1] AS c FROM seeds, range(0, {DIM}) td(i)),
         cl0 AS (SELECT cid, list(c ORDER BY dim_idx) AS cl FROM cent0 GROUP BY cid),{rounds_sql},
@@ -247,13 +254,18 @@ def _semantic_dedup_oracle(
 
 
 def _ivf_ann_oracle(
-    nlist: int = 16, nprobe: int = 4, iters: int = 2, k: int = 5
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    k: int = 5,
+    train_where: str | None = None,
 ) -> str:
     """Full IVF simulation (functions/similarity.py kmeans_lite+ivf_ann_topk,
     default "id" seeding): clustering replay (shared CTEs) + nprobe-pruned
-    candidate scan + exact re-rank."""
+    candidate scan + exact re-rank. ``train_where`` replays the
+    build-on-base/upsert-batch index (see _kmeans_ctes)."""
     return f"""
-        WITH {_kmeans_ctes(nlist, iters)},
+        WITH {_kmeans_ctes(nlist, iters, train_where)},
         probes AS (
           SELECT query_id, cid FROM (
             SELECT q.vec_id AS query_id, c.cid,
@@ -1356,6 +1368,9 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "ann_lsh_topk": _lsh_ann_oracle(),
     "ann_ivf_topk": _ivf_ann_oracle(),
+    # index trained on vec_id % 5 != 0, batch upserted without retraining:
+    # same query set answered over ALL vectors assigned to the base centroids
+    "ann_ivf_upsert": _ivf_ann_oracle(train_where="vec_id % 5 != 0"),
     # same parameters, same output — the saved-index path round-trips floats
     # bit-exactly, so it shares the replayed-kmeans oracle
     "ann_ivf_saved": _ivf_ann_oracle(),

@@ -65,3 +65,43 @@ def test_nprobe_caps_at_nlist(spark, index):
     # probing every cell == exact search over the whole corpus
     exact = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_upsert_appends_without_retraining(spark):
+    """build(base) + ivf_index_upsert(batch) must leave the centroids
+    byte-identical, hold every id exactly once, and answer queries exactly
+    like an argmin assignment of the batch to the SAME centroids (numpy
+    reference, independent of the Spark plan)."""
+    import numpy as np
+
+    emb = _tp(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="ivf_ups_test_")
+    try:
+        S.build_ivf_index(base, tmp, nlist=16)
+        cent_before = sorted(
+            map(tuple, spark.read.parquet(f"{tmp}/centroids").collect())
+        )
+        S.ivf_index_upsert(spark, tmp, batch)
+        cent_after = sorted(
+            map(tuple, spark.read.parquet(f"{tmp}/centroids").collect())
+        )
+        assert cent_before == cent_after  # no retrain
+        cells = spark.read.parquet(f"{tmp}/cells")
+        ids = [r["id"] for r in cells.select("id").collect()]
+        assert sorted(ids) == sorted(r[0] for r in emb.select("vec_id").collect())
+        # batch rows landed in their numpy-argmin cell (lowest-cid tie-break)
+        C = np.array(
+            [r["centroid"] for r in spark.read.parquet(f"{tmp}/centroids")
+             .orderBy("cid").collect()]
+        )
+        got = {r["id"]: r["cid"] for r in cells.collect()}
+        for r in batch.collect():
+            v = np.array([float(x) for x in r["embedding"]])
+            d = ((C - v) ** 2).sum(axis=1)
+            assert got[r["vec_id"]] == int(np.argmin(d)), r["vec_id"]
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
