@@ -433,6 +433,8 @@ def incremental_neardup_pairs(
     max_bucket_size: int | None = 1000,
     prefilter_sigma: float | None = 5.0,
     update_store: bool = True,
+    new_sigs: DataFrame | None = None,
+    old_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-incremental near-dup detection against a persisted signature
     store: signatures are computed for ``new_docs`` ONLY, and the returned
@@ -452,23 +454,32 @@ def incremental_neardup_pairs(
     new doc collides in exactly the same buckets either way. Bucket-size
     capping is likewise computed on the UNION so a boilerplate bucket that
     would be dropped by the full run is also dropped here.
+
+    ``new_sigs``/``old_sigs`` let a caller that manages signatures itself
+    (e.g. the streaming wrapper, which writes batch-id-addressed store files
+    for exactly-once retries) inject them: ``new_sigs`` skips the batch
+    signature computation, ``old_sigs`` replaces the store read entirely.
     """
     r = num_perm // bands
-    new_sigs = oph_signatures(new_docs, id_col, text_col, k, num_perm).persist()
-    # Pin the PRE-batch store to its explicit file list: the returned
-    # DataFrame executes lazily, possibly after ``update_store`` has appended
-    # this batch's signatures — a plain directory read re-resolved at that
-    # point would see the new files and double-count every new id.
-    try:
-        files = spark.read.parquet(store_path).inputFiles()
-    except Exception:  # nonexistent store: first batch bootstraps it
-        files = []
-    if files:
-        old_sigs = spark.read.parquet(*files).select("id", "sig")
-        all_sigs = old_sigs.unionByName(new_sigs)
-    else:
-        old_sigs = None
-        all_sigs = new_sigs
+    if new_sigs is None:
+        new_sigs = oph_signatures(new_docs, id_col, text_col, k, num_perm)
+    new_sigs = new_sigs.persist()
+    if old_sigs is None:
+        # Pin the PRE-batch store to its explicit file list: the returned
+        # DataFrame executes lazily, possibly after ``update_store`` has
+        # appended this batch's signatures — a plain directory read
+        # re-resolved at that point would see the new files and double-count
+        # every new id.
+        try:
+            files = spark.read.parquet(store_path).inputFiles()
+        except Exception:  # nonexistent store: first batch bootstraps it
+            files = []
+        old_sigs = (
+            spark.read.parquet(*files).select("id", "sig") if files else None
+        )
+    all_sigs = (
+        old_sigs.unionByName(new_sigs) if old_sigs is not None else new_sigs
+    )
     all_sigs = all_sigs.persist()
     new_bands = _band_keys(new_sigs, bands, r)
     all_bands = _band_keys(all_sigs, bands, r)

@@ -54,6 +54,85 @@ def stream_exact_dedup_global(stream: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def stream_neardup_incremental(
+    stream: DataFrame,
+    store_dir: str,
+    corpus_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """Self-maintaining streaming near-dup: every micro-batch is near-dup
+    checked against the signature store of ALL earlier batches via
+    ``functions.dedup.incremental_neardup_pairs``, then its own signatures
+    join the store — no periodic index rebuild, the index IS the stream
+    history. Per-batch cost is O(batch): signatures for the batch only, one
+    band join against the store, exact verification against only the docs
+    the candidates mention.
+
+    Exactly-once under foreachBatch retries: every sink write is addressed
+    by batch id (``.../batch_id=N`` subdirectories written with overwrite),
+    so a replayed batch overwrites its own partial output instead of
+    duplicating it — and the store read EXCLUDES the current batch id, so a
+    retry never sees its own half-written signatures as "old".
+
+    Outputs:
+    - ``store_dir``: (id, sig) signatures, partitioned by batch_id.
+    - ``corpus_dir``: raw (id, text) per batch — the verification lookup.
+    - ``pairs_dir``: (id_a, id_b, jaccard) near-dup pairs, partitioned by
+      batch_id (pairs discovered when the later member arrived).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..functions import dedup as D  # noqa: PLC0415
+
+    def _read_excluding(spark, base: str, batch_id: int, cols: list[str]):
+        try:
+            df = spark.read.option("basePath", base).parquet(base)
+        except Exception:  # first batch: nothing yet
+            return None
+        if "batch_id" not in df.columns:
+            return df.select(*cols)
+        return df.filter(F.col("batch_id") != batch_id).select(*cols)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_docs = batch_df.select(
+            F.col(id_col), F.col(text_col)
+        ).persist()
+        sigs = D.oph_signatures(batch_docs, id_col, text_col, k, num_perm).persist()
+        old_sigs = _read_excluding(spark, store_dir, batch_id, ["id", "sig"])
+        old_corpus = _read_excluding(spark, corpus_dir, batch_id, [id_col, text_col])
+        lookup = (
+            old_corpus.unionByName(batch_docs)
+            if old_corpus is not None
+            else batch_docs
+        )
+        pairs = D.incremental_neardup_pairs(
+            spark, store_dir, batch_docs, lookup, id_col, text_col,
+            k=k, num_perm=num_perm, bands=bands, threshold=threshold,
+            update_store=False, new_sigs=sigs, old_sigs=old_sigs,
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+        batch_docs.write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch_id={batch_id}"
+        )
+        sigs.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_neardup_dedup(
     stream: DataFrame,
     index_bands: DataFrame,

@@ -149,3 +149,66 @@ def test_stream_neardup_against_static_index(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "nout")).collect()}
     assert got == {2}
+
+
+def test_stream_neardup_incremental_maintains_store(spark, tmp_path):
+    """Self-maintaining streaming near-dup: cross-batch pairs surface in the
+    batch where the LATER member arrives, the signature store accumulates
+    every doc once, and the union of per-batch pairs equals the batch
+    algorithm run on the whole corpus at rest."""
+    from sri2db_spark.functions import dedup as D
+    from sri2db_spark.streaming.dedup_stream import stream_neardup_incremental
+
+    t_dup = "the quick brown fox jumps over the lazy dog again and again"
+    t_other = "completely different content about spark structured streaming state"
+    rows1 = [
+        {"doc_id": 1, "text": t_dup, "event_time": "2024-01-01T10:00:00"},
+        {"doc_id": 2, "text": t_dup + " extra", "event_time": "2024-01-01T10:00:10"},
+        {"doc_id": 3, "text": t_other, "event_time": "2024-01-01T10:00:20"},
+    ]
+    rows2 = [
+        {"doc_id": 4, "text": t_dup, "event_time": "2024-01-01T10:05:00"},
+        {"doc_id": 5, "text": "yet more unrelated words entirely", "event_time": "2024-01-01T10:05:10"},
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_batch(feed, "b1.json", rows1, mtime=1_000)
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        q = stream_neardup_incremental(
+            stream, store, corpus, pairs_dir, ckpt,
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    _write_batch(feed, "b2.json", rows2, mtime=2_000)
+    run_available()
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows1 + rows2], "doc_id long, text string"
+    )
+    expected = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(all_docs, "doc_id", "text").collect()
+    }
+    got_rows = spark.read.option("basePath", pairs_dir).parquet(pairs_dir).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    assert got == expected
+    assert len(got_rows) == len(got)  # each pair exactly once across batches
+    assert (1, 4) in got or (4, 1) in got  # a cross-batch pair was found
+    # the (4, ...) pairs surfaced in doc 4's batch, not doc 1's
+    later = {(r.id_a, r.id_b) for r in got_rows if r.id_b == 4 or r.id_a == 4}
+    for p in later:
+        assert p in expected
+    # store holds every doc's signature exactly once
+    sigs = spark.read.option("basePath", store).parquet(store)
+    assert sorted(r.id for r in sigs.select("id").collect()) == [1, 2, 3, 4, 5]
