@@ -477,6 +477,29 @@ def q_ann_ivf_saved(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization ADC top-k: 4 subspace codebooks (16 centroids,
+    1 Lloyd round), corpus encoded as 4 codes/vector, queries answered from
+    per-query lookup tables over the codes alone. Small PQ config so the
+    DuckDB oracle's 4-way k-means replay stays tractable; the library
+    defaults are larger."""
+    emb = _tp(spark, sf, "embeddings")
+    books = S.pq_train(emb, m=4, ksub=16, iters=1)
+    codes = S.pq_encode(emb, books)
+    return S.pq_adc_topk(codes, books, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ann_pq_rerank(spark, sf):
+    """Two-stage PQ: ADC shortlist (width 50) + exact L2 re-rank of only the
+    shortlisted vectors — the production recall/latency trade."""
+    emb = _tp(spark, sf, "embeddings")
+    books = S.pq_train(emb, m=4, ksub=16, iters=1)
+    codes = S.pq_encode(emb, books)
+    return S.pq_adc_rerank_topk(
+        emb, codes, books, emb.filter(F.col("vec_id") < 8), k=5, shortlist=50
+    )
+
+
 def q_ann_ivf_upsert(spark, sf):
     """Incremental IVF maintenance: index trained on the base corpus
     (vec_id % 5 != 0), then an ingest batch (vec_id % 5 == 0) appended via
@@ -1740,6 +1763,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_saved": q_ann_ivf_saved,
     "ann_ivf_upsert": q_ann_ivf_upsert,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_rerank": q_ann_pq_rerank,
     "emb_centroids": q_emb_centroids,
     # text pipeline
     "text_quality": q_text_quality,

@@ -292,6 +292,147 @@ def _ivf_ann_oracle(
     """
 
 
+def _sqdist_d(a: str, b: str, d: int) -> str:
+    """Generic-dimension squared L2, sequential accumulation."""
+    return _fold(
+        f"list_transform(range(1, {d + 1}), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+    )
+
+
+def _pq_ctes(m: int, ksub: int, iters: int) -> str:
+    """WITH-body replaying pq_train + pq_encode (functions/similarity.py):
+    per subspace, kmeans_lite on the dsub-dim slice (lowest-id seeds,
+    quantized-exact Lloyd rounds), then argmin codes and per-query distance
+    LUTs. Defines ``codes{j}`` (vec_id, cid) and ``luts{j}`` (query_id, cid,
+    d) for j in 0..m-1."""
+    dsub = DIM // m
+    q12 = "1000000000000.0"
+    parts = [
+        f"""e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        )"""
+    ]
+    for j in range(m):
+        a, b = j * dsub + 1, (j + 1) * dsub
+        sq = _sqdist_d("es.v", "c.cl", dsub)
+        parts.append(
+            f"""es{j} AS (SELECT vec_id, v[{a}:{b}] AS v FROM e),
+        seedss{j} AS (
+          SELECT rn - 1 AS cid, v FROM (
+            SELECT row_number() OVER (ORDER BY vec_id ASC) AS rn, v FROM es{j}
+          ) WHERE rn <= {ksub}
+        ),
+        cents{j}_0 AS (
+          SELECT cid, i AS dim_idx, v[i + 1] AS c
+          FROM seedss{j}, range(0, {dsub}) td{j}(i)
+        ),
+        cls{j}_0 AS (
+          SELECT cid, list(c ORDER BY dim_idx) AS cl FROM cents{j}_0 GROUP BY cid
+        )"""
+        )
+        for r in range(1, iters + 1):
+            parts.append(
+                f"""as{j}_{r - 1} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT es.vec_id, es.v, c.cid,
+                   row_number() OVER (PARTITION BY es.vec_id
+                     ORDER BY {sq} ASC, c.cid ASC) AS rn
+            FROM es{j} es CROSS JOIN cls{j}_{r - 1} c
+          ) WHERE rn = 1
+        ),
+        us{j}_{r} AS (
+          SELECT cid, i AS dim_idx,
+                 CAST(SUM(CAST(floor(v[i + 1] * {q12}) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / {q12} AS c
+          FROM as{j}_{r - 1}, range(0, {dsub}) tu{j}{r}(i) GROUP BY cid, i
+        ),
+        cents{j}_{r} AS (
+          SELECT c.cid, c.dim_idx, COALESCE(u.c, c.c) AS c
+          FROM cents{j}_{r - 1} c LEFT JOIN us{j}_{r} u USING (cid, dim_idx)
+        ),
+        cls{j}_{r} AS (
+          SELECT cid, list(c ORDER BY dim_idx) AS cl FROM cents{j}_{r} GROUP BY cid
+        )"""
+            )
+        parts.append(
+            f"""codes{j} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT es.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY es.vec_id
+                     ORDER BY {sq} ASC, c.cid ASC) AS rn
+            FROM es{j} es CROSS JOIN cls{j}_{iters} c
+          ) WHERE rn = 1
+        ),
+        luts{j} AS MATERIALIZED (
+          SELECT es.vec_id AS query_id, c.cid, {sq} AS d
+          FROM (SELECT vec_id, v FROM es{j} WHERE vec_id < 8) es
+          CROSS JOIN cls{j}_{iters} c
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _pq_scored_sql(m: int) -> str:
+    """``scored`` CTE body: join each vector's m codes to the matching LUT
+    rows; the ADC distance is the left-assoc sum starting at 0.0, mirroring
+    Spark's F.aggregate fold in pq_adc_topk."""
+    joins = ["FROM codes0 c0", "JOIN luts0 l0 ON l0.cid = c0.cid"]
+    for j in range(1, m):
+        joins.append(f"JOIN codes{j} c{j} ON c{j}.vec_id = c0.vec_id")
+        joins.append(
+            f"JOIN luts{j} l{j} ON l{j}.query_id = l0.query_id AND l{j}.cid = c{j}.cid"
+        )
+    dist = " + ".join(["0.0"] + [f"l{j}.d" for j in range(m)])
+    return f"""
+          SELECT l0.query_id, c0.vec_id AS neighbor_id, {dist} AS adc_dist
+          {' '.join(joins)}
+          WHERE c0.vec_id <> l0.query_id"""
+
+
+def _pq_oracle(m: int = 4, ksub: int = 16, iters: int = 1, k: int = 5) -> str:
+    """Full PQ-ADC simulation mirroring q_ann_pq_topk."""
+    return f"""
+        WITH {_pq_ctes(m, ksub, iters)},
+        scored AS ({_pq_scored_sql(m)})
+        SELECT query_id, neighbor_id, adc_dist, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _pq_rerank_oracle(
+    m: int = 4, ksub: int = 16, iters: int = 1, k: int = 5, shortlist: int = 50
+) -> str:
+    """Two-stage PQ simulation mirroring q_ann_pq_rerank: ADC shortlist then
+    exact full-dim L2 on only the shortlisted ids."""
+    return f"""
+        WITH {_pq_ctes(m, ksub, iters)},
+        scored AS ({_pq_scored_sql(m)}),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+            FROM scored
+          ) WHERE rn <= {shortlist}
+        ),
+        exact AS (
+          SELECT s.query_id, s.neighbor_id,
+                 {_sqdist_d('q.v', 'n.v', DIM)} AS l2_dist
+          FROM short s
+          JOIN e q ON q.vec_id = s.query_id
+          JOIN e n ON n.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, l2_dist, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+          FROM exact
+        ) WHERE rank <= {k}
+    """
+
+
 ORACLES: dict[str, str] = {
     # ---- SRI merge operators -------------------------------------------
     "c1_dedup_latest": """
@@ -1371,6 +1512,8 @@ ORACLES: dict[str, str] = {
     # index trained on vec_id % 5 != 0, batch upserted without retraining:
     # same query set answered over ALL vectors assigned to the base centroids
     "ann_ivf_upsert": _ivf_ann_oracle(train_where="vec_id % 5 != 0"),
+    "ann_pq_topk": _pq_oracle(),
+    "ann_pq_rerank": _pq_rerank_oracle(),
     # same parameters, same output — the saved-index path round-trips floats
     # bit-exactly, so it shares the replayed-kmeans oracle
     "ann_ivf_saved": _ivf_ann_oracle(),

@@ -571,3 +571,33 @@ def test_mixing_rates_caps_at_one(spark):
     }
     assert got["big"].sample_rate == 1.0 and got["small"].sample_rate == 1.0
     assert got["big"].n_tokens == 3 and got["small"].n_tokens == 2
+
+
+def test_pq_rerank_recall_beats_raw_adc(spark, emb):
+    """Two-stage PQ (ADC shortlist -> exact re-rank) must recover most of the
+    exact L2 top-5 where raw ADC@5 cannot: the shortlist bounds the recall
+    loss to what the compressed codes miss entirely."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    books = S.pq_train(emb, m=8, ksub=16, iters=2)
+    codes = S.pq_encode(emb, books).persist()
+    q = emb.filter(F.col("vec_id") < 8)
+    data = {r.vec_id: np.array([float(x) for x in r.embedding]) for r in emb.collect()}
+    exact = {}
+    for qid in range(8):
+        qv = data[qid]
+        d = sorted((float(((v - qv) ** 2).sum()), i) for i, v in data.items() if i != qid)
+        exact[qid] = {i for _, i in d[:5]}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(exact[k] & v) for k, v in got.items()) / (5 * len(got))
+
+    raw = recall(S.pq_adc_topk(codes, books, q, k=5))
+    rr = recall(S.pq_adc_rerank_topk(emb, codes, books, q, k=5, shortlist=50))
+    assert rr >= 0.6
+    assert rr >= raw  # re-rank never loses to the raw code ranking
