@@ -647,6 +647,135 @@ def ivf_index_upsert(
     )
 
 
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    kmeans_iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    pq_iters: int = 1,
+) -> None:
+    """IVF-PQ index — the canonical billion-scale ANN layout (FAISS IVFPQ
+    shape): a coarse quantizer assigns each vector to one of ``nlist`` cells
+    (file-level pruning at query time), and a global product quantizer
+    compresses each vector to ``m`` codes (the in-cell scan reads bytes, not
+    floats). Materializes:
+
+    - ``path/centroids``: coarse cell centroids (nlist rows).
+    - ``path/codebooks``: (sub, cid, centroid) — m·ksub PQ centroids.
+    - ``path/cells``: (id, v, code) partitioned by cell id — ``v`` kept for
+      optional exact re-rank of shortlists; a pure-PQ deployment can drop it.
+
+    This variant scores raw-vector codes (IVF-Flat-PQ), not residual codes:
+    the ADC tables are query-global, so one LUT serves every probed cell,
+    and the whole pipeline stays deterministic/replayable.
+    """
+    spark = corpus.sparkSession
+    centroids, assignment = kmeans_lite(
+        corpus, id_col, vec_col, nlist, kmeans_iters
+    )
+    books = pq_train(corpus, id_col, vec_col, m, ksub, pq_iters)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        schema="cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(j, i, c) for j, book in enumerate(books) for i, c in enumerate(book)],
+        schema="sub int, cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(assignment.withColumnRenamed("cid", "cell"), "id")
+        .join(codes.withColumnRenamed("id", "__cid2"), F.col("id") == F.col("__cid2"))
+        .select("id", "v", "code", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+
+
+def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("sub", "cid").collect()
+    m = max(r["sub"] for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["sub"]].append([float(x) for x in r["centroid"]])
+    return books
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a saved IVF-PQ index: each query probes its
+    ``nprobe`` nearest cells (dynamic partition pruning — only those
+    directories are read) and scores ONLY the m-byte codes inside them via
+    the query's ADC lookup table. The double win at 100 TB: the scan touches
+    nprobe/nlist of the corpus, and what it touches is 10-100× smaller than
+    the float vectors. Returns (query_id, neighbor_id, adc_dist, rank)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    books = _load_codebooks(spark, path)
+    m = len(books)
+    dsub = len(books[0][0])
+    nlist = len(centroids)
+    choices = F.array(
+        *[
+            F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    lut_rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        v = [float(x) for x in r[vec_col]]
+        luts = [
+            [_py_sqdist(v[j * dsub : (j + 1) * dsub], c) for c in books[j]]
+            for j in range(m)
+        ]
+        lut_rows.append((r[id_col], luts))
+    qtype = dict(queries.select(id_col).dtypes)[id_col]
+    lutdf = spark.createDataFrame(
+        lut_rows, schema=f"query_id {qtype}, lut array<array<double>>"
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.slice(F.array_sort(choices), 1, min(nprobe, nlist))).alias("p"),
+    ).select("query_id", F.col("p.cid").alias("cell"))
+    probes = probes.join(F.broadcast(lutdf), "query_id")
+    cells = spark.read.parquet(f"{path}/cells").select(
+        F.col("id").alias("neighbor_id"), "code", "cell"
+    )
+    cand = F.broadcast(probes).join(
+        cells,
+        (probes["cell"] == cells["cell"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("lut", "code", lambda l, c: F.element_at(l, c + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_query_index(
     spark,
     path: str,

@@ -299,7 +299,7 @@ def _sqdist_d(a: str, b: str, d: int) -> str:
     )
 
 
-def _pq_ctes(m: int, ksub: int, iters: int) -> str:
+def _pq_ctes(m: int, ksub: int, iters: int, include_e: bool = True) -> str:
     """WITH-body replaying pq_train + pq_encode (functions/similarity.py):
     per subspace, kmeans_lite on the dsub-dim slice (lowest-id seeds,
     quantized-exact Lloyd rounds), then argmin codes and per-query distance
@@ -307,12 +307,16 @@ def _pq_ctes(m: int, ksub: int, iters: int) -> str:
     d) for j in 0..m-1."""
     dsub = DIM // m
     q12 = "1000000000000.0"
-    parts = [
-        f"""e AS (
+    parts = (
+        [
+            f"""e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
         )"""
-    ]
+        ]
+        if include_e
+        else []
+    )
     for j in range(m):
         a, b = j * dsub + 1, (j + 1) * dsub
         sq = _sqdist_d("es.v", "c.cl", dsub)
@@ -429,6 +433,54 @@ def _pq_rerank_oracle(
           SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
           FROM exact
+        ) WHERE rank <= {k}
+    """
+
+
+def _ivfpq_oracle(
+    nlist: int = 16,
+    nprobe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    pq_iters: int = 1,
+    k: int = 5,
+) -> str:
+    """IVF-PQ simulation mirroring q_ann_ivfpq_topk: coarse k-means replay
+    (cells + probes) composed with the PQ codes/LUT replay; candidates come
+    from the probed cells only and are scored by the left-assoc ADC sum."""
+    joins = []
+    for j in range(m):
+        joins.append(f"JOIN codes{j} c{j} ON c{j}.vec_id = c.neighbor_id")
+        joins.append(
+            f"JOIN luts{j} l{j} ON l{j}.query_id = c.query_id AND l{j}.cid = c{j}.cid"
+        )
+    dist = " + ".join(["0.0"] + [f"l{j}.d" for j in range(m)])
+    return f"""
+        WITH {_kmeans_ctes(nlist, coarse_iters)},
+        {_pq_ctes(m, ksub, pq_iters, include_e=False)},
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_sqdist('q.v', 'c.cl')} ASC, c.cid ASC) AS rn
+            FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+            CROSS JOIN cl{coarse_iters} c
+          ) WHERE rn <= {nprobe}
+        ),
+        cand AS MATERIALIZED (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN afin a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id, {dist} AS adc_dist
+          FROM cand c
+          {' '.join(joins)}
+        )
+        SELECT query_id, neighbor_id, adc_dist, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+          FROM scored
         ) WHERE rank <= {k}
     """
 
@@ -1514,6 +1566,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_upsert": _ivf_ann_oracle(train_where="vec_id % 5 != 0"),
     "ann_pq_topk": _pq_oracle(),
     "ann_pq_rerank": _pq_rerank_oracle(),
+    "ann_ivfpq_topk": _ivfpq_oracle(),
     # same parameters, same output — the saved-index path round-trips floats
     # bit-exactly, so it shares the replayed-kmeans oracle
     "ann_ivf_saved": _ivf_ann_oracle(),

@@ -105,3 +105,34 @@ def test_upsert_appends_without_retraining(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivfpq_index_prunes_and_scores_codes(spark):
+    """IVF-PQ saved index: the probe->cells join must trigger dynamic
+    partition pruning (only probed cell dirs are read), and scoring must
+    consume the m-byte codes, not the float vectors."""
+    import contextlib
+    import io
+    import shutil
+
+    emb = _tp(spark, SF, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivfpq_test_")
+    try:
+        S.build_ivfpq_index(emb, tmp, nlist=16, m=4, ksub=16, pq_iters=1)
+        out = S.ivfpq_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 4), k=3, nprobe=2
+        )
+        rows = out.collect()
+        assert len(rows) == 12  # 4 queries x top-3
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(True)
+        plan = buf.getvalue()
+        assert "dynamicpruning" in plan.lower()
+        # the scoring scan must not read the float vector column
+        import re
+
+        scans = [l for l in plan.splitlines() if "ReadSchema" in l and "code" in l]
+        assert scans and all("v:" not in s for s in scans)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
