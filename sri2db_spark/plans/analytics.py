@@ -64,6 +64,11 @@ def _normalize_ts_nanos(df: DataFrame) -> DataFrame:
             )
         elif dt == "date":
             df = df.withColumn(name, F.col(name).cast("timestamp_ntz"))
+        elif dt.startswith("decimal"):
+            # a measure column shipped as DECIMAL would break double-typed
+            # arithmetic/oracle parity; canonicalize to double (the pinned
+            # family) — the drift canary still reports the flip loudly
+            df = df.withColumn(name, F.col(name).cast("double"))
     return df
 
 
