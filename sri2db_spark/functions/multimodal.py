@@ -99,6 +99,64 @@ def decode_image_features(media: DataFrame, batch_partitions: int | None = None)
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_bytes", T.LongType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("resized_hash", T.StringType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 1024, batch_partitions: int | None = None
+) -> DataFrame:
+    """Resize plumbing: downsample every blob to exactly ``target_bytes``
+    bytes by nearest-neighbor sampling of the byte stream (output byte i =
+    input byte (i·n)//target — integer math, engine-portable). The kernel is
+    the codec-free stand-in for a real image resize: swap the inner loop for
+    PIL/libvips ``resize`` and the Arrow plumbing (explicit schema, bounded
+    batches, partition-count control) is unchanged.
+
+    ``resized_hash`` is md5 over the LOWERCASE HEX of the resized bytes (not
+    the raw bytes) so any engine — including the DuckDB oracle — can
+    recompute it from string builtins. Empty payloads resize to empty.
+    """
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    df = media.select("media_id", "content")
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            srcs, outs, hashes = [], [], []
+            for b in pdf["content"]:
+                payload = bytes(b or b"")
+                n = len(payload)
+                out = (
+                    bytes(payload[(i * n) // target_bytes] for i in range(target_bytes))
+                    if n
+                    else b""
+                )
+                srcs.append(n)
+                outs.append(out)
+                hashes.append(hashlib.md5(out.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "src_bytes": srcs,
+                    "resized": outs,
+                    "resized_hash": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def media_chunks(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
     """Split each blob into fixed-size chunks entirely JVM-side — the
     shuffle-free pre-step for chunked hashing / upload / dedup of large media:

@@ -1397,6 +1397,20 @@ def q_approx_quantiles(spark, sf):
     )
 
 
+def q_media_resize(spark, sf):
+    """Resize plumbing over binary media: nearest-neighbor byte downsample
+    to 256 bytes via Arrow mapInPandas (the codec-free stand-in for a real
+    image resize kernel); hash emitted over lowercase hex so DuckDB replays
+    it with string builtins."""
+    from ..functions.multimodal import resize_media  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    media = to_media_table(docs, "doc_id", "text")
+    return resize_media(media, target_bytes=256).select(
+        "media_id", "src_bytes", "resized_hash"
+    )
+
+
 def q_media_chunks(spark, sf):
     from ..functions.multimodal import media_chunks  # noqa: PLC0415
 
@@ -1812,6 +1826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_embed_neardup": q_media_embed_neardup,
     "multimodal_meta": q_multimodal_meta,
     "media_chunks": q_media_chunks,
+    "media_resize": q_media_resize,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,
     "vocab_coverage": q_vocab_coverage,

@@ -1100,6 +1100,22 @@ ORACLES: dict[str, str] = {
                         / (cnt - 1))) > 3.0 AS is_anomaly
         FROM stats
     """,
+    # replay of resize_media(target=256): out byte i = input byte (i*n)//256,
+    # hash = md5 of the lowercase hex of the resized bytes
+    "media_resize": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        )
+        SELECT media_id, CAST(n AS BIGINT) AS src_bytes,
+               md5(CASE WHEN n > 0 THEN array_to_string(
+                 list_transform(range(0, 256),
+                                i -> substr(hx, CAST(2 * ((i * n) // 256) AS INT) + 1, 2)),
+                 '') ELSE '' END) AS resized_hash
+        FROM m
+    """,
     "media_chunks": """
         WITH m AS (
           SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,

@@ -601,3 +601,24 @@ def test_pq_rerank_recall_beats_raw_adc(spark, emb):
     rr = recall(S.pq_adc_rerank_topk(emb, codes, books, q, k=5, shortlist=50))
     assert rr >= 0.6
     assert rr >= raw  # re-rank never loses to the raw code ranking
+
+
+def test_resize_media_samples_bytes(spark, docs):
+    """resize_media: every output blob is exactly target_bytes long, byte i
+    equals input byte (i*n)//target (nearest-neighbor), and the hash covers
+    the lowercase hex of the resized payload."""
+    import hashlib
+
+    from sri2db_spark.functions.multimodal import resize_media
+
+    media = to_media_table(docs.limit(20), "doc_id", "text")
+    src = {r.media_id: bytes(r.content) for r in media.collect()}
+    out = resize_media(media, target_bytes=64).collect()
+    assert len(out) == 20
+    for r in out:
+        payload = src[r.media_id]
+        n = len(payload)
+        assert r.src_bytes == n
+        expect = bytes(payload[(i * n) // 64] for i in range(64)) if n else b""
+        assert bytes(r.resized) == expect
+        assert r.resized_hash == hashlib.md5(expect.hex().encode()).hexdigest()
