@@ -180,3 +180,36 @@ def test_split_assign_is_pure_projection(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_is_shuffle_free_projection(spark):
+    """pq_encode is pure codegen over broadcast literal centroids: the plan
+    must contain no Exchange and no Python evaluation nodes."""
+    from pyspark.sql import functions as F
+
+    import sri2db_spark.functions.similarity as S
+    from sri2db_spark.plans.analytics import _tp
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = S.pq_train(emb, m=4, ksub=8, iters=1)
+    plan = formatted_plan(S.pq_encode(emb, books))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in body  # scan -> project, nothing else
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark):
+    """The ADC scoring join must broadcast the per-query LUTs and never carry
+    the float vector column through the scored plan."""
+    from pyspark.sql import functions as F
+
+    import sri2db_spark.functions.similarity as S
+    from sri2db_spark.plans.analytics import _tp
+
+    emb = _tp(spark, SF, "embeddings")
+    books = S.pq_train(emb, m=4, ksub=8, iters=1)
+    codes = S.pq_encode(emb, books)
+    out = S.pq_adc_topk(codes, books, emb.filter(F.col("vec_id") < 4), k=3)
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
