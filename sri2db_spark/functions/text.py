@@ -722,3 +722,54 @@ def split_assign(
     return df.select(
         F.col(id_col).alias("id"), bucket.alias("bucket"), split.alias("split")
     )
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style language-model quality signal without an external model:
+    train a bigram LM on the corpus itself (one counting pass) and score each
+    document by its mean conditional bigram probability. Junk text (random
+    strings, boilerplate soup, wrong-language fragments) scores low because
+    its bigrams are rare relative to their first word.
+
+    Add-one (Laplace) smoothing over the first-word vocabulary V:
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V). Smoothing is what makes the
+    signal discriminate — unsmoothed MLE scores a never-seen-context junk
+    bigram a perfect 1.0 (its unique w1 makes it "certain").
+
+    Division-form on exact integer counts — no log/exp — so every float is
+    reproduced bit-for-bit by any IEEE engine (the DuckDB oracle included);
+    the per-doc mean uses the quantized-exact sum (floor(p·1e12) as int64)
+    so it is independent of aggregation order.
+
+    Plan shape at 100 TB: one explode, two count aggregations, and one join
+    keyed by bigram (the LM "table" stays distributed — never collected);
+    AQE's skew-join split handles the stop-bigram hot keys. Returns
+    (id, n_bigrams, mean_bigram_p).
+    """
+    bg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("bg"),
+    ).withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1))
+    cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    cw1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    vocab = bg.agg(F.countDistinct("w1").alias("V"))
+    p = (
+        bg.join(cbg, "bg")
+        .join(cw1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            (
+                (F.col("cbg") + F.lit(1)).cast("double")
+                / (F.col("cw1") + F.col("V")).cast("double")
+            ).alias("p"),
+        )
+    )
+    return p.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.floor(F.col("p") * F.lit(1e12)).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e12)
+        ).alias("mean_bigram_p"),
+    )

@@ -1397,6 +1397,15 @@ def q_approx_quantiles(spark, sf):
     )
 
 
+def q_lm_quality(spark, sf):
+    """Corpus-trained bigram-LM quality score per document (division-form
+    mean conditional probability — the log-free perplexity proxy)."""
+    return (
+        X.bigram_lm_scores(_tp(spark, sf, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
 def q_media_resize(spark, sf):
     """Resize plumbing over binary media: nearest-neighbor byte downsample
     to 256 bytes via Arrow mapInPandas (the codec-free stand-in for a real
@@ -1827,6 +1836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "media_chunks": q_media_chunks,
     "media_resize": q_media_resize,
+    "lm_quality": q_lm_quality,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,
     "vocab_coverage": q_vocab_coverage,

@@ -1100,6 +1100,28 @@ ORACLES: dict[str, str] = {
                         / (cnt - 1))) > 3.0 AS is_anomaly
         FROM stats
     """,
+    # replay of text.bigram_lm_scores: exact bigram/unigram counts, IEEE
+    # division, quantized-exact per-doc mean
+    "lm_quality": f"""
+        WITH bgw AS (
+          SELECT id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+            SELECT doc_id AS id, unnest({_SHINGLES2}) AS bg FROM documents
+          )
+        ),
+        cbg AS (SELECT bg, count(*) AS cbg FROM bgw GROUP BY bg),
+        cw1 AS (SELECT w1, count(*) AS cw1 FROM bgw GROUP BY w1),
+        vocab AS (SELECT count(DISTINCT w1) AS V FROM bgw),
+        p AS (
+          SELECT b.id,
+                 CAST(c1.cbg + 1 AS DOUBLE) / CAST(c2.cw1 + v.V AS DOUBLE) AS p
+          FROM bgw b JOIN cbg c1 USING (bg) JOIN cw1 c2 USING (w1)
+          CROSS JOIN vocab v
+        )
+        SELECT id AS doc_id, count(*) AS n_bigrams,
+               CAST(SUM(CAST(floor(p * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000000000.0 AS mean_bigram_p
+        FROM p GROUP BY id
+    """,
     # replay of resize_media(target=256): out byte i = input byte (i*n)//256,
     # hash = md5 of the lowercase hex of the resized bytes
     "media_resize": """

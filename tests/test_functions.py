@@ -622,3 +622,21 @@ def test_resize_media_samples_bytes(spark, docs):
         expect = bytes(payload[(i * n) // 64] for i in range(64)) if n else b""
         assert bytes(r.resized) == expect
         assert r.resized_hash == hashlib.md5(expect.hex().encode()).hexdigest()
+
+
+def test_bigram_lm_scores_rank_junk_below_natural(spark):
+    """Docs made of corpus-frequent bigrams must outscore a junk doc whose
+    bigrams occur nowhere else; bookkeeping (n_bigrams) must match the
+    doc's token count - 1."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the cat sat on the mat again"),
+        (4, "zq xv qj wk vb zz"),  # junk: every bigram unique to this doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in X.bigram_lm_scores(df, "doc_id", "text").collect()}
+    for doc_id, text in rows:
+        assert out[doc_id].n_bigrams == len(text.split()) - 1
+    natural_min = min(out[i].mean_bigram_p for i in (1, 2, 3))
+    assert out[4].mean_bigram_p < natural_min
