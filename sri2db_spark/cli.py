@@ -98,7 +98,73 @@ def build_sync(spark, cfg: dict, dry_run: bool = False):
     )
 
 
+def index_main(argv: list[str]) -> int:
+    """ANN index maintenance subcommands (the 100 TB-extension surface):
+
+    index-build  --vectors P --out DIR [--kind ivf|ivfpq] [--nlist N]
+                 [--m M] [--ksub K] [--id-col c] [--vec-col c]
+    index-upsert --vectors P --index DIR [--id-col c] [--vec-col c]
+    index-query  --index DIR --queries P --out DIR [--k N] [--nprobe N]
+                 [--kind ivf|ivfpq] [--id-col c] [--vec-col c]
+    """
+    from .functions import similarity as S  # noqa: PLC0415
+
+    p = argparse.ArgumentParser(prog="sri2db_spark " + argv[0])
+    p.add_argument("--master", default=None)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    cmd = argv[0]
+    if cmd == "index-build":
+        p.add_argument("--vectors", required=True)
+        p.add_argument("--out", required=True)
+        p.add_argument("--kind", choices=("ivf", "ivfpq"), default="ivf")
+        p.add_argument("--nlist", type=int, default=16)
+        p.add_argument("--m", type=int, default=4)
+        p.add_argument("--ksub", type=int, default=16)
+    elif cmd == "index-upsert":
+        p.add_argument("--vectors", required=True)
+        p.add_argument("--index", required=True)
+    else:
+        p.add_argument("--index", required=True)
+        p.add_argument("--queries", required=True)
+        p.add_argument("--out", required=True)
+        p.add_argument("--kind", choices=("ivf", "ivfpq"), default="ivf")
+        p.add_argument("--k", type=int, default=5)
+        p.add_argument("--nprobe", type=int, default=4)
+    args = p.parse_args(argv[1:])
+    spark = get_spark(app_name="sri2db_spark_index", master=args.master)
+    if cmd == "index-build":
+        vecs = spark.read.parquet(args.vectors)
+        if args.kind == "ivfpq":
+            S.build_ivfpq_index(
+                vecs, args.out, args.id_col, args.vec_col,
+                nlist=args.nlist, m=args.m, ksub=args.ksub,
+            )
+        else:
+            S.build_ivf_index(vecs, args.out, args.id_col, args.vec_col, nlist=args.nlist)
+        print(f"index-build ok: kind={args.kind} out={args.out}")
+    elif cmd == "index-upsert":
+        vecs = spark.read.parquet(args.vectors)
+        S.ivf_index_upsert(spark, args.index, vecs, args.id_col, args.vec_col)
+        print(f"index-upsert ok: index={args.index}")
+    else:
+        queries = spark.read.parquet(args.queries)
+        fn = S.ivfpq_query_index if args.kind == "ivfpq" else S.ivf_query_index
+        out = fn(
+            spark, args.index, queries, args.id_col, args.vec_col,
+            k=args.k, nprobe=args.nprobe,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"index-query ok: {n} result rows -> {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] in ("index-build", "index-upsert", "index-query"):
+        return index_main(argv)
     p = argparse.ArgumentParser(prog="sri2db_spark")
     p.add_argument("config", help="path to JSON config (single or multi)")
     p.add_argument("--synctype", default=None, help="override configured synctype")

@@ -301,3 +301,43 @@ def test_multi_orchestrates_mixed_lake_and_jdbc_targets(spark, tmp_path):
     assert all(s.is_fulfilled for s in settled)
     assert settled[0].value.rows_after == 4
     assert settled[1].value.rows_after == 5
+
+
+def test_cli_index_build_upsert_query_roundtrip(spark, tmp_path, capsys):
+    """index-build / index-upsert / index-query subcommands drive the saved
+    IVF index end-to-end; the queried neighbors include upserted vectors."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base_p = str(tmp_path / "base.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    q_p = str(tmp_path / "q.parquet")
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(base_p)
+    emb.filter(F.col("vec_id") % 5 == 0).write.parquet(batch_p)
+    emb.filter(F.col("vec_id") < 4).write.parquet(q_p)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "res")
+
+    rc = cli.main(["index-build", "--vectors", base_p, "--out", idx, "--nlist", "8"])
+    assert rc == 0
+    rc = cli.main(["index-upsert", "--vectors", batch_p, "--index", idx])
+    assert rc == 0
+    rc = cli.main([
+        "index-query", "--index", idx, "--queries", q_p, "--out", out,
+        "--k", "3", "--nprobe", "8",
+    ])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 12  # 4 queries x top-3
+    # with every cell probed, results == brute force over base+batch
+    import sri2db_spark.functions.similarity as S
+
+    # ivf_query_index ranks by cosine; exhaustive probing = exact top-k
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, emb.filter(F.col("vec_id") < 4), k=3).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    assert got == exact
+    text = capsys.readouterr().out
+    assert "index-build ok" in text and "index-query ok: 12" in text
