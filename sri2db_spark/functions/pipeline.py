@@ -78,3 +78,120 @@ def curate_corpus(
         token_count_ws(F.col(text_col)).alias("n_tokens"),
         "quality",
     )
+
+
+def init_curation_state(
+    docs: DataFrame, state_dir: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Bootstrap the persisted curation state from an already-ingested
+    corpus: content hashes (exact-dup membership), OPH MinHash signatures
+    (near-dup membership), and the (id, text) corpus used to exact-verify
+    near-dup candidates. Each piece is per-doc-row sized — the state scales
+    with corpus cardinality, not corpus bytes (text is the exception, kept
+    for verification; a deployment can point verification at the main table
+    instead)."""
+    from .dedup import write_signature_store  # noqa: PLC0415
+
+    docs.select(F.md5(F.col(text_col)).alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/hashes")
+    write_signature_store(docs, id_col, text_col, f"{state_dir}/sigs")
+    docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/corpus")
+
+
+def curate_batch_incremental(
+    spark,
+    batch: DataFrame,
+    state_dir: str,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    min_quality: float = 0.24,
+    contamination_k: int = 5,
+    neardup_threshold: float = 0.5,
+    update_state: bool = True,
+) -> DataFrame:
+    """One ingest batch through the curation chain AGAINST persisted state —
+    the per-batch cost is O(batch), never O(corpus):
+
+    1. quality filter (codegen predicate, evaluated in the batch scan);
+    2. exact dedup vs state — anti-join the batch's content hashes against
+       the hash store (broadcast when the batch is small);
+    3. first-id-wins exact dedup within the batch;
+    4. benchmark decontamination (broadcast shingle probe);
+    5. near-dup drop: a batch doc is dropped iff it has shingle-Jaccard ≥
+       threshold with ANY smaller-id document in state ∪ batch — computed by
+       :func:`..dedup.incremental_neardup_pairs`, so only the batch is
+       signatured and only candidate docs are re-shingled.
+
+    Survivors (and only survivors) then join the state so the next batch
+    sees them. Returns (id, strata, n_tokens, quality) for batch survivors.
+    """
+    from .dedup import incremental_neardup_pairs, oph_signatures  # noqa: PLC0415
+
+    scored = batch.withColumn("quality", quality_score(F.col(text_col)))
+    q = scored.filter(F.col("quality") >= min_quality)
+    try:
+        hfiles = spark.read.parquet(f"{state_dir}/hashes").inputFiles()
+    except Exception:
+        hfiles = []
+    old_hashes = spark.read.parquet(*hfiles) if hfiles else None
+    if old_hashes is not None:
+        q = q.join(
+            F.broadcast(old_hashes),
+            F.md5(F.col(text_col)) == F.col("h"),
+            "left_anti",
+        )
+    reps = (
+        q.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    q = q.join(reps, id_col, "left_semi")
+    contaminated = ngram_overlap_contamination(
+        q, benchmark, id_col, text_col, k=contamination_k
+    ).select(id_col)
+    q = q.join(contaminated, id_col, "left_anti")
+    # near-dup pass runs over the WHOLE batch (pre-filter), so the drop rule
+    # is independent of filter order: drop iff a smaller-id partner exists
+    # anywhere in state ∪ batch.
+    try:
+        cfiles = spark.read.parquet(f"{state_dir}/corpus").inputFiles()
+    except Exception:
+        cfiles = []
+    batch_docs = batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    lookup = (
+        spark.read.parquet(*cfiles).unionByName(batch_docs) if cfiles else batch_docs
+    )
+    sigs_all = oph_signatures(batch, id_col, text_col).persist()
+    pairs = incremental_neardup_pairs(
+        spark, f"{state_dir}/sigs", batch, lookup, "id", "text",
+        threshold=neardup_threshold, update_store=False, new_sigs=sigs_all,
+    )
+    drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    q = q.join(drops, F.col(id_col) == F.col("__drop"), "left_anti")
+    out = q.select(
+        F.col(id_col),
+        F.col(strata_col),
+        token_count_ws(F.col(text_col)).alias("n_tokens"),
+        "quality",
+    )
+    if update_state:
+        out = out.persist()
+        out.count()  # materialize before state writes consume the plan
+        surv = out.select(F.col(id_col).alias("__sid"))
+        batch.join(surv, F.col(id_col) == F.col("__sid"), "left_semi").select(
+            F.md5(F.col(text_col)).alias("h")
+        ).distinct().write.mode("append" if hfiles else "overwrite").parquet(
+            f"{state_dir}/hashes"
+        )
+        sigs_all.join(surv, F.col("id") == F.col("__sid"), "left_semi").write.mode(
+            "append"
+        ).parquet(f"{state_dir}/sigs")
+        batch_docs.join(surv, F.col("id") == F.col("__sid"), "left_semi").write.mode(
+            "append"
+        ).parquet(f"{state_dir}/corpus")
+    return out

@@ -1647,6 +1647,33 @@ def q_corpus_curation(spark, sf):
     )
 
 
+def q_curate_incremental(spark, sf):
+    """Batch-ingest curation against persisted state: the base corpus
+    (doc_id % 7 != 0) bootstraps the hash/signature/corpus state, then one
+    batch (doc_id % 7 == 0) runs quality filter → exact-dedup-vs-state →
+    within-batch dedup → decontamination → near-dup-vs-state, touching only
+    O(batch) work. The 100 TB continuous-ingest shape of corpus_curation."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions import pipeline as P  # noqa: PLC0415
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    benchmark = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) < 2)
+    tmp = tempfile.mkdtemp(prefix="curate_state_")
+    try:
+        P.init_curation_state(base, tmp, "doc_id", "text")
+        out = P.curate_batch_incremental(
+            spark, batch, tmp, benchmark, "doc_id", "text",
+            min_quality=0.24, update_state=False,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_events_rolling(spark, sf):
     """Trailing-7-event rolling mean per user: one window shuffle, frame sum
     decimal-exact (bit-stable at any parallelism)."""
@@ -1837,6 +1864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_chunks": q_media_chunks,
     "media_resize": q_media_resize,
     "lm_quality": q_lm_quality,
+    "curate_incremental": q_curate_incremental,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,
     "vocab_coverage": q_vocab_coverage,

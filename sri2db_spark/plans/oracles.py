@@ -1581,6 +1581,37 @@ ORACLES: dict[str, str] = {
           WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 80 ELSE 50 END))
         SELECT doc_id, lang, len({_W}) AS n_tokens, quality FROM sampled
     """,
+    # the incremental batch-vs-state curation chain, stage by stage: state =
+    # all base docs (doc_id % 7 != 0), batch = doc_id % 7 = 0; near-dup rule:
+    # drop a batch doc iff a smaller-id Jaccard>=0.5 partner exists anywhere
+    "curate_incremental": f"""
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+                 0.5 * ({_stop_ratio(_EN_STOPS)})
+                   + 0.3 * least((CAST(list_sum(list_transform({_W}, t -> length(t))) AS DOUBLE)
+                        / CAST(len({_W}) AS DOUBLE)) / 8.0, 1.0)
+                   + 0.2 * least(CAST(len({_W}) AS DOUBLE) / 200.0, 1.0) AS quality
+          FROM documents WHERE doc_id % 7 = 0),
+        q1 AS (SELECT * FROM scored WHERE quality >= 0.24),
+        q2 AS (SELECT * FROM q1 WHERE md5(text) NOT IN (
+          SELECT md5(text) FROM documents WHERE doc_id % 7 != 0)),
+        reps AS (SELECT min(doc_id) AS rid FROM q2 GROUP BY md5(text)),
+        q3 AS (SELECT * FROM q2 WHERE doc_id IN (SELECT rid FROM reps)),
+        bset AS (
+          SELECT DISTINCT s FROM (
+            SELECT unnest(list_distinct({_SHINGLES5})) AS s
+            FROM documents WHERE doc_id % 100 < 2)),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(list_distinct({_SHINGLES5})) AS s FROM q3) dg
+          JOIN bset USING (s)),
+        q4 AS (SELECT * FROM q3
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        pairs AS ({_JACCARD_PAIRS}),
+        q5 AS (SELECT * FROM q4 WHERE doc_id NOT IN (
+          SELECT id_b FROM pairs WHERE id_b % 7 = 0))
+        SELECT doc_id, lang, len({_W}) AS n_tokens, quality FROM q5
+    """,
     # ---- dedup / similarity / text / multimodal --------------------------
     "dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies

@@ -640,3 +640,50 @@ def test_bigram_lm_scores_rank_junk_below_natural(spark):
         assert out[doc_id].n_bigrams == len(text.split()) - 1
     natural_min = min(out[i].mean_bigram_p for i in (1, 2, 3))
     assert out[4].mean_bigram_p < natural_min
+
+
+def test_curate_batch_incremental_chains_state(spark, tmp_path):
+    """Batch-2 docs that duplicate (exactly or nearly) a batch-1 SURVIVOR
+    are dropped; duplicates of a batch-1 REJECT are not held against them;
+    state grows by survivors only."""
+    from sri2db_spark.functions import pipeline as P
+
+    nat = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain falls mainly on the plain and the cat sat on the mat"
+    )
+    nat2 = (
+        "a completely different natural sentence about spark and the art of "
+        "distributed systems where the shuffle is the enemy of the fast query"
+    )
+    state = str(tmp_path / "state")
+    base = spark.createDataFrame([(1, nat, "en")], "doc_id long, text string, lang string")
+    P.init_curation_state(base, state)
+    bench = spark.createDataFrame(
+        [(999, "benchmark secret sauce phrase entirely unique here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, nat2, "en"),                      # survivor
+            (11, nat, "en"),                       # exact dup of state doc 1
+            (12, nat2 + " extra tail words", "en"),  # near-dup of 10 (larger id)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out1 = {r.doc_id for r in P.curate_batch_incremental(spark, b1, state, bench).collect()}
+    assert out1 == {10}
+    b2 = spark.createDataFrame(
+        [
+            (20, nat2, "en"),                      # exact dup of batch-1 survivor 10
+            (21, nat2 + " extra tail words", "en"),  # near-dup of 10 via state sigs
+            (22, "yet another wholly original passage where the words of the "
+                 "story wander through the forest of the night", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out2 = {r.doc_id for r in P.curate_batch_incremental(spark, b2, state, bench).collect()}
+    assert out2 == {22}
+    # state corpus = base + survivors only
+    ids = sorted(r.id for r in spark.read.parquet(f"{state}/corpus").collect())
+    assert ids == [1, 10, 22]
