@@ -195,3 +195,90 @@ def curate_batch_incremental(
             "append"
         ).parquet(f"{state_dir}/corpus")
     return out
+
+
+def _swap_dir(src_tmp: str, dst: str) -> None:
+    """Atomic directory replace (write-new + rename), same protocol as the
+    lake sink's partition swap — readers never see a half-written store."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    old = f"{dst}__old_{uuid.uuid4().hex}"
+    if os.path.exists(dst):
+        os.rename(dst, old)
+        os.rename(src_tmp, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(src_tmp, dst)
+
+
+def compact_curation_state(spark, state_dir: str) -> dict[str, tuple[int, int]]:
+    """Compact the append-only curation state: every ingest batch appends a
+    file-set to each store, so after thousands of batches each store is
+    thousands of small files and every batch's state read pays the per-file
+    open cost. Compaction rewrites each store as one coalesced file-set and
+    drops the duplicate rows a crashed-and-replayed batch may have appended
+    (stores are membership sets — hashes dedup on h, sigs/corpus on id).
+    Atomic swap per store; returns {store: (files_before, files_after)}.
+    """
+    import os  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    report: dict[str, tuple[int, int]] = {}
+    for sub, keys in (("hashes", ["h"]), ("sigs", ["id"]), ("corpus", ["id"])):
+        path = f"{state_dir}/{sub}"
+        if not os.path.isdir(path):
+            continue
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not files:
+            continue
+        df = spark.read.parquet(path).dropDuplicates(keys)
+        n_out = max(1, df.rdd.getNumPartitions() // 8)
+        tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, path)
+        report[sub] = (
+            len(files),
+            len([f for f in os.listdir(path) if f.endswith(".parquet")]),
+        )
+    return report
+
+
+def retract_from_state(spark, state_dir: str, ids: list) -> None:
+    """Remove documents from every derived curation store — the
+    right-to-be-forgotten path for a training-data pipeline: a deletion in
+    the source corpus must propagate to the hash store, the signature store,
+    and the verification corpus, or the deleted text keeps influencing
+    future dedup decisions.
+
+    Signatures and corpus rows are dropped by id (anti-join rewrite); the
+    hash store is REBUILT from the remaining corpus because content hashes
+    are shared — if a surviving doc carries the same text, its hash must
+    stay. Full rewrite per call: at 100 TB the stores would be partitioned
+    (e.g. by id range) so a retraction rewrites only the touched partitions;
+    the atomic-swap protocol is the same either way.
+    """
+    import uuid  # noqa: PLC0415
+
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    corpus = spark.read.parquet(f"{state_dir}/corpus").join(
+        F.broadcast(ids_df), "id", "left_anti"
+    )
+    tmp_c = f"{state_dir}/corpus__tmp_{uuid.uuid4().hex}"
+    corpus.write.mode("overwrite").parquet(tmp_c)
+    _swap_dir(tmp_c, f"{state_dir}/corpus")
+    sigs = spark.read.parquet(f"{state_dir}/sigs").join(
+        F.broadcast(ids_df), "id", "left_anti"
+    )
+    tmp_s = f"{state_dir}/sigs__tmp_{uuid.uuid4().hex}"
+    sigs.write.mode("overwrite").parquet(tmp_s)
+    _swap_dir(tmp_s, f"{state_dir}/sigs")
+    hashes = (
+        spark.read.parquet(f"{state_dir}/corpus")
+        .select(F.md5(F.col("text")).alias("h"))
+        .distinct()
+    )
+    tmp_h = f"{state_dir}/hashes__tmp_{uuid.uuid4().hex}"
+    hashes.write.mode("overwrite").parquet(tmp_h)
+    _swap_dir(tmp_h, f"{state_dir}/hashes")

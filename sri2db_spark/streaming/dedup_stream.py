@@ -133,6 +133,52 @@ def stream_neardup_incremental(
     return writer.start()
 
 
+def stream_curate_incremental(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    min_quality: float = 0.24,
+    neardup_threshold: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """Continuous corpus curation: every micro-batch runs the full
+    batch-vs-state curation chain (``functions.pipeline.
+    curate_batch_incremental`` — quality → exact-vs-state → in-batch dedup →
+    decontamination → near-dup-vs-state) and survivors both land in
+    ``out_dir`` and join the state for later batches. The curated corpus is
+    simply the union of the per-batch outputs.
+
+    Retry semantics: the curated OUTPUT is batch-id-addressed (overwrite on
+    replay). The state update inside curate_batch_incremental appends, so a
+    mid-write crash can leave a replayed batch's survivors in the state
+    twice — harmless for correctness (dedup stores are membership sets; a
+    duplicate hash/signature row changes no survivor decision) but noted
+    here because the state is append-only by design.
+    """
+    from ..functions.pipeline import curate_batch_incremental  # noqa: PLC0415
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = curate_batch_incremental(
+            spark, batch_df, state_dir, benchmark, id_col, text_col,
+            strata_col=strata_col, min_quality=min_quality,
+            neardup_threshold=neardup_threshold, update_state=True,
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_neardup_dedup(
     stream: DataFrame,
     index_bands: DataFrame,

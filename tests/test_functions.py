@@ -687,3 +687,50 @@ def test_curate_batch_incremental_chains_state(spark, tmp_path):
     # state corpus = base + survivors only
     ids = sorted(r.id for r in spark.read.parquet(f"{state}/corpus").collect())
     assert ids == [1, 10, 22]
+
+
+def test_state_compaction_and_retraction(spark, docs, tmp_path):
+    """compact_curation_state shrinks the per-batch file sprawl without
+    changing membership; retract_from_state removes a doc from every store
+    so a later identical batch doc is NOT treated as a duplicate — while a
+    shared-content hash survives retraction of only one carrier."""
+    from sri2db_spark.functions import pipeline as P
+
+    state = str(tmp_path / "st")
+    d = docs.limit(40)
+    P.init_curation_state(d, state)
+    bench = spark.createDataFrame(
+        [(999, "benchmark secret sauce phrase entirely unique here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    # a few appends to create file sprawl
+    passages = [
+        "wholly original passage where words wander through the forest of the night",
+        "a second tale entirely its own about rivers carving stone beneath silent mountains",
+        "third musings on compilers chewing syntax trees and spitting tight machine loops",
+    ]
+    extra = spark.createDataFrame(
+        [(1000 + i, passages[i], "en") for i in range(3)],
+        "doc_id long, text string, lang string",
+    )
+    for i in range(3):
+        P.curate_batch_incremental(
+            spark, extra.filter(F.col("doc_id") == 1000 + i), state, bench
+        ).collect()
+    import os
+
+    before = len([f for f in os.listdir(f"{state}/corpus") if f.endswith(".parquet")])
+    corpus_ids_before = sorted(r.id for r in spark.read.parquet(f"{state}/corpus").collect())
+    rep = P.compact_curation_state(spark, state)
+    after = len([f for f in os.listdir(f"{state}/corpus") if f.endswith(".parquet")])
+    assert after < before and rep["corpus"][1] < rep["corpus"][0]
+    corpus_ids_after = sorted(r.id for r in spark.read.parquet(f"{state}/corpus").collect())
+    assert corpus_ids_before == corpus_ids_after
+    # retraction: remove doc 1001; its exact re-ingest must now survive
+    P.retract_from_state(spark, state, [1001])
+    assert 1001 not in {r.id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    reingest = extra.filter(F.col("doc_id") == 1001).withColumn(
+        "doc_id", F.lit(2001).cast("long")
+    )
+    out = {r.doc_id for r in P.curate_batch_incremental(spark, reingest, state, bench).collect()}
+    assert out == {2001}

@@ -212,3 +212,58 @@ def test_stream_neardup_incremental_maintains_store(spark, tmp_path):
     # store holds every doc's signature exactly once
     sigs = spark.read.option("basePath", store).parquet(store)
     assert sorted(r.id for r in sigs.select("id").collect()) == [1, 2, 3, 4, 5]
+
+
+def test_stream_curate_incremental_matches_batch_chain(spark, tmp_path):
+    """The streaming curation wrapper must produce exactly what chained
+    manual curate_batch_incremental calls produce, and the state must carry
+    across micro-batches (a batch-2 near-dup of a batch-1 survivor drops)."""
+    from sri2db_spark.functions import pipeline as P
+    from sri2db_spark.streaming.dedup_stream import stream_curate_incremental
+
+    nat = ("the quick brown fox jumps over the lazy dog while the rain in "
+           "spain falls mainly on the plain and the cat sat on the mat")
+    nat2 = ("a completely different natural sentence about spark and the art "
+            "of distributed systems where the shuffle is the enemy of the "
+            "fast query")
+    rows1 = [
+        {"doc_id": 10, "text": nat, "lang": "en"},
+        {"doc_id": 11, "text": nat + " with one extra clause", "lang": "en"},
+    ]
+    rows2 = [
+        {"doc_id": 20, "text": nat, "lang": "en"},   # exact dup of b1 survivor
+        {"doc_id": 21, "text": nat2, "lang": "en"},  # fresh survivor
+    ]
+    feed = tmp_path / "cfeed"
+    feed.mkdir()
+    _write_batch(feed, "b1.json", rows1, mtime=1_000)
+    bench = spark.createDataFrame(
+        [(999, "benchmark secret sauce phrase entirely unique here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    schema = "doc_id long, text string, lang string"
+    state = str(tmp_path / "cstate")
+    out_dir = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        q = stream_curate_incremental(stream, state, out_dir, ckpt, bench)
+        q.awaitTermination(120)
+
+    run()
+    _write_batch(feed, "b2.json", rows2, mtime=2_000)
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    # manual chain on a fresh state
+    state2 = str(tmp_path / "cstate2")
+    b1 = spark.createDataFrame([(r["doc_id"], r["text"], r["lang"]) for r in rows1], schema)
+    b2 = spark.createDataFrame([(r["doc_id"], r["text"], r["lang"]) for r in rows2], schema)
+    m1 = {r.doc_id for r in P.curate_batch_incremental(spark, b1, state2, bench).collect()}
+    m2 = {r.doc_id for r in P.curate_batch_incremental(spark, b2, state2, bench).collect()}
+    assert got == m1 | m2
+    assert 10 in got and 21 in got and 20 not in got and 11 not in got
