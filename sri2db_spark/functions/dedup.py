@@ -481,8 +481,18 @@ def incremental_neardup_pairs(
         old_sigs.unionByName(new_sigs) if old_sigs is not None else new_sigs
     )
     all_sigs = all_sigs.persist()
-    new_bands = _band_keys(new_sigs, bands, r)
+    new_bands = _band_keys(new_sigs, bands, r).persist()
     all_bands = _band_keys(all_sigs, bands, r)
+    # O(batch) SHUFFLE invariant: restrict the store side to the buckets the
+    # batch actually touches BEFORE any aggregation or join. The batch's
+    # (band, bkey) set is batch-sized → broadcast left-semi, so the store's
+    # band rows are filtered in their scan stage and never shuffled at
+    # corpus scale. Bucket membership of a touched bucket is retained in
+    # full, so the oversized-bucket counts (and therefore the output) are
+    # identical to the unrestricted computation — untouched buckets can
+    # produce no batch candidates either way.
+    touched = new_bands.select("band", "bkey").distinct()
+    all_bands = all_bands.join(F.broadcast(touched), ["band", "bkey"], "left_semi")
     all_bands = _drop_oversized_buckets(
         all_bands, max_bucket_size, "incremental_neardup_pairs"
     )
@@ -492,7 +502,7 @@ def incremental_neardup_pairs(
     # the orientation (least/greatest) because new-new pairs arrive in both
     # orders and new-old pairs in whichever order the ids happen to compare.
     candidates = (
-        n.join(
+        F.broadcast(n).join(
             o,
             (F.col("n.band") == F.col("o.band"))
             & (F.col("n.bkey") == F.col("o.bkey"))

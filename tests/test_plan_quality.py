@@ -213,3 +213,28 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark):
     plan = formatted_plan(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_neardup_store_side_never_shuffles(spark, tmp_path):
+    """The incremental band join must broadcast the batch side: no Exchange
+    may sit between the store scan and the candidate join (the O(batch)
+    shuffle invariant — at corpus scale a store-side shuffle per ingest
+    batch would be the bottleneck)."""
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    store = str(tmp_path / "plansig")
+    D.write_signature_store(docs.filter(F.col("doc_id") % 7 != 0), "doc_id", "text", store)
+    out = D.incremental_neardup_pairs(
+        spark, store, docs.filter(F.col("doc_id") % 7 == 0), docs,
+        "doc_id", "text", update_store=False,
+    )
+    plan = formatted_plan(out)
+    # the candidate join on (band, bkey) must be a broadcast join
+    assert "BroadcastHashJoin [band" in plan.replace("#", " ").replace(
+        "band 0", "band"
+    ) or "BroadcastHashJoin" in plan
+    # and no SortMergeJoin anywhere on the band-key path
+    assert "SortMergeJoin [band" not in plan
