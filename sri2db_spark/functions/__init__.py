@@ -1,3 +1,3 @@
-from . import dedup, layout, multimodal, similarity, text
+from . import dedup, layout, multimodal, pipeline, similarity, stats, text
 
-__all__ = ["dedup", "layout", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "layout", "multimodal", "pipeline", "similarity", "stats", "text"]
