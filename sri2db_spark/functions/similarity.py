@@ -19,6 +19,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-vector work parallelizes: a small single-file
+    parquet corpus arrives as ONE partition, and the signature/encode/score
+    expressions would then run single-threaded. The repartition shuffles only
+    the (narrow) source rows and is a no-op when the input is already
+    parallel — the 100 TB case."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -87,7 +99,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -169,22 +183,36 @@ def lsh_ann_topk(
         ).select(idname, f"{idname}_v", "bk.tbl", "bk.bucket")
 
     qb = with_buckets(queries, "query_id")
-    cb = with_buckets(corpus, "neighbor_id")
+    cb = with_buckets(_spread(corpus), "neighbor_id")
+    # Dedup candidates on the ID PAIR alone — a multi-table hit would
+    # otherwise shuffle both float vectors (~1 KB/row) through the distinct;
+    # vectors re-attach afterwards (queries broadcast, corpus semi-pruned to
+    # candidate ids). Same candidate set, ~100x narrower shuffle.
     cand = (
-        F.broadcast(qb)
+        F.broadcast(qb.drop("query_id_v"))
         .join(
-            cb,
+            cb.drop("neighbor_id_v"),
             (qb["tbl"] == cb["tbl"])
             & (qb["bucket"] == cb["bucket"])
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos_sim"),
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_id_v"))
+    nv = corpus.join(
+        cand.select(F.col("neighbor_id").alias("__cid")).distinct(),
+        F.col(id_col) == F.col("__cid"),
+        "left_semi",
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_id_v"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -488,7 +516,7 @@ def pq_encode(
         )
         return F.array_min(choices).getField("cid")
 
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("id"),
         F.array(*[assign(j) for j in range(m)]).alias("code"),
     )
