@@ -1674,6 +1674,31 @@ def q_curate_incremental(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_asof_join_orders(spark, sf):
+    """General as-of join operator (operators/asof.asof_join): each event
+    picks up its user's most recent order at-or-before the event time —
+    one window pass over the tagged union, no range explosion."""
+    from ..operators.asof import asof_join  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", F.col("user_id").alias("k"), ns_to_ms().alias("ev_ms")
+    )
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("k"),
+        ms("o_orderdate").alias("order_ms"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev, orders, by=["k"], left_time="ev_ms", right_time="order_ms",
+        payload_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+    )
+    return out.select(
+        F.col("k").alias("user_id"), "event_id", "ev_ms",
+        "asof_o_orderkey", "asof_o_totalprice",
+    )
+
+
 def q_events_rolling(spark, sf):
     """Trailing-7-event rolling mean per user: one window shuffle, frame sum
     decimal-exact (bit-stable at any parallelism)."""
@@ -1865,6 +1890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "lm_quality": q_lm_quality,
     "curate_incremental": q_curate_incremental,
+    "asof_join_orders": q_asof_join_orders,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,
     "vocab_coverage": q_vocab_coverage,

@@ -1612,6 +1612,26 @@ ORACLES: dict[str, str] = {
           SELECT id_b FROM pairs WHERE id_b % 7 = 0))
         SELECT doc_id, lang, len({_W}) AS n_tokens, quality FROM q5
     """,
+    # general as-of join: nearest-earlier order per event, largest
+    # (order_ms, o_orderkey) wins; LEFT JOIN keeps no-order events
+    "asof_join_orders": """
+        WITH ev AS (
+          SELECT user_id AS k, event_id, epoch_ns(ts) // 1000000 AS ev_ms
+          FROM events),
+        o AS (
+          SELECT o_custkey AS k, epoch_ms(o_orderdate) AS order_ms,
+                 o_orderkey, o_totalprice
+          FROM orders),
+        j AS (
+          SELECT ev.k, ev.event_id, ev.ev_ms, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY ev.event_id
+                   ORDER BY o.order_ms DESC, o.o_orderkey DESC) AS rn
+          FROM ev LEFT JOIN o ON o.k = ev.k AND o.order_ms <= ev.ev_ms
+        )
+        SELECT k AS user_id, event_id, ev_ms,
+               o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+        FROM j WHERE rn = 1
+    """,
     # ---- dedup / similarity / text / multimodal --------------------------
     "dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies
