@@ -238,3 +238,38 @@ def test_incremental_neardup_store_side_never_shuffles(spark, tmp_path):
     ) or "BroadcastHashJoin" in plan
     # and no SortMergeJoin anywhere on the band-key path
     assert "SortMergeJoin [band" not in plan
+
+
+def test_registry_wide_no_python_in_plans(spark):
+    """Sweep EVERY registry query's physical plan: Python evaluation nodes
+    (BatchEvalPython / ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+    are allowed only in the explicitly Arrow-batched multimodal/embedding
+    operators. Queries that materialize internally (saved-index round-trips)
+    return LocalTableScan plans and are skipped — their heavy lifting is
+    audited by their own dedicated tests."""
+    ARROW_OK = {
+        "media_embed_neardup",  # encoder stub is documented mapInPandas
+        "media_resize",         # resize kernel is documented mapInPandas
+        "rag_chunk_topk",       # embed stage is documented mapInPandas
+    }
+    # index-building queries execute actions at plan-build time — skip the
+    # expensive rebuilds here; each has its own plan/behavior tests
+    SKIP = {"ann_ivf_saved", "ann_ivf_upsert", "ann_ivfpq_topk",
+            "neardup_incremental", "curate_incremental"}
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in SKIP:
+            continue
+        plan = formatted_plan(fn(spark, SF))
+        has_py = any(
+            marker in plan
+            for marker in (
+                "BatchEvalPython", "ArrowEvalPython",
+                "MapInPandas", "FlatMapGroupsInPandas",
+            )
+        )
+        if has_py and name not in ARROW_OK:
+            bad.append(name)
+        if not has_py and name in ARROW_OK:
+            bad.append(f"{name} (expected Arrow node missing)")
+    assert not bad, f"unexpected Python in plans: {bad}"
