@@ -454,8 +454,12 @@ def build_ivf_index(
     (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .join(assignment, "id")
+        # batch_id=-1 marks build-time rows; streaming ingest writes its own
+        # batch_id sub-partitions at the same depth (mixed-depth partition
+        # trees break discovery), keeping cid the pruning column
+        .withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
-        .partitionBy("cid")
+        .partitionBy("cid", "batch_id")
         .parquet(f"{path}/cells")
     )
 
@@ -668,9 +672,10 @@ def ivf_index_upsert(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             F.array_min(choices).getField("cid").alias("cid"),
+            F.lit(-1).alias("batch_id"),
         )
         .write.mode("append")
-        .partitionBy("cid")
+        .partitionBy("cid", "batch_id")
         .parquet(f"{path}/cells")
     )
 
@@ -720,8 +725,9 @@ def build_ivfpq_index(
         .join(assignment.withColumnRenamed("cid", "cell"), "id")
         .join(codes.withColumnRenamed("id", "__cid2"), F.col("id") == F.col("__cid2"))
         .select("id", "v", "code", "cell")
+        .withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("cell", "batch_id")
         .parquet(f"{path}/cells")
     )
 
