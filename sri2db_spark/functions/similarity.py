@@ -690,27 +690,50 @@ def build_ivfpq_index(
     m: int = 4,
     ksub: int = 16,
     pq_iters: int = 1,
+    residual: bool = False,
 ) -> None:
     """IVF-PQ index — the canonical billion-scale ANN layout (FAISS IVFPQ
     shape): a coarse quantizer assigns each vector to one of ``nlist`` cells
-    (file-level pruning at query time), and a global product quantizer
-    compresses each vector to ``m`` codes (the in-cell scan reads bytes, not
-    floats). Materializes:
+    (file-level pruning at query time), and a product quantizer compresses
+    each vector to ``m`` codes (the in-cell scan reads bytes, not floats).
+    Materializes:
 
     - ``path/centroids``: coarse cell centroids (nlist rows).
     - ``path/codebooks``: (sub, cid, centroid) — m·ksub PQ centroids.
     - ``path/cells``: (id, v, code) partitioned by cell id — ``v`` kept for
       optional exact re-rank of shortlists; a pure-PQ deployment can drop it.
+    - ``path/meta``: the residual flag, so the query side self-configures.
 
-    This variant scores raw-vector codes (IVF-Flat-PQ), not residual codes:
-    the ADC tables are query-global, so one LUT serves every probed cell,
-    and the whole pipeline stays deterministic/replayable.
+    ``residual=False`` (IVF-Flat-PQ) encodes raw vectors: the ADC table is
+    query-global, one LUT serves every probed cell. ``residual=True`` is the
+    full FAISS IVFPQ formulation: codes quantize ``v − centroid(cell)``;
+    residuals have far smaller variance than raw vectors, so the same code
+    budget buys materially better distance resolution — at the cost of one
+    LUT per (query, probed cell). Both stay deterministic/replayable.
     """
     spark = corpus.sparkSession
     centroids, assignment = kmeans_lite(
         corpus, id_col, vec_col, nlist, kmeans_iters
     )
-    books = pq_train(corpus, id_col, vec_col, m, ksub, pq_iters)
+    base = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(assignment.withColumnRenamed("cid", "cell"), "id")
+    )
+    if residual:
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        enc_input = base.select(
+            "id",
+            F.zip_with(
+                F.col("v"),
+                F.element_at(cent_arr, F.col("cell") + 1),
+                lambda x, y: x.cast("double") - y,
+            ).alias("__enc"),
+        )
+    else:
+        enc_input = base.select("id", F.col("v").alias("__enc"))
+    books = pq_train(enc_input, "id", "__enc", m, ksub, pq_iters)
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         schema="cid int, centroid array<double>",
@@ -719,10 +742,12 @@ def build_ivfpq_index(
         [(j, i, c) for j, book in enumerate(books) for i, c in enumerate(book)],
         schema="sub int, cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    codes = pq_encode(corpus, books, id_col, vec_col)
+    spark.createDataFrame(
+        [(bool(residual),)], schema="residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    codes = pq_encode(enc_input, books, "id", "__enc")
     (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(assignment.withColumnRenamed("cid", "cell"), "id")
+        base
         .join(codes.withColumnRenamed("id", "__cid2"), F.col("id") == F.col("__cid2"))
         .select("id", "v", "code", "cell")
         .withColumn("batch_id", F.lit(-1))
@@ -755,36 +780,66 @@ def ivfpq_query_index(
     directories are read) and scores ONLY the m-byte codes inside them via
     the query's ADC lookup table. The double win at 100 TB: the scan touches
     nprobe/nlist of the corpus, and what it touches is 10-100× smaller than
-    the float vectors. Returns (query_id, neighbor_id, adc_dist, rank)."""
+    the float vectors. Returns (query_id, neighbor_id, adc_dist, rank).
+
+    Residual indexes (``build_ivfpq_index(residual=True)``) are detected
+    from the saved meta: the LUT is then built per (query, probed cell)
+    against the query's residual to that cell's centroid — nprobe·m·ksub
+    doubles per query, still driver-trivial."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     books = _load_codebooks(spark, path)
+    try:
+        residual = bool(spark.read.parquet(f"{path}/meta").first()["residual"])
+    except Exception:  # pre-meta indexes are raw-vector encoded
+        residual = False
     m = len(books)
     dsub = len(books[0][0])
     nlist = len(centroids)
-    choices = F.array(
-        *[
-            F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    lut_rows = []
-    for r in queries.select(id_col, vec_col).collect():
-        v = [float(x) for x in r[vec_col]]
-        luts = [
-            [_py_sqdist(v[j * dsub : (j + 1) * dsub], c) for c in books[j]]
-            for j in range(m)
-        ]
-        lut_rows.append((r[id_col], luts))
     qtype = dict(queries.select(id_col).dtypes)[id_col]
-    lutdf = spark.createDataFrame(
-        lut_rows, schema=f"query_id {qtype}, lut array<array<double>>"
-    )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.slice(F.array_sort(choices), 1, min(nprobe, nlist))).alias("p"),
-    ).select("query_id", F.col("p.cid").alias("cell"))
-    probes = probes.join(F.broadcast(lutdf), "query_id")
+    if residual:
+        # probe selection AND per-cell residual LUTs computed driver-side
+        # with the same sequential folds the executors/oracle use
+        probe_rows = []
+        for r in queries.select(id_col, vec_col).collect():
+            v = [float(x) for x in r[vec_col]]
+            ranked = sorted(
+                (( _py_sqdist(v, c), i) for i, c in enumerate(centroids))
+            )[: min(nprobe, nlist)]
+            for _, cell in ranked:
+                qr = [v[i] - centroids[cell][i] for i in range(len(v))]
+                lut = [
+                    [_py_sqdist(qr[j * dsub : (j + 1) * dsub], c) for c in books[j]]
+                    for j in range(m)
+                ]
+                probe_rows.append((r[id_col], cell, lut))
+        probes = spark.createDataFrame(
+            probe_rows,
+            schema=f"query_id {qtype}, cell int, lut array<array<double>>",
+        )
+    else:
+        choices = F.array(
+            *[
+                F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        lut_rows = []
+        for r in queries.select(id_col, vec_col).collect():
+            v = [float(x) for x in r[vec_col]]
+            luts = [
+                [_py_sqdist(v[j * dsub : (j + 1) * dsub], c) for c in books[j]]
+                for j in range(m)
+            ]
+            lut_rows.append((r[id_col], luts))
+        lutdf = spark.createDataFrame(
+            lut_rows, schema=f"query_id {qtype}, lut array<array<double>>"
+        )
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.slice(F.array_sort(choices), 1, min(nprobe, nlist))).alias("p"),
+        ).select("query_id", F.col("p.cid").alias("cell"))
+        probes = probes.join(F.broadcast(lutdf), "query_id")
     cells = spark.read.parquet(f"{path}/cells").select(
         F.col("id").alias("neighbor_id"), "code", "cell"
     )

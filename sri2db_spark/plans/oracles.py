@@ -299,7 +299,14 @@ def _sqdist_d(a: str, b: str, d: int) -> str:
     )
 
 
-def _pq_ctes(m: int, ksub: int, iters: int, include_e: bool = True) -> str:
+def _pq_ctes(
+    m: int,
+    ksub: int,
+    iters: int,
+    include_e: bool = True,
+    src: str = "e",
+    include_luts: bool = True,
+) -> str:
     """WITH-body replaying pq_train + pq_encode (functions/similarity.py):
     per subspace, kmeans_lite on the dsub-dim slice (lowest-id seeds,
     quantized-exact Lloyd rounds), then argmin codes and per-query distance
@@ -321,7 +328,7 @@ def _pq_ctes(m: int, ksub: int, iters: int, include_e: bool = True) -> str:
         a, b = j * dsub + 1, (j + 1) * dsub
         sq = _sqdist_d("es.v", "c.cl", dsub)
         parts.append(
-            f"""es{j} AS (SELECT vec_id, v[{a}:{b}] AS v FROM e),
+            f"""es{j} AS (SELECT vec_id, v[{a}:{b}] AS v FROM {src}),
         seedss{j} AS (
           SELECT rn - 1 AS cid, v FROM (
             SELECT row_number() OVER (ORDER BY vec_id ASC) AS rn, v FROM es{j}
@@ -367,12 +374,17 @@ def _pq_ctes(m: int, ksub: int, iters: int, include_e: bool = True) -> str:
                      ORDER BY {sq} ASC, c.cid ASC) AS rn
             FROM es{j} es CROSS JOIN cls{j}_{iters} c
           ) WHERE rn = 1
-        ),
+        )"""
+            + (
+                f""",
         luts{j} AS MATERIALIZED (
           SELECT es.vec_id AS query_id, c.cid, {sq} AS d
           FROM (SELECT vec_id, v FROM es{j} WHERE vec_id < 8) es
           CROSS JOIN cls{j}_{iters} c
         )"""
+                if include_luts
+                else ""
+            )
         )
     return ",\n        ".join(parts)
 
@@ -470,6 +482,81 @@ def _ivfpq_oracle(
         ),
         cand AS MATERIALIZED (
           SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN afin a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id, {dist} AS adc_dist
+          FROM cand c
+          {' '.join(joins)}
+        )
+        SELECT query_id, neighbor_id, adc_dist, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _ivfpq_residual_oracle(
+    nlist: int = 16,
+    nprobe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    pq_iters: int = 1,
+    k: int = 5,
+) -> str:
+    """Residual IVF-PQ simulation (build_ivfpq_index(residual=True) +
+    ivfpq_query_index): codes quantize v − centroid(cell); the ADC table is
+    per (query, probed cell) against the query's residual to that cell."""
+    dsub = DIM // m
+    joins = []
+    for j in range(m):
+        joins.append(f"JOIN codes{j} c{j} ON c{j}.vec_id = c.neighbor_id")
+        joins.append(
+            f"JOIN rluts{j} l{j} ON l{j}.query_id = c.query_id"
+            f" AND l{j}.cell = c.cell AND l{j}.cid = c{j}.cid"
+        )
+    dist = " + ".join(["0.0"] + [f"l{j}.d" for j in range(m)])
+    rlut_ctes = []
+    for j in range(m):
+        a, b = j * dsub + 1, (j + 1) * dsub
+        rlut_ctes.append(
+            f"""rluts{j} AS MATERIALIZED (
+          SELECT r.query_id, r.cell, c.cid,
+                 {_sqdist_d(f'(r.qr[{a}:{b}])', 'c.cl', dsub)} AS d
+          FROM rq r CROSS JOIN cls{j}_{pq_iters} c
+        )"""
+        )
+    return f"""
+        WITH {_kmeans_ctes(nlist, coarse_iters)},
+        resid AS MATERIALIZED (
+          SELECT a.vec_id, list_transform(range(1, {DIM + 1}),
+                                          i -> a.v[i] - c.cl[i]) AS v
+          FROM afin a JOIN cl{coarse_iters} c ON c.cid = a.cid
+        ),
+        {_pq_ctes(m, ksub, pq_iters, include_e=False, src="resid",
+                  include_luts=False)},
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_sqdist('q.v', 'c.cl')} ASC, c.cid ASC) AS rn
+            FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+            CROSS JOIN cl{coarse_iters} c
+          ) WHERE rn <= {nprobe}
+        ),
+        rq AS MATERIALIZED (
+          SELECT p.query_id, p.cid AS cell,
+                 list_transform(range(1, {DIM + 1}),
+                                i -> q.v[i] - cc.cl[i]) AS qr
+          FROM probes p
+          JOIN e q ON q.vec_id = p.query_id
+          JOIN cl{coarse_iters} cc ON cc.cid = p.cid
+        ),
+        {','.join(rlut_ctes)},
+        cand AS MATERIALIZED (
+          SELECT p.query_id, p.cid AS cell, a.vec_id AS neighbor_id
           FROM probes p JOIN afin a ON a.cid = p.cid AND a.vec_id <> p.query_id
         ),
         scored AS (
@@ -1656,6 +1743,7 @@ ORACLES: dict[str, str] = {
     "ann_pq_topk": _pq_oracle(),
     "ann_pq_rerank": _pq_rerank_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
+    "ann_ivfpq_residual": _ivfpq_residual_oracle(),
     # same parameters, same output — the saved-index path round-trips floats
     # bit-exactly, so it shares the replayed-kmeans oracle
     "ann_ivf_saved": _ivf_ann_oracle(),

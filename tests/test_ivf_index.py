@@ -136,3 +136,42 @@ def test_ivfpq_index_prunes_and_scores_codes(spark):
         assert scans and all("v:" not in s for s in scans)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_residual_ivfpq_beats_raw_on_adc_recall(spark):
+    """Residual encoding must not lose to raw-vector encoding: with the same
+    code budget, ADC over residuals resolves distances at least as well
+    (FAISS IVFPQ rationale), and the meta flag round-trips so queries
+    self-configure."""
+    import numpy as np
+
+    emb = _tp(spark, SF, "embeddings")
+    data = {r.vec_id: np.array([float(x) for x in r.embedding]) for r in emb.collect()}
+    exact = {}
+    for qid in range(8):
+        qv = data[qid]
+        d = sorted((float(((v - qv) ** 2).sum()), i) for i, v in data.items() if i != qid)
+        exact[qid] = {i for _, i in d[:5]}
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def recall(residual):
+        tmp = tempfile.mkdtemp(prefix="ivfpqr_test_")
+        try:
+            S.build_ivfpq_index(
+                emb, tmp, nlist=8, m=8, ksub=16, pq_iters=2, residual=residual
+            )
+            meta = spark.read.parquet(f"{tmp}/meta").first()["residual"]
+            assert meta == residual
+            rows = S.ivfpq_query_index(spark, tmp, q, k=5, nprobe=4).collect()
+            got = {}
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return sum(len(exact[k] & v) for k, v in got.items()) / (5 * len(got))
+        finally:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    raw, res = recall(False), recall(True)
+    assert res >= raw - 0.05  # residual never materially worse
+    assert res >= 0.15  # near-random 500-vector corpus: a loose sanity floor
