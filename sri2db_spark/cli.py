@@ -48,9 +48,24 @@ def build_sync(spark, cfg: dict, dry_run: bool = False):
     api = cfg.get("api", {})
     db = cfg.get("db", {})
     layout = LAYOUTS[db.get("layout", "large")]
+    fetch = None
+    if any(k in api for k in ("username", "headers", "timeout", "retry")):
+        from .sources.sri_api import make_fetch_json  # noqa: PLC0415
+
+        retry = api.get("retry", {})
+        fetch = make_fetch_json(
+            username=api.get("username"),
+            password=api.get("password"),
+            headers=api.get("headers"),
+            timeout=float(api.get("timeout", 60_000)) / 1000.0,
+            retries=int(retry.get("retries", 3)),
+            initial_wait=float(retry.get("initialWait", 500)) / 1000.0,
+            factor=float(retry.get("factor", 2.0)),
+        )
     reader = SriApiReader(
         spark,
         api["baseUrl"],
+        fetch_json=fetch,
         limit=int(api.get("limit", 500)),
         next_links_broken=bool(api.get("nextLinksBroken", False)),
     )
@@ -173,7 +188,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    valid_synctypes = ("fullSync", "deltaSync", "safeDeltaSync")
+    # "none" (with --listen) skips the initial configured sync and only
+    # listens — reference README.md:46-49
+    valid_synctypes = ("fullSync", "deltaSync", "safeDeltaSync", "none")
     if args.synctype and args.synctype not in valid_synctypes:
         p.error(f"--synctype must be one of {', '.join(valid_synctypes)}")
     try:
@@ -211,13 +228,23 @@ def main(argv: list[str] | None = None) -> int:
         # Reference: socket.io broadcast (client.js:1981-2047). A pluggable
         # event source keeps this testable; the default polls stdin lines as
         # events (each line = one trigger), which composes with any external
-        # notifier process.
+        # notifier process. The configured sync runs once up front unless
+        # synctype is "none" (reference README.md:46-49); broadcast events
+        # trigger broadcastSyncMethod (default deltaSync, README.md:72).
+        if synctype != "none":
+            r0 = sync.configured_sync(synctype)
+            print(
+                f"initial {r0.synctype}: {r0.resources_synced} resources, "
+                f"{r0.rows_after} rows"
+            )
+        broadcast_sync = cfg.get("broadcastSyncMethod", "deltaSync")
+
         def connect():
             for line in sys.stdin:
                 yield line.strip()
 
         listener = BroadcastListener(
-            connect=connect, sync_fn=lambda: sync.configured_sync(synctype)
+            connect=connect, sync_fn=lambda: sync.configured_sync(broadcast_sync)
         ).start()
         try:
             while True:
@@ -228,6 +255,9 @@ def main(argv: list[str] | None = None) -> int:
             listener.stop()
             return 0
 
+    if synctype == "none":
+        print("synctype none: nothing to do (use --listen to wait for events)")
+        return 0
     r = sync.configured_sync(synctype)
     print(
         f"{r.synctype}: {r.resources_synced} resources, {r.deletes_synced} deletes, "

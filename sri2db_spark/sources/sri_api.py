@@ -64,17 +64,47 @@ def default_fetch_json(
     url: str, timeout: float = 60.0, retries: int = 3, initial_wait: float = 0.5
 ) -> dict:
     """GET url → parsed JSON with exponential-backoff retry (README.md:85-90)."""
-    wait = initial_wait
-    for attempt in range(retries + 1):
-        try:
-            with urllib.request.urlopen(url, timeout=timeout) as resp:
-                return json.loads(resp.read().decode("utf-8"))
-        except Exception:
-            if attempt == retries:
-                raise
-            time.sleep(wait)
-            wait *= 2
-    raise RuntimeError("unreachable")
+    return make_fetch_json(timeout=timeout, retries=retries, initial_wait=initial_wait)(
+        url
+    )
+
+
+def make_fetch_json(
+    username: str | None = None,
+    password: str | None = None,
+    headers: dict[str, str] | None = None,
+    timeout: float = 60.0,
+    retries: int = 3,
+    initial_wait: float = 0.5,
+    factor: float = 2.0,
+):
+    """Transport factory mirroring the reference's api config surface
+    (README.md:80-90 / sri-client generic interface): HTTP Basic auth from
+    ``username``/``password``, extra request ``headers``, and the
+    ``timeout`` / ``retry: {retries, initialWait, factor}`` knobs. Returns a
+    ``fetch_json(url) -> dict`` suitable for ``SriApiReader``."""
+    import base64  # noqa: PLC0415
+
+    hdrs = dict(headers or {})
+    if username is not None:
+        token = base64.b64encode(f"{username}:{password or ''}".encode()).decode()
+        hdrs["Authorization"] = f"Basic {token}"
+
+    def fetch(url: str) -> dict:
+        wait = initial_wait
+        for attempt in range(retries + 1):
+            try:
+                req = urllib.request.Request(url, headers=hdrs)
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except Exception:
+                if attempt == retries:
+                    raise
+                time.sleep(wait)
+                wait *= factor
+        raise RuntimeError("unreachable")
+
+    return fetch
 
 
 def translate_page(payload) -> list[tuple[str | None, str | None]]:

@@ -341,3 +341,66 @@ def test_cli_index_build_upsert_query_roundtrip(spark, tmp_path, capsys):
     assert got == exact
     text = capsys.readouterr().out
     assert "index-build ok" in text and "index-query ok: 12" in text
+
+
+def test_fetch_json_sends_auth_and_headers(spark):
+    """make_fetch_json: Basic auth + extra headers reach the server; retry
+    config honored (a first-request failure is retried)."""
+    import base64
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from sri2db_spark.sources.sri_api import make_fetch_json
+
+    seen = {"auth": None, "x": None, "calls": 0}
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen["calls"] += 1
+            if seen["calls"] == 1:  # force one retry
+                self.send_response(500)
+                self.end_headers()
+                return
+            seen["auth"] = self.headers.get("Authorization")
+            seen["x"] = self.headers.get("X-Extra")
+            body = _json.dumps({"results": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    fetch = make_fetch_json(
+        username="alice", password="s3cret", headers={"X-Extra": "yes"},
+        retries=2, initial_wait=0.05,
+    )
+    out = fetch(f"http://127.0.0.1:{srv.server_port}/things")
+    srv.shutdown()
+    assert out == {"results": []}
+    assert seen["calls"] == 2  # retried once
+    expect = "Basic " + base64.b64encode(b"alice:s3cret").decode()
+    assert seen["auth"] == expect
+    assert seen["x"] == "yes"
+
+
+def test_cli_synctype_none_is_noop(spark, tmp_path, capsys):
+    api = FakeSriApi(n=3)
+    cfg = {
+        "api": {"baseUrl": "https://fake.api", "path": "/a", "limit": 3},
+        "db": {"location": str(tmp_path / "t"), "synctimes": str(tmp_path / "w"),
+               "layout": "large"},
+    }
+    cfg_path = tmp_path / "cfg_none.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with _patched_reader(api):
+        rc = cli.main([str(cfg_path), "--synctype", "none"])
+    assert rc == 0
+    assert "nothing to do" in capsys.readouterr().out
+    import os
+
+    assert not os.path.exists(str(tmp_path / "t"))  # no sync ran
