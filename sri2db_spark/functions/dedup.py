@@ -100,6 +100,17 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
     )
 
 
+def _all_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Shingles WITHOUT the per-row array_distinct pass — for min-based
+    signature builds, where duplicates cannot change a min and the distinct
+    costs a measured ~25% of the stage. Jaccard paths (which count) must use
+    ``_distinct_shingles``."""
+    return _parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -164,7 +175,7 @@ def minhash_signatures(
     codegen, and is ~100× slower.)
     """
     params = _perm_params(num_perm)
-    ds = _distinct_shingles(df, id_col, text_col, k)
+    ds = _all_shingles(df, id_col, text_col, k)
     h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
     mins = ds.select("id", h.alias("h")).groupBy("id").agg(
         *[
@@ -195,7 +206,7 @@ def oph_signatures(
     ``num_perm`` rows per doc survive the map side), then a tiny per-doc
     assembly aggregation.
     """
-    ds = _distinct_shingles(df, id_col, text_col, k)
+    ds = _all_shingles(df, id_col, text_col, k)
     h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
     binned = ds.select("id", F.pmod(h, F.lit(num_perm)).alias("bin"), h.alias("h"))
     mins = binned.groupBy("id", "bin").agg(F.min("h").alias("m"))
