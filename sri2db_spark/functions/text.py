@@ -103,6 +103,19 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array(text))
 
 
+def canonicalize_text(text: Column) -> Column:
+    """Dedup canonical form: lowercase, strip everything but [a-z0-9 ],
+    collapse whitespace runs, trim. Catches the case/punctuation/spacing
+    variants that defeat raw content hashing (the standard pre-hash
+    normalization in web-corpus dedup). Only engine-portable pieces —
+    ``lower`` + character-class ``regexp_replace`` — so oracles reproduce
+    it byte-for-byte."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
 def fingerprint(text: Column, k: int = 5) -> Column:
     """Winnowing-style document fingerprint: lexicographic min of md5 over all
     k-word shingles. Stable under content reordering-resistant matching and

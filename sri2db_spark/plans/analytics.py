@@ -436,6 +436,19 @@ def q_neardup_incremental(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_dedup_exact_canonical(spark, sf):
+    """Canonicalized exact dedup: hash the case/punct/whitespace-normalized
+    text (X.canonicalize_text), catching the near-trivial variants raw
+    hashing misses; one hash-agg, same 100 TB shape as dedup_exact."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy(
+            F.md5(X.canonicalize_text(F.col("text"))).alias("canon_hash")
+        )
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
 def q_dedup_simhash(spark, sf):
     # portable md5-derived feature hash so the DuckDB oracle reproduces the
     # exact signatures (xxhash64 stays the production default)
@@ -1874,6 +1887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_history": q_orders_history,
     # dedup + similarity flagships
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_canonical": q_dedup_exact_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "neardup_incremental": q_neardup_incremental,
     "dedup_simhash": q_dedup_simhash,

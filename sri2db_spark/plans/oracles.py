@@ -1724,6 +1724,12 @@ ORACLES: dict[str, str] = {
         SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
+    "dedup_exact_canonical": """
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_hash,
+               min(doc_id) AS rep_id, count(*) AS n_variants
+        FROM documents GROUP BY 1
+    """,
     "dedup_ngram_jaccard": _JACCARD_PAIRS,
     # LSH with 64 bands × 2 rows has miss probability ≤ 1e-8 per true pair at
     # j ≥ 0.5, and every candidate is verified with exact Jaccard — so its

@@ -734,3 +734,17 @@ def test_state_compaction_and_retraction(spark, docs, tmp_path):
     )
     out = {r.doc_id for r in P.curate_batch_incremental(spark, reingest, state, bench).collect()}
     assert out == {2001}
+
+
+def test_canonicalize_text_collapses_variants(spark):
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.functions.text import canonicalize_text
+
+    rows = [(1, "Hello,  World!"), (2, "HELLO WORLD"), (3, "hello world."),
+            (4, "a different text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    canon = {r.doc_id: r.c for r in df.select(
+        "doc_id", canonicalize_text(F.col("text")).alias("c")).collect()}
+    assert canon[1] == canon[2] == canon[3] == "hello world"
+    assert canon[4] == "a different text"
