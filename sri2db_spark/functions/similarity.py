@@ -774,6 +774,7 @@ def ivfpq_query_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    rerank_shortlist: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a saved IVF-PQ index: each query probes its
     ``nprobe`` nearest cells (dynamic partition pruning — only those
@@ -785,7 +786,14 @@ def ivfpq_query_index(
     Residual indexes (``build_ivfpq_index(residual=True)``) are detected
     from the saved meta: the LUT is then built per (query, probed cell)
     against the query's residual to that cell's centroid — nprobe·m·ksub
-    doubles per query, still driver-trivial."""
+    doubles per query, still driver-trivial.
+
+    ``rerank_shortlist=R``: the full production query path — the ADC pass
+    shortlists R candidates per query from the codes alone, then ONLY those
+    rows' stored float vectors are fetched (point lookups into the probed
+    cells) and exactly re-ranked by true squared L2. Output becomes
+    (query_id, neighbor_id, l2_dist, rank); recall is set by R, scan cost
+    still by the code-only ADC pass."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     books = _load_codebooks(spark, path)
@@ -860,7 +868,42 @@ def ivfpq_query_index(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_shortlist is None:
+        return ranked.filter(F.col("rank") <= k)
+    short = ranked.filter(F.col("rank") <= rerank_shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    ids = short.select(F.col("neighbor_id").alias("__sid")).distinct()
+    vecs = (
+        spark.read.parquet(f"{path}/cells")
+        .join(ids, F.col("id") == F.col("__sid"), "left_semi")
+        .select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    "qv", "nv",
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("l2_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
 

@@ -558,6 +558,28 @@ def q_ann_ivfpq_residual(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_ivfpq_rerank(spark, sf):
+    """The full production ANN query path: residual IVF-PQ cell-pruned ADC
+    shortlist (width 50) → exact L2 re-rank of only the shortlisted stored
+    vectors."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    emb = _tp(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivfpqrr_")
+    try:
+        S.build_ivfpq_index(
+            emb, tmp, nlist=16, m=4, ksub=16, pq_iters=1, residual=True
+        )
+        out = S.ivfpq_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 8),
+            k=5, nprobe=4, rerank_shortlist=50,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ann_ivf_upsert(spark, sf):
     """Incremental IVF maintenance: index trained on the base corpus
     (vec_id % 5 != 0), then an ingest batch (vec_id % 5 == 0) appended via
@@ -1901,6 +1923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_rerank": q_ann_pq_rerank,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
+    "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
     "emb_centroids": q_emb_centroids,
     # text pipeline
     "text_quality": q_text_quality,

@@ -505,10 +505,13 @@ def _ivfpq_residual_oracle(
     ksub: int = 16,
     pq_iters: int = 1,
     k: int = 5,
+    rerank: int | None = None,
 ) -> str:
     """Residual IVF-PQ simulation (build_ivfpq_index(residual=True) +
     ivfpq_query_index): codes quantize v − centroid(cell); the ADC table is
-    per (query, probed cell) against the query's residual to that cell."""
+    per (query, probed cell) against the query's residual to that cell.
+    ``rerank=R`` appends the shortlist + exact-L2 stage of
+    ivfpq_query_index(rerank_shortlist=R)."""
     dsub = DIM // m
     joins = []
     for j in range(m):
@@ -563,13 +566,40 @@ def _ivfpq_residual_oracle(
           SELECT c.query_id, c.neighbor_id, {dist} AS adc_dist
           FROM cand c
           {' '.join(joins)}
-        )
+        ){_residual_tail(k, rerank)}
+    """
+
+
+def _residual_tail(k: int, rerank: int | None) -> str:
+    """Final stage of the residual IVF-PQ oracle: plain ADC rank, or the
+    shortlist + exact-L2 re-rank when ``rerank`` is set."""
+    if rerank is None:
+        return f"""
         SELECT query_id, neighbor_id, adc_dist, rank FROM (
           SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
           FROM scored
-        ) WHERE rank <= {k}
-    """
+        ) WHERE rank <= {k}"""
+    return f""",
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+            FROM scored
+          ) WHERE rn <= {rerank}
+        ),
+        exact AS (
+          SELECT s.query_id, s.neighbor_id,
+                 {_sqdist_d('q.v', 'n.v', DIM)} AS l2_dist
+          FROM short s
+          JOIN e q ON q.vec_id = s.query_id
+          JOIN e n ON n.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, l2_dist, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+          FROM exact
+        ) WHERE rank <= {k}"""
 
 
 ORACLES: dict[str, str] = {
@@ -1750,6 +1780,7 @@ ORACLES: dict[str, str] = {
     "ann_pq_rerank": _pq_rerank_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
     "ann_ivfpq_residual": _ivfpq_residual_oracle(),
+    "ann_ivfpq_rerank": _ivfpq_residual_oracle(rerank=50),
     # same parameters, same output — the saved-index path round-trips floats
     # bit-exactly, so it shares the replayed-kmeans oracle
     "ann_ivf_saved": _ivf_ann_oracle(),

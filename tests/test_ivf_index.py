@@ -175,3 +175,40 @@ def test_residual_ivfpq_beats_raw_on_adc_recall(spark):
     raw, res = recall(False), recall(True)
     assert res >= raw - 0.05  # residual never materially worse
     assert res >= 0.15  # near-random 500-vector corpus: a loose sanity floor
+
+
+def test_ivfpq_rerank_recall_beats_adc(spark):
+    """The shortlist + exact re-rank path must recover at least the raw ADC
+    ranking's recall (it re-orders a superset by exact distance)."""
+    import numpy as np
+
+    emb = _tp(spark, SF, "embeddings")
+    data = {r.vec_id: np.array([float(x) for x in r.embedding]) for r in emb.collect()}
+    exact = {}
+    for qid in range(8):
+        qv = data[qid]
+        d = sorted((float(((v - qv) ** 2).sum()), i) for i, v in data.items() if i != qid)
+        exact[qid] = {i for _, i in d[:5]}
+    q = emb.filter(F.col("vec_id") < 8)
+    tmp = tempfile.mkdtemp(prefix="ivfpqrr_test_")
+    try:
+        S.build_ivfpq_index(emb, tmp, nlist=8, m=8, ksub=16, pq_iters=2, residual=True)
+
+        def recall(rows):
+            got = {}
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return sum(len(exact[k] & v) for k, v in got.items()) / (5 * len(got))
+
+        adc = recall(S.ivfpq_query_index(spark, tmp, q, k=5, nprobe=4).collect())
+        rr = recall(
+            S.ivfpq_query_index(
+                spark, tmp, q, k=5, nprobe=4, rerank_shortlist=50
+            ).collect()
+        )
+        assert rr >= adc
+        assert rr >= 0.4
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -258,7 +258,8 @@ def test_registry_wide_no_python_in_plans(spark):
     # index-building queries execute actions at plan-build time — skip the
     # expensive rebuilds here; each has its own plan/behavior tests
     SKIP = {"ann_ivf_saved", "ann_ivf_upsert", "ann_ivfpq_topk",
-            "ann_ivfpq_residual", "neardup_incremental", "curate_incremental"}
+            "ann_ivfpq_residual", "ann_ivfpq_rerank",
+            "neardup_incremental", "curate_incremental"}
     bad = []
     for name, fn in sorted(QUERIES.items()):
         if name in SKIP:
