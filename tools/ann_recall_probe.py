@@ -83,6 +83,8 @@ def main() -> None:
         exact_l2,
     )
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="probe_ivfpq_")
     S.build_ivfpq_index(emb, tmp, nlist=16, m=8, ksub=16, pq_iters=2)
     run(
@@ -90,8 +92,22 @@ def main() -> None:
         lambda: S.ivfpq_query_index(spark, tmp, queries, k=5, nprobe=4),
         exact_l2,
     )
-    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
 
+    tmp = tempfile.mkdtemp(prefix="probe_ivfpqr_")
+    S.build_ivfpq_index(emb, tmp, nlist=16, m=8, ksub=16, pq_iters=2, residual=True)
+    run(
+        "ivfpq_residual",
+        lambda: S.ivfpq_query_index(spark, tmp, queries, k=5, nprobe=4),
+        exact_l2,
+    )
+    run(
+        "ivfpq_rerank50",
+        lambda: S.ivfpq_query_index(
+            spark, tmp, queries, k=5, nprobe=4, rerank_shortlist=50
+        ),
+        exact_l2,
+    )
     shutil.rmtree(tmp, ignore_errors=True)
 
     print(json.dumps({"sf_dir": sf_dir, "n_queries": n_q, "ops": out}))
