@@ -446,6 +446,7 @@ def incremental_neardup_pairs(
     update_store: bool = True,
     new_sigs: DataFrame | None = None,
     old_sigs: DataFrame | None = None,
+    batch_token=None,
 ) -> DataFrame:
     """Batch-incremental near-dup detection against a persisted signature
     store: signatures are computed for ``new_docs`` ONLY, and the returned
@@ -470,6 +471,16 @@ def incremental_neardup_pairs(
     (e.g. the streaming wrapper, which writes batch-id-addressed store files
     for exactly-once retries) inject them: ``new_sigs`` skips the batch
     signature computation, ``old_sigs`` replaces the store read entirely.
+
+    ``batch_token`` makes the store update itself exactly-once under
+    at-least-once retries (see :mod:`.statestore`): the append is addressed
+    to ``<store>/batch_id=<token>`` with overwrite (a replay replaces its
+    own partial attempt), and the default store read excludes that token's
+    files (a replay never sees its first attempt's signatures as "old").
+    Without a token the store read is still pinned to the pre-write file
+    list, but a crashed-and-retried append can leave duplicate signature
+    rows (harmless for pair output — banding is per-id — but unbounded
+    retries grow the store; pass a token when the caller retries).
     """
     r = num_perm // bands
     if new_sigs is None:
@@ -480,14 +491,12 @@ def incremental_neardup_pairs(
         # DataFrame executes lazily, possibly after ``update_store`` has
         # appended this batch's signatures — a plain directory read
         # re-resolved at that point would see the new files and double-count
-        # every new id.
-        try:
-            files = spark.read.parquet(store_path).inputFiles()
-        except Exception:  # nonexistent store: first batch bootstraps it
-            files = []
-        old_sigs = (
-            spark.read.parquet(*files).select("id", "sig") if files else None
-        )
+        # every new id. With a batch_token, additionally exclude this
+        # batch's own subdirectory so a replay ignores its crashed attempt.
+        from .statestore import read_store  # noqa: PLC0415
+
+        old = read_store(spark, store_path, exclude_token=batch_token)
+        old_sigs = old.select("id", "sig") if old is not None else None
     all_sigs = (
         old_sigs.unionByName(new_sigs) if old_sigs is not None else new_sigs
     )
@@ -532,8 +541,13 @@ def incremental_neardup_pairs(
     docs = _restrict_to_candidates(_parallelize(docs_lookup), candidates, id_col)
     verified = _verify_jaccard(candidates, docs, id_col, text_col, k, threshold)
     if update_store:
-        mode = "append" if old_sigs is not None else "overwrite"
-        new_sigs.write.mode(mode).parquet(store_path)
+        if batch_token is not None:
+            from .statestore import write_store_batch  # noqa: PLC0415
+
+            write_store_batch(new_sigs, store_path, batch_token)
+        else:
+            mode = "append" if old_sigs is not None else "overwrite"
+            new_sigs.write.mode(mode).parquet(store_path)
     return verified
 
 

@@ -113,6 +113,7 @@ def curate_batch_incremental(
     contamination_k: int = 5,
     neardup_threshold: float = 0.5,
     update_state: bool = True,
+    batch_token=None,
 ) -> DataFrame:
     """One ingest batch through the curation chain AGAINST persisted state —
     the per-batch cost is O(batch), never O(corpus):
@@ -129,16 +130,23 @@ def curate_batch_incremental(
 
     Survivors (and only survivors) then join the state so the next batch
     sees them. Returns (id, strata, n_tokens, quality) for batch survivors.
+
+    ``batch_token`` (REQUIRED for any caller that may retry a batch, e.g.
+    ``foreachBatch``): state writes become idempotent — each store append is
+    addressed to ``<store>/batch_id=<token>`` with overwrite, and every
+    state READ excludes that token's files. Without this, a batch that
+    crashed after its state append and is replayed would anti-join against
+    its own first-attempt hashes and drop all its documents — they would
+    sit in state but never reach the curated output (see
+    :mod:`.statestore`). Without a token, writes are plain appends
+    (single-attempt batch callers only).
     """
     from .dedup import incremental_neardup_pairs, oph_signatures  # noqa: PLC0415
+    from .statestore import read_store, write_store_batch  # noqa: PLC0415
 
     scored = batch.withColumn("quality", quality_score(F.col(text_col)))
     q = scored.filter(F.col("quality") >= min_quality)
-    try:
-        hfiles = spark.read.parquet(f"{state_dir}/hashes").inputFiles()
-    except Exception:
-        hfiles = []
-    old_hashes = spark.read.parquet(*hfiles) if hfiles else None
+    old_hashes = read_store(spark, f"{state_dir}/hashes", exclude_token=batch_token)
     if old_hashes is not None:
         q = q.join(
             F.broadcast(old_hashes),
@@ -158,18 +166,16 @@ def curate_batch_incremental(
     # near-dup pass runs over the WHOLE batch (pre-filter), so the drop rule
     # is independent of filter order: drop iff a smaller-id partner exists
     # anywhere in state ∪ batch.
-    try:
-        cfiles = spark.read.parquet(f"{state_dir}/corpus").inputFiles()
-    except Exception:
-        cfiles = []
+    old_corpus = read_store(spark, f"{state_dir}/corpus", exclude_token=batch_token)
     batch_docs = batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     lookup = (
-        spark.read.parquet(*cfiles).unionByName(batch_docs) if cfiles else batch_docs
+        old_corpus.unionByName(batch_docs) if old_corpus is not None else batch_docs
     )
     sigs_all = oph_signatures(batch, id_col, text_col).persist()
     pairs = incremental_neardup_pairs(
         spark, f"{state_dir}/sigs", batch, lookup, "id", "text",
         threshold=neardup_threshold, update_store=False, new_sigs=sigs_all,
+        batch_token=batch_token,
     )
     drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
     q = q.join(drops, F.col(id_col) == F.col("__drop"), "left_anti")
@@ -183,23 +189,38 @@ def curate_batch_incremental(
         out = out.persist()
         out.count()  # materialize before state writes consume the plan
         surv = out.select(F.col(id_col).alias("__sid"))
-        batch.join(surv, F.col(id_col) == F.col("__sid"), "left_semi").select(
-            F.md5(F.col(text_col)).alias("h")
-        ).distinct().write.mode("append" if hfiles else "overwrite").parquet(
-            f"{state_dir}/hashes"
+        new_hashes = (
+            batch.join(surv, F.col(id_col) == F.col("__sid"), "left_semi")
+            .select(F.md5(F.col(text_col)).alias("h"))
+            .distinct()
         )
-        sigs_all.join(surv, F.col("id") == F.col("__sid"), "left_semi").write.mode(
-            "append"
-        ).parquet(f"{state_dir}/sigs")
-        batch_docs.join(surv, F.col("id") == F.col("__sid"), "left_semi").write.mode(
-            "append"
-        ).parquet(f"{state_dir}/corpus")
+        new_sigs = sigs_all.join(surv, F.col("id") == F.col("__sid"), "left_semi")
+        new_corpus = batch_docs.join(
+            surv, F.col("id") == F.col("__sid"), "left_semi"
+        )
+        if batch_token is not None:
+            write_store_batch(new_hashes, f"{state_dir}/hashes", batch_token)
+            write_store_batch(new_sigs, f"{state_dir}/sigs", batch_token)
+            write_store_batch(new_corpus, f"{state_dir}/corpus", batch_token)
+        else:
+            new_hashes.write.mode(
+                "append" if old_hashes is not None else "overwrite"
+            ).parquet(f"{state_dir}/hashes")
+            new_sigs.write.mode("append").parquet(f"{state_dir}/sigs")
+            new_corpus.write.mode("append").parquet(f"{state_dir}/corpus")
     return out
 
 
 def _swap_dir(src_tmp: str, dst: str) -> None:
-    """Atomic directory replace (write-new + rename), same protocol as the
-    lake sink's partition swap — readers never see a half-written store."""
+    """Directory replace via two renames (dst→old, tmp→dst), same protocol
+    as the lake sink's partition swap. NOT atomic to concurrent readers:
+    between the two renames ``dst`` does not exist, so compaction and
+    retraction must not run concurrently with ingest or queries over the
+    same store — quiesce the stream first (the maintenance-window
+    discipline every compacting store requires). A reader-safe deployment
+    swaps via a versioned directory + manifest pointer instead:
+    :class:`...sinks.committer.ManifestCommitter` implements that protocol
+    and is what the lake sink uses on object stores."""
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import uuid  # noqa: PLC0415
@@ -220,28 +241,39 @@ def compact_curation_state(spark, state_dir: str) -> dict[str, tuple[int, int]]:
     open cost. Compaction rewrites each store as one coalesced file-set and
     drops the duplicate rows a crashed-and-replayed batch may have appended
     (stores are membership sets — hashes dedup on h, sigs/corpus on id).
-    Atomic swap per store; returns {store: (files_before, files_after)}.
+    Swap per store (see :func:`_swap_dir` for the concurrency contract);
+    returns {store: (files_before, files_after)}. Handles both flat stores
+    and the batch-id-addressed layout streaming ingest writes (compaction
+    collapses the ``batch_id=*`` subdirectories back into one flat
+    file-set; subsequent batches add fresh subdirectories alongside it).
     """
     import os  # noqa: PLC0415
     import uuid  # noqa: PLC0415
+
+    from .statestore import list_store_files  # noqa: PLC0415
+
+    def _count_files(path: str) -> int:
+        return sum(
+            1
+            for _, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
 
     report: dict[str, tuple[int, int]] = {}
     for sub, keys in (("hashes", ["h"]), ("sigs", ["id"]), ("corpus", ["id"])):
         path = f"{state_dir}/{sub}"
         if not os.path.isdir(path):
             continue
-        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        files = list_store_files(spark, path)
         if not files:
             continue
-        df = spark.read.parquet(path).dropDuplicates(keys)
+        df = spark.read.parquet(*files).dropDuplicates(keys)
         n_out = max(1, df.rdd.getNumPartitions() // 8)
         tmp = f"{path}__tmp_{uuid.uuid4().hex}"
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, path)
-        report[sub] = (
-            len(files),
-            len([f for f in os.listdir(path) if f.endswith(".parquet")]),
-        )
+        report[sub] = (len(files), _count_files(path))
     return report
 
 
@@ -257,28 +289,37 @@ def retract_from_state(spark, state_dir: str, ids: list) -> None:
     are shared — if a surviving doc carries the same text, its hash must
     stay. Full rewrite per call: at 100 TB the stores would be partitioned
     (e.g. by id range) so a retraction rewrites only the touched partitions;
-    the atomic-swap protocol is the same either way.
+    the swap protocol (and its no-concurrent-ingest contract, see
+    :func:`_swap_dir`) is the same either way.
     """
     import uuid  # noqa: PLC0415
 
-    ids_df = spark.createDataFrame([(i,) for i in ids], "id bigint")
-    corpus = spark.read.parquet(f"{state_dir}/corpus").join(
-        F.broadcast(ids_df), "id", "left_anti"
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    from .statestore import read_store  # noqa: PLC0415
+
+    corpus_all = read_store(spark, f"{state_dir}/corpus")
+    if corpus_all is None:
+        return
+    # Schema of the id list follows the store's id column (bigint ids and
+    # string ids both occur; a hardcoded type would silently anti-join
+    # nothing on the other kind).
+    id_field = corpus_all.schema["id"]
+    ids_df = spark.createDataFrame(
+        [(i,) for i in ids], StructType([id_field])
     )
+    corpus = corpus_all.join(F.broadcast(ids_df), "id", "left_anti")
     tmp_c = f"{state_dir}/corpus__tmp_{uuid.uuid4().hex}"
     corpus.write.mode("overwrite").parquet(tmp_c)
     _swap_dir(tmp_c, f"{state_dir}/corpus")
-    sigs = spark.read.parquet(f"{state_dir}/sigs").join(
-        F.broadcast(ids_df), "id", "left_anti"
-    )
-    tmp_s = f"{state_dir}/sigs__tmp_{uuid.uuid4().hex}"
-    sigs.write.mode("overwrite").parquet(tmp_s)
-    _swap_dir(tmp_s, f"{state_dir}/sigs")
-    hashes = (
-        spark.read.parquet(f"{state_dir}/corpus")
-        .select(F.md5(F.col("text")).alias("h"))
-        .distinct()
-    )
+    sigs_all = read_store(spark, f"{state_dir}/sigs")
+    if sigs_all is not None:
+        sigs = sigs_all.join(F.broadcast(ids_df), "id", "left_anti")
+        tmp_s = f"{state_dir}/sigs__tmp_{uuid.uuid4().hex}"
+        sigs.write.mode("overwrite").parquet(tmp_s)
+        _swap_dir(tmp_s, f"{state_dir}/sigs")
+    remaining = read_store(spark, f"{state_dir}/corpus")
+    hashes = remaining.select(F.md5(F.col("text")).alias("h")).distinct()
     tmp_h = f"{state_dir}/hashes__tmp_{uuid.uuid4().hex}"
     hashes.write.mode("overwrite").parquet(tmp_h)
     _swap_dir(tmp_h, f"{state_dir}/hashes")

@@ -1,0 +1,74 @@
+"""Batch-token-addressed parquet state stores for incremental pipelines.
+
+The incremental dedup/curation operators keep derived state (content
+hashes, MinHash signatures, verification corpus) as append-only parquet
+directories. Under ``foreachBatch`` replay — or any at-least-once batch
+scheduler — a plain directory append is NOT idempotent: a batch that
+crashes after its state append and is retried would (a) append its rows a
+second time and, far worse, (b) *see its own first-attempt rows as prior
+state*, so an exact-dedup-vs-state anti-join drops the whole batch and the
+documents are lost from the output forever (they are "in state" but never
+made it to the curated corpus).
+
+The protocol here fixes both, mirroring the reference's
+exactly-once-per-run merge discipline (staging tables + one transactional
+merge, ``/root/reference/src/lib/client.js:869-1040``) re-expressed for an
+append-only object store:
+
+- **Writes are addressed by batch token**: each batch overwrites its own
+  ``<store>/batch_id=<token>`` subdirectory, so a replay replaces the
+  partial first attempt instead of duplicating it.
+- **Reads exclude the current token**: state readers list files
+  recursively and drop any file under the current batch's subdirectory, so
+  a retry never mistakes its own half-written state for history.
+- **Reads are pinned to an explicit file list**: the returned DataFrame is
+  built from the file paths resolved NOW, so lazy execution after this
+  batch's own state write cannot re-resolve the directory and double-count.
+
+Directory layout is deliberately mixed-friendly: a store may contain flat
+files (initial bootstrap, post-compaction) alongside ``batch_id=*``
+subdirectories; readers use recursive file listing (no Hive partition
+discovery), so the schema is always exactly the file schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def store_batch_path(path: str, token) -> str:
+    """The subdirectory a batch's state write is addressed to."""
+    return f"{path}/batch_id={token}"
+
+
+def list_store_files(spark, path: str, exclude_token=None) -> list[str]:
+    """All parquet data files under ``path`` (recursively), excluding any
+    under ``batch_id=<exclude_token>/``. Empty list if the store does not
+    exist yet."""
+    try:
+        files = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
+            .inputFiles()
+        )
+    except Exception:  # nonexistent / empty store: first batch bootstraps it
+        return []
+    if exclude_token is not None:
+        seg = f"/batch_id={exclude_token}/"
+        files = [f for f in files if seg not in f]
+    return files
+
+
+def read_store(spark, path: str, exclude_token=None) -> DataFrame | None:
+    """Pinned-file-list read of a state store, or ``None`` when the store
+    has no (other-batch) data yet. See module docstring for why the file
+    list is resolved eagerly and the current token excluded."""
+    files = list_store_files(spark, path, exclude_token)
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def write_store_batch(df: DataFrame, path: str, token) -> None:
+    """Idempotent state append: overwrite this batch's own subdirectory."""
+    df.write.mode("overwrite").parquet(store_batch_path(path, token))

@@ -153,12 +153,12 @@ def stream_curate_incremental(
     ``out_dir`` and join the state for later batches. The curated corpus is
     simply the union of the per-batch outputs.
 
-    Retry semantics: the curated OUTPUT is batch-id-addressed (overwrite on
-    replay). The state update inside curate_batch_incremental appends, so a
-    mid-write crash can leave a replayed batch's survivors in the state
-    twice — harmless for correctness (dedup stores are membership sets; a
-    duplicate hash/signature row changes no survivor decision) but noted
-    here because the state is append-only by design.
+    Exactly-once under foreachBatch retries: BOTH the curated output and
+    every state store write are batch-id-addressed (overwrite on replay),
+    and all state reads exclude the current batch id — so a batch that
+    crashed after its state append cannot, on replay, anti-join its
+    documents against their own first-attempt hashes and silently drop
+    them (see ``functions.statestore`` for the protocol).
     """
     from ..functions.pipeline import curate_batch_incremental  # noqa: PLC0415
 
@@ -168,6 +168,7 @@ def stream_curate_incremental(
             spark, batch_df, state_dir, benchmark, id_col, text_col,
             strata_col=strata_col, min_quality=min_quality,
             neardup_threshold=neardup_threshold, update_state=True,
+            batch_token=batch_id,
         )
         out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 

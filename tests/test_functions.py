@@ -748,3 +748,33 @@ def test_canonicalize_text_collapses_variants(spark):
         "doc_id", canonicalize_text(F.col("text")).alias("c")).collect()}
     assert canon[1] == canon[2] == canon[3] == "hello world"
     assert canon[4] == "a different text"
+
+
+def test_incremental_neardup_replay_idempotent_store(spark, docs, tmp_path):
+    """With a batch_token, a retried incremental_neardup_pairs call (the
+    at-least-once scheduler case) overwrites its own store subdirectory
+    instead of appending twice, excludes its first attempt's signatures
+    from the store read, and returns identical pairs."""
+    store = str(tmp_path / "sigstore_replay")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    D.write_signature_store(base, "doc_id", "text", store)
+    first = {
+        (r.id_a, r.id_b)
+        for r in D.incremental_neardup_pairs(
+            spark, store, batch, docs, "doc_id", "text", batch_token=0
+        ).collect()
+    }
+    # replay: crash-after-store-append, same token
+    replay = {
+        (r.id_a, r.id_b)
+        for r in D.incremental_neardup_pairs(
+            spark, store, batch, docs, "doc_id", "text", batch_token=0
+        ).collect()
+    }
+    assert replay == first
+    assert len(first) > 0
+    from sri2db_spark.functions.statestore import read_store
+
+    sig_ids = [r.id for r in read_store(spark, store).select("id").collect()]
+    assert len(sig_ids) == len(set(sig_ids)) == docs.count()

@@ -267,3 +267,96 @@ def test_stream_curate_incremental_matches_batch_chain(spark, tmp_path):
     m2 = {r.doc_id for r in P.curate_batch_incremental(spark, b2, state2, bench).collect()}
     assert got == m1 | m2
     assert 10 in got and 21 in got and 20 not in got and 11 not in got
+
+
+def test_curate_incremental_replay_does_not_lose_docs(spark, tmp_path):
+    """foreachBatch replay scenario: a batch's state append lands, the batch
+    crashes, and the whole batch re-runs with the same batch id. With
+    batch-token-addressed state the replay must (a) NOT anti-join its docs
+    against their own first-attempt hashes (which would silently drop them
+    from the curated corpus forever) and (b) leave each survivor in the
+    state exactly once."""
+    from sri2db_spark.functions import pipeline as P
+    from sri2db_spark.functions.statestore import read_store
+
+    nat = ("the quick brown fox jumps over the lazy dog while the rain in "
+           "spain falls mainly on the plain and the cat sat on the mat")
+    nat2 = ("a completely different natural sentence about spark and the art "
+            "of distributed systems where the shuffle is the enemy of the "
+            "fast query")
+    schema = "doc_id long, text string, lang string"
+    bench = spark.createDataFrame(
+        [(999, "benchmark secret sauce phrase entirely unique here", "en")],
+        schema,
+    )
+    state = str(tmp_path / "rstate")
+    b1 = spark.createDataFrame([(10, nat, "en"), (11, nat2, "en")], schema)
+
+    first = {
+        r.doc_id
+        for r in P.curate_batch_incremental(
+            spark, b1, state, bench, batch_token=0
+        ).collect()
+    }
+    assert first == {10, 11}
+    # replay of the SAME batch id — simulates crash-after-state-append
+    replay = {
+        r.doc_id
+        for r in P.curate_batch_incremental(
+            spark, b1, state, bench, batch_token=0
+        ).collect()
+    }
+    assert replay == first  # docs NOT dropped against their own state
+    sig_ids = sorted(
+        r.id for r in read_store(spark, f"{state}/sigs").select("id").collect()
+    )
+    assert sig_ids == [10, 11]  # each survivor's signature exactly once
+    hashes = read_store(spark, f"{state}/hashes").collect()
+    assert len(hashes) == len({r.h for r in hashes}) == 2
+    # a LATER batch still sees batch-0 state: exact dup of doc 10 drops
+    b2 = spark.createDataFrame([(20, nat, "en")], schema)
+    out2 = P.curate_batch_incremental(
+        spark, b2, state, bench, batch_token=1
+    ).collect()
+    assert out2 == []
+
+
+def test_curate_incremental_mixed_flat_and_token_state(spark, tmp_path):
+    """Bootstrap state written flat (init_curation_state) must coexist with
+    batch-token-addressed appends, and compaction must collapse both."""
+    from sri2db_spark.functions import pipeline as P
+    from sri2db_spark.functions.statestore import read_store
+
+    nat = ("the quick brown fox jumps over the lazy dog while the rain in "
+           "spain falls mainly on the plain and the cat sat on the mat")
+    nat2 = ("a completely different natural sentence about spark and the art "
+            "of distributed systems where the shuffle is the enemy of the "
+            "fast query")
+    schema = "doc_id long, text string, lang string"
+    bench = spark.createDataFrame(
+        [(999, "benchmark secret sauce phrase entirely unique here", "en")],
+        schema,
+    )
+    state = str(tmp_path / "mstate")
+    seed = spark.createDataFrame([(1, nat, "en")], schema)
+    P.init_curation_state(seed, state)
+    b1 = spark.createDataFrame([(10, nat, "en"), (11, nat2, "en")], schema)
+    out = {
+        r.doc_id
+        for r in P.curate_batch_incremental(
+            spark, b1, state, bench, batch_token=7
+        ).collect()
+    }
+    assert out == {11}  # 10 is an exact dup of the flat-bootstrapped doc 1
+    ids = sorted(r.id for r in read_store(spark, f"{state}/sigs").collect())
+    assert ids == [1, 11]
+    rep = P.compact_curation_state(spark, state)
+    assert set(rep) == {"hashes", "sigs", "corpus"}
+    ids_after = sorted(r.id for r in read_store(spark, f"{state}/sigs").collect())
+    assert ids_after == [1, 11]
+    # retraction removes doc 11 everywhere; doc 1's hash survives
+    P.retract_from_state(spark, state, [11])
+    assert sorted(
+        r.id for r in read_store(spark, f"{state}/corpus").collect()
+    ) == [1]
+    assert read_store(spark, f"{state}/hashes").count() == 1
