@@ -160,8 +160,15 @@ def index_main(argv: list[str]) -> int:
         print(f"index-build ok: kind={args.kind} out={args.out}")
     elif cmd == "index-upsert":
         vecs = spark.read.parquet(args.vectors)
-        S.ivf_index_upsert(spark, args.index, vecs, args.id_col, args.vec_col)
-        print(f"index-upsert ok: index={args.index}")
+        # route by the index's actual on-disk layout, not a user flag: an
+        # IVF-style append into an IVF-PQ cells directory would corrupt
+        # partition discovery for every later query
+        kind = S.saved_index_kind(spark, args.index)
+        if kind == "ivfpq":
+            S.ivfpq_index_upsert(spark, args.index, vecs, args.id_col, args.vec_col)
+        else:
+            S.ivf_index_upsert(spark, args.index, vecs, args.id_col, args.vec_col)
+        print(f"index-upsert ok: kind={kind} index={args.index}")
     else:
         queries = spark.read.parquet(args.queries)
         fn = S.ivfpq_query_index if args.kind == "ivfpq" else S.ivf_query_index

@@ -484,6 +484,13 @@ def pq_train(
     makes the codebooks — and everything downstream — engine-reproducible.
     """
     dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        # FAISS rejects this too: the subspace slices would silently ignore
+        # the trailing dim % m dimensions, degrading ADC distances.
+        raise ValueError(
+            f"vector dim {dim} is not divisible by m={m}; "
+            f"choose m from the divisors of {dim}"
+        )
     dsub = dim // m
     books = []
     for j in range(m):
@@ -752,6 +759,82 @@ def build_ivfpq_index(
         .select("id", "v", "code", "cell")
         .withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
+        .partitionBy("cell", "batch_id")
+        .parquet(f"{path}/cells")
+    )
+
+
+def saved_index_kind(spark, path: str) -> str:
+    """Detect the layout of a saved ANN index: ``"ivfpq"`` when the PQ
+    artifacts (``codebooks`` + ``meta``) are present, else ``"ivf"``.
+    Routing an upsert by this instead of trusting a user-supplied flag
+    prevents appending code-less (cid, batch_id)-partitioned rows into an
+    IVF-PQ index's (cell, batch_id) cells directory, which would corrupt
+    partition discovery for every later query."""
+    def _exists(sub: str) -> bool:
+        try:
+            spark.read.parquet(f"{path}/{sub}").schema
+            return True
+        except Exception:
+            return False
+
+    if not _exists("centroids"):
+        raise ValueError(f"not a saved ANN index (no centroids): {path}")
+    return "ivfpq" if _exists("codebooks") and _exists("meta") else "ivf"
+
+
+def ivfpq_index_upsert(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append an ingest batch to a saved IVF-PQ index WITHOUT retraining:
+    each new vector is assigned to its nearest existing coarse centroid,
+    PQ-encoded with the EXISTING codebooks (residual-aware, per the index's
+    saved meta flag), and appended to its cell partition. Same 100 TB
+    contract as :func:`ivf_index_upsert`: one narrow batch scan against
+    broadcast-literal centroids/codebooks, batch-sized append, the corpus
+    is never read or rewritten. Retrain when codebook drift degrades
+    recall — the standard FAISS maintenance split."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    books = _load_codebooks(spark, path)
+    residual = bool(spark.read.parquet(f"{path}/meta").first()["residual"])
+    choices = F.array(
+        *[
+            F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = new_vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array_min(choices).getField("cid").alias("cell"),
+    )
+    if residual:
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        assigned = assigned.withColumn(
+            "__enc",
+            F.zip_with(
+                F.col("v"),
+                F.element_at(cent_arr, F.col("cell") + 1),
+                lambda x, y: x.cast("double") - y,
+            ),
+        )
+    else:
+        assigned = assigned.withColumn("__enc", F.col("v"))
+    codes = pq_encode(assigned, books, "id", "__enc")
+    (
+        assigned.join(
+            codes.withColumnRenamed("id", "__cid2"), F.col("id") == F.col("__cid2")
+        )
+        .select("id", "v", "code", "cell")
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("append")
         .partitionBy("cell", "batch_id")
         .parquet(f"{path}/cells")
     )

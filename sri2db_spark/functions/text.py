@@ -104,14 +104,24 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def canonicalize_text(text: Column) -> Column:
-    """Dedup canonical form: lowercase, strip everything but [a-z0-9 ],
-    collapse whitespace runs, trim. Catches the case/punctuation/spacing
-    variants that defeat raw content hashing (the standard pre-hash
-    normalization in web-corpus dedup). Only engine-portable pieces —
-    ``lower`` + character-class ``regexp_replace`` — so oracles reproduce
-    it byte-for-byte."""
+    """Dedup canonical form: lowercase, replace every character that is not
+    a Unicode letter, digit, or space with a space, collapse whitespace
+    runs, trim. Catches the case/punctuation/spacing variants that defeat
+    raw content hashing (the standard pre-hash normalization in web-corpus
+    dedup). Unicode-aware on purpose: an ASCII-only class would
+    canonicalize every CJK/Cyrillic/Arabic document to the empty string,
+    and a dedup keep-rule grouping on that would collapse an entire
+    language's content into one "duplicate" group. Only engine-portable
+    pieces — ``lower`` + ``\\p{L}\\p{N}`` character classes, supported
+    identically by Java regex and RE2/DuckDB — so oracles reproduce it
+    byte-for-byte.
+
+    Callers grouping on this form for dedup MUST still exclude empty
+    canonical forms (all-punctuation/whitespace documents): empty means
+    "no canonical content", not "same content".
+    """
     t = F.lower(text)
-    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, r"[^\p{L}\p{N} ]", " ")
     t = F.regexp_replace(t, " +", " ")
     return F.trim(t)
 

@@ -439,12 +439,16 @@ def q_neardup_incremental(spark, sf):
 def q_dedup_exact_canonical(spark, sf):
     """Canonicalized exact dedup: hash the case/punct/whitespace-normalized
     text (X.canonicalize_text), catching the near-trivial variants raw
-    hashing misses; one hash-agg, same 100 TB shape as dedup_exact."""
+    hashing misses; one hash-agg, same 100 TB shape as dedup_exact.
+    Documents whose canonical form is EMPTY (all punctuation/whitespace)
+    are excluded: empty means "no canonical content", and grouping them
+    would collapse unrelated documents into one bogus duplicate class."""
     docs = _t(spark, sf, "documents")
+    canon = docs.withColumn("__canon", X.canonicalize_text(F.col("text"))).filter(
+        F.col("__canon") != ""
+    )
     return (
-        docs.groupBy(
-            F.md5(X.canonicalize_text(F.col("text"))).alias("canon_hash")
-        )
+        canon.groupBy(F.md5(F.col("__canon")).alias("canon_hash"))
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_variants"))
     )
 

@@ -1754,11 +1754,16 @@ ORACLES: dict[str, str] = {
         SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
-    "dedup_exact_canonical": """
-        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_hash,
+    "dedup_exact_canonical": r"""
+        WITH c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+          FROM documents
+        )
+        SELECT md5(canon) AS canon_hash,
                min(doc_id) AS rep_id, count(*) AS n_variants
-        FROM documents GROUP BY 1
+        FROM c WHERE canon <> '' GROUP BY 1
     """,
     "dedup_ngram_jaccard": _JACCARD_PAIRS,
     # LSH with 64 bands × 2 rows has miss probability ≤ 1e-8 per true pair at

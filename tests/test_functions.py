@@ -750,6 +750,32 @@ def test_canonicalize_text_collapses_variants(spark):
     assert canon[4] == "a different text"
 
 
+def test_canonicalize_text_preserves_non_latin_scripts(spark):
+    """Non-Latin-script documents must NOT canonicalize to the empty string —
+    an ASCII-only character class would collapse every CJK/Cyrillic/Arabic
+    document into one bogus duplicate group (deleting whole languages if
+    used as a dedup keep-rule)."""
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.functions.text import canonicalize_text
+
+    rows = [
+        (1, "你好世界!"),  # CJK
+        (2, "Привет, мир"),  # Cyrillic
+        (3, "café déjà vu"),  # accented Latin
+        (4, "!!! ... ???"),  # punctuation-only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    canon = {r.doc_id: r.c for r in df.select(
+        "doc_id", canonicalize_text(F.col("text")).alias("c")).collect()}
+    assert canon[1] == "你好世界"
+    assert canon[2] == "привет мир"
+    assert canon[3] == "café déjà vu"
+    assert canon[4] == ""  # all-punct docs canonicalize empty -> must be
+    # excluded from dedup grouping (q_dedup_exact_canonical filters them)
+    assert len({canon[1], canon[2], canon[3]}) == 3
+
+
 def test_incremental_neardup_replay_idempotent_store(spark, docs, tmp_path):
     """With a batch_token, a retried incremental_neardup_pairs call (the
     at-least-once scheduler case) overwrites its own store subdirectory

@@ -212,3 +212,95 @@ def test_ivfpq_rerank_recall_beats_adc(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivfpq_upsert_appends_codes_in_right_layout(spark):
+    """ivfpq_index_upsert must reuse the saved codebooks (no retrain), land
+    batch rows in the (cell, batch_id) layout with codes identical to what
+    a fresh encode of the same vectors against the same books produces, and
+    leave the index queryable over base ∪ batch."""
+    emb = _tp(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_ups_test_")
+    try:
+        S.build_ivfpq_index(base, tmp, nlist=8, m=4, ksub=16, residual=True)
+        books_before = sorted(
+            map(tuple, spark.read.parquet(f"{tmp}/codebooks").collect())
+        )
+        assert S.saved_index_kind(spark, tmp) == "ivfpq"
+        S.ivfpq_index_upsert(spark, tmp, batch)
+        books_after = sorted(
+            map(tuple, spark.read.parquet(f"{tmp}/codebooks").collect())
+        )
+        assert books_before == books_after  # no retrain
+        cells = spark.read.parquet(f"{tmp}/cells")
+        assert set(cells.columns) >= {"id", "v", "code", "cell"}
+        ids = [r["id"] for r in cells.select("id").collect()]
+        assert sorted(ids) == sorted(r[0] for r in emb.select("vec_id").collect())
+        # queries over the upserted index see batch rows: probe every cell
+        # with a shortlist wider than the corpus (exact search), querying
+        # vec 0's embedding under a FRESH id (the query path excludes
+        # query_id == neighbor_id self-matches) — the upserted vec 0 must
+        # come back at distance 0
+        v0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        q = spark.createDataFrame(
+            [(-999, [float(x) for x in v0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = S.ivfpq_query_index(
+            spark, tmp, q, k=1, nprobe=8, rerank_shortlist=emb.count() + 1
+        )
+        top = out.first()
+        assert top["neighbor_id"] == 0 and top["l2_dist"] == 0.0
+        # and the upserted row's stored code equals a driver-side re-encode
+        # against the saved books (residual vs its assigned cell centroid)
+        import numpy as np
+
+        cents = [
+            [float(x) for x in r["centroid"]]
+            for r in spark.read.parquet(f"{tmp}/centroids").orderBy("cid").collect()
+        ]
+        bks = S._load_codebooks(spark, tmp)
+        dsub = len(bks[0][0])
+        row0 = cells.filter(F.col("id") == 0).first()
+        v0 = [float(x) for x in row0["v"]]
+        qr = [v0[i] - cents[row0["cell"]][i] for i in range(len(v0))]
+        expected = [
+            int(np.argmin([S._py_sqdist(qr[j * dsub:(j + 1) * dsub], c)
+                           for c in bks[j]]))
+            for j in range(len(bks))
+        ]
+        assert list(row0["code"]) == expected
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_saved_index_kind_detects_and_guards(spark):
+    """Kind detection (used by the CLI to route upserts): ivf vs ivfpq by
+    on-disk artifacts; a non-index path is rejected outright."""
+    emb = _tp(spark, SF, "embeddings")
+    tmp_ivf = tempfile.mkdtemp(prefix="kind_ivf_")
+    tmp_none = tempfile.mkdtemp(prefix="kind_none_")
+    try:
+        S.build_ivf_index(emb, tmp_ivf, nlist=4)
+        assert S.saved_index_kind(spark, tmp_ivf) == "ivf"
+        with pytest.raises(ValueError, match="not a saved ANN index"):
+            S.saved_index_kind(spark, tmp_none)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp_ivf, ignore_errors=True)
+        shutil.rmtree(tmp_none, ignore_errors=True)
+
+
+def test_pq_train_rejects_indivisible_m(spark):
+    """dim % m != 0 must raise (FAISS parity) instead of silently dropping
+    the trailing dimensions from every ADC distance."""
+    emb = _tp(spark, SF, "embeddings")  # 64-dim vectors
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_train(emb, m=7)
+    with pytest.raises(ValueError, match="not divisible"):
+        S.build_ivfpq_index(emb, "/tmp/never_written_ivfpq", nlist=4, m=7)
