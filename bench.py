@@ -67,8 +67,17 @@ def main() -> None:
     # Median-of-N per query with cache clearing between runs: sketch ops
     # persist intermediates, and leftover cached blocks + GC make single
     # runs noisy (round-2 showed ±50-90% phantom swings on unchanged code).
-    # The reported spread (max−min) makes the residual noise visible.
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    # N=5 with an interquartile spread (the distance across the central
+    # three runs) pins the noise floor: round-4's max−min of 3 let one GC
+    # pause put a 40% phantom swing on q1, making a 2× regression bar
+    # unenforceable for sub-2s queries.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5"))
+
+    def _spread(sorted_runs: list[float]) -> float:
+        n = len(sorted_runs)
+        if n >= 4:
+            return round(sorted_runs[(3 * n) // 4] - sorted_runs[n // 4], 3)
+        return round(sorted_runs[-1] - sorted_runs[0], 3)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -87,7 +96,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
-        spreads[name] = round(runs[-1] - runs[0], 3)
+        spreads[name] = _spread(runs)
 
     # ETL throughput: full sync of a 20k-resource fake SRI collection at the
     # reference's defaults (500/page) into a lake partition — the number most
@@ -127,7 +136,7 @@ def main() -> None:
         assert result.rows_after == n_resources
     sync_runs.sort()
     timings["sri_full_sync_20k"] = round(sync_runs[len(sync_runs) // 2], 3)
-    spreads["sri_full_sync_20k"] = round(sync_runs[-1] - sync_runs[0], 3)
+    spreads["sri_full_sync_20k"] = _spread(sync_runs)
 
     # Same 20k full sync through the A2 offset-sharded scale path: disjoint
     # executor-owned offset ranges paged inside Python workers (the shape a
@@ -149,7 +158,7 @@ def main() -> None:
         assert result.rows_after == n_resources
     sh_runs.sort()
     timings["sri_full_sync_20k_sharded"] = round(sh_runs[len(sh_runs) // 2], 3)
-    spreads["sri_full_sync_20k_sharded"] = round(sh_runs[-1] - sh_runs[0], 3)
+    spreads["sri_full_sync_20k_sharded"] = _spread(sh_runs)
     shutil.rmtree(tmp, ignore_errors=True)
 
     # Steady-state ANN serving: the index is built ONCE (the amortized cost a
@@ -177,7 +186,38 @@ def main() -> None:
             q_runs.append(time.perf_counter() - t0)
         q_runs.sort()
         timings["ann_ivfpq_query_64q"] = round(q_runs[len(q_runs) // 2], 3)
-        spreads["ann_ivfpq_query_64q"] = round(q_runs[-1] - q_runs[0], 3)
+        spreads["ann_ivfpq_query_64q"] = _spread(q_runs)
+
+        # Bulk offline scoring: 10,000 queries in ONE job — the regime the
+        # distributed LUT build exists for (the former driver-side loop
+        # serialized m·ksub·|queries| doubles through the driver and was
+        # the one flagged scale bottleneck). Query ids are shifted clear of
+        # corpus ids so the self-match exclusion never triggers.
+        from functools import reduce  # noqa: PLC0415
+
+        bulk_q = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                emb.select(
+                    (F.col("vec_id") + F.lit(100_000 * (i + 1))).alias("vec_id"),
+                    "embedding",
+                )
+                for i in range(5)
+            ],
+        )
+        b_runs: list[float] = []
+        S.ivfpq_query_index(spark, idx_tmp, bulk_q, k=5, nprobe=4).write.format(
+            "noop"
+        ).mode("overwrite").save()  # untimed warmup
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            S.ivfpq_query_index(spark, idx_tmp, bulk_q, k=5, nprobe=4).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            b_runs.append(time.perf_counter() - t0)
+        b_runs.sort()
+        timings["ann_ivfpq_bulk_10k"] = round(b_runs[len(b_runs) // 2], 3)
+        spreads["ann_ivfpq_bulk_10k"] = _spread(b_runs)
     finally:
         shutil.rmtree(idx_tmp, ignore_errors=True)
 

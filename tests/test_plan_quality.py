@@ -277,3 +277,36 @@ def test_registry_wide_no_python_in_plans(spark):
         if not has_py and name in ARROW_OK:
             bad.append(f"{name} (expected Arrow node missing)")
     assert not bad, f"unexpected Python in plans: {bad}"
+
+
+def test_pq_lut_build_is_distributed_projection(spark):
+    """The ADC LUT build must be a codegen projection over the queries scan
+    — NOT a driver collect loop materialized back as a LocalTableScan. A
+    LocalTableScan feeding the broadcast would mean m·ksub·|queries|
+    doubles serialized through the driver, which caps the bulk offline
+    query path. Guarded for both pq_adc_topk and the saved IVF-PQ index
+    query (residual and raw variants)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import sri2db_spark.functions.similarity as S
+    from sri2db_spark.plans.analytics import _tp
+
+    emb = _tp(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    books = S.pq_train(emb, m=4, ksub=8, iters=1)
+    codes = S.pq_encode(emb, books)
+    plan = formatted_plan(S.pq_adc_topk(codes, books, queries, k=3))
+    assert "LocalTableScan" not in plan  # LUTs never pass through the driver
+    assert "Scan parquet" in plan or "Scan ExistingRDD" in plan
+    for residual in (False, True):
+        tmp = tempfile.mkdtemp(prefix="plan_ivfpq_")
+        try:
+            S.build_ivfpq_index(emb, tmp, nlist=8, m=4, ksub=8, residual=residual)
+            out = S.ivfpq_query_index(spark, tmp, queries, k=3, nprobe=4)
+            plan = formatted_plan(out)
+            assert "LocalTableScan" not in plan, f"residual={residual}"
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
