@@ -92,18 +92,28 @@ class WatermarkStore:
     """A10 — the ``sri2db_synctimes`` control table as a parquet dataset.
 
     Key = (tablename, baseurl, path, synctype); upsert = read → replace-key →
-    atomic directory swap. The table is O(#endpoints) rows, so a full rewrite
-    per sync is the correct design at any scale.
+    commit through the pluggable committer (atomic rename swap locally,
+    manifest-pointer publication on object stores). The table is
+    O(#endpoints) rows, so a full rewrite per sync is the correct design at
+    any scale.
     """
 
     spark: SparkSession
     location: str
+    committer: object = None
+
+    def __post_init__(self) -> None:
+        if self.committer is None:
+            from ..sinks.committer import RenameCommitter  # noqa: PLC0415
+
+            self.committer = RenameCommitter()
 
     def _read(self) -> DataFrame:
-        if os.path.exists(self.location) and any(
-            f.endswith(".parquet") for f in os.listdir(self.location)
+        physical = self.committer.resolve(self.location)
+        if physical is not None and any(
+            f.endswith(".parquet") for f in os.listdir(physical)
         ):
-            return self.spark.read.schema(SYNCTIMES_SCHEMA).parquet(self.location)
+            return self.spark.read.schema(SYNCTIMES_SCHEMA).parquet(physical)
         return self.spark.createDataFrame([], SYNCTIMES_SCHEMA)
 
     def get(
@@ -163,13 +173,8 @@ class WatermarkStore:
             SYNCTIMES_SCHEMA,
         )
         updated = survivors.unionByName(new_row)
-        tmp = os.path.join(
-            tempfile.gettempdir(), f"synctimes_{uuid.uuid4().hex}"
-        )
+        # tmp must live on the same filesystem as the store (commit renames)
+        parent = os.path.dirname(os.path.abspath(self.location)) or "."
+        tmp = os.path.join(parent, f".synctimes_tmp_{uuid.uuid4().hex}")
         updated.coalesce(1).write.mode("overwrite").parquet(tmp)
-        staging = self.location + ".old"
-        if os.path.exists(self.location):
-            shutil.rmtree(staging, ignore_errors=True)
-            os.rename(self.location, staging)
-        shutil.move(tmp, self.location)
-        shutil.rmtree(staging, ignore_errors=True)
+        self.committer.commit(tmp, self.location)

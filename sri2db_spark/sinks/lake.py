@@ -7,27 +7,36 @@ columns (baseurl, path): every sync touches exactly its own partition, so
 
 - reads partition-prune to the endpoint being synced,
 - a full sync is a dynamic-partition overwrite (never a table rewrite),
-- atomicity (the reference's transaction, SURVEY D6) = write-new + atomic
-  directory swap per partition; dry-run simply skips the swap.
+- atomicity (the reference's transaction, SURVEY D6) = write-new + commit
+  via a pluggable :mod:`committer <..sinks.committer>`; dry-run simply
+  skips the commit.
+
+The commit protocol is backend-selected: the default ``RenameCommitter``
+uses atomic POSIX directory renames (local/HDFS); ``ManifestCommitter``
+publishes versioned directories through an atomic manifest-pointer write,
+the protocol object stores (S3/GCS) require because they have no atomic
+directory rename. Readers go through ``committer.resolve`` either way.
 
 At 100 TB, partitions stay navigable because the partition key is the
 endpoint, not the data volume; within a partition, files are sized by the
 writer's task parallelism. (On a real deployment this maps 1:1 onto a Delta /
 Iceberg table with MERGE — the operator layer is storage-agnostic; this sink
-is the dependency-free parquet implementation.)
+is the dependency-free parquet implementation, and the manifest committer is
+the same idea as those formats' transaction logs, minimized.)
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import urllib.parse
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..model.schema import TableLayout, resource_row_schema
+from .committer import ManifestCommitter, RenameCommitter
 
 HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
 
@@ -36,11 +45,19 @@ def _encode(value: str | None) -> str:
     return HIVE_DEFAULT if value is None else urllib.parse.quote(value, safe="")
 
 
+def _decode(segment: str) -> str | None:
+    value = segment.split("=", 1)[1]
+    return None if value == HIVE_DEFAULT else urllib.parse.unquote(value)
+
+
 @dataclass
 class LakeTable:
     spark: SparkSession
     location: str
     layout: TableLayout
+    committer: RenameCommitter | ManifestCommitter = field(
+        default_factory=RenameCommitter
+    )
 
     @classmethod
     def discover(cls, spark: SparkSession, location: str) -> "LakeTable":
@@ -52,6 +69,8 @@ class LakeTable:
         resourcetype. Raises on an empty/missing dataset (nothing to probe —
         callers fall back to an explicit layout, as the reference warns and
         aborts when the target table is missing, client.js:1711-1717).
+        Assumes the rename backend's flat layout; a manifest-committed table
+        is discovered from its configured layout instead.
         """
         df = spark.read.parquet(location)
         cols = set(df.columns)
@@ -74,20 +93,72 @@ class LakeTable:
     def _data_columns(self) -> list[str]:
         return [c for c in self.layout.columns if c not in self.layout.partition_columns]
 
+    def _list_partitions(self) -> list[tuple[str | None, str | None, str]]:
+        """(baseurl, path, logical partition dir) for every partition
+        directory present on disk — decoded from the hive-style segments."""
+        if not os.path.isdir(self.location):
+            return []
+        out: list[tuple[str | None, str | None, str]] = []
+        if self.layout.has_baseurl and self.layout.has_path:
+            for b in os.scandir(self.location):
+                if b.is_dir() and b.name.startswith("baseurl="):
+                    for p in os.scandir(b.path):
+                        if p.is_dir() and p.name.startswith("path="):
+                            out.append((_decode(b.name), _decode(p.name), p.path))
+        elif self.layout.has_baseurl:
+            for b in os.scandir(self.location):
+                if b.is_dir() and b.name.startswith("baseurl="):
+                    out.append((_decode(b.name), None, b.path))
+        elif self.layout.has_path:
+            for p in os.scandir(self.location):
+                if p.is_dir() and p.name.startswith("path="):
+                    out.append((None, _decode(p.name), p.path))
+        else:
+            out.append((None, None, self.location))
+        return out
+
     def read(self) -> DataFrame:
-        """Whole-table read with partition columns inferred from directories."""
+        """Whole-table read; partition columns come from the directory names.
+
+        Rename backend: one basePath scan with Hive partition discovery.
+        Manifest backend: a union of per-partition scans, each resolved
+        through its manifest to the current committed version and stamped
+        with its partition values as literals — Catalyst folds a filter on
+        those literals to ``false`` per non-matching child, so partition
+        pruning works exactly as with directory discovery."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
         schema = resource_row_schema(self.layout)
-        if not os.path.exists(self.location) or not any(os.scandir(self.location)):
-            return self.spark.createDataFrame([], schema)
-        df = (
-            self.spark.read.option("basePath", self.location)
-            .schema(
-                # partition cols come from dirs; give explicit schema for the rest
-                resource_row_schema(self.layout)
+        if not self.committer.versioned:
+            if not os.path.exists(self.location) or not any(
+                os.scandir(self.location)
+            ):
+                return self.spark.createDataFrame([], schema)
+            df = (
+                self.spark.read.option("basePath", self.location)
+                .schema(schema)
+                .parquet(self.location)
             )
-            .parquet(self.location)
+            return df.select(*self.layout.columns)
+        data_cols = set(self._data_columns())
+        data_schema = StructType(
+            [f for f in schema.fields if f.name in data_cols]
         )
-        return df.select(*self.layout.columns)
+        parts: list[DataFrame] = []
+        for baseurl, path, logical in self._list_partitions():
+            physical = self.committer.resolve(logical)
+            if physical is None:
+                continue
+            df = self.spark.read.schema(data_schema).parquet(physical)
+            if self.layout.has_baseurl:
+                df = df.withColumn("baseurl", F.lit(baseurl).cast("string"))
+            if self.layout.has_path:
+                df = df.withColumn("path", F.lit(path).cast("string"))
+            parts.append(df.select(*self.layout.columns))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def read_partition(self, baseurl: str | None, path: str | None) -> DataFrame:
         """Partition-pruned read of one endpoint's rows."""
@@ -106,9 +177,9 @@ class LakeTable:
         """Atomically replace one endpoint partition with ``new_rows``.
 
         Writes to a fresh directory first (the computed DataFrame may read the
-        current partition — never overwrite an input in place), then swaps.
-        Returns the row count written (the write itself is the action that
-        materializes it).
+        current partition — never overwrite an input in place), then commits
+        through the configured committer. Returns the row count written (the
+        write itself is the action that materializes it).
         """
         from pyspark.sql import Observation  # noqa: PLC0415
         from pyspark.sql import functions as F  # noqa: PLC0415
@@ -123,12 +194,7 @@ class LakeTable:
         )
         data.write.mode("overwrite").parquet(tmp)
         n = int(obs.get["n"])
-        old = f"{part_dir}__old_{uuid.uuid4().hex}"
-        if os.path.exists(part_dir):
-            os.rename(part_dir, old)
-        os.makedirs(os.path.dirname(part_dir) or ".", exist_ok=True)
-        os.rename(tmp, part_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        self.committer.commit(tmp, part_dir)
         return n
 
     def count(self) -> int:
@@ -145,8 +211,8 @@ class LakeTable:
         Delta syncs append a few rows per run; after thousands of syncs a
         partition is thousands of tiny files and every scan pays the
         per-file open cost. Compaction = read the partition, coalesce to
-        ceil(bytes / target) output files, atomic-swap (same write-new +
-        rename protocol as replace_partition, so readers never see a
+        ceil(bytes / target) output files, commit (same write-new + commit
+        protocol as replace_partition, so readers never see a
         half-compacted partition). Values are untouched — only the file
         layout changes. Returns (files_before, files_after).
 
@@ -154,25 +220,24 @@ class LakeTable:
         each output task concatenates whole input files.
         """
         part_dir = self._partition_dir(baseurl, path)
-        if not os.path.exists(part_dir):
+        physical = self.committer.resolve(part_dir)
+        if physical is None:
             return (0, 0)
         files = [
-            os.path.join(part_dir, f)
-            for f in os.listdir(part_dir)
+            os.path.join(physical, f)
+            for f in os.listdir(physical)
             if f.endswith(".parquet")
         ]
         if not files:
             return (0, 0)
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_out = max(1, -(-total_bytes // target_file_bytes))
-        df = self.spark.read.parquet(part_dir).coalesce(int(n_out))
+        df = self.spark.read.parquet(physical).coalesce(int(n_out))
         tmp = f"{part_dir}__tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(tmp)
-        old = f"{part_dir}__old_{uuid.uuid4().hex}"
-        os.rename(part_dir, old)
-        os.rename(tmp, part_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        self.committer.commit(tmp, part_dir)
+        after_dir = self.committer.resolve(part_dir)
         files_after = len(
-            [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            [f for f in os.listdir(after_dir) if f.endswith(".parquet")]
         )
         return (len(files), files_after)

@@ -1,0 +1,170 @@
+"""Commit protocols for the lake sink / watermark store.
+
+The RenameCommitter is the local-filesystem default; the ManifestCommitter
+is the object-store-safe protocol (versioned dirs + atomic pointer write).
+The failure-injection tests pin the exact property that motivates it: with
+non-atomic (or crashed-mid-way) directory renames, a manifest reader never
+observes a missing or half-written destination.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sri2db_spark.model.schema import LAYOUT_LARGE
+from sri2db_spark.operators.watermark import WatermarkStore
+from sri2db_spark.sinks.committer import ManifestCommitter, RenameCommitter
+from sri2db_spark.sinks.lake import LakeTable
+from sri2db_spark.sources.sri_api import SriApiReader
+from sri2db_spark.sync.engine import Sri2DbSync
+
+from .fake_api import FakeSriApi
+
+BASEURL = "https://fake.api"
+
+
+def _write_dir(path, name_content: dict[str, str]) -> str:
+    os.makedirs(path, exist_ok=True)
+    for name, content in name_content.items():
+        with open(os.path.join(path, name), "w") as f:
+            f.write(content)
+    return str(path)
+
+
+def test_manifest_commit_resolve_roundtrip(tmp_path):
+    c = ManifestCommitter()
+    dst = str(tmp_path / "store")
+    assert c.resolve(dst) is None  # nothing committed yet
+    tmp1 = _write_dir(tmp_path / "t1", {"a.parquet": "one"})
+    c.commit(tmp1, dst)
+    phys1 = c.resolve(dst)
+    assert phys1 is not None and open(os.path.join(phys1, "a.parquet")).read() == "one"
+    tmp2 = _write_dir(tmp_path / "t2", {"a.parquet": "two"})
+    c.commit(tmp2, dst)
+    phys2 = c.resolve(dst)
+    assert phys2 != phys1
+    assert open(os.path.join(phys2, "a.parquet")).read() == "two"
+    # superseded version retained for in-flight readers (keep_versions=1)
+    assert os.path.isdir(phys1)
+    tmp3 = _write_dir(tmp_path / "t3", {"a.parquet": "three"})
+    c.commit(tmp3, dst)
+    assert not os.path.isdir(phys1)  # gc'd once two commits superseded it
+
+
+def test_manifest_crash_before_pointer_keeps_old_version_live(tmp_path, monkeypatch):
+    """A crash after the data move but BEFORE the pointer write must leave
+    the previous version resolvable — the commit point is the pointer."""
+    c = ManifestCommitter()
+    dst = str(tmp_path / "store")
+    c.commit(_write_dir(tmp_path / "t1", {"a": "one"}), dst)
+    phys1 = c.resolve(dst)
+
+    real_replace = os.replace
+
+    def boom(src, d):
+        if os.path.basename(d) == "_MANIFEST":
+            raise OSError("simulated crash at the commit point")
+        return real_replace(src, d)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError):
+        c.commit(_write_dir(tmp_path / "t2", {"a": "two"}), dst)
+    monkeypatch.undo()
+    phys = c.resolve(dst)
+    assert phys == phys1  # old version still live, reader unaffected
+    assert open(os.path.join(phys, "a")).read() == "one"
+
+
+def test_rename_crash_between_renames_loses_destination(tmp_path, monkeypatch):
+    """The documented RenameCommitter gap: a crash between its two renames
+    leaves the destination missing — exactly why object stores (where the
+    'gap' is every commit) need the manifest protocol instead."""
+    c = RenameCommitter()
+    dst = str(tmp_path / "store")
+    c.commit(_write_dir(tmp_path / "t1", {"a": "one"}), dst)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashy(src, d):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after dst->old, before tmp->dst
+            raise OSError("simulated crash between renames")
+        return real_rename(src, d)
+
+    monkeypatch.setattr(os, "rename", crashy)
+    with pytest.raises(OSError):
+        c.commit(_write_dir(tmp_path / "t2", {"a": "two"}), dst)
+    monkeypatch.undo()
+    assert c.resolve(dst) is None  # destination gone until repaired
+
+
+def test_sync_end_to_end_on_manifest_backend(spark, tmp_path):
+    """The reference-golden full sync, an update delta, and compaction all
+    run unchanged on the manifest backend — and readers resolve through
+    pointers at every step (no flat partition directory ever exists)."""
+    api = FakeSriApi(n=10, page_size=3)
+    table = LakeTable(
+        spark, str(tmp_path / "table"), LAYOUT_LARGE,
+        committer=ManifestCommitter(),
+    )
+    wm = WatermarkStore(
+        spark, str(tmp_path / "synctimes"), committer=ManifestCommitter()
+    )
+    sync = Sri2DbSync(
+        reader=SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3),
+        table=table,
+        path=api.path,
+        baseurl=BASEURL,
+        layout=LAYOUT_LARGE,
+        watermarks=wm,
+    )
+    res = sync.full_sync()
+    assert res.resources_synced == 10 and res.rows_after == 10
+    rows = {r["href"]: r for r in table.read().collect()}
+    assert set(rows) == {f"/a/{i}" for i in range(1, 11)}
+    assert json.loads(rows["/a/7"]["jsondata"])["name"] == "Name of resource /a"
+    last, start = wm.get("resources", BASEURL, "/a", "FULL")
+    assert last is not None and start is not None
+    # partition dir holds only versions + manifest — no loose parquet
+    part = table._partition_dir(BASEURL, "/a")
+    entries = set(os.listdir(part))
+    assert "_MANIFEST" in entries
+    assert all(e == "_MANIFEST" or e.startswith("v_") for e in entries)
+    # delta: update one resource, sync, merged in place
+    api.update(3, modified="2031-01-01T00:00:00Z")
+    res2 = sync.delta_sync()
+    assert res2.rows_after == 10
+    updated = table.read_partition(BASEURL, "/a").filter("href = '/a/3'").first()
+    assert updated["modified"].year == 2031
+    # compaction works through resolve/commit
+    before, after = table.compact_partition(BASEURL, "/a")
+    assert before >= 1 and after >= 1
+    assert table.count() == 10
+    # watermark store is also pointer-resolved
+    assert "_MANIFEST" in os.listdir(str(tmp_path / "synctimes"))
+
+
+def test_lake_partition_pruning_on_manifest_backend(spark, tmp_path):
+    """read_partition on the manifest backend folds the partition-literal
+    filter per union child — only the matching partition's rows return."""
+    table = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+    for path, n in (("/a", 3), ("/b", 2)):
+        df = spark.createDataFrame(
+            [(f"{path}/{i}", str(i), None, "{}", "T") for i in range(n)],
+            schema,
+        )
+        table.replace_partition(df, BASEURL, path)
+    assert table.count() == 5
+    assert table.read_partition(BASEURL, "/a").count() == 3
+    assert table.read_partition(BASEURL, "/b").count() == 2
+    assert table.read_partition(BASEURL, "/none").count() == 0
