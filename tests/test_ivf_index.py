@@ -304,3 +304,44 @@ def test_pq_train_rejects_indivisible_m(spark):
         S.pq_train(emb, m=7)
     with pytest.raises(ValueError, match="not divisible"):
         S.build_ivfpq_index(emb, "/tmp/never_written_ivfpq", nlist=4, m=7)
+
+
+def test_ivfpq_auto_recall_floor(spark):
+    """The auto-tuned production path (nprobe=None, rerank_shortlist="auto")
+    must hold recall@5 >= 0.75 against exact L2 ground truth — the floor
+    the round-4 evidence measured; this guard keeps index-layout or tuning
+    changes from silently degrading it."""
+    import numpy as np
+
+    emb = _tp(spark, SF, "embeddings").cache()
+    data = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in emb.collect()
+    }
+    ids = np.array(list(data.keys()))
+    M = np.stack(list(data.values()))
+    n_q = 16
+    exact = {}
+    for qid in range(n_q):
+        qv = data[qid]
+        l2 = ((M - qv) ** 2).sum(axis=1)
+        mask = ids != qid
+        exact[qid] = set(ids[mask][np.argsort(l2[mask], kind="stable")[:5]])
+    queries = emb.filter(F.col("vec_id") < n_q)
+    tmp = tempfile.mkdtemp(prefix="recall_floor_")
+    try:
+        S.build_ivfpq_index(emb, tmp, nlist=16, m=4, ksub=16, residual=True)
+        rows = S.ivfpq_query_index(
+            spark, tmp, queries, k=5, nprobe=None, rerank_shortlist="auto"
+        ).collect()
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recall = sum(len(exact[q] & v) for q, v in got.items()) / (5 * len(got))
+        assert recall >= 0.75, f"recall@5 {recall:.3f} fell below the floor"
+        # and the auto rule itself stays what the floor was measured with
+        assert S.ivfpq_auto_params(16, 5) == (4, 50)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
