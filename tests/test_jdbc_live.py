@@ -197,3 +197,133 @@ def test_discover_layout_live(spark, sink):
     layout = discover_layout_jdbc(spark, sink.url, "TGT", {}, "derby")
     assert layout.key_columns == ("baseurl", "path", "href")
     assert layout.has_resourcetype
+
+
+# ---- the reference's full combinatorial surface, LIVE --------------------
+# 3 table layouts (sri2db_large/medium/small, ref
+# docker/postgres_initdb/initdb.sql:2-11) x 2 full-sync strategies
+# (delete-all, ref client.js:999-1005 / merge, client.js:1006-1111) x 3
+# synctypes (full/delta/safeDelta). For delta/safe the strategy flag is a
+# no-op in the reference too (preferUpdatesOverInserts only alters fullSync
+# SQL), so those cells assert strategy-invariance of the result.
+
+from sri2db_spark.model.schema import LAYOUT_MEDIUM, LAYOUT_SMALL
+from sri2db_spark.sinks.jdbc import generate_safe_delta_sql
+
+_TYPE_MAP = {
+    "href": "VARCHAR(200)",
+    "key": "VARCHAR(64)",
+    "modified": "TIMESTAMP",
+    "jsondata": "VARCHAR(2000)",
+    "resourcetype": "VARCHAR(32)",
+    "path": "VARCHAR(200)",
+    "baseurl": "VARCHAR(200)",
+}
+_SPARK_TYPES = {
+    "href": "string", "key": "string", "modified": "timestamp",
+    "jsondata": "string", "resourcetype": "string",
+    "path": "string", "baseurl": "string",
+}
+
+
+def _mk_sink(spark, layout):
+    url = f"jdbc:derby:memory:mx{next(_dbseq)};create=true"
+    s = JdbcResourceSink(
+        spark=spark, url=url, target_table="tgt", layout=layout,
+        properties={}, dialect="ansi",
+    )
+    conn = s._connection()
+    cols = ", ".join(f'"{c}" {_TYPE_MAP[c]}' for c in layout.columns)
+    conn.createStatement().executeUpdate(f"CREATE TABLE tgt ({cols})")
+    conn.close()
+    return s
+
+
+def _staged_for(spark, layout, specs):
+    full = {
+        "path": "/a",
+        "baseurl": BASEURL,
+        "resourcetype": "_A",
+    }
+    rows = []
+    for i, day, payload in specs:
+        r = dict(full, href=f"/a/{i}", key=str(i), modified=_ts(day), jsondata=payload)
+        rows.append(tuple(r[c] for c in layout.columns))
+    schema = ", ".join(f"{c} {_SPARK_TYPES[c]}" for c in layout.columns)
+    return spark.createDataFrame(rows, schema)
+
+
+def _coltypes_for(layout, cols=None):
+    cols = cols or layout.columns
+    return ", ".join(f"{c} {_TYPE_MAP[c]}" for c in cols)
+
+
+@pytest.mark.parametrize("synctype", ["full", "delta", "safe"])
+@pytest.mark.parametrize("merge_mode", [False, True], ids=["delete_all", "merge"])
+@pytest.mark.parametrize(
+    "layout",
+    [LAYOUT_LARGE, LAYOUT_MEDIUM, LAYOUT_SMALL],
+    ids=["large", "medium", "small"],
+)
+def test_live_merge_matrix(spark, layout, merge_mode, synctype):
+    sink = _mk_sink(spark, layout)
+    scope = {
+        c: (BASEURL if c == "baseurl" else "/a")
+        for c in layout.partition_columns
+    }
+    # seed {1, 2, 3} via delete-all full sync
+    sink.write_staging(
+        _staged_for(spark, layout, [(1, 1, "one"), (2, 1, "two"), (3, 1, "three")]),
+        "stg", _coltypes_for(layout),
+    )
+    sink.merge(generate_full_sync_sql("tgt", "stg", layout, scope, False, "ansi"))
+
+    if synctype == "full":
+        # changed row 1, unchanged row 2, new row 4; row 3 vanished upstream
+        sink.write_staging(
+            _staged_for(
+                spark, layout, [(1, 3, "one-v2"), (2, 1, "two"), (4, 3, "four")]
+            ),
+            "stg", _coltypes_for(layout),
+        )
+        sink.merge(
+            generate_full_sync_sql("tgt", "stg", layout, scope, merge_mode, "ansi")
+        )
+        expected = {"/a/1": "one-v2", "/a/2": "two", "/a/4": "four"}
+    elif synctype == "delta":
+        sink.write_staging(
+            _staged_for(spark, layout, [(2, 5, "two-v2"), (5, 5, "five")]),
+            "stg_u", _coltypes_for(layout),
+        )
+        sink.write_staging(
+            _staged_for(spark, layout, [(3, 5, None)]).select(*layout.key_columns),
+            "stg_d", _coltypes_for(layout, layout.key_columns),
+        )
+        sink.merge(
+            generate_delta_sync_sql("tgt", "stg_u", "stg_d", layout, "ansi")
+        )
+        expected = {"/a/1": "one", "/a/2": "two-v2", "/a/5": "five"}
+    else:  # safe delta: upsert batch + set-difference delete vs membership
+        sink.write_staging(
+            _staged_for(spark, layout, [(2, 5, "two-v2"), (6, 5, "six")]),
+            "stg_u", _coltypes_for(layout),
+        )
+        sink.write_staging(
+            _staged_for(
+                spark, layout, [(1, 5, None), (2, 5, None), (6, 5, None)]
+            ).select(*layout.key_columns),
+            "stg_m", _coltypes_for(layout, layout.key_columns),
+        )
+        sink.merge(
+            generate_safe_delta_sql("tgt", "stg_u", "stg_m", layout, scope, "ansi")
+        )
+        expected = {"/a/1": "one", "/a/2": "two-v2", "/a/6": "six"}
+
+    got = _read_target(spark, sink)
+    assert {h: r["jsondata"] for h, r in got.items()} == expected
+    if synctype == "full" and merge_mode:
+        # merge mode change-detection: the unchanged row kept its original
+        # modified (the no-op write was skipped server-side)
+        assert got["/a/2"]["modified"] == _ts(1)
+    # layout columns round-tripped (the optional-column matrix point)
+    assert set(got["/a/2"].asDict()) == set(layout.columns)
