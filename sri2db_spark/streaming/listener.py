@@ -96,3 +96,79 @@ class BroadcastListener:
                     self.errors += 1
                     if self._stop.wait(self.retry_interval):
                         return
+
+
+def socketio_connect(
+    broadcast_url: str,
+    path: str,
+    client_factory: Callable[[], object] | None = None,
+    event: str = "update",
+    poll_interval: float = 0.5,
+) -> Callable[[], object]:
+    """D1 transport parity: a ``connect`` factory for
+    :class:`BroadcastListener` that subscribes a socket.io client to the SRI
+    broadcast channel and joins the room named by the resource path — the
+    reference's exact protocol (``client.js:1988-2004``: connect to
+    ``broadcastUrl``, on connect ``emit('join', path.split('?')[0])``,
+    trigger a sync per ``update`` event).
+
+    ``python-socketio`` is an OPTIONAL dependency: the import is deferred to
+    connect time and a missing package raises a clear ImportError.
+    ``client_factory`` injects any object with the socket.io client surface
+    (``on``/``connect``/``connected``/``disconnect``) — the test seam, and
+    an escape hatch for other transports.
+
+    The returned iterator yields one item per received event and RAISES on
+    disconnect, which is exactly the contract BroadcastListener's reconnect
+    loop (D2, ``client.js:1991-1997``) expects: the listener re-calls this
+    factory after ``retry_interval``, re-creating the client and re-joining
+    the room.
+    """
+    import queue as _queue  # noqa: PLC0415
+
+    def _connect():
+        if client_factory is not None:
+            client = client_factory()
+        else:
+            try:
+                import socketio  # noqa: PLC0415
+            except ImportError as e:  # pragma: no cover - env without the dep
+                raise ImportError(
+                    "socketio_connect needs the optional python-socketio "
+                    "package (pip install 'python-socketio[client]'); or "
+                    "pass client_factory=, or give BroadcastListener any "
+                    "event iterator via connect="
+                ) from e
+            client = socketio.Client()
+        events: _queue.Queue = _queue.Queue()
+
+        def _on_event(*data):
+            events.put(data)
+
+        def _on_connect():
+            # the reference strips the query string before joining the room
+            client.emit("join", path.split("?")[0])
+
+        client.on(event, _on_event)
+        client.on("connect", _on_connect)
+        client.connect(broadcast_url)  # raises -> D2 reconnect handles it
+
+        def _iter():
+            try:
+                while True:
+                    try:
+                        yield events.get(timeout=poll_interval)
+                    except _queue.Empty:
+                        if not getattr(client, "connected", True):
+                            raise ConnectionError(
+                                "socket.io broadcast disconnected"
+                            ) from None
+            finally:
+                try:
+                    client.disconnect()
+                except Exception:
+                    pass
+
+        return _iter()
+
+    return _connect

@@ -160,3 +160,85 @@ def test_stream_sync_merges_updates_and_tombstones(spark, tmp_path):
     rows = {r["href"]: r for r in table.read().collect()}
     assert set(rows) == {"/a/1", "/a/2", "/a/3", "/a/5", "/a/9"}
     assert json.loads(rows["/a/2"]["jsondata"])["name"] == "v2"
+
+
+class _FakeSocketIoClient:
+    """The socket.io client surface socketio_connect drives: on/connect/
+    connected/disconnect/emit — backed by a shared script so the test can
+    push events and kill the connection."""
+
+    def __init__(self, script):
+        self.script = script
+        self.handlers = {}
+        self.connected = False
+        self.emitted = []
+        script["clients"].append(self)
+
+    def on(self, event, handler):
+        self.handlers[event] = handler
+
+    def connect(self, url):
+        self.script["urls"].append(url)
+        self.connected = True
+        self.handlers["connect"]()
+
+    def emit(self, event, data):
+        self.emitted.append((event, data))
+
+    def disconnect(self):
+        self.connected = False
+
+    def push(self, payload):
+        self.handlers["update"](payload)
+
+
+def test_socketio_adapter_drives_delta_sync(spark, tmp_path):
+    """D1 with the reference's transport protocol: the socket.io adapter
+    joins the room for the query-stripped path on connect
+    (client.js:2004), yields one item per 'update' event (each triggering
+    a delta sync), and surfaces a disconnect as an exception so the D2
+    reconnect loop builds a fresh client and re-joins."""
+    from sri2db_spark.streaming.listener import socketio_connect
+
+    api = FakeSriApi(n=4)
+    sync = Sri2DbSync(
+        reader=SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3),
+        table=LakeTable(spark, str(tmp_path / "t2"), LAYOUT_LARGE),
+        path="/a",
+        baseurl=BASEURL,
+        watermarks=WatermarkStore(spark, str(tmp_path / "wm2")),
+    )
+    script = {"clients": [], "urls": []}
+    connect = socketio_connect(
+        "https://broadcast.local", "/a?expand=FULL",
+        client_factory=lambda: _FakeSocketIoClient(script),
+        poll_interval=0.05,
+    )
+    listener = BroadcastListener(
+        connect=connect, sync_fn=sync.delta_sync, retry_interval=0.1
+    ).start()
+    deadline = time.time() + 60
+    while not script["clients"] and time.time() < deadline:
+        time.sleep(0.02)
+    c1 = script["clients"][0]
+    assert c1.emitted == [("join", "/a")]  # room join, query string stripped
+    c1.push({"type": "update"})
+    while listener.syncs_run < 1 and time.time() < deadline:
+        time.sleep(0.1)
+    assert listener.syncs_run == 1
+    assert sync.table.count() == 4
+    # kill the connection: the adapter raises, the listener reconnects with
+    # a SECOND client that re-joins the room
+    c1.connected = False
+    while len(script["clients"]) < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    c2 = script["clients"][1]
+    assert c2 is not c1 and c2.emitted == [("join", "/a")]
+    # events on the new connection still trigger syncs
+    api.update(2, modified="2030-01-01T00:00:00Z")
+    c2.push({"type": "update"})
+    while listener.syncs_run < 2 and time.time() < deadline:
+        time.sleep(0.1)
+    listener.stop()
+    assert listener.syncs_run >= 2
+    assert script["urls"] == ["https://broadcast.local"] * len(script["urls"])
