@@ -736,6 +736,7 @@ def semantic_dedup_pairs(
     iters: int = 2,
     threshold: float = 0.5,
     seeding: str = "id",
+    max_cluster_size: int | None = 5000,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs over an embedding column.
 
@@ -752,6 +753,18 @@ def semantic_dedup_pairs(
     is inherently skewed — AQE skew-join splitting handles block imbalance,
     and raising k is the structural fix.
 
+    ``max_cluster_size`` is the pair-budget backstop (same capped-with-
+    logging discipline as the LSH bucket cap): one hot cluster of b docs
+    still means b²/2 cosine evaluations no matter how AQE splits the
+    shuffle. For clusters above the cap, the keep-side of the self-join is
+    restricted to the cluster's ``max_cluster_size`` LOWEST-id members, so
+    the block's pair count is bounded by cap·b instead of b²/2 — and
+    because survivors keep the lowest-id representative anyway, a dup whose
+    match is a low-id member is still caught; only dup pairs BOTH outside
+    the head are lost, and the cap event is logged, never silent. Clusters
+    at or under the cap are computed exactly (the normal-corpus output is
+    bit-identical to ``max_cluster_size=None``).
+
     Fully deterministic (both seeding modes + quantized-exact Lloyd updates +
     sequential cosine folds), so an external engine can replay it exactly.
     ``seeding="farthest"`` (k-means++-style) is the robust choice when id
@@ -764,7 +777,36 @@ def semantic_dedup_pairs(
     # persist so the self-join's two branches don't re-run the argmin scan
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     assigned = assigned.join(vecs, "id").persist()
-    a = assigned.select(F.col("id").alias("id_keep"), F.col("v").alias("va"), "cid")
+    keep_side = assigned
+    if max_cluster_size is not None:
+        oversized = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cluster_size)
+            .persist()
+        )
+        n_over = oversized.count()
+        if n_over:
+            biggest = oversized.agg(F.max("n")).first()[0]
+            logger.warning(
+                "semantic_dedup_pairs: %d cluster(s) exceed max_cluster_size="
+                "%d (largest: %d); keep-side anchored to each one's %d "
+                "lowest-id members — dup pairs entirely outside that head "
+                "are lost. Raise k to shrink clusters structurally.",
+                n_over, max_cluster_size, biggest, max_cluster_size,
+            )
+            # rank members by id within each cluster; the filter is a no-op
+            # for every cluster at or under the cap (all ranks <= cap), so
+            # only oversized clusters lose keep-side members
+            rank_w = Window.partitionBy("cid").orderBy(F.col("id").asc())
+            keep_side = (
+                assigned.withColumn("__rk", F.row_number().over(rank_w))
+                .filter(F.col("__rk") <= max_cluster_size)
+                .drop("__rk")
+            )
+        else:
+            oversized.unpersist()
+    a = keep_side.select(F.col("id").alias("id_keep"), F.col("v").alias("va"), "cid")
     b = assigned.select(F.col("id").alias("id_dup"), F.col("v").alias("vb"), "cid")
     scored = (
         a.join(b, "cid")

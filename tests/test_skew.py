@@ -53,3 +53,40 @@ def test_salted_top_k_equals_single_window(spark):
     )
     salted = salted_top_k(df, ["k"], order, k=3, salt=8).collect()
     assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_semantic_dedup_hot_cluster_capped(spark):
+    """Adversarial one-cluster corpus (k=1 forces every vector into one
+    block): the pair budget must bound the keep-side to the cap's lowest-id
+    members, every dup with a low-id partner is still caught, and a normal
+    corpus's output is bit-identical with and without the cap."""
+    import numpy as np
+
+    from sri2db_spark.functions import dedup as D
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = []
+    # 200 vectors: 100 near-identical to `base` (all mutual dups), 100 noise
+    for i in range(100):
+        rows.append((i, (base + 0.001 * rng.randn(8)).tolist()))
+    for i in range(100, 200):
+        rows.append((i, rng.randn(8).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = D.semantic_dedup_pairs(
+        df, k=1, iters=1, threshold=0.99, max_cluster_size=20
+    ).collect()
+    # every near-identical vector except the keeper is flagged, anchored to
+    # a head member (the 20 lowest ids)
+    dups = {r.id_dup for r in capped}
+    assert dups == set(range(1, 100))
+    assert all(r.id_keep < 20 for r in capped)
+    # normal corpus (clusters under the cap): cap on == cap off, bit-exact
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with_cap = sorted(
+        map(tuple, D.semantic_dedup_pairs(emb, k=16, max_cluster_size=5000).collect())
+    )
+    no_cap = sorted(
+        map(tuple, D.semantic_dedup_pairs(emb, k=16, max_cluster_size=None).collect())
+    )
+    assert with_cap == no_cap
