@@ -1,3 +1,21 @@
-from . import dedup, layout, multimodal, pipeline, similarity, stats, text
+from . import (
+    dedup,
+    layout,
+    multimodal,
+    pipeline,
+    similarity,
+    statestore,
+    stats,
+    text,
+)
 
-__all__ = ["dedup", "layout", "multimodal", "pipeline", "similarity", "stats", "text"]
+__all__ = [
+    "dedup",
+    "layout",
+    "multimodal",
+    "pipeline",
+    "similarity",
+    "statestore",
+    "stats",
+    "text",
+]

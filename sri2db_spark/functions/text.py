@@ -613,17 +613,24 @@ def bm25_topk(
     so the expensive explode→agg path carries only matching rows (a ~|Q|/|V|
     fraction of the corpus); df-per-term is a tiny aggregate joined back by
     term (broadcast); doc length and the corpus-average length come from one
-    exact integer aggregate. One corpus scan, two small shuffles. Top-k is
-    orderBy+limit (per-partition map-side top-k, k rows to the driver).
+    exact integer aggregate, broadcast-cross-joined into the scoring plan —
+    the whole query is ONE lazy plan, no driver collect blocking between
+    the stats pass and the scoring pass. Top-k is orderBy+limit
+    (per-partition map-side top-k, k rows to the driver).
     """
     qarr = F.array(*[F.lit(t) for t in query_terms])
     lens = df.select(
         F.col(id_col).alias("id"), token_count_ws(F.col(text_col)).alias("dl")
     )
+    # 1-row stats joined in as columns: sum(dl) is an exact bigint, so
+    # double-casting then dividing is bit-identical to the former
+    # driver-side float(total)/float(n)
     stats = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["total"]) / float(stats["n"])
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
 
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
@@ -631,11 +638,11 @@ def bm25_topk(
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    idf = (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5)) / (
+    idf = (F.col("__n_docs") - F.col("df").cast("double") + F.lit(0.5)) / (
         F.col("df").cast("double") + F.lit(0.5)
     )
     tf_d = F.col("tf").cast("double")
-    dl_norm = F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    dl_norm = F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
     contrib = idf * (tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * dl_norm)
 
     # Pivot: one column per query term (each doc contributes ≤1 row per term,
@@ -644,6 +651,7 @@ def bm25_topk(
     per_term = (
         tf.join(F.broadcast(dfreq), "term")
         .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
         .groupBy("id")
         .agg(
             *[

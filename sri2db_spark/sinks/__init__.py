@@ -1,3 +1,4 @@
+from .committer import ManifestCommitter, RenameCommitter
 from .lake import LakeTable
 
-__all__ = ["LakeTable"]
+__all__ = ["LakeTable", "ManifestCommitter", "RenameCommitter"]
