@@ -47,7 +47,9 @@ from sri2db_spark.session import get_spark  # noqa: E402
 DOC_OPS = {
     "dedup_exact": lambda docs: D.exact_dedup(docs, "doc_id", "text"),
     "dedup_minhash_lsh": lambda docs: D.minhash_lsh_pairs(docs, "doc_id", "text"),
-    "dedup_survivors": lambda docs: D.dedup_survivors(docs, "doc_id", "text"),
+    "dedup_survivors": lambda docs: D.dedup_survivors(
+        docs, D.minhash_lsh_pairs(docs, "doc_id", "text"), "doc_id"
+    ),
     "segment_dedup": lambda docs: X.segment_dedup_stats(docs, "doc_id", "text"),
     "bm25_topk": lambda docs: X.bm25_topk(
         docs, "doc_id", "text", ("spark", "merge", "window")
