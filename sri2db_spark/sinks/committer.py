@@ -64,9 +64,23 @@ class RenameCommitter:
 class ManifestCommitter:
     """Versioned directories + atomic manifest-pointer publication — the
     object-store-safe protocol (single-object PUT is the only atomic
-    primitive such stores offer)."""
+    primitive such stores offer).
+
+    Beyond the current pointer, every commit also drops a sequence-numbered
+    marker into ``_commits/`` (advisory metadata — ordering and history;
+    the pointer stays the only commit point) and versions can be PINNED by
+    name: a pin exempts that version from GC and lets readers resolve it
+    later. Pins are what make training runs reproducible — a pipeline pins
+    the snapshot it trained on, and re-reads byte-identical input months
+    later regardless of how many syncs have run since. Sequence assignment
+    assumes one writer per directory, which is already the sync engine's
+    single-flight contract (SURVEY D4).
+    """
 
     versioned = True
+
+    COMMITS = "_commits"
+    PIN_PREFIX = "_PIN."
 
     def __init__(self, keep_versions: int = 1):
         # how many SUPERSEDED versions to retain after a commit (readers
@@ -81,6 +95,15 @@ class ManifestCommitter:
         version = f"v_{uuid.uuid4().hex}"
         os.makedirs(dst_dir, exist_ok=True)
         os.rename(tmp_dir, os.path.join(dst_dir, version))
+        # advisory ordering marker, written BEFORE the pointer: a crash
+        # in between leaves an orphan marker whose version never became
+        # current — history() reports only versions still on disk, and a
+        # dangling marker is harmless
+        seq = 1 + max((s for s, _ in self._markers(dst_dir)), default=0)
+        commits = os.path.join(dst_dir, self.COMMITS)
+        os.makedirs(commits, exist_ok=True)
+        with open(os.path.join(commits, f"{seq:020d}_{version}"), "w"):
+            pass
         # the commit point: one atomic pointer write (os.replace locally;
         # a single-key PUT on an object store)
         tmp_manifest = os.path.join(dst_dir, f".{MANIFEST}.{uuid.uuid4().hex}")
@@ -89,27 +112,88 @@ class ManifestCommitter:
         os.replace(tmp_manifest, self._manifest_path(dst_dir))
         self._gc(dst_dir, current=version)
 
-    def resolve(self, dst_dir: str) -> str | None:
-        """The physical directory of the current committed version, or
-        ``None`` when nothing has ever been committed."""
-        try:
-            with open(self._manifest_path(dst_dir)) as f:
-                version = f.read().strip()
-        except FileNotFoundError:
-            return None
+    def resolve(self, dst_dir: str, version: str | None = None) -> str | None:
+        """The physical directory of the current committed version (or of an
+        explicit retained ``version``), or ``None`` when nothing has ever
+        been committed / the version was collected."""
+        if version is None:
+            try:
+                with open(self._manifest_path(dst_dir)) as f:
+                    version = f.read().strip()
+            except FileNotFoundError:
+                return None
         physical = os.path.join(dst_dir, version)
         return physical if os.path.isdir(physical) else None
 
+    def _markers(self, dst_dir: str):
+        commits = os.path.join(dst_dir, self.COMMITS)
+        if not os.path.isdir(commits):
+            return
+        for name in os.listdir(commits):
+            seq_s, _, version = name.partition("_")
+            if version.startswith("v_") and seq_s.isdigit():
+                yield int(seq_s), version
+
+    def history(self, dst_dir: str) -> list[tuple[int, str]]:
+        """(seq, version) for every commit whose data is still retained,
+        oldest first. Superseded-and-collected versions are omitted."""
+        return sorted(
+            (s, v)
+            for s, v in self._markers(dst_dir)
+            if os.path.isdir(os.path.join(dst_dir, v))
+        )
+
+    def pins(self, dst_dir: str) -> dict[str, str]:
+        """name → pinned version, from the ``_PIN.<name>`` pointer files."""
+        out: dict[str, str] = {}
+        if not os.path.isdir(dst_dir):
+            return out
+        for name in os.listdir(dst_dir):
+            if name.startswith(self.PIN_PREFIX):
+                with open(os.path.join(dst_dir, name)) as f:
+                    out[name[len(self.PIN_PREFIX) :]] = f.read().strip()
+        return out
+
+    def pin(self, dst_dir: str, name: str, version: str | None = None) -> str:
+        """Pin ``version`` (default: the current one) under ``name`` — one
+        atomic pointer write, same primitive as the manifest. Returns the
+        pinned version id."""
+        if version is None:
+            physical = self.resolve(dst_dir)
+            if physical is None:
+                raise FileNotFoundError(f"nothing committed at {dst_dir}")
+            version = os.path.basename(physical)
+        tmp = os.path.join(dst_dir, f".pin.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(dst_dir, self.PIN_PREFIX + name))
+        return version
+
+    def unpin(self, dst_dir: str, name: str) -> None:
+        """Drop a pin; its version becomes eligible for GC at the next
+        commit (never removed eagerly — a reader may hold it)."""
+        try:
+            os.remove(os.path.join(dst_dir, self.PIN_PREFIX + name))
+        except FileNotFoundError:
+            pass
+
     def _gc(self, dst_dir: str, current: str) -> None:
-        versions = sorted(
+        protected = set(self.pins(dst_dir).values()) | {current}
+        versions = [
             d
             for d in os.listdir(dst_dir)
-            if d.startswith("v_") and d != current
+            if d.startswith("v_") and d not in protected
             and os.path.isdir(os.path.join(dst_dir, d))
-        )
-        # keep the newest `keep_versions` superseded dirs (mtime order)
+        ]
+        # keep the newest `keep_versions` superseded dirs — commit-seq
+        # order (authoritative), mtime as the fallback for dirs committed
+        # before markers existed
+        seq_of = {v: s for s, v in self._markers(dst_dir)}
         versions.sort(
-            key=lambda d: os.path.getmtime(os.path.join(dst_dir, d))
+            key=lambda d: (
+                seq_of.get(d, 0),
+                os.path.getmtime(os.path.join(dst_dir, d)),
+            )
         )
         for stale in versions[: max(0, len(versions) - self.keep_versions)]:
             shutil.rmtree(os.path.join(dst_dir, stale), ignore_errors=True)

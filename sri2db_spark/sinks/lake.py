@@ -141,24 +141,35 @@ class LakeTable:
                 .parquet(self.location)
             )
             return df.select(*self.layout.columns)
-        data_cols = set(self._data_columns())
-        data_schema = StructType(
-            [f for f in schema.fields if f.name in data_cols]
-        )
         parts: list[DataFrame] = []
         for baseurl, path, logical in self._list_partitions():
             physical = self.committer.resolve(logical)
             if physical is None:
                 continue
-            df = self.spark.read.schema(data_schema).parquet(physical)
-            if self.layout.has_baseurl:
-                df = df.withColumn("baseurl", F.lit(baseurl).cast("string"))
-            if self.layout.has_path:
-                df = df.withColumn("path", F.lit(path).cast("string"))
-            parts.append(df.select(*self.layout.columns))
+            parts.append(self._read_physical(physical, baseurl, path))
         if not parts:
             return self.spark.createDataFrame([], schema)
         return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _read_physical(
+        self, physical: str, baseurl: str | None, path: str | None
+    ) -> DataFrame:
+        """One resolved version directory → rows with the partition values
+        re-attached as literals (foldable, so pruning still works)."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        schema = resource_row_schema(self.layout)
+        data_cols = set(self._data_columns())
+        data_schema = StructType(
+            [f for f in schema.fields if f.name in data_cols]
+        )
+        df = self.spark.read.schema(data_schema).parquet(physical)
+        if self.layout.has_baseurl:
+            df = df.withColumn("baseurl", F.lit(baseurl).cast("string"))
+        if self.layout.has_path:
+            df = df.withColumn("path", F.lit(path).cast("string"))
+        return df.select(*self.layout.columns)
 
     def read_partition(self, baseurl: str | None, path: str | None) -> DataFrame:
         """Partition-pruned read of one endpoint's rows."""
@@ -199,6 +210,53 @@ class LakeTable:
 
     def count(self) -> int:
         return self.read().count()
+
+    def _require_versioned(self) -> None:
+        if not self.committer.versioned:
+            raise ValueError(
+                "snapshots need the ManifestCommitter (versioned backend); "
+                "the rename backend keeps no history"
+            )
+
+    def partition_history(
+        self, baseurl: str | None, path: str | None
+    ) -> list[tuple[int, str]]:
+        """(seq, version) of every still-retained commit to one partition,
+        oldest first (manifest backend only)."""
+        self._require_versioned()
+        return self.committer.history(self._partition_dir(baseurl, path))
+
+    def pin_partition(
+        self, baseurl: str | None, path: str | None, name: str
+    ) -> str:
+        """Pin the partition's CURRENT version under ``name`` so GC never
+        collects it — the reproducible-training-run hook: pin what you
+        trained on, re-read it byte-identically later. Returns the pinned
+        version id."""
+        self._require_versioned()
+        return self.committer.pin(self._partition_dir(baseurl, path), name)
+
+    def unpin_partition(
+        self, baseurl: str | None, path: str | None, name: str
+    ) -> None:
+        self._require_versioned()
+        self.committer.unpin(self._partition_dir(baseurl, path), name)
+
+    def read_partition_snapshot(
+        self, baseurl: str | None, path: str | None, version: str
+    ) -> DataFrame:
+        """Time travel: read one partition as of an explicit retained
+        version (a pinned snapshot or a not-yet-collected predecessor).
+        ``version`` is a ``v_…`` id from :meth:`partition_history` or the
+        value a :meth:`pin_partition` call returned."""
+        self._require_versioned()
+        part_dir = self._partition_dir(baseurl, path)
+        physical = self.committer.resolve(part_dir, version=version)
+        if physical is None:
+            raise FileNotFoundError(
+                f"version {version} of partition {part_dir} is not retained"
+            )
+        return self._read_physical(physical, baseurl, path)
 
     def compact_partition(
         self,

@@ -133,7 +133,10 @@ def test_sync_end_to_end_on_manifest_backend(spark, tmp_path):
     part = table._partition_dir(BASEURL, "/a")
     entries = set(os.listdir(part))
     assert "_MANIFEST" in entries
-    assert all(e == "_MANIFEST" or e.startswith("v_") for e in entries)
+    assert all(
+        e in ("_MANIFEST", "_commits") or e.startswith(("v_", "_PIN."))
+        for e in entries
+    )
     # delta: update one resource, sync, merged in place
     api.update(3, modified="2031-01-01T00:00:00Z")
     res2 = sync.delta_sync()
@@ -146,6 +149,71 @@ def test_sync_end_to_end_on_manifest_backend(spark, tmp_path):
     assert table.count() == 10
     # watermark store is also pointer-resolved
     assert "_MANIFEST" in os.listdir(str(tmp_path / "synctimes"))
+
+
+def test_manifest_history_and_pinned_snapshot(tmp_path):
+    """history() orders commits; a pin survives GC and resolves to the
+    exact bytes committed; unpinning re-exposes it to GC."""
+    c = ManifestCommitter()
+    dst = str(tmp_path / "store")
+    assert c.history(dst) == []
+    c.commit(_write_dir(tmp_path / "t1", {"a": "one"}), dst)
+    pinned = c.pin(dst, "train-2026-08")
+    c.commit(_write_dir(tmp_path / "t2", {"a": "two"}), dst)
+    c.commit(_write_dir(tmp_path / "t3", {"a": "three"}), dst)
+    c.commit(_write_dir(tmp_path / "t4", {"a": "four"}), dst)
+    hist = c.history(dst)
+    assert [s for s, _ in hist] == sorted(s for s, _ in hist)
+    versions = {v for _, v in hist}
+    # v1 outlived two GC cycles because it is pinned; v2 was collected
+    assert pinned in versions
+    assert c.pins(dst) == {"train-2026-08": pinned}
+    assert open(os.path.join(c.resolve(dst, version=pinned), "a")).read() == "one"
+    assert open(os.path.join(c.resolve(dst), "a")).read() == "four"
+    # unpin: the next commit's GC collects it (not eagerly)
+    c.unpin(dst, "train-2026-08")
+    assert c.resolve(dst, version=pinned) is not None
+    c.commit(_write_dir(tmp_path / "t5", {"a": "five"}), dst)
+    assert c.resolve(dst, version=pinned) is None
+
+
+def test_lake_pin_and_time_travel(spark, tmp_path):
+    """The training-run reproducibility hook: pin a partition snapshot,
+    keep syncing over it, then time-travel back to byte-identical input."""
+    table = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+
+    def rows(tag, n):
+        return spark.createDataFrame(
+            [(f"/a/{i}", str(i), None, tag, "T") for i in range(n)], schema
+        )
+
+    table.replace_partition(rows("epoch1", 3), BASEURL, "/a")
+    snap = table.pin_partition(BASEURL, "/a", "run42")
+    for tag, n in (("epoch2", 4), ("epoch3", 5), ("epoch4", 6)):
+        table.replace_partition(rows(tag, n), BASEURL, "/a")
+    assert table.read_partition(BASEURL, "/a").count() == 6
+    old = table.read_partition_snapshot(BASEURL, "/a", snap)
+    assert old.count() == 3
+    assert {r["jsondata"] for r in old.collect()} == {"epoch1"}
+    # partition columns are re-attached on the snapshot read too
+    assert {r["path"] for r in old.collect()} == {"/a"}
+    assert [s for s, _ in table.partition_history(BASEURL, "/a")] == sorted(
+        s for s, _ in table.partition_history(BASEURL, "/a")
+    )
+    table.unpin_partition(BASEURL, "/a", "run42")
+    table.replace_partition(rows("epoch5", 7), BASEURL, "/a")
+    with pytest.raises(FileNotFoundError):
+        table.read_partition_snapshot(BASEURL, "/a", snap)
+    # the rename backend keeps no history — explicit error, not silence
+    flat = LakeTable(spark, str(tmp_path / "flat"), LAYOUT_LARGE)
+    with pytest.raises(ValueError):
+        flat.pin_partition(BASEURL, "/a", "nope")
 
 
 def test_lake_partition_pruning_on_manifest_backend(spark, tmp_path):
