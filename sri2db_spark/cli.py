@@ -44,6 +44,22 @@ LAYOUTS: dict[str, TableLayout] = {
 }
 
 
+def _committer_for(db: dict):
+    """``"committer": "manifest"`` in the db config selects the
+    object-store-safe protocol (versioned dirs + pointer); default stays
+    the local rename swap."""
+    name = db.get("committer", "rename")
+    if name == "manifest":
+        from .sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+        return ManifestCommitter(keep_versions=int(db.get("keepVersions", 1)))
+    if name != "rename":
+        raise ValueError(f"unknown committer {name!r} (rename|manifest)")
+    from .sinks.committer import RenameCommitter  # noqa: PLC0415
+
+    return RenameCommitter()
+
+
 def build_sync(spark, cfg: dict, dry_run: bool = False):
     api = cfg.get("api", {})
     db = cfg.get("db", {})
@@ -69,7 +85,11 @@ def build_sync(spark, cfg: dict, dry_run: bool = False):
         limit=int(api.get("limit", 500)),
         next_links_broken=bool(api.get("nextLinksBroken", False)),
     )
-    wm = WatermarkStore(spark, db["synctimes"]) if db.get("synctimes") else None
+    wm = (
+        WatermarkStore(spark, db["synctimes"], committer=_committer_for(db))
+        if db.get("synctimes")
+        else None
+    )
     if db.get("jdbcUrl"):
         from .sinks.jdbc import JdbcResourceSink  # noqa: PLC0415
         from .sync.jdbc_engine import Sri2DbJdbcSync  # noqa: PLC0415
@@ -98,7 +118,7 @@ def build_sync(spark, cfg: dict, dry_run: bool = False):
             deleted_not_implemented=bool(api.get("deletedNotImplemented", False)),
             dry_run=dry_run or bool(cfg.get("dryRun", False)),
         )
-    table = LakeTable(spark, db["location"], layout)
+    table = LakeTable(spark, db["location"], layout, committer=_committer_for(db))
     return Sri2DbSync(
         reader=reader,
         table=table,
@@ -182,11 +202,66 @@ def index_main(argv: list[str]) -> int:
     return 0
 
 
+def snapshot_main(argv: list[str]) -> int:
+    """Snapshot maintenance for a manifest-committed lake table — the
+    reproducible-training-run surface:
+
+    snapshot-pin    CONFIG.json --name NAME      pin the current version
+    snapshot-list   CONFIG.json                  history + pins
+    snapshot-unpin  CONFIG.json --name NAME
+    snapshot-read   CONFIG.json --version V --out DIR
+    """
+    cmd = argv[0]
+    p = argparse.ArgumentParser(prog="sri2db_spark " + cmd)
+    p.add_argument("config", help="sync config JSON (db.committer=manifest)")
+    p.add_argument("--master", default=None)
+    if cmd in ("snapshot-pin", "snapshot-unpin"):
+        p.add_argument("--name", required=True)
+    elif cmd == "snapshot-read":
+        p.add_argument("--version", required=True)
+        p.add_argument("--out", required=True)
+    args = p.parse_args(argv[1:])
+    with open(args.config) as f:
+        cfg = json.load(f)
+    api, db = cfg.get("api", {}), cfg.get("db", {})
+    layout = LAYOUTS[db.get("layout", "large")]
+    spark = get_spark(app_name="sri2db_spark_snapshot", master=args.master)
+    table = LakeTable(
+        spark, db["location"], layout, committer=_committer_for(db)
+    )
+    baseurl = api["baseUrl"] if layout.has_baseurl else None
+    path = api["path"] if layout.has_path else None
+    if cmd == "snapshot-pin":
+        version = table.pin_partition(baseurl, path, args.name)
+        print(f"pinned {args.name} -> {version}")
+    elif cmd == "snapshot-unpin":
+        table.unpin_partition(baseurl, path, args.name)
+        print(f"unpinned {args.name}")
+    elif cmd == "snapshot-list":
+        part = table._partition_dir(baseurl, path)
+        pins = {
+            v: n for n, v in table.committer.pins(part).items()
+        }
+        for seq, version in table.partition_history(baseurl, path):
+            pin = f"  pin={pins[version]}" if version in pins else ""
+            print(f"{seq:6d}  {version}{pin}")
+    else:
+        df = table.read_partition_snapshot(baseurl, path, args.version)
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"snapshot-read ok: {n} rows -> {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] in ("index-build", "index-upsert", "index-query"):
         return index_main(argv)
+    if argv and argv[0] in (
+        "snapshot-pin", "snapshot-list", "snapshot-unpin", "snapshot-read"
+    ):
+        return snapshot_main(argv)
     p = argparse.ArgumentParser(prog="sri2db_spark")
     p.add_argument("config", help="path to JSON config (single or multi)")
     p.add_argument("--synctype", default=None, help="override configured synctype")

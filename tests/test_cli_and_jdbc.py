@@ -303,6 +303,44 @@ def test_multi_orchestrates_mixed_lake_and_jdbc_targets(spark, tmp_path):
     assert settled[1].value.rows_after == 5
 
 
+def test_cli_snapshot_pin_list_read_unpin(spark, tmp_path, capsys):
+    """Config-selected manifest committer + the snapshot subcommands:
+    sync → pin → mutate+sync → list shows history/pin → read the pinned
+    snapshot back out as parquet → unpin."""
+    api = FakeSriApi(n=5)
+    cfg = {
+        "api": {"baseUrl": "https://fake.api", "path": "/a", "limit": 3},
+        "db": {
+            "location": str(tmp_path / "table"),
+            "synctimes": str(tmp_path / "wm"),
+            "layout": "large",
+            "committer": "manifest",
+        },
+        "synctype": "fullSync",
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with _patched_reader(api):
+        assert cli.main([str(cfg_path)]) == 0
+    assert cli.main(["snapshot-pin", str(cfg_path), "--name", "run1"]) == 0
+    version = capsys.readouterr().out.strip().split()[-1]
+    assert version.startswith("v_")
+    api.delete(2, modified="2032-01-01T00:00:00Z")
+    with _patched_reader(api):
+        assert cli.main([str(cfg_path)]) == 0  # full sync: now 4 rows
+    assert cli.main(["snapshot-list", str(cfg_path)]) == 0
+    listing = capsys.readouterr().out
+    assert version in listing and "pin=run1" in listing
+    out = str(tmp_path / "snap_out")
+    rc = cli.main(
+        ["snapshot-read", str(cfg_path), "--version", version, "--out", out]
+    )
+    assert rc == 0 and "5 rows" in capsys.readouterr().out
+    snap = spark.read.parquet(out)
+    assert snap.count() == 5  # the pre-delete corpus
+    assert cli.main(["snapshot-unpin", str(cfg_path), "--name", "run1"]) == 0
+
+
 def test_cli_index_build_upsert_query_roundtrip(spark, tmp_path, capsys):
     """index-build / index-upsert / index-query subcommands drive the saved
     IVF index end-to-end; the queried neighbors include upserted vectors."""
