@@ -13,7 +13,6 @@ import os
 import shutil
 import tempfile
 import threading
-import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,8 +172,8 @@ class WatermarkStore:
             SYNCTIMES_SCHEMA,
         )
         updated = survivors.unionByName(new_row)
-        # tmp must live on the same filesystem as the store (commit renames)
-        parent = os.path.dirname(os.path.abspath(self.location)) or "."
-        tmp = os.path.join(parent, f".synctimes_tmp_{uuid.uuid4().hex}")
+        # stage() keeps the write on the store's own filesystem; on the
+        # manifest backend it is the final version dir (pointer-only commit)
+        tmp = self.committer.stage(self.location)
         updated.coalesce(1).write.mode("overwrite").parquet(tmp)
         self.committer.commit(tmp, self.location)

@@ -45,6 +45,12 @@ class RenameCommitter:
     #: readers can point Spark straight at the logical directory
     versioned = False
 
+    def stage(self, dst_dir: str) -> str:
+        """A fresh directory for the writer to produce the new state into;
+        pass it to :meth:`commit` when the write succeeds. Here: a sibling
+        tmp dir that the commit renames into place."""
+        return f"{dst_dir}__tmp_{uuid.uuid4().hex}"
+
     def commit(self, tmp_dir: str, dst_dir: str) -> None:
         """Swap ``tmp_dir`` into place at ``dst_dir`` via two renames.
         Atomic per rename on POSIX; see class docstring for the (documented)
@@ -91,10 +97,24 @@ class ManifestCommitter:
     def _manifest_path(self, dst_dir: str) -> str:
         return os.path.join(dst_dir, MANIFEST)
 
-    def commit(self, tmp_dir: str, dst_dir: str) -> None:
-        version = f"v_{uuid.uuid4().hex}"
+    def stage(self, dst_dir: str) -> str:
+        """The next version directory itself — the writer produces data
+        DIRECTLY at its final path (an uncommitted version is invisible:
+        readers only follow the pointer), so commit is pointer-only and no
+        directory ever moves. On an object store that is the difference
+        between a metadata write and a full per-object copy."""
         os.makedirs(dst_dir, exist_ok=True)
-        os.rename(tmp_dir, os.path.join(dst_dir, version))
+        return os.path.join(dst_dir, f"v_{uuid.uuid4().hex}")
+
+    def commit(self, tmp_dir: str, dst_dir: str) -> None:
+        version = os.path.basename(tmp_dir)
+        staged_in_place = version.startswith("v_") and os.path.abspath(
+            os.path.dirname(tmp_dir)
+        ) == os.path.abspath(dst_dir)
+        if not staged_in_place:
+            version = f"v_{uuid.uuid4().hex}"
+            os.makedirs(dst_dir, exist_ok=True)
+            os.rename(tmp_dir, os.path.join(dst_dir, version))
         # advisory ordering marker, written BEFORE the pointer: a crash
         # in between leaves an orphan marker whose version never became
         # current — history() reports only versions still on disk, and a

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import os
 import urllib.parse
-import uuid
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -196,7 +195,10 @@ class LakeTable:
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         part_dir = self._partition_dir(baseurl, path)
-        tmp = f"{part_dir}__tmp_{uuid.uuid4().hex}"
+        # stage() on the manifest backend is the final version directory
+        # itself — data is written once at its final path and the commit is
+        # pointer-only (no per-object copy on an object store)
+        tmp = self.committer.stage(part_dir)
         # observe() rides the write job itself — no second scan of the
         # written files just to count them.
         obs = Observation()
@@ -291,7 +293,7 @@ class LakeTable:
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_out = max(1, -(-total_bytes // target_file_bytes))
         df = self.spark.read.parquet(physical).coalesce(int(n_out))
-        tmp = f"{part_dir}__tmp_{uuid.uuid4().hex}"
+        tmp = self.committer.stage(part_dir)
         df.write.mode("overwrite").parquet(tmp)
         self.committer.commit(tmp, part_dir)
         after_dir = self.committer.resolve(part_dir)
