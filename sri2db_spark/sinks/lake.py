@@ -59,7 +59,12 @@ class LakeTable:
     )
 
     @classmethod
-    def discover(cls, spark: SparkSession, location: str) -> "LakeTable":
+    def discover(
+        cls,
+        spark: SparkSession,
+        location: str,
+        committer: RenameCommitter | ManifestCommitter | None = None,
+    ) -> "LakeTable":
         """A9 parity — infer the optional-column layout from an existing
         dataset instead of configuration, as the reference infers it from
         information_schema/sys.columns (client.js:361-410, 534-546).
@@ -68,18 +73,49 @@ class LakeTable:
         resourcetype. Raises on an empty/missing dataset (nothing to probe —
         callers fall back to an explicit layout, as the reference warns and
         aborts when the target table is missing, client.js:1711-1717).
-        Assumes the rename backend's flat layout; a manifest-committed table
-        is discovered from its configured layout instead.
+
+        Pass the ``ManifestCommitter`` for a manifest-committed table: the
+        probe walks the hive segments to one leaf, resolves it through the
+        manifest, and reads that version's footer (partition columns are
+        directory-encoded there, so only data columns come from the file).
         """
-        df = spark.read.parquet(location)
-        cols = set(df.columns)
+        committer = committer or RenameCommitter()
+        if not committer.versioned:
+            df = spark.read.parquet(location)
+            cols = set(df.columns)
+            layout = TableLayout(
+                has_path="path" in cols,
+                has_baseurl="baseurl" in cols,
+                has_resourcetype="resourcetype" in cols,
+                name="discovered",
+            )
+            return cls(spark, location, layout, committer=committer)
+        # manifest layout: walk key=value segments to a leaf partition dir
+        keys: set[str] = set()
+        probe = location
+        while True:
+            kv = [
+                e
+                for e in os.scandir(probe)
+                if e.is_dir() and "=" in e.name and not e.name.startswith("v_")
+            ]
+            if not kv:
+                break
+            keys.add(kv[0].name.split("=", 1)[0])
+            probe = kv[0].path
+        physical = committer.resolve(probe)
+        if physical is None:
+            raise FileNotFoundError(
+                f"no committed version found under {location}"
+            )
+        cols = set(spark.read.parquet(physical).columns) | keys
         layout = TableLayout(
             has_path="path" in cols,
             has_baseurl="baseurl" in cols,
             has_resourcetype="resourcetype" in cols,
             name="discovered",
         )
-        return cls(spark, location, layout)
+        return cls(spark, location, layout, committer=committer)
 
     def _partition_dir(self, baseurl: str | None, path: str | None) -> str:
         parts = []

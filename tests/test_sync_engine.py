@@ -239,6 +239,33 @@ def test_layout_discovery_from_existing_dataset(spark, tmp_path):
     assert discovered.count() == 4
 
 
+def test_layout_discovery_on_manifest_backend(spark, tmp_path):
+    """A9 on the versioned backend: the probe walks hive segments, resolves
+    the leaf through its manifest, and reads the committed footer."""
+    from sri2db_spark.sinks.committer import ManifestCommitter
+    from sri2db_spark.sinks.lake import LakeTable
+
+    api = FakeSriApi(n=4)
+    reader = SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=3)
+    table = LakeTable(
+        spark, str(tmp_path / "table"), LAYOUT_LARGE,
+        committer=ManifestCommitter(),
+    )
+    sync = Sri2DbSync(
+        reader=reader, table=table, path=api.path, baseurl=BASEURL,
+        layout=LAYOUT_LARGE,
+        watermarks=WatermarkStore(spark, str(tmp_path / "wm")),
+    )
+    sync.full_sync()
+    discovered = LakeTable.discover(
+        spark, str(tmp_path / "table"), committer=ManifestCommitter()
+    )
+    assert discovered.layout.has_path is True
+    assert discovered.layout.has_baseurl is True
+    assert discovered.layout.has_resourcetype is True
+    assert discovered.count() == 4
+
+
 def make_null_baseurl_sync(spark, tmp_path, api: FakeSriApi, **kw) -> Sri2DbSync:
     """The engine's *default* constructor shape: LAYOUT_LARGE with
     baseurl=None — every scoping join sees a NULL key column."""
