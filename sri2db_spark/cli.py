@@ -239,11 +239,12 @@ def snapshot_main(argv: list[str]) -> int:
         print(f"unpinned {args.name}")
     elif cmd == "snapshot-list":
         part = table._partition_dir(baseurl, path)
-        pins = {
-            v: n for n, v in table.committer.pins(part).items()
-        }
+        pins: dict[str, list[str]] = {}
+        for n, v in sorted(table.committer.pins(part).items()):
+            pins.setdefault(v, []).append(n)
         for seq, version in table.partition_history(baseurl, path):
-            pin = f"  pin={pins[version]}" if version in pins else ""
+            names = pins.get(version)
+            pin = f"  pin={','.join(names)}" if names else ""
             print(f"{seq:6d}  {version}{pin}")
     else:
         df = table.read_partition_snapshot(baseurl, path, args.version)

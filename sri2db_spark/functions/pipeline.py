@@ -244,8 +244,18 @@ def compact_curation_state(spark, state_dir: str) -> dict[str, tuple[int, int]]:
     Swap per store (see :func:`_swap_dir` for the concurrency contract);
     returns {store: (files_before, files_after)}. Handles both flat stores
     and the batch-id-addressed layout streaming ingest writes (compaction
-    collapses the ``batch_id=*`` subdirectories back into one flat
-    file-set; subsequent batches add fresh subdirectories alongside it).
+    collapses ``batch_id=*`` subdirectories back into one flat file-set;
+    subsequent batches add fresh subdirectories alongside it).
+
+    The NEWEST ``batch_id=*`` subdirectory per store is preserved as-is,
+    never folded: a stream batch that crashed after its state write but
+    before its checkpoint commit will be REPLAYED with the same token, and
+    its replay-safety depends on the current-token path exclusion in
+    :func:`~.statestore.read_store` — rows folded into flat files would
+    escape that exclusion and the replay would anti-join its own documents
+    out of the output. Only committed history (everything older) is
+    compacted; the last batch is folded by the next compaction once a
+    newer batch exists.
     """
     import os  # noqa: PLC0415
     import uuid  # noqa: PLC0415
@@ -265,15 +275,34 @@ def compact_curation_state(spark, state_dir: str) -> dict[str, tuple[int, int]]:
         path = f"{state_dir}/{sub}"
         if not os.path.isdir(path):
             continue
+        batch_dirs = [
+            e
+            for e in os.scandir(path)
+            if e.is_dir() and e.name.startswith("batch_id=")
+        ]
+        preserve = (
+            max(batch_dirs, key=lambda e: os.path.getmtime(e.path)).name
+            if batch_dirs
+            else None
+        )
         files = list_store_files(spark, path)
+        if preserve is not None:
+            files = [f for f in files if f"/{preserve}/" not in f]
         if not files:
             continue
+        n_before = len(files) + (
+            _count_files(os.path.join(path, preserve)) if preserve else 0
+        )
         df = spark.read.parquet(*files).dropDuplicates(keys)
         n_out = max(1, df.rdd.getNumPartitions() // 8)
         tmp = f"{path}__tmp_{uuid.uuid4().hex}"
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        if preserve is not None:
+            # carry the protected batch over INTO the new layout so the
+            # swap cannot drop it and token-path exclusion still matches
+            os.rename(os.path.join(path, preserve), os.path.join(tmp, preserve))
         _swap_dir(tmp, path)
-        report[sub] = (len(files), _count_files(path))
+        report[sub] = (n_before, _count_files(path))
     return report
 
 
@@ -319,7 +348,13 @@ def retract_from_state(spark, state_dir: str, ids: list) -> None:
         sigs.write.mode("overwrite").parquet(tmp_s)
         _swap_dir(tmp_s, f"{state_dir}/sigs")
     remaining = read_store(spark, f"{state_dir}/corpus")
-    hashes = remaining.select(F.md5(F.col("text")).alias("h")).distinct()
+    if remaining is None:
+        # full retraction: Spark writes no part files for an all-empty
+        # result, so the swapped-in corpus dir reads as absent — the hash
+        # store must still be rebuilt (to empty), not left stale
+        hashes = spark.createDataFrame([], "h string")
+    else:
+        hashes = remaining.select(F.md5(F.col("text")).alias("h")).distinct()
     tmp_h = f"{state_dir}/hashes__tmp_{uuid.uuid4().hex}"
     hashes.write.mode("overwrite").parquet(tmp_h)
     _swap_dir(tmp_h, f"{state_dir}/hashes")

@@ -805,11 +805,13 @@ def build_ivfpq_index(
 
 def saved_index_kind(spark, path: str) -> str:
     """Detect the layout of a saved ANN index: ``"ivfpq"`` when the PQ
-    artifacts (``codebooks`` + ``meta``) are present, else ``"ivf"``.
-    Routing an upsert by this instead of trusting a user-supplied flag
-    prevents appending code-less (cid, batch_id)-partitioned rows into an
-    IVF-PQ index's (cell, batch_id) cells directory, which would corrupt
-    partition discovery for every later query."""
+    codebooks are present, else ``"ivf"``. Codebooks alone decide — IVF
+    indexes never have them, and a pre-``meta`` IVF-PQ index (still
+    queryable via ivfpq_query_index's residual fallback) must NOT be
+    misrouted to the IVF path. Routing an upsert by layout instead of a
+    user-supplied flag prevents appending code-less (cid, batch_id)
+    rows into an IVF-PQ index's (cell, batch_id) cells directory, which
+    would corrupt partition discovery for every later query."""
     def _exists(sub: str) -> bool:
         try:
             spark.read.parquet(f"{path}/{sub}").schema
@@ -819,7 +821,7 @@ def saved_index_kind(spark, path: str) -> str:
 
     if not _exists("centroids"):
         raise ValueError(f"not a saved ANN index (no centroids): {path}")
-    return "ivfpq" if _exists("codebooks") and _exists("meta") else "ivf"
+    return "ivfpq" if _exists("codebooks") else "ivf"
 
 
 def ivfpq_index_upsert(
@@ -840,7 +842,10 @@ def ivfpq_index_upsert(
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     books = _load_codebooks(spark, path)
-    residual = bool(spark.read.parquet(f"{path}/meta").first()["residual"])
+    try:  # pre-meta indexes are raw-encoded (same fallback as the query path)
+        residual = bool(spark.read.parquet(f"{path}/meta").first()["residual"])
+    except Exception:
+        residual = False
     choices = F.array(
         *[
             F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))

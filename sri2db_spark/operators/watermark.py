@@ -10,8 +10,6 @@ per sync (exactly the reference's DELETE+INSERT upsert, client.js:714-751).
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 import threading
 from dataclasses import dataclass
 
@@ -108,6 +106,9 @@ class WatermarkStore:
             self.committer = RenameCommitter()
 
     def _read(self) -> DataFrame:
+        from ..sinks.committer import check_backend_layout  # noqa: PLC0415
+
+        check_backend_layout(self.location, self.committer.versioned)
         physical = self.committer.resolve(self.location)
         if physical is not None and any(
             f.endswith(".parquet") for f in os.listdir(physical)

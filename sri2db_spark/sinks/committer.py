@@ -39,6 +39,33 @@ import uuid
 MANIFEST = "_MANIFEST"
 
 
+def check_backend_layout(dst_dir: str, versioned: bool) -> None:
+    """Raise when a directory's on-disk layout belongs to the OTHER commit
+    protocol. Flipping ``committer`` on an existing store must fail loudly:
+    a manifest reader over a flat rename-backend directory would resolve
+    every partition to None and read the table as EMPTY (the next sync then
+    publishes only its delta — silent data loss in the published view), and
+    a rename-backend reader over a manifest directory would Hive-discover
+    the ``v_*`` version dirs and return duplicated/garbled rows."""
+    if not os.path.isdir(dst_dir):
+        return
+    has_manifest = os.path.exists(os.path.join(dst_dir, MANIFEST))
+    has_flat = any(n.endswith(".parquet") for n in os.listdir(dst_dir))
+    if versioned and has_flat and not has_manifest:
+        raise ValueError(
+            f"{dst_dir} holds flat parquet (rename-backend layout) but is "
+            "being read through the ManifestCommitter — migrate the data "
+            "(write it through a manifest commit) or configure the rename "
+            "committer for this store"
+        )
+    if not versioned and has_manifest:
+        raise ValueError(
+            f"{dst_dir} is manifest-committed but is being read through "
+            "the rename backend — configure committer='manifest' for this "
+            "store"
+        )
+
+
 class RenameCommitter:
     """POSIX rename swap — the local-filesystem default."""
 

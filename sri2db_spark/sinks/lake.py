@@ -35,7 +35,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 
 from ..model.schema import TableLayout, resource_row_schema
-from .committer import ManifestCommitter, RenameCommitter
+from .committer import ManifestCommitter, RenameCommitter, check_backend_layout
 
 HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
 
@@ -170,6 +170,8 @@ class LakeTable:
                 os.scandir(self.location)
             ):
                 return self.spark.createDataFrame([], schema)
+            for _, _, logical in self._list_partitions():
+                check_backend_layout(logical, versioned=False)
             df = (
                 self.spark.read.option("basePath", self.location)
                 .schema(schema)
@@ -178,6 +180,7 @@ class LakeTable:
             return df.select(*self.layout.columns)
         parts: list[DataFrame] = []
         for baseurl, path, logical in self._list_partitions():
+            check_backend_layout(logical, versioned=True)
             physical = self.committer.resolve(logical)
             if physical is None:
                 continue

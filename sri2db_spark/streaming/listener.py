@@ -60,11 +60,26 @@ class BroadcastListener:
 
     # -- loops -----------------------------------------------------------------
 
+    def _connect_source(self):
+        """Call the connect factory, passing our stop event when it accepts
+        one (``socketio_connect`` does) so a blocking source can observe
+        ``stop()`` and end its iterator instead of stalling the join."""
+        import inspect  # noqa: PLC0415
+
+        try:
+            params = inspect.signature(self.connect).parameters
+            accepts = "stop_event" in params or any(
+                p.kind == p.VAR_KEYWORD for p in params.values()
+            )
+        except (TypeError, ValueError):
+            accepts = False
+        return self.connect(stop_event=self._stop) if accepts else self.connect()
+
     def _listen_loop(self) -> None:
         """D1+D2: consume events; on source failure, reconnect after a pause."""
         while not self._stop.is_set():
             try:
-                for _event in self.connect():
+                for _event in self._connect_source():
                     self.events_seen += 1
                     self._pending.set()  # coalesce bursts into one pending flag
                     if self._stop.is_set():
@@ -122,11 +137,14 @@ def socketio_connect(
     disconnect, which is exactly the contract BroadcastListener's reconnect
     loop (D2, ``client.js:1991-1997``) expects: the listener re-calls this
     factory after ``retry_interval``, re-creating the client and re-joining
-    the room.
+    the room. The factory accepts a ``stop_event`` (BroadcastListener passes
+    its own): when set, the iterator ends cleanly at the next poll tick and
+    disconnects the client — without it, ``stop()`` could not terminate a
+    healthy blocking listen loop.
     """
     import queue as _queue  # noqa: PLC0415
 
-    def _connect():
+    def _connect(stop_event=None):
         if client_factory is not None:
             client = client_factory()
         else:
@@ -155,7 +173,7 @@ def socketio_connect(
 
         def _iter():
             try:
-                while True:
+                while stop_event is None or not stop_event.is_set():
                     try:
                         yield events.get(timeout=poll_interval)
                     except _queue.Empty:

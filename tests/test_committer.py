@@ -151,6 +151,41 @@ def test_sync_end_to_end_on_manifest_backend(spark, tmp_path):
     assert "_MANIFEST" in os.listdir(str(tmp_path / "synctimes"))
 
 
+def test_backend_mismatch_raises_instead_of_empty_read(spark, tmp_path):
+    """Flipping committer on an existing store must fail loudly: a
+    manifest reader over flat rename-backend data would otherwise read the
+    table as EMPTY and the next sync would publish only its delta."""
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+    rows = spark.createDataFrame([("/a/1", "1", None, "{}", "T")], schema)
+    flat = LakeTable(spark, str(tmp_path / "t"), LAYOUT_LARGE)
+    flat.replace_partition(rows, BASEURL, "/a")
+    flipped = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    with pytest.raises(ValueError, match="rename-backend layout"):
+        flipped.read().count()
+    # and the reverse: manifest-committed dirs read by the rename backend
+    mt = LakeTable(
+        spark, str(tmp_path / "m"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    mt.replace_partition(rows, BASEURL, "/a")
+    back = LakeTable(spark, str(tmp_path / "m"), LAYOUT_LARGE)
+    with pytest.raises(ValueError, match="manifest-committed"):
+        back.read().count()
+    # watermark store: same guard
+    from sri2db_spark.operators.watermark import WatermarkStore as WS
+
+    ws = WS(spark, str(tmp_path / "wm"))
+    ws.put("t", None, "/a", "FULL", 5, 6)
+    with pytest.raises(ValueError, match="rename-backend layout"):
+        WS(spark, str(tmp_path / "wm"), committer=ManifestCommitter()).get(
+            "t", None, "/a", "FULL"
+        )
+
+
 def test_manifest_history_and_pinned_snapshot(tmp_path):
     """history() orders commits; a pin survives GC and resolves to the
     exact bytes committed; unpinning re-exposes it to GC."""

@@ -321,6 +321,51 @@ def test_curate_incremental_replay_does_not_lose_docs(spark, tmp_path):
     assert out2 == []
 
 
+def test_compaction_preserves_replayable_batch(spark, tmp_path):
+    """Crash → quiesce → compact → restart: the newest batch's state dir
+    must survive compaction AS a batch_id dir, or the replay's
+    current-token path exclusion misses the first attempt's rows (now
+    flat) and the batch anti-joins its own documents out of the output."""
+    from sri2db_spark.functions import pipeline as P
+    from sri2db_spark.functions.statestore import read_store
+
+    nat = ("the quick brown fox jumps over the lazy dog while the rain in "
+           "spain falls mainly on the plain and the cat sat on the mat")
+    nat2 = ("a completely different natural sentence about spark and the art "
+            "of distributed systems where the shuffle is the enemy of the "
+            "fast query")
+    schema = "doc_id long, text string, lang string"
+    bench = spark.createDataFrame(
+        [(999, "benchmark secret sauce phrase entirely unique here", "en")],
+        schema,
+    )
+    state = str(tmp_path / "cstate")
+    b0 = spark.createDataFrame([(10, nat, "en")], schema)
+    b1 = spark.createDataFrame([(11, nat2, "en")], schema)
+    out0 = P.curate_batch_incremental(
+        spark, b0, state, bench, batch_token=0
+    ).collect()
+    assert {r.doc_id for r in out0} == {10}
+    # batch 1's state write lands, then the batch "crashes" (output lost)
+    out1 = P.curate_batch_incremental(
+        spark, b1, state, bench, batch_token=1
+    ).collect()
+    assert {r.doc_id for r in out1} == {11}
+    # maintenance window: operator compacts the quiesced state
+    import os
+
+    P.compact_curation_state(spark, state)
+    assert os.path.isdir(f"{state}/hashes/batch_id=1")  # newest preserved
+    assert not os.path.isdir(f"{state}/hashes/batch_id=0")  # history folded
+    # restart: batch 1 replays with the same token — docs must survive
+    replay = P.curate_batch_incremental(
+        spark, b1, state, bench, batch_token=1
+    ).collect()
+    assert {r.doc_id for r in replay} == {11}
+    sig_ids = sorted(r.id for r in read_store(spark, f"{state}/sigs").collect())
+    assert sig_ids == [10, 11]
+
+
 def test_curate_incremental_mixed_flat_and_token_state(spark, tmp_path):
     """Bootstrap state written flat (init_curation_state) must coexist with
     batch-token-addressed appends, and compaction must collapse both."""
