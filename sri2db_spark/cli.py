@@ -206,10 +206,13 @@ def snapshot_main(argv: list[str]) -> int:
     """Snapshot maintenance for a manifest-committed lake table — the
     reproducible-training-run surface:
 
-    snapshot-pin    CONFIG.json --name NAME      pin the current version
-    snapshot-list   CONFIG.json                  history + pins
-    snapshot-unpin  CONFIG.json --name NAME
-    snapshot-read   CONFIG.json --version V --out DIR
+    snapshot-pin    CONFIG.json --name NAME [--all]   pin current version(s)
+    snapshot-list   CONFIG.json                       history + pins
+    snapshot-unpin  CONFIG.json --name NAME [--all]
+    snapshot-read   CONFIG.json (--version V | --name NAME) --out DIR
+
+    ``--all`` pins/unpins every partition (the whole-table cut);
+    ``snapshot-read --name`` reassembles that cut.
     """
     cmd = argv[0]
     p = argparse.ArgumentParser(prog="sri2db_spark " + cmd)
@@ -217,8 +220,10 @@ def snapshot_main(argv: list[str]) -> int:
     p.add_argument("--master", default=None)
     if cmd in ("snapshot-pin", "snapshot-unpin"):
         p.add_argument("--name", required=True)
+        p.add_argument("--all", action="store_true", dest="all_partitions")
     elif cmd == "snapshot-read":
-        p.add_argument("--version", required=True)
+        p.add_argument("--version", default=None)
+        p.add_argument("--name", default=None)
         p.add_argument("--out", required=True)
     args = p.parse_args(argv[1:])
     with open(args.config) as f:
@@ -232,10 +237,18 @@ def snapshot_main(argv: list[str]) -> int:
     baseurl = api["baseUrl"] if layout.has_baseurl else None
     path = api["path"] if layout.has_path else None
     if cmd == "snapshot-pin":
-        version = table.pin_partition(baseurl, path, args.name)
-        print(f"pinned {args.name} -> {version}")
+        if args.all_partitions:
+            pinned = table.pin_table(args.name)
+            for (b, pt), v in sorted(pinned.items(), key=str):
+                print(f"pinned {args.name} @ {b} {pt} -> {v}")
+        else:
+            version = table.pin_partition(baseurl, path, args.name)
+            print(f"pinned {args.name} -> {version}")
     elif cmd == "snapshot-unpin":
-        table.unpin_partition(baseurl, path, args.name)
+        if args.all_partitions:
+            table.unpin_table(args.name)
+        else:
+            table.unpin_partition(baseurl, path, args.name)
         print(f"unpinned {args.name}")
     elif cmd == "snapshot-list":
         part = table._partition_dir(baseurl, path)
@@ -247,7 +260,12 @@ def snapshot_main(argv: list[str]) -> int:
             pin = f"  pin={','.join(names)}" if names else ""
             print(f"{seq:6d}  {version}{pin}")
     else:
-        df = table.read_partition_snapshot(baseurl, path, args.version)
+        if (args.version is None) == (args.name is None):
+            p.error("snapshot-read needs exactly one of --version / --name")
+        if args.name is not None:
+            df = table.read_table_snapshot(args.name)
+        else:
+            df = table.read_partition_snapshot(baseurl, path, args.version)
         df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"snapshot-read ok: {n} rows -> {args.out}")

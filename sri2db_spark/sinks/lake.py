@@ -283,6 +283,46 @@ class LakeTable:
         self._require_versioned()
         self.committer.unpin(self._partition_dir(baseurl, path), name)
 
+    def pin_table(self, name: str) -> dict[tuple[str | None, str | None], str]:
+        """Pin EVERY partition's current version under one name — the
+        whole-table reproducibility unit. Not a cross-partition atomic
+        cut (syncs are per-partition, so partitions advance
+        independently); each pin captures that partition's committed
+        version at call time. Returns {(baseurl, path): version}."""
+        self._require_versioned()
+        pinned: dict[tuple[str | None, str | None], str] = {}
+        for baseurl, path, logical in self._list_partitions():
+            if self.committer.resolve(logical) is None:
+                continue
+            pinned[(baseurl, path)] = self.committer.pin(logical, name)
+        return pinned
+
+    def unpin_table(self, name: str) -> None:
+        self._require_versioned()
+        for _, _, logical in self._list_partitions():
+            self.committer.unpin(logical, name)
+
+    def read_table_snapshot(self, name: str) -> DataFrame:
+        """The whole table as of :meth:`pin_table`'s capture — every
+        partition resolved through its named pin (partitions created
+        after the pin are absent, exactly as the pinned-time table was)."""
+        self._require_versioned()
+        parts: list[DataFrame] = []
+        for baseurl, path, logical in self._list_partitions():
+            version = self.committer.pins(logical).get(name)
+            if version is None:
+                continue
+            physical = self.committer.resolve(logical, version=version)
+            if physical is None:
+                raise FileNotFoundError(
+                    f"pin {name} of partition {logical} points at collected "
+                    f"version {version}"
+                )
+            parts.append(self._read_physical(physical, baseurl, path))
+        if not parts:
+            raise FileNotFoundError(f"no partition carries pin {name!r}")
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def read_partition_snapshot(
         self, baseurl: str | None, path: str | None, version: str
     ) -> DataFrame:

@@ -341,6 +341,42 @@ def test_cli_snapshot_pin_list_read_unpin(spark, tmp_path, capsys):
     assert cli.main(["snapshot-unpin", str(cfg_path), "--name", "run1"]) == 0
 
 
+def test_cli_table_cut_pin_and_read(spark, tmp_path, capsys):
+    """--all pins the whole-table cut; snapshot-read --name reassembles it
+    after the table has moved on."""
+    api = FakeSriApi(n=4)
+    cfg = {
+        "api": {"baseUrl": "https://fake.api", "path": "/a", "limit": 3},
+        "db": {
+            "location": str(tmp_path / "table"),
+            "synctimes": str(tmp_path / "wm"),
+            "layout": "large",
+            "committer": "manifest",
+        },
+        "synctype": "fullSync",
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with _patched_reader(api):
+        assert cli.main([str(cfg_path)]) == 0
+    assert cli.main(
+        ["snapshot-pin", str(cfg_path), "--name", "cut", "--all"]
+    ) == 0
+    assert "pinned cut @" in capsys.readouterr().out
+    api.delete(1, modified="2033-01-01T00:00:00Z")
+    with _patched_reader(api):
+        assert cli.main([str(cfg_path)]) == 0  # now 3 rows
+    out = str(tmp_path / "cut_out")
+    rc = cli.main(
+        ["snapshot-read", str(cfg_path), "--name", "cut", "--out", out]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 4  # the pinned-time table
+    assert cli.main(
+        ["snapshot-unpin", str(cfg_path), "--name", "cut", "--all"]
+    ) == 0
+
+
 def test_cli_index_build_upsert_query_roundtrip(spark, tmp_path, capsys):
     """index-build / index-upsert / index-query subcommands drive the saved
     IVF index end-to-end; the queried neighbors include upserted vectors."""

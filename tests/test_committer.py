@@ -251,6 +251,44 @@ def test_lake_pin_and_time_travel(spark, tmp_path):
         flat.pin_partition(BASEURL, "/a", "nope")
 
 
+def test_table_level_pin_and_snapshot(spark, tmp_path):
+    """pin_table captures every partition's current version under one
+    name; read_table_snapshot reassembles the pinned-time table even
+    after every partition has advanced and new partitions appeared."""
+    table = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+
+    def rows(path, tag, n):
+        return spark.createDataFrame(
+            [(f"{path}/{i}", str(i), None, tag, "T") for i in range(n)], schema
+        )
+
+    table.replace_partition(rows("/a", "old", 3), BASEURL, "/a")
+    table.replace_partition(rows("/b", "old", 2), BASEURL, "/b")
+    pinned = table.pin_table("cut1")
+    assert set(pinned) == {(BASEURL, "/a"), (BASEURL, "/b")}
+    # every partition advances; a new partition appears after the pin
+    table.replace_partition(rows("/a", "new", 5), BASEURL, "/a")
+    table.replace_partition(rows("/b", "new", 6), BASEURL, "/b")
+    table.replace_partition(rows("/c", "new", 7), BASEURL, "/c")
+    assert table.count() == 18
+    snap = table.read_table_snapshot("cut1")
+    assert snap.count() == 5  # 3 + 2, no /c — the pinned-time table
+    assert {r["jsondata"] for r in snap.collect()} == {"old"}
+    table.unpin_table("cut1")
+    # next commits GC the unpinned versions; the pin is then gone
+    for _ in range(2):
+        table.replace_partition(rows("/a", "newer", 1), BASEURL, "/a")
+        table.replace_partition(rows("/b", "newer", 1), BASEURL, "/b")
+    with pytest.raises(FileNotFoundError):
+        table.read_table_snapshot("cut1").count()
+
+
 def test_lake_partition_pruning_on_manifest_backend(spark, tmp_path):
     """read_partition on the manifest backend folds the partition-literal
     filter per union child — only the matching partition's rows return."""
