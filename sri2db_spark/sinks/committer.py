@@ -244,3 +244,17 @@ class ManifestCommitter:
         )
         for stale in versions[: max(0, len(versions) - self.keep_versions)]:
             shutil.rmtree(os.path.join(dst_dir, stale), ignore_errors=True)
+        # prune commit markers whose version is gone (one marker accrues per
+        # sync — unbounded over thousands of syncs). The max-seq marker is
+        # always kept so sequence numbering never regresses.
+        markers = list(self._markers(dst_dir))
+        if markers:
+            max_seq = max(s for s, _ in markers)
+            for s, v in markers:
+                if s != max_seq and not os.path.isdir(os.path.join(dst_dir, v)):
+                    try:
+                        os.remove(
+                            os.path.join(dst_dir, self.COMMITS, f"{s:020d}_{v}")
+                        )
+                    except FileNotFoundError:
+                        pass

@@ -210,6 +210,14 @@ def test_manifest_history_and_pinned_snapshot(tmp_path):
     assert c.resolve(dst, version=pinned) is not None
     c.commit(_write_dir(tmp_path / "t5", {"a": "five"}), dst)
     assert c.resolve(dst, version=pinned) is None
+    # markers for collected versions are pruned (bounded metadata growth);
+    # every retained version still has its marker and seq keeps ascending
+    marks = dict(c._markers(dst))
+    assert len(marks) <= 3  # current + keep_versions + the max-seq keeper
+    hist = c.history(dst)
+    assert all(os.path.isdir(os.path.join(dst, v)) for _, v in hist)
+    c.commit(_write_dir(tmp_path / "t6", {"a": "six"}), dst)
+    assert max(s for s, _ in c._markers(dst)) == 6
 
 
 def test_lake_pin_and_time_travel(spark, tmp_path):
