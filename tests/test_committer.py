@@ -186,6 +186,84 @@ def test_backend_mismatch_raises_instead_of_empty_read(spark, tmp_path):
         )
 
 
+def test_manifest_invariants_under_random_op_sequences(tmp_path):
+    """Property check: for ANY sequence of commit / crashed-commit / pin /
+    unpin operations, (1) resolve() always returns a COMPLETE committed
+    version (the content of some successful commit, never a partial or
+    crashed one), (2) every pinned version stays readable, (3) history()
+    lists only retained versions in ascending seq order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("commit"), st.integers(0, 10**6)),
+        st.tuples(st.just("crash_commit"), st.integers(0, 10**6)),
+        st.tuples(st.just("pin"), st.sampled_from(["p1", "p2"])),
+        st.tuples(st.just("unpin"), st.sampled_from(["p1", "p2"])),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(ops=st.lists(op, min_size=1, max_size=12))
+    def run(ops):
+        import tempfile
+
+        root = tempfile.mkdtemp(dir=tmp_path, prefix="prop_")
+        c = ManifestCommitter()
+        dst = os.path.join(root, "store")
+        committed: list[str] = []  # payloads of successful commits, in order
+        pins: dict[str, str] = {}  # name -> payload pinned
+        n = 0
+        real_replace = os.replace
+        for kind, arg in ops:
+            if kind == "commit":
+                payload = f"payload-{arg}-{n}"
+                c.commit(_write_dir(os.path.join(root, f"t{n}"), {"a": payload}), dst)
+                committed.append(payload)
+            elif kind == "crash_commit":
+                payload = f"crashed-{arg}-{n}"
+
+                def boom(src, d, _r=real_replace):
+                    if os.path.basename(d) == "_MANIFEST":
+                        raise OSError("crash at commit point")
+                    return _r(src, d)
+
+                os.replace = boom
+                try:
+                    with pytest.raises(OSError):
+                        c.commit(
+                            _write_dir(os.path.join(root, f"t{n}"), {"a": payload}),
+                            dst,
+                        )
+                finally:
+                    os.replace = real_replace
+            elif kind == "pin" and committed:
+                c.pin(dst, arg)
+                pins[arg] = committed[-1]
+            elif kind == "unpin":
+                c.unpin(dst, arg)
+                pins.pop(arg, None)
+            n += 1
+            # invariant 1: resolve is always a complete successful commit
+            phys = c.resolve(dst)
+            if committed:
+                assert phys is not None
+                assert open(os.path.join(phys, "a")).read() == committed[-1]
+            else:
+                assert phys is None
+            # invariant 2: every live pin resolves to its pinned payload
+            for name, payload in pins.items():
+                v = c.pins(dst)[name]
+                pphys = c.resolve(dst, version=v)
+                assert pphys is not None
+                assert open(os.path.join(pphys, "a")).read() == payload
+            # invariant 3: history is ascending and only retained versions
+            hist = c.history(dst)
+            assert [s for s, _ in hist] == sorted(s for s, _ in hist)
+            assert all(os.path.isdir(os.path.join(dst, v)) for _, v in hist)
+
+    run()
+
+
 def test_manifest_history_and_pinned_snapshot(tmp_path):
     """history() orders commits; a pin survives GC and resolves to the
     exact bytes committed; unpinning re-exposes it to GC."""
@@ -295,6 +373,32 @@ def test_table_level_pin_and_snapshot(spark, tmp_path):
         table.replace_partition(rows("/b", "newer", 1), BASEURL, "/b")
     with pytest.raises(FileNotFoundError):
         table.read_table_snapshot("cut1").count()
+
+
+def test_snapshot_read_folds_partition_literal_filter(spark, tmp_path):
+    """A filter on the snapshot read's partition column must fold at plan
+    time — the non-matching partition's scan disappears from the physical
+    plan (LocalTableScan/empty), it is not filtered at runtime. This is
+    what makes pinned-snapshot queries partition-prunable like live ones."""
+    table = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+    for path, n in (("/a", 3), ("/b", 2)):
+        df = spark.createDataFrame(
+            [(f"{path}/{i}", str(i), None, "{}", "T") for i in range(n)],
+            schema,
+        )
+        table.replace_partition(df, BASEURL, path)
+    table.pin_table("cut")
+    snap = table.read_table_snapshot("cut").filter("path = '/a'")
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE parquet scan survives constant folding (the /a child)
+    assert plan.count("Scan parquet") == 1
+    assert snap.count() == 3
 
 
 def test_lake_partition_pruning_on_manifest_backend(spark, tmp_path):
