@@ -280,11 +280,20 @@ def compact_curation_state(spark, state_dir: str) -> dict[str, tuple[int, int]]:
             for e in os.scandir(path)
             if e.is_dir() and e.name.startswith("batch_id=")
         ]
-        preserve = (
-            max(batch_dirs, key=lambda e: os.path.getmtime(e.path)).name
-            if batch_dirs
-            else None
-        )
+
+        def _order(e):
+            # newest = highest TOKEN when tokens are numeric (streaming
+            # batch ids are) — mtime is only the fallback for opaque
+            # tokens, because a cp/tar-restored store can have equal or
+            # inverted mtimes and preserving the WRONG dir would fold the
+            # replayable batch flat
+            token = e.name.split("=", 1)[1]
+            try:
+                return (1, int(token), "")
+            except ValueError:
+                return (0, os.path.getmtime(e.path), token)
+
+        preserve = max(batch_dirs, key=_order).name if batch_dirs else None
         files = list_store_files(spark, path)
         if preserve is not None:
             files = [f for f in files if f"/{preserve}/" not in f]
@@ -298,9 +307,16 @@ def compact_curation_state(spark, state_dir: str) -> dict[str, tuple[int, int]]:
         tmp = f"{path}__tmp_{uuid.uuid4().hex}"
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
         if preserve is not None:
-            # carry the protected batch over INTO the new layout so the
-            # swap cannot drop it and token-path exclusion still matches
-            os.rename(os.path.join(path, preserve), os.path.join(tmp, preserve))
+            # COPY (not rename) the protected batch into the new layout:
+            # the original stays in place until the swap, so a crash
+            # anywhere before _swap_dir leaves the live store fully
+            # intact (tmp is orphan garbage, never a silent subset loss).
+            # Cost is one batch's files — O(batch), not O(store).
+            import shutil  # noqa: PLC0415
+
+            shutil.copytree(
+                os.path.join(path, preserve), os.path.join(tmp, preserve)
+            )
         _swap_dir(tmp, path)
         report[sub] = (n_before, _count_files(path))
     return report

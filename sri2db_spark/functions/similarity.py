@@ -813,10 +813,14 @@ def saved_index_kind(spark, path: str) -> str:
     rows into an IVF-PQ index's (cell, batch_id) cells directory, which
     would corrupt partition discovery for every later query."""
     def _exists(sub: str) -> bool:
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
         try:
             spark.read.parquet(f"{path}/{sub}").schema
             return True
-        except Exception:
+        except AnalysisException:
+            # only a missing path means "artifact absent" — a transient
+            # read error must propagate, not silently reclassify the index
             return False
 
     if not _exists("centroids"):
@@ -842,10 +846,7 @@ def ivfpq_index_upsert(
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     books = _load_codebooks(spark, path)
-    try:  # pre-meta indexes are raw-encoded (same fallback as the query path)
-        residual = bool(spark.read.parquet(f"{path}/meta").first()["residual"])
-    except Exception:
-        residual = False
+    residual = _read_meta_residual(spark, path)
     choices = F.array(
         *[
             F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
@@ -882,6 +883,21 @@ def ivfpq_index_upsert(
         .partitionBy("cell", "batch_id")
         .parquet(f"{path}/cells")
     )
+
+
+def _read_meta_residual(spark, path: str) -> bool:
+    """The index's residual flag; a MISSING meta file means a pre-meta
+    index (raw-vector encoded) — but only a missing path may fall back.
+    Any other failure (transient store error, corrupt footer) propagates:
+    silently assuming residual=False against residual-trained codebooks
+    would encode permanently wrong codes on upsert and return bad
+    neighbors on query."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        return bool(spark.read.parquet(f"{path}/meta").first()["residual"])
+    except AnalysisException:
+        return False
 
 
 def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
@@ -949,10 +965,7 @@ def ivfpq_query_index(
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     books = _load_codebooks(spark, path)
-    try:
-        residual = bool(spark.read.parquet(f"{path}/meta").first()["residual"])
-    except Exception:  # pre-meta indexes are raw-vector encoded
-        residual = False
+    residual = _read_meta_residual(spark, path)
     nlist = len(centroids)
     auto_nprobe, auto_shortlist = ivfpq_auto_params(nlist, k)
     if nprobe is None:

@@ -295,6 +295,14 @@ class LakeTable:
             if self.committer.resolve(logical) is None:
                 continue
             pinned[(baseurl, path)] = self.committer.pin(logical, name)
+        if not pinned:
+            # an empty cut is almost certainly a typo'd location or a
+            # not-yet-synced table; a silent no-op would only surface
+            # weeks later when the "snapshot" turns out not to exist
+            raise FileNotFoundError(
+                f"pin_table({name!r}): no committed partitions under "
+                f"{self.location}"
+            )
         return pinned
 
     def unpin_table(self, name: str) -> None:

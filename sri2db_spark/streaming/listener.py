@@ -67,10 +67,10 @@ class BroadcastListener:
         import inspect  # noqa: PLC0415
 
         try:
-            params = inspect.signature(self.connect).parameters
-            accepts = "stop_event" in params or any(
-                p.kind == p.VAR_KEYWORD for p in params.values()
-            )
+            # explicit parameter only — a **kwargs factory may forward its
+            # kwargs to a constructor that rejects unknown keys, and a
+            # surprise stop_event= would break every connect attempt
+            accepts = "stop_event" in inspect.signature(self.connect).parameters
         except (TypeError, ValueError):
             accepts = False
         return self.connect(stop_event=self._stop) if accepts else self.connect()
