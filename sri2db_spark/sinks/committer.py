@@ -13,9 +13,11 @@ protocol for replacing a partition directory. Two implementations:
   destination missing until repair.
 
 - :class:`ManifestCommitter` — versioned directories + a manifest pointer.
-  Data is moved (never rewritten) to ``<dst>/v_<uuid>/`` and the commit is
-  ONE atomic publication: writing the tiny ``_MANIFEST`` file that names
-  the current version. Readers resolve through the manifest, so they
+  Writers :meth:`stage` the next version directory ``<dst>/v_<uuid>/`` and
+  produce data DIRECTLY at its final path (an uncommitted version is
+  invisible — readers only follow the pointer); the commit is ONE atomic
+  publication: writing the tiny ``_MANIFEST`` file that names the current
+  version. (A tmp dir staged elsewhere is also accepted and moved in.) Readers resolve through the manifest, so they
   always see a complete version — a crash before the manifest write
   leaves the previous version live; a crash after it leaves the new one
   live; there is no in-between. On an object store the manifest write is
