@@ -81,7 +81,11 @@ def curate_corpus(
 
 
 def init_curation_state(
-    docs: DataFrame, state_dir: str, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    committer=None,
 ) -> None:
     """Bootstrap the persisted curation state from an already-ingested
     corpus: content hashes (exact-dup membership), OPH MinHash signatures
@@ -89,16 +93,31 @@ def init_curation_state(
     near-dup candidates. Each piece is per-doc-row sized — the state scales
     with corpus cardinality, not corpus bytes (text is the exception, kept
     for verification; a deployment can point verification at the main table
-    instead)."""
-    from .dedup import write_signature_store  # noqa: PLC0415
+    instead).
 
-    docs.select(F.md5(F.col(text_col)).alias("h")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/hashes")
-    write_signature_store(docs, id_col, text_col, f"{state_dir}/sigs")
-    docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/corpus")
+    With a versioned ``committer`` (object-store deployments), each store's
+    bootstrap is written into a staged version directory and published with
+    one atomic pointer commit; subsequent batches append ``batch_id=*``
+    subdirectories alongside it and reads resolve base ∪ appends (see
+    :mod:`.statestore`)."""
+    from .dedup import oph_signatures  # noqa: PLC0415
+
+    pieces = (
+        ("hashes", docs.select(F.md5(F.col(text_col)).alias("h")).distinct()),
+        ("sigs", oph_signatures(docs, id_col, text_col)),
+        (
+            "corpus",
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        ),
+    )
+    for sub, df in pieces:
+        path = f"{state_dir}/{sub}"
+        if committer is not None and committer.versioned:
+            tmp = committer.stage(path)
+            df.write.mode("overwrite").parquet(tmp)
+            committer.commit(tmp, path)
+        else:
+            df.write.mode("overwrite").parquet(path)
 
 
 def curate_batch_incremental(
@@ -114,6 +133,7 @@ def curate_batch_incremental(
     neardup_threshold: float = 0.5,
     update_state: bool = True,
     batch_token=None,
+    committer=None,
 ) -> DataFrame:
     """One ingest batch through the curation chain AGAINST persisted state —
     the per-batch cost is O(batch), never O(corpus):

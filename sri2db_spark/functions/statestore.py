@@ -29,9 +29,20 @@ Directory layout is deliberately mixed-friendly: a store may contain flat
 files (initial bootstrap, post-compaction) alongside ``batch_id=*``
 subdirectories; readers use recursive file listing (no Hive partition
 discovery), so the schema is always exactly the file schema.
+
+**Object-store deployments** pass a versioned ``committer``
+(:class:`...sinks.committer.ManifestCommitter`): the store's compacted
+base then lives in a committed version directory resolved through the
+manifest pointer, with ``batch_id=*`` appends alongside it — reads are
+``resolve(base) ∪ batch dirs``, and maintenance (compaction, retraction)
+publishes a new base with ONE atomic pointer write, so a reader mid-
+maintenance sees the old state or the new state, never a missing store
+(the property the plain two-rename swap cannot give an object store).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 
@@ -41,17 +52,59 @@ def store_batch_path(path: str, token) -> str:
     return f"{path}/batch_id={token}"
 
 
-def list_store_files(spark, path: str, exclude_token=None) -> list[str]:
+def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:
+    """File list of a committer-managed store: the committed base version
+    (resolved through the manifest pointer) plus every ``batch_id=*``
+    append directory except the excluded token's."""
+    from ..sinks.committer import check_backend_layout  # noqa: PLC0415
+
+    fs = committer.fs
+    if not fs.isdir(path):
+        return []
+    # flat parquet at the store root without a manifest = a rename-layout
+    # store being read through the manifest backend: fail loudly (a silent
+    # empty read would drop the exact-dedup anti-join). Migration path:
+    # compact_curation_state with the versioned committer folds the flat
+    # files into the first committed version.
+    check_backend_layout(path, versioned=True, fs=fs)
+    files: list[str] = []
+    base = committer.resolve(path)
+    if base is not None:
+        files += fs.walk_files(base)
+    for name in fs.listdir(path):
+        if not name.startswith("batch_id="):
+            continue
+        if exclude_token is not None and name == f"batch_id={exclude_token}":
+            continue
+        sub = os.path.join(path, name)
+        if fs.isdir(sub):
+            files += fs.walk_files(sub)
+    return files
+
+
+def list_store_files(spark, path: str, exclude_token=None, committer=None) -> list[str]:
     """All parquet data files under ``path`` (recursively), excluding any
     under ``batch_id=<exclude_token>/``. Empty list if the store does not
-    exist yet."""
+    exist yet. With a versioned ``committer``, the listing resolves the
+    compacted base through the manifest pointer instead (see module
+    docstring)."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    if committer is not None and committer.versioned:
+        return _versioned_store_files(path, exclude_token, committer)
     try:
         files = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(path)
             .inputFiles()
         )
-    except Exception:  # nonexistent / empty store: first batch bootstraps it
+    except AnalysisException:
+        # nonexistent / empty store: first batch bootstraps it. ONLY the
+        # path-missing/empty analysis error means "no store" — a transient
+        # I/O failure must propagate: misreading it as an empty store would
+        # skip the exact-dedup anti-join (duplicates enter the corpus) and
+        # flip the signature-store write to overwrite (clobbering the
+        # accumulated store with one batch's rows).
         return []
     if exclude_token is not None:
         seg = f"/batch_id={exclude_token}/"
@@ -59,11 +112,11 @@ def list_store_files(spark, path: str, exclude_token=None) -> list[str]:
     return files
 
 
-def read_store(spark, path: str, exclude_token=None) -> DataFrame | None:
+def read_store(spark, path: str, exclude_token=None, committer=None) -> DataFrame | None:
     """Pinned-file-list read of a state store, or ``None`` when the store
     has no (other-batch) data yet. See module docstring for why the file
     list is resolved eagerly and the current token excluded."""
-    files = list_store_files(spark, path, exclude_token)
+    files = list_store_files(spark, path, exclude_token, committer)
     if not files:
         return None
     return spark.read.parquet(*files)

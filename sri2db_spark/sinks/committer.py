@@ -38,21 +38,30 @@ import os
 import shutil
 import uuid
 
+from .fs import LocalFS
+
 MANIFEST = "_MANIFEST"
 
 
-def check_backend_layout(dst_dir: str, versioned: bool) -> None:
+def check_backend_layout(dst_dir: str, versioned: bool, fs=None) -> None:
     """Raise when a directory's on-disk layout belongs to the OTHER commit
     protocol. Flipping ``committer`` on an existing store must fail loudly:
     a manifest reader over a flat rename-backend directory would resolve
     every partition to None and read the table as EMPTY (the next sync then
     publishes only its delta — silent data loss in the published view), and
     a rename-backend reader over a manifest directory would Hive-discover
-    the ``v_*`` version dirs and return duplicated/garbled rows."""
-    if not os.path.isdir(dst_dir):
+    the ``v_*`` version dirs and return duplicated/garbled rows.
+
+    Enforced on READS (LakeTable.read, WatermarkStore._read, state-store
+    resolution) and on WRITES (replace_partition / compact_partition): a
+    write-side flip is the more destructive one — a RenameCommitter commit
+    over a manifest-versioned directory would rename the whole versioned
+    tree (manifest, history, every pinned snapshot) aside and delete it."""
+    fs = fs or LocalFS()
+    if not fs.isdir(dst_dir):
         return
-    has_manifest = os.path.exists(os.path.join(dst_dir, MANIFEST))
-    has_flat = any(n.endswith(".parquet") for n in os.listdir(dst_dir))
+    has_manifest = fs.exists(os.path.join(dst_dir, MANIFEST))
+    has_flat = any(n.endswith(".parquet") for n in fs.listdir(dst_dir))
     if versioned and has_flat and not has_manifest:
         raise ValueError(
             f"{dst_dir} holds flat parquet (rename-backend layout) but is "
@@ -117,11 +126,15 @@ class ManifestCommitter:
     COMMITS = "_commits"
     PIN_PREFIX = "_PIN."
 
-    def __init__(self, keep_versions: int = 1):
+    def __init__(self, keep_versions: int = 1, fs=None):
         # how many SUPERSEDED versions to retain after a commit (readers
         # mid-scan on the old version keep working; a scheduled GC can
         # shorten this once reads are known to have drained)
         self.keep_versions = keep_versions
+        # every filesystem touch goes through this interface (see
+        # ..sinks.fs) — an S3/GCS binding is a drop-in; the protocol
+        # itself never renames when the write was stage()d in place
+        self.fs = fs or LocalFS()
 
     def _manifest_path(self, dst_dir: str) -> str:
         return os.path.join(dst_dir, MANIFEST)
@@ -132,7 +145,7 @@ class ManifestCommitter:
         readers only follow the pointer), so commit is pointer-only and no
         directory ever moves. On an object store that is the difference
         between a metadata write and a full per-object copy."""
-        os.makedirs(dst_dir, exist_ok=True)
+        self.fs.makedirs(dst_dir)
         return os.path.join(dst_dir, f"v_{uuid.uuid4().hex}")
 
     def commit(self, tmp_dir: str, dst_dir: str) -> None:
@@ -141,24 +154,24 @@ class ManifestCommitter:
             os.path.dirname(tmp_dir)
         ) == os.path.abspath(dst_dir)
         if not staged_in_place:
+            # legacy branch for writers that staged elsewhere: moved in
+            # with a copy fallback (EXDEV-safe across filesystems). Object
+            # stores cannot move — their fs raises here, which is the
+            # point: stage() in place instead.
             version = f"v_{uuid.uuid4().hex}"
-            os.makedirs(dst_dir, exist_ok=True)
-            os.rename(tmp_dir, os.path.join(dst_dir, version))
+            self.fs.makedirs(dst_dir)
+            self.fs.move_in(tmp_dir, os.path.join(dst_dir, version))
         # advisory ordering marker, written BEFORE the pointer: a crash
         # in between leaves an orphan marker whose version never became
         # current — history() reports only versions still on disk, and a
         # dangling marker is harmless
         seq = 1 + max((s for s, _ in self._markers(dst_dir)), default=0)
         commits = os.path.join(dst_dir, self.COMMITS)
-        os.makedirs(commits, exist_ok=True)
-        with open(os.path.join(commits, f"{seq:020d}_{version}"), "w"):
-            pass
-        # the commit point: one atomic pointer write (os.replace locally;
-        # a single-key PUT on an object store)
-        tmp_manifest = os.path.join(dst_dir, f".{MANIFEST}.{uuid.uuid4().hex}")
-        with open(tmp_manifest, "w") as f:
-            f.write(version)
-        os.replace(tmp_manifest, self._manifest_path(dst_dir))
+        self.fs.makedirs(commits)
+        self.fs.put(os.path.join(commits, f"{seq:020d}_{version}"), "")
+        # the commit point: one atomic pointer write (a single-key PUT —
+        # os.replace under LocalFS, PutObject on an object store)
+        self.fs.put(self._manifest_path(dst_dir), version)
         self._gc(dst_dir, current=version)
 
     def resolve(self, dst_dir: str, version: str | None = None) -> str | None:
@@ -167,18 +180,17 @@ class ManifestCommitter:
         been committed / the version was collected."""
         if version is None:
             try:
-                with open(self._manifest_path(dst_dir)) as f:
-                    version = f.read().strip()
+                version = self.fs.read(self._manifest_path(dst_dir)).strip()
             except FileNotFoundError:
                 return None
         physical = os.path.join(dst_dir, version)
-        return physical if os.path.isdir(physical) else None
+        return physical if self.fs.isdir(physical) else None
 
     def _markers(self, dst_dir: str):
         commits = os.path.join(dst_dir, self.COMMITS)
-        if not os.path.isdir(commits):
+        if not self.fs.isdir(commits):
             return
-        for name in os.listdir(commits):
+        for name in self.fs.listdir(commits):
             seq_s, _, version = name.partition("_")
             if version.startswith("v_") and seq_s.isdigit():
                 yield int(seq_s), version
@@ -189,18 +201,19 @@ class ManifestCommitter:
         return sorted(
             (s, v)
             for s, v in self._markers(dst_dir)
-            if os.path.isdir(os.path.join(dst_dir, v))
+            if self.fs.isdir(os.path.join(dst_dir, v))
         )
 
     def pins(self, dst_dir: str) -> dict[str, str]:
         """name → pinned version, from the ``_PIN.<name>`` pointer files."""
         out: dict[str, str] = {}
-        if not os.path.isdir(dst_dir):
+        if not self.fs.isdir(dst_dir):
             return out
-        for name in os.listdir(dst_dir):
+        for name in self.fs.listdir(dst_dir):
             if name.startswith(self.PIN_PREFIX):
-                with open(os.path.join(dst_dir, name)) as f:
-                    out[name[len(self.PIN_PREFIX) :]] = f.read().strip()
+                out[name[len(self.PIN_PREFIX) :]] = self.fs.read(
+                    os.path.join(dst_dir, name)
+                ).strip()
         return out
 
     def pin(self, dst_dir: str, name: str, version: str | None = None) -> str:
@@ -212,17 +225,14 @@ class ManifestCommitter:
             if physical is None:
                 raise FileNotFoundError(f"nothing committed at {dst_dir}")
             version = os.path.basename(physical)
-        tmp = os.path.join(dst_dir, f".pin.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, os.path.join(dst_dir, self.PIN_PREFIX + name))
+        self.fs.put(os.path.join(dst_dir, self.PIN_PREFIX + name), version)
         return version
 
     def unpin(self, dst_dir: str, name: str) -> None:
         """Drop a pin; its version becomes eligible for GC at the next
         commit (never removed eagerly — a reader may hold it)."""
         try:
-            os.remove(os.path.join(dst_dir, self.PIN_PREFIX + name))
+            self.fs.remove(os.path.join(dst_dir, self.PIN_PREFIX + name))
         except FileNotFoundError:
             pass
 
@@ -230,9 +240,9 @@ class ManifestCommitter:
         protected = set(self.pins(dst_dir).values()) | {current}
         versions = [
             d
-            for d in os.listdir(dst_dir)
+            for d in self.fs.listdir(dst_dir)
             if d.startswith("v_") and d not in protected
-            and os.path.isdir(os.path.join(dst_dir, d))
+            and self.fs.isdir(os.path.join(dst_dir, d))
         ]
         # keep the newest `keep_versions` superseded dirs — commit-seq
         # order (authoritative), mtime as the fallback for dirs committed
@@ -241,11 +251,11 @@ class ManifestCommitter:
         versions.sort(
             key=lambda d: (
                 seq_of.get(d, 0),
-                os.path.getmtime(os.path.join(dst_dir, d)),
+                self.fs.getmtime(os.path.join(dst_dir, d)),
             )
         )
         for stale in versions[: max(0, len(versions) - self.keep_versions)]:
-            shutil.rmtree(os.path.join(dst_dir, stale), ignore_errors=True)
+            self.fs.rmtree(os.path.join(dst_dir, stale))
         # prune commit markers whose version is gone (one marker accrues per
         # sync — unbounded over thousands of syncs). The max-seq marker is
         # always kept so sequence numbering never regresses.
@@ -253,9 +263,9 @@ class ManifestCommitter:
         if markers:
             max_seq = max(s for s, _ in markers)
             for s, v in markers:
-                if s != max_seq and not os.path.isdir(os.path.join(dst_dir, v)):
+                if s != max_seq and not self.fs.isdir(os.path.join(dst_dir, v)):
                     try:
-                        os.remove(
+                        self.fs.remove(
                             os.path.join(dst_dir, self.COMMITS, f"{s:020d}_{v}")
                         )
                     except FileNotFoundError:

@@ -90,20 +90,30 @@ class LakeTable:
                 name="discovered",
             )
             return cls(spark, location, layout, committer=committer)
-        # manifest layout: walk key=value segments to a leaf partition dir
-        keys: set[str] = set()
-        probe = location
-        while True:
+        # manifest layout: walk key=value segments down to the leaf
+        # partition dirs and probe leaves until one resolves through its
+        # manifest — an empty/aborted sibling (a partition dir with no
+        # committed version yet) must not mask committed data elsewhere
+        def _leaves(probe: str, keys: frozenset):
             kv = [
                 e
                 for e in os.scandir(probe)
                 if e.is_dir() and "=" in e.name and not e.name.startswith("v_")
             ]
             if not kv:
+                yield probe, keys
+                return
+            for e in kv:
+                yield from _leaves(
+                    e.path, keys | {e.name.split("=", 1)[0]}
+                )
+
+        physical, keys = None, frozenset()
+        for leaf, leaf_keys in _leaves(location, frozenset()):
+            physical = committer.resolve(leaf)
+            if physical is not None:
+                keys = leaf_keys
                 break
-            keys.add(kv[0].name.split("=", 1)[0])
-            probe = kv[0].path
-        physical = committer.resolve(probe)
         if physical is None:
             raise FileNotFoundError(
                 f"no committed version found under {location}"
@@ -234,6 +244,11 @@ class LakeTable:
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         part_dir = self._partition_dir(baseurl, path)
+        # the layout guard runs on WRITES too: a full sync never reads the
+        # partition first, and a rename-committer commit over a
+        # manifest-versioned dir would rename the whole versioned tree
+        # (manifest, history, every pinned snapshot) aside and delete it
+        check_backend_layout(part_dir, self.committer.versioned)
         # stage() on the manifest backend is the final version directory
         # itself — data is written once at its final path and the commit is
         # pointer-only (no per-object copy on an object store)
@@ -367,6 +382,7 @@ class LakeTable:
         each output task concatenates whole input files.
         """
         part_dir = self._partition_dir(baseurl, path)
+        check_backend_layout(part_dir, self.committer.versioned)
         physical = self.committer.resolve(part_dir)
         if physical is None:
             return (0, 0)

@@ -93,9 +93,12 @@ def stream_neardup_incremental(
     from ..functions import dedup as D  # noqa: PLC0415
 
     def _read_excluding(spark, base: str, batch_id: int, cols: list[str]):
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
         try:
             df = spark.read.option("basePath", base).parquet(base)
-        except Exception:  # first batch: nothing yet
+        except AnalysisException:  # first batch: nothing yet (path-missing
+            # only — transient I/O errors propagate, see statestore)
             return None
         if "batch_id" not in df.columns:
             return df.select(*cols)

@@ -186,14 +186,81 @@ def test_backend_mismatch_raises_instead_of_empty_read(spark, tmp_path):
         )
 
 
-def test_manifest_invariants_under_random_op_sequences(tmp_path):
+def test_backend_mismatch_raises_on_writes_too(spark, tmp_path):
+    """The layout guard must run on the WRITE path: a full sync writes via
+    replace_partition without reading first, and a rename-committer commit
+    over a manifest-versioned partition would rename the whole versioned
+    tree (manifest, pins, history) aside and rmtree it — destroying every
+    pinned snapshot GC promised to keep."""
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+    rows = spark.createDataFrame([("/a/1", "1", None, "{}", "T")], schema)
+    mt = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    mt.replace_partition(rows, BASEURL, "/a")
+    snap = mt.pin_partition(BASEURL, "/a", "keep-me")
+    # misconfigured back to the rename backend: the write must fail loudly
+    flipped = LakeTable(spark, str(tmp_path / "t"), LAYOUT_LARGE)
+    with pytest.raises(ValueError, match="manifest-committed"):
+        flipped.replace_partition(rows, BASEURL, "/a")
+    with pytest.raises(ValueError, match="manifest-committed"):
+        flipped.compact_partition(BASEURL, "/a")
+    # the pinned snapshot is untouched by the failed writes
+    assert mt.read_partition_snapshot(BASEURL, "/a", snap).count() == 1
+    # and the reverse flip fails on writes over flat data as well
+    flat = LakeTable(spark, str(tmp_path / "f"), LAYOUT_LARGE)
+    flat.replace_partition(rows, BASEURL, "/a")
+    as_manifest = LakeTable(
+        spark, str(tmp_path / "f"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    with pytest.raises(ValueError, match="rename-backend layout"):
+        as_manifest.replace_partition(rows, BASEURL, "/a")
+
+
+def test_discover_skips_aborted_sibling_partition(spark, tmp_path):
+    """discover() on the manifest backend must not give up because the
+    FIRST hive sibling it walks into is an aborted/empty partition dir with
+    no committed version — it probes leaves until one resolves."""
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+    rows = spark.createDataFrame([("/b/1", "1", None, "{}", "T")], schema)
+    table = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    table.replace_partition(rows, BASEURL, "/b")
+    # an aborted partition: staged version dir, no commit — and named so it
+    # sorts FIRST in directory iteration order
+    aborted = table._partition_dir(BASEURL, "/a")
+    os.makedirs(os.path.join(aborted, "v_deadbeef"), exist_ok=True)
+    got = LakeTable.discover(
+        spark, str(tmp_path / "t"), committer=ManifestCommitter()
+    )
+    assert got.layout.has_baseurl and got.layout.has_path
+    assert got.layout.has_resourcetype
+
+
+@pytest.mark.parametrize("fs_cls", ["local", "objectstore"])
+def test_manifest_invariants_under_random_op_sequences(tmp_path, fs_cls):
     """Property check: for ANY sequence of commit / crashed-commit / pin /
     unpin operations, (1) resolve() always returns a COMPLETE committed
     version (the content of some successful commit, never a partial or
     crashed one), (2) every pinned version stays readable, (3) history()
-    lists only retained versions in ascending seq order."""
+    lists only retained versions in ascending seq order.
+
+    Parametrized over the filesystem layer: the same suite runs against
+    ObjectStoreFS (no rename/move primitive at all) — the proof that the
+    staged-in-place protocol needs nothing an object store lacks."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
+
+    from sri2db_spark.sinks.fs import LocalFS, ObjectStoreFS
+
+    make_fs = LocalFS if fs_cls == "local" else ObjectStoreFS
 
     op = st.one_of(
         st.tuples(st.just("commit"), st.integers(0, 10**6)),
@@ -208,16 +275,21 @@ def test_manifest_invariants_under_random_op_sequences(tmp_path):
         import tempfile
 
         root = tempfile.mkdtemp(dir=tmp_path, prefix="prop_")
-        c = ManifestCommitter()
+        c = ManifestCommitter(fs=make_fs())
         dst = os.path.join(root, "store")
         committed: list[str] = []  # payloads of successful commits, in order
         pins: dict[str, str] = {}  # name -> payload pinned
         n = 0
         real_replace = os.replace
+
+        def _stage_payload(payload: str) -> str:
+            # stage in place — the only write path valid on BOTH backends
+            return _write_dir(c.stage(dst), {"a": payload})
+
         for kind, arg in ops:
             if kind == "commit":
                 payload = f"payload-{arg}-{n}"
-                c.commit(_write_dir(os.path.join(root, f"t{n}"), {"a": payload}), dst)
+                c.commit(_stage_payload(payload), dst)
                 committed.append(payload)
             elif kind == "crash_commit":
                 payload = f"crashed-{arg}-{n}"
@@ -227,13 +299,11 @@ def test_manifest_invariants_under_random_op_sequences(tmp_path):
                         raise OSError("crash at commit point")
                     return _r(src, d)
 
+                staged = _stage_payload(payload)
                 os.replace = boom
                 try:
                     with pytest.raises(OSError):
-                        c.commit(
-                            _write_dir(os.path.join(root, f"t{n}"), {"a": payload}),
-                            dst,
-                        )
+                        c.commit(staged, dst)
                 finally:
                     os.replace = real_replace
             elif kind == "pin" and committed:
@@ -262,6 +332,47 @@ def test_manifest_invariants_under_random_op_sequences(tmp_path):
             assert all(os.path.isdir(os.path.join(dst, v)) for _, v in hist)
 
     run()
+
+
+def test_object_store_fs_stage_in_place_roundtrip(tmp_path):
+    """The ObjectStoreFS contract end-to-end: staged-in-place commits, pin,
+    GC and time travel all work with no rename primitive; a tmp dir staged
+    OUTSIDE the destination is rejected (object stores cannot move)."""
+    from sri2db_spark.sinks.fs import ObjectStoreFS
+
+    c = ManifestCommitter(fs=ObjectStoreFS())
+    dst = str(tmp_path / "store")
+    for payload in ("one", "two", "three"):
+        v = _write_dir(c.stage(dst), {"a.parquet": payload})
+        c.commit(v, dst)
+        if payload == "one":
+            pinned = c.pin(dst, "run")
+    phys = c.resolve(dst)
+    assert open(os.path.join(phys, "a.parquet")).read() == "three"
+    # the pinned first version survived two GC cycles and reads back
+    old = c.resolve(dst, version=pinned)
+    assert open(os.path.join(old, "a.parquet")).read() == "one"
+    with pytest.raises(NotImplementedError, match="cannot rename"):
+        c.commit(_write_dir(tmp_path / "elsewhere", {"a": "x"}), dst)
+
+
+def test_staged_elsewhere_commit_survives_exdev(tmp_path, monkeypatch):
+    """The legacy staged-elsewhere branch must commit across filesystem
+    boundaries: os.rename raises EXDEV there, and the LocalFS move falls
+    back to copy+delete (shutil.move) instead of failing."""
+    import errno
+
+    c = ManifestCommitter()
+    dst = str(tmp_path / "store")
+    real_rename = os.rename
+
+    def exdev(src, d):
+        raise OSError(errno.EXDEV, "Invalid cross-device link", src, d)
+
+    monkeypatch.setattr(os, "rename", exdev)
+    c.commit(_write_dir(tmp_path / "other_fs_tmp", {"a": "one"}), dst)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert open(os.path.join(c.resolve(dst), "a")).read() == "one"
 
 
 def test_manifest_history_and_pinned_snapshot(tmp_path):
