@@ -447,6 +447,7 @@ def incremental_neardup_pairs(
     new_sigs: DataFrame | None = None,
     old_sigs: DataFrame | None = None,
     batch_token=None,
+    committer=None,
 ) -> DataFrame:
     """Batch-incremental near-dup detection against a persisted signature
     store: signatures are computed for ``new_docs`` ONLY, and the returned
@@ -481,7 +482,22 @@ def incremental_neardup_pairs(
     list, but a crashed-and-retried append can leave duplicate signature
     rows (harmless for pair output — banding is per-id — but unbounded
     retries grow the store; pass a token when the caller retries).
+
+    ``committer`` (object-store deployments): the store read resolves its
+    compacted base through the manifest pointer plus ``batch_id=*``
+    appends; a versioned committer requires ``batch_token`` when
+    ``update_store`` (plain appends would scatter flat files into the
+    versioned layout).
     """
+    if (
+        committer is not None
+        and committer.versioned
+        and update_store
+        and batch_token is None
+    ):
+        raise ValueError(
+            "a versioned committer requires batch_token for store updates"
+        )
     r = num_perm // bands
     if new_sigs is None:
         new_sigs = oph_signatures(new_docs, id_col, text_col, k, num_perm)
@@ -495,7 +511,9 @@ def incremental_neardup_pairs(
         # batch's own subdirectory so a replay ignores its crashed attempt.
         from .statestore import read_store  # noqa: PLC0415
 
-        old = read_store(spark, store_path, exclude_token=batch_token)
+        old = read_store(
+            spark, store_path, exclude_token=batch_token, committer=committer
+        )
         old_sigs = old.select("id", "sig") if old is not None else None
     all_sigs = (
         old_sigs.unionByName(new_sigs) if old_sigs is not None else new_sigs

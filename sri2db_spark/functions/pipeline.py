@@ -160,13 +160,27 @@ def curate_batch_incremental(
     sit in state but never reach the curated output (see
     :mod:`.statestore`). Without a token, writes are plain appends
     (single-attempt batch callers only).
+
+    ``committer`` (object-store deployments): state reads resolve the
+    compacted base through the manifest pointer plus ``batch_id=*``
+    appends. A versioned committer requires ``batch_token`` when
+    ``update_state`` — plain appends would scatter flat files into the
+    versioned layout.
     """
     from .dedup import incremental_neardup_pairs, oph_signatures  # noqa: PLC0415
     from .statestore import read_store, write_store_batch  # noqa: PLC0415
 
+    versioned = committer is not None and committer.versioned
+    if versioned and update_state and batch_token is None:
+        raise ValueError(
+            "a versioned committer requires batch_token for state updates "
+            "(appends are addressed to batch_id=<token> subdirectories)"
+        )
     scored = batch.withColumn("quality", quality_score(F.col(text_col)))
     q = scored.filter(F.col("quality") >= min_quality)
-    old_hashes = read_store(spark, f"{state_dir}/hashes", exclude_token=batch_token)
+    old_hashes = read_store(
+        spark, f"{state_dir}/hashes", exclude_token=batch_token, committer=committer
+    )
     if old_hashes is not None:
         q = q.join(
             F.broadcast(old_hashes),
@@ -186,7 +200,9 @@ def curate_batch_incremental(
     # near-dup pass runs over the WHOLE batch (pre-filter), so the drop rule
     # is independent of filter order: drop iff a smaller-id partner exists
     # anywhere in state ∪ batch.
-    old_corpus = read_store(spark, f"{state_dir}/corpus", exclude_token=batch_token)
+    old_corpus = read_store(
+        spark, f"{state_dir}/corpus", exclude_token=batch_token, committer=committer
+    )
     batch_docs = batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     lookup = (
         old_corpus.unionByName(batch_docs) if old_corpus is not None else batch_docs
@@ -195,7 +211,7 @@ def curate_batch_incremental(
     pairs = incremental_neardup_pairs(
         spark, f"{state_dir}/sigs", batch, lookup, "id", "text",
         threshold=neardup_threshold, update_store=False, new_sigs=sigs_all,
-        batch_token=batch_token,
+        batch_token=batch_token, committer=committer,
     )
     drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
     q = q.join(drops, F.col(id_col) == F.col("__drop"), "left_anti")
@@ -254,33 +270,88 @@ def _swap_dir(src_tmp: str, dst: str) -> None:
         os.rename(src_tmp, dst)
 
 
-def compact_curation_state(spark, state_dir: str) -> dict[str, tuple[int, int]]:
+def _replay_protected(batch_dirs) -> set[str]:
+    """Names of the ``batch_id=*`` dirs compaction must preserve as-is:
+    the batch a live stream may still REPLAY (its replay-safety depends on
+    the current-token path exclusion in :func:`~.statestore.read_store` —
+    rows folded flat would escape that exclusion and the replay would
+    anti-join its own documents out of the output).
+
+    Preserved = the highest-NUMERIC-token dir AND the newest-mtime dir
+    (usually the same one). They differ exactly when a stream's checkpoint
+    was reset (batch ids restarted at 0) over a reused state dir — the
+    live replayable batch (token 0) then sorts below stale high-token
+    dirs, and preserving only by token would fold it flat. Preserving the
+    union covers both the token-monotonic and the checkpoint-reset case at
+    the cost of one extra uncompacted dir; mtime alone is not trusted
+    either, because a cp/tar-restored store can carry equal or inverted
+    mtimes.
+
+    ``batch_dirs`` is a list of ``(name, mtime)`` tuples."""
+    if not batch_dirs:
+        return set()
+
+    def _by_token(entry):
+        name, mtime = entry
+        token = name.split("=", 1)[1]
+        try:
+            return (1, int(token), "")
+        except ValueError:
+            return (0, mtime, token)
+
+    return {
+        max(batch_dirs, key=_by_token)[0],
+        max(batch_dirs, key=lambda entry: entry[1])[0],
+    }
+
+
+def compact_curation_state(
+    spark, state_dir: str, committer=None
+) -> dict[str, tuple[int, int]]:
     """Compact the append-only curation state: every ingest batch appends a
     file-set to each store, so after thousands of batches each store is
     thousands of small files and every batch's state read pays the per-file
     open cost. Compaction rewrites each store as one coalesced file-set and
     drops the duplicate rows a crashed-and-replayed batch may have appended
     (stores are membership sets — hashes dedup on h, sigs/corpus on id).
-    Swap per store (see :func:`_swap_dir` for the concurrency contract);
-    returns {store: (files_before, files_after)}. Handles both flat stores
+    Returns {store: (files_before, files_after)}. Handles both flat stores
     and the batch-id-addressed layout streaming ingest writes (compaction
-    collapses ``batch_id=*`` subdirectories back into one flat file-set;
+    collapses ``batch_id=*`` subdirectories back into one compacted base;
     subsequent batches add fresh subdirectories alongside it).
 
-    The NEWEST ``batch_id=*`` subdirectory per store is preserved as-is,
-    never folded: a stream batch that crashed after its state write but
-    before its checkpoint commit will be REPLAYED with the same token, and
-    its replay-safety depends on the current-token path exclusion in
-    :func:`~.statestore.read_store` — rows folded into flat files would
+    Replay-protected ``batch_id=*`` subdirectories (see
+    :func:`_replay_protected`: the highest-token AND the newest-mtime dir,
+    covering the checkpoint-reset case) are preserved as-is, never folded:
+    a stream batch that crashed after its state write but before its
+    checkpoint commit will be REPLAYED with the same token, and its
+    replay-safety depends on the current-token path exclusion in
+    :func:`~.statestore.read_store` — rows folded into the base would
     escape that exclusion and the replay would anti-join its own documents
     out of the output. Only committed history (everything older) is
-    compacted; the last batch is folded by the next compaction once a
-    newer batch exists.
+    compacted; the last batch is folded by a later compaction once newer
+    batches exist.
+
+    **Commit protocol.** Without a ``committer`` the store is swapped with
+    two directory renames — correct locally, but NOT atomic to concurrent
+    readers (between the renames the store is briefly absent), so quiesce
+    the stream first. With a versioned ``committer``
+    (:class:`...sinks.committer.ManifestCommitter` — object-store
+    deployments), the compacted base is staged as a version directory and
+    published with ONE atomic pointer write: a reader mid-compaction
+    resolves the old base or the new base, never a missing store. The
+    folded sources (old base, flat files, folded ``batch_id=*`` dirs) are
+    cleaned up AFTER the pointer commit; a crash in between leaves
+    transient duplicate rows (harmless for membership-set reads, removed
+    by the next compaction), never a partial store. A flat legacy store is
+    MIGRATED by this call: its files fold into the first committed
+    version.
     """
     import os  # noqa: PLC0415
     import uuid  # noqa: PLC0415
 
     from .statestore import list_store_files  # noqa: PLC0415
+
+    versioned = committer is not None and committer.versioned
 
     def _count_files(path: str) -> int:
         return sum(
@@ -293,56 +364,207 @@ def compact_curation_state(spark, state_dir: str) -> dict[str, tuple[int, int]]:
     report: dict[str, tuple[int, int]] = {}
     for sub, keys in (("hashes", ["h"]), ("sigs", ["id"]), ("corpus", ["id"])):
         path = f"{state_dir}/{sub}"
-        if not os.path.isdir(path):
+        lister = committer.fs if versioned else None
+        if (lister and not lister.isdir(path)) or (
+            not lister and not os.path.isdir(path)
+        ):
             continue
-        batch_dirs = [
-            e
-            for e in os.scandir(path)
-            if e.is_dir() and e.name.startswith("batch_id=")
-        ]
-
-        def _order(e):
-            # newest = highest TOKEN when tokens are numeric (streaming
-            # batch ids are) — mtime is only the fallback for opaque
-            # tokens, because a cp/tar-restored store can have equal or
-            # inverted mtimes and preserving the WRONG dir would fold the
-            # replayable batch flat
-            token = e.name.split("=", 1)[1]
-            try:
-                return (1, int(token), "")
-            except ValueError:
-                return (0, os.path.getmtime(e.path), token)
-
-        preserve = max(batch_dirs, key=_order).name if batch_dirs else None
+        if versioned:
+            fs = committer.fs
+            batch_dirs = [
+                (n, fs.getmtime(os.path.join(path, n)))
+                for n in fs.listdir(path)
+                if n.startswith("batch_id=")
+                and fs.isdir(os.path.join(path, n))
+            ]
+        else:
+            batch_dirs = [
+                (e.name, os.path.getmtime(e.path))
+                for e in os.scandir(path)
+                if e.is_dir() and e.name.startswith("batch_id=")
+            ]
+        preserve = _replay_protected(batch_dirs)
+        n_preserved = sum(
+            _count_files(os.path.join(path, name)) for name in preserve
+        )
+        if versioned:
+            # fold: root flat files (a legacy store being migrated), the
+            # committed base, and every non-preserved batch append
+            flat = [
+                os.path.join(path, n)
+                for n in fs.listdir(path)
+                if n.endswith(".parquet")
+            ]
+            files = list(flat)
+            base = committer.resolve(path)
+            if base is not None:
+                files += fs.walk_files(base)
+            folded_dirs = [
+                os.path.join(path, n)
+                for n, _ in batch_dirs
+                if n not in preserve
+            ]
+            for d in folded_dirs:
+                files += fs.walk_files(d)
+            if not files:
+                continue
+            n_before = len(files) + n_preserved
+            df = spark.read.parquet(*files).dropDuplicates(keys)
+            n_out = max(1, df.rdd.getNumPartitions() // 8)
+            tmp = committer.stage(path)
+            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            committer.commit(tmp, path)
+            # post-commit cleanup — see docstring for the crash window
+            for f in flat:
+                fs.remove(f)
+            for d in folded_dirs:
+                fs.rmtree(d)
+            new_base = committer.resolve(path)
+            report[sub] = (
+                n_before,
+                (len(fs.walk_files(new_base)) if new_base else 0) + n_preserved,
+            )
+            continue
         files = list_store_files(spark, path)
-        if preserve is not None:
-            files = [f for f in files if f"/{preserve}/" not in f]
+        for name in preserve:
+            files = [f for f in files if f"/{name}/" not in f]
         if not files:
             continue
-        n_before = len(files) + (
-            _count_files(os.path.join(path, preserve)) if preserve else 0
-        )
+        n_before = len(files) + n_preserved
         df = spark.read.parquet(*files).dropDuplicates(keys)
         n_out = max(1, df.rdd.getNumPartitions() // 8)
         tmp = f"{path}__tmp_{uuid.uuid4().hex}"
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        if preserve is not None:
-            # COPY (not rename) the protected batch into the new layout:
-            # the original stays in place until the swap, so a crash
-            # anywhere before _swap_dir leaves the live store fully
-            # intact (tmp is orphan garbage, never a silent subset loss).
-            # Cost is one batch's files — O(batch), not O(store).
-            import shutil  # noqa: PLC0415
+        # COPY (not rename) the protected batches into the new layout:
+        # the originals stay in place until the swap, so a crash
+        # anywhere before _swap_dir leaves the live store fully
+        # intact (tmp is orphan garbage, never a silent subset loss).
+        # Cost is one or two batches' files — O(batch), not O(store).
+        import shutil  # noqa: PLC0415
 
+        for name in preserve:
             shutil.copytree(
-                os.path.join(path, preserve), os.path.join(tmp, preserve)
+                os.path.join(path, name), os.path.join(tmp, name)
             )
         _swap_dir(tmp, path)
         report[sub] = (n_before, _count_files(path))
     return report
 
 
-def retract_from_state(spark, state_dir: str, ids: list) -> None:
+def compact_batch_output(
+    spark, out_dir: str, keys: list[str] | None = None
+) -> tuple[int, int]:
+    """Compact a batch-id-addressed OUTPUT directory (the curated-corpus
+    ``out_dir`` / near-dup ``pairs_dir`` / signature ``store_dir`` a
+    streaming run accumulates as one ``batch_id=N`` subdirectory per
+    micro-batch — thousands of small file-sets after a long run).
+
+    The fold keeps the ``batch_id=`` layout: all non-replay-protected
+    numeric-token dirs (and any legacy flat files at the root) collapse
+    into ONE new base dir addressed ``batch_id=<t>`` with the next
+    NEGATIVE token ``t`` — Structured Streaming batch ids start at 0, so
+    negative tokens never collide with a live stream, and both plain
+    ``spark.read.parquet(out_dir)`` consumers and the incremental
+    wrappers' basePath reads (which exclude ``batch_id != current``) keep
+    working unchanged. Replay-protected dirs (highest token + newest
+    mtime, :func:`_replay_protected`) are preserved untouched, exactly as
+    in :func:`compact_curation_state` — a replayed batch must still
+    overwrite its own dir, not find its rows folded elsewhere.
+
+    ``keys``: optional columns to ``dropDuplicates`` on during the fold
+    (e.g. the id column of a survivors output); ``None`` folds verbatim.
+
+    Crash contract: the new base is fully written BEFORE the folded
+    sources are removed — a crash in between leaves transient duplicate
+    rows (the next compaction's fold removes them when ``keys`` is set),
+    never missing rows. Do not run concurrently with an active stream
+    writing the same directory.
+
+    Returns ``(files_before, files_after)``.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    if not os.path.isdir(out_dir):
+        return (0, 0)
+
+    def _parquet_under(d: str) -> list[str]:
+        return [
+            os.path.join(root, f)
+            for root, _dirs, fnames in os.walk(d)
+            for f in fnames
+            if f.endswith(".parquet")
+        ]
+
+    entries = list(os.scandir(out_dir))
+    flat = [e.path for e in entries if e.is_file() and e.name.endswith(".parquet")]
+    batch_dirs = [
+        (e.name, os.path.getmtime(e.path))
+        for e in entries
+        if e.is_dir() and e.name.startswith("batch_id=")
+    ]
+
+    def _numeric(name: str) -> int | None:
+        try:
+            return int(name.split("=", 1)[1])
+        except ValueError:
+            return None
+
+    preserve = _replay_protected(batch_dirs)
+    foldable = [
+        name
+        for name, _ in batch_dirs
+        if name not in preserve and _numeric(name) is not None
+    ]
+    n_total = len(_parquet_under(out_dir))
+    if len(foldable) + len(flat) < 2:
+        return (n_total, n_total)  # nothing to gain
+    files = list(flat)
+    for name in foldable:
+        files += _parquet_under(os.path.join(out_dir, name))
+    if not files:
+        return (n_total, n_total)
+    tokens = [t for t in (_numeric(n) for n, _ in batch_dirs) if t is not None]
+    new_token = min(0, *tokens) - 1
+    df = spark.read.parquet(*files)
+    if keys:
+        df = df.dropDuplicates(keys)
+    n_out = max(1, df.rdd.getNumPartitions() // 8)
+    df.coalesce(n_out).write.mode("overwrite").parquet(
+        f"{out_dir}/batch_id={new_token}"
+    )
+    # sources removed only after the new base is complete (see docstring)
+    for f in flat:
+        os.remove(f)
+    for name in foldable:
+        shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    return (n_total, len(_parquet_under(out_dir)))
+
+
+def _commit_state_rewrite(df: DataFrame, committer, path: str) -> None:
+    """Publish a full rewrite of a committer-managed state store: stage a
+    version dir, write, ONE atomic pointer commit, then remove the now-
+    superseded appends (``batch_id=*`` dirs) and flat files — every row
+    they held was folded into the new base, so post-commit they are pure
+    duplicates. A crash between the commit and the cleanup leaves those
+    duplicates visible (callers that rewrite to REMOVE rows must re-run on
+    failure — the op is idempotent); it never leaves a missing or partial
+    store."""
+    import os  # noqa: PLC0415
+
+    fs = committer.fs
+    tmp = committer.stage(path)
+    df.write.mode("overwrite").parquet(tmp)
+    committer.commit(tmp, path)
+    for n in fs.listdir(path):
+        full = os.path.join(path, n)
+        if n.startswith("batch_id=") and fs.isdir(full):
+            fs.rmtree(full)
+        elif n.endswith(".parquet"):
+            fs.remove(full)
+
+
+def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None:
     """Remove documents from every derived curation store — the
     right-to-be-forgotten path for a training-data pipeline: a deletion in
     the source corpus must propagate to the hash store, the signature store,
@@ -354,8 +576,18 @@ def retract_from_state(spark, state_dir: str, ids: list) -> None:
     are shared — if a surviving doc carries the same text, its hash must
     stay. Full rewrite per call: at 100 TB the stores would be partitioned
     (e.g. by id range) so a retraction rewrites only the touched partitions;
-    the swap protocol (and its no-concurrent-ingest contract, see
-    :func:`_swap_dir`) is the same either way.
+    the commit protocol is the same either way.
+
+    Without a ``committer`` the rewrite swaps via two renames (quiesce
+    readers first, see :func:`_swap_dir`). With a versioned ``committer``
+    the rewrite publishes through one atomic pointer write — a concurrent
+    reader sees the pre- or post-retraction store, never a missing one —
+    and the superseded ``batch_id=*`` appends are removed after the
+    commit. Retraction must not run concurrently with ingest either way
+    (it folds the replayable batch), and if it crashes between the commit
+    and the append cleanup the retracted ids can transiently reappear
+    from a stale append — RE-RUN the retraction on failure (idempotent)
+    to complete it.
     """
     import uuid  # noqa: PLC0415
 
@@ -363,7 +595,8 @@ def retract_from_state(spark, state_dir: str, ids: list) -> None:
 
     from .statestore import read_store  # noqa: PLC0415
 
-    corpus_all = read_store(spark, f"{state_dir}/corpus")
+    versioned = committer is not None and committer.versioned
+    corpus_all = read_store(spark, f"{state_dir}/corpus", committer=committer)
     if corpus_all is None:
         return
     # Schema of the id list follows the store's id column (bigint ids and
@@ -374,23 +607,32 @@ def retract_from_state(spark, state_dir: str, ids: list) -> None:
         [(i,) for i in ids], StructType([id_field])
     )
     corpus = corpus_all.join(F.broadcast(ids_df), "id", "left_anti")
-    tmp_c = f"{state_dir}/corpus__tmp_{uuid.uuid4().hex}"
-    corpus.write.mode("overwrite").parquet(tmp_c)
-    _swap_dir(tmp_c, f"{state_dir}/corpus")
-    sigs_all = read_store(spark, f"{state_dir}/sigs")
+    if versioned:
+        _commit_state_rewrite(corpus, committer, f"{state_dir}/corpus")
+    else:
+        tmp_c = f"{state_dir}/corpus__tmp_{uuid.uuid4().hex}"
+        corpus.write.mode("overwrite").parquet(tmp_c)
+        _swap_dir(tmp_c, f"{state_dir}/corpus")
+    sigs_all = read_store(spark, f"{state_dir}/sigs", committer=committer)
     if sigs_all is not None:
         sigs = sigs_all.join(F.broadcast(ids_df), "id", "left_anti")
-        tmp_s = f"{state_dir}/sigs__tmp_{uuid.uuid4().hex}"
-        sigs.write.mode("overwrite").parquet(tmp_s)
-        _swap_dir(tmp_s, f"{state_dir}/sigs")
-    remaining = read_store(spark, f"{state_dir}/corpus")
+        if versioned:
+            _commit_state_rewrite(sigs, committer, f"{state_dir}/sigs")
+        else:
+            tmp_s = f"{state_dir}/sigs__tmp_{uuid.uuid4().hex}"
+            sigs.write.mode("overwrite").parquet(tmp_s)
+            _swap_dir(tmp_s, f"{state_dir}/sigs")
+    remaining = read_store(spark, f"{state_dir}/corpus", committer=committer)
     if remaining is None:
         # full retraction: Spark writes no part files for an all-empty
-        # result, so the swapped-in corpus dir reads as absent — the hash
+        # result, so the rewritten corpus store reads as absent — the hash
         # store must still be rebuilt (to empty), not left stale
         hashes = spark.createDataFrame([], "h string")
     else:
         hashes = remaining.select(F.md5(F.col("text")).alias("h")).distinct()
-    tmp_h = f"{state_dir}/hashes__tmp_{uuid.uuid4().hex}"
-    hashes.write.mode("overwrite").parquet(tmp_h)
-    _swap_dir(tmp_h, f"{state_dir}/hashes")
+    if versioned:
+        _commit_state_rewrite(hashes, committer, f"{state_dir}/hashes")
+    else:
+        tmp_h = f"{state_dir}/hashes__tmp_{uuid.uuid4().hex}"
+        hashes.write.mode("overwrite").parquet(tmp_h)
+        _swap_dir(tmp_h, f"{state_dir}/hashes")

@@ -92,6 +92,13 @@ def list_store_files(spark, path: str, exclude_token=None, committer=None) -> li
 
     if committer is not None and committer.versioned:
         return _versioned_store_files(path, exclude_token, committer)
+    if os.path.isdir(path):
+        # a manifest-managed store read WITHOUT its committer would
+        # recursively pick up every retained version → duplicated rows;
+        # fail loudly instead (same guard as the lake sink)
+        from ..sinks.committer import check_backend_layout  # noqa: PLC0415
+
+        check_backend_layout(path, versioned=False)
     try:
         files = (
             spark.read.option("recursiveFileLookup", "true")

@@ -27,8 +27,12 @@ protocol for replacing a partition directory. Two implementations:
   directories, never dangling pointers).
 
 Both satisfy the same two-method protocol, so the lake sink, the watermark
-store, and the curation-state compactor take a ``committer`` and stay
-backend-agnostic. The operator layer maps unchanged onto Delta/Iceberg
+store, and the curation-state layer (``functions.statestore`` reads,
+``functions.pipeline`` compaction/retraction) take a ``committer`` and stay
+backend-agnostic. Every filesystem touch goes through the minimal
+interface in :mod:`.fs` — ``LocalFS`` (os/shutil) by default; the
+rename-free ``ObjectStoreFS`` runs the same test suite, and an S3/GCS
+binding is a drop-in. The operator layer maps unchanged onto Delta/Iceberg
 (whose transaction logs are exactly the manifest idea, generalized).
 """
 

@@ -250,7 +250,16 @@ def generate_safe_delta_sql(
     """Safe-delta merge statements: C5/C6 upsert of the staged batch (gap
     rows already unioned in Spark-side, C9) + C7 set-difference delete —
     rows inside this sync's scope that are no longer members of the filtered
-    collection (client.js:1184-1199; re-scoping rationale at :1138)."""
+    collection (client.js:1184-1199; re-scoping rationale at :1138).
+
+    Deliberate deviation, pinned by the golden tests: the reference's pg
+    branch deletes with ``(cols) NOT IN (SELECT cols FROM temp)``
+    (client.js:1186-1190) while its mssql branch uses ``NOT EXISTS``
+    (client.js:1125-1137). We emit NOT EXISTS with null-safe key equality
+    for BOTH: with a nullable baseurl/path layout, a single NULL in the
+    membership tuple makes NOT IN evaluate UNKNOWN for every row — the
+    delete silently removes NOTHING and stale rows survive a safe sync.
+    NOT EXISTS has the mssql branch's (correct) semantics in all cases."""
     stmts: list[str] = []
     if dialect == "ansi":
         scope_pred = " AND ".join(
@@ -295,19 +304,18 @@ def _merge_upsert_sql(target: str, staging: str, layout: TableLayout) -> str:
 
 
 def _update_sql(target: str, staging: str, layout: TableLayout, dialect: str) -> str:
-    """C5: null-aware change-detecting update (skip no-op writes;
-    predicate from client.js:1064/:932)."""
+    """C5: null-aware change-detecting update, emitting the reference's
+    explicit ``<> OR (NULL-pair)`` predicate VERBATIM in shape for both
+    dialects (pg client.js:1064, mssql client.js:932 — the reference never
+    uses IS DISTINCT FROM here, and MSSQL lacks it before 2022 anyway)."""
     sets = "modified = t.modified, jsondata = t.jsondata" + (
         ", resourcetype = t.resourcetype" if layout.has_resourcetype else ""
     )
-    changed = "w.jsondata IS DISTINCT FROM t.jsondata"
+    changed = (
+        "(w.jsondata <> t.jsondata OR (w.jsondata IS NULL AND t.jsondata IS NOT NULL)"
+        " OR (w.jsondata IS NOT NULL AND t.jsondata IS NULL))"
+    )
     if dialect == "mssql":
-        # MSSQL has no IS DISTINCT FROM until 2022; emit the reference's
-        # explicit null-aware form (client.js:932)
-        changed = (
-            "(w.jsondata <> t.jsondata OR (w.jsondata IS NULL AND t.jsondata IS NOT NULL)"
-            " OR (w.jsondata IS NOT NULL AND t.jsondata IS NULL))"
-        )
         return (
             f"UPDATE w SET {sets} FROM {target} w INNER JOIN {staging} t "
             f"ON {_key_eq('t', 'w', layout)} WHERE {changed}"

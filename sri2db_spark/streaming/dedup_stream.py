@@ -200,17 +200,24 @@ def stream_neardup_dedup(
 
     This is the scale-safe continuous near-dup shape: state lives in the
     periodically refreshed static index, not in the stream — a
-    stream-stream self-join would hold quadratic state. Exactly-once comes
-    from checkpointed offsets + append-only parquet.
+    stream-stream self-join would hold quadratic state. Exactly-once under
+    foreachBatch retries: survivors are written to
+    ``out_dir/batch_id=<id>`` with overwrite (same discipline as the two
+    incremental wrappers above), so a replayed batch replaces its own
+    partial output instead of double-appending it. Read the output with
+    ``spark.read.parquet(out_dir)`` — ``batch_id`` surfaces as a partition
+    column.
     """
     from ..functions.dedup import neardup_filter_against_index  # noqa: PLC0415
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         survivors = neardup_filter_against_index(
             batch_df, index_bands, index_shingles, id_col, text_col,
             threshold=threshold,
         )
-        survivors.write.mode("append").parquet(out_dir)
+        survivors.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,3 @@
+MERGE INTO resources w USING stg_upd t ON t."href" = w."href" WHEN MATCHED AND (w."jsondata" <> t."jsondata" OR (w."jsondata" IS NULL AND t."jsondata" IS NOT NULL) OR (w."jsondata" IS NOT NULL AND t."jsondata" IS NULL)) THEN UPDATE SET "modified" = t."modified", "jsondata" = t."jsondata", "resourcetype" = t."resourcetype" WHEN NOT MATCHED THEN INSERT ("href", "key", "modified", "jsondata", "resourcetype") VALUES (t."href", t."key", t."modified", t."jsondata", t."resourcetype");
+
+DELETE FROM resources w WHERE 1=1 AND NOT EXISTS (SELECT 1 FROM stg_members t WHERE t."href" = w."href");

@@ -128,7 +128,8 @@ def test_full_sync_sql_merge_mode():
     )
     assert len(stmts) == 3
     assert "NOT EXISTS" in stmts[0]  # C2 anti-join delete
-    assert "IS DISTINCT FROM" in stmts[1]  # C5 null-aware change detection
+    # C5 null-aware change detection, reference shape (client.js:1064)
+    assert "w.jsondata <> t.jsondata OR (w.jsondata IS NULL" in stmts[1]
     assert "NOT EXISTS" in stmts[2]  # C6 insert-if-absent
     assert "IS NOT DISTINCT FROM NULL" in stmts[0]  # null scoping
 
@@ -246,7 +247,8 @@ def test_safe_delta_sql_dialects():
     ansi = generate_safe_delta_sql("r", "stg_u", "stg_m", LAYOUT_LARGE, scope, "ansi")
     # pg: C5 update + C6 insert + C7 scoped set-difference delete
     assert len(pg) == 3
-    assert "IS DISTINCT FROM" in pg[0]
+    # C5 null-aware change detection, reference shape (client.js:1064)
+    assert "w.jsondata <> t.jsondata OR (w.jsondata IS NULL" in pg[0]
     assert pg[2].startswith("DELETE FROM r w WHERE")
     assert "NOT EXISTS" in pg[2] and "stg_m" in pg[2]
     assert "w.baseurl IS NOT DISTINCT FROM 'https://x'" in pg[2]

@@ -151,6 +151,92 @@ def test_stream_neardup_against_static_index(spark, tmp_path):
     assert got == {2}
 
 
+def test_stream_neardup_dedup_replay_does_not_double_append(spark, tmp_path):
+    """Exactly-once for the stream-vs-static wrapper: survivors are
+    batch-id-addressed with overwrite, so a REPLAYED batch (checkpoint
+    lost, same feed reprocessed with the same batch ids) replaces its own
+    output instead of double-appending every survivor."""
+    import shutil
+
+    from sri2db_spark.functions.dedup import build_lsh_index
+    from sri2db_spark.streaming.dedup_stream import stream_neardup_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    bands_df, shingles_df = build_lsh_index(corpus, "doc_id", "text")
+    feed = tmp_path / "rfeed"
+    feed.mkdir()
+    _write_batch(
+        feed,
+        "b1.json",
+        [
+            {"doc_id": 1, "text": "a totally novel document about query planners",
+             "event_time": "2024-01-01T10:00:00"},
+            {"doc_id": 2, "text": "another novel text on columnar storage layouts",
+             "event_time": "2024-01-01T10:00:30"},
+        ],
+        mtime=1_000,
+    )
+    out, ckpt = str(tmp_path / "rout"), str(tmp_path / "rckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA).json(str(feed))
+            .select("doc_id", "text")
+        )
+        q = stream_neardup_dedup(stream, bands_df, shingles_df, out, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+    # checkpoint lost → the whole feed REPLAYS with the same batch ids
+    shutil.rmtree(ckpt)
+    run()
+    replay = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert replay == first  # overwritten in place, NOT double-appended
+
+
+def test_compact_batch_output_folds_history_preserves_newest(spark, tmp_path):
+    """compact_batch_output folds committed-history batch dirs into one
+    negative-token base, preserves the replay-protected newest batch as a
+    batch dir, loses no rows, and the folded layout still reads through
+    both plain and basePath readers."""
+    from sri2db_spark.functions.pipeline import compact_batch_output
+
+    out = str(tmp_path / "bout")
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, f"doc {b}-{i}") for i in range(3)],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(f"{out}/batch_id={b}")
+    all_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    before, after = compact_batch_output(spark, out, keys=["doc_id"])
+    assert before > after >= 1
+    import os
+
+    assert os.path.isdir(f"{out}/batch_id=3")  # replay-protected, untouched
+    assert os.path.isdir(f"{out}/batch_id=-1")  # the folded base
+    assert not os.path.isdir(f"{out}/batch_id=0")
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == all_ids  # nothing lost
+    # the basePath + batch_id-exclusion read the incremental wrappers use
+    df = spark.read.option("basePath", out).parquet(out)
+    live = df.filter("batch_id != 3")
+    assert {r.doc_id for r in live.collect()} == all_ids - {30, 31, 32}
+    # a replay of the protected batch overwrites its own dir — no dups
+    spark.createDataFrame(
+        [(30 + i, f"doc 3-{i}") for i in range(3)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{out}/batch_id=3")
+    assert spark.read.parquet(out).count() == len(all_ids)
+    # a second compaction is a no-op (base + protected only)
+    b2, a2 = compact_batch_output(spark, out, keys=["doc_id"])
+    assert b2 == a2
+
+
 def test_stream_neardup_incremental_maintains_store(spark, tmp_path):
     """Self-maintaining streaming near-dup: cross-batch pairs surface in the
     batch where the LATER member arrives, the signature store accumulates
