@@ -111,7 +111,7 @@ class WatermarkStore:
         check_backend_layout(self.location, self.committer.versioned)
         physical = self.committer.resolve(self.location)
         if physical is not None and any(
-            f.endswith(".parquet") for f in os.listdir(physical)
+            f.endswith(".parquet") for f in self.committer.fs.listdir(physical)
         ):
             return self.spark.read.schema(SYNCTIMES_SCHEMA).parquet(physical)
         return self.spark.createDataFrame([], SYNCTIMES_SCHEMA)

@@ -1,4 +1,11 @@
 from .committer import ManifestCommitter, RenameCommitter
+from .fs import LocalFS, ObjectStoreFS
 from .lake import LakeTable
 
-__all__ = ["LakeTable", "ManifestCommitter", "RenameCommitter"]
+__all__ = [
+    "LakeTable",
+    "LocalFS",
+    "ManifestCommitter",
+    "ObjectStoreFS",
+    "RenameCommitter",
+]

@@ -87,6 +87,12 @@ class RenameCommitter:
     #: readers can point Spark straight at the logical directory
     versioned = False
 
+    def __init__(self, fs=None):
+        # uniform interface with ManifestCommitter so callers can route
+        # auxiliary listing through `committer.fs`; the swap itself stays
+        # os.rename — this protocol is only valid where that is atomic
+        self.fs = fs or LocalFS()
+
     def stage(self, dst_dir: str) -> str:
         """A fresh directory for the writer to produce the new state into;
         pass it to :meth:`commit` when the write succeeds. Here: a sibling

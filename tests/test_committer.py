@@ -487,10 +487,11 @@ def test_table_level_pin_and_snapshot(spark, tmp_path):
 
 
 def test_snapshot_read_folds_partition_literal_filter(spark, tmp_path):
-    """A filter on the snapshot read's partition column must fold at plan
-    time — the non-matching partition's scan disappears from the physical
-    plan (LocalTableScan/empty), it is not filtered at runtime. This is
-    what makes pinned-snapshot queries partition-prunable like live ones."""
+    """A filter on the snapshot read's partition column must prune at plan
+    time, not filter rows at runtime. The manifest read is ONE multi-path
+    scan whose partition values come from the hive path segments, so the
+    filter lands in the scan's PartitionFilters and the non-matching
+    partition's files never enter the plan."""
     table = LakeTable(
         spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
     )
@@ -507,9 +508,67 @@ def test_snapshot_read_folds_partition_literal_filter(spark, tmp_path):
     table.pin_table("cut")
     snap = table.read_table_snapshot("cut").filter("path = '/a'")
     plan = snap._jdf.queryExecution().executedPlan().toString()
-    # exactly ONE parquet scan survives constant folding (the /a child)
+    # one scan, with the partition predicate pushed into PartitionFilters
     assert plan.count("Scan parquet") == 1
+    assert "PartitionFilters" in plan and "path" in plan.split("PartitionFilters", 1)[1][:200]
     assert snap.count() == 3
+
+
+def test_many_partition_manifest_read_is_one_scan(spark, tmp_path):
+    """The 1k-partition guard: the manifest read must stay ONE multi-path
+    scan (plan size O(1) in partition count). The earlier
+    union-of-per-partition-scans design cost 58 s of planning at 1 000
+    partitions (tools/partition_scale_probe.py); this pins the shape that
+    keeps it ~2 s. read_partition resolves only its own manifest — its
+    plan contains exactly that partition's files."""
+    import shutil
+
+    table = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+    rows = spark.createDataFrame(
+        [(f"/p0/{i}", str(i), None, "{}", "T") for i in range(5)], schema
+    )
+    table.replace_partition(rows, BASEURL, "/p0")
+    proto = table._partition_dir(BASEURL, "/p0")
+    parent = os.path.dirname(proto)
+    n = 200
+    for i in range(1, n):
+        shutil.copytree(proto, os.path.join(parent, f"path=%2Fp{i}"))
+    df = table.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # one scan, not n unioned scans
+    assert df.count() == 5 * n
+    one = table.read_partition(BASEURL, f"/p{n // 2}")
+    assert one.count() == 5
+    one_plan = one._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert f"p{n // 2}" in one_plan  # only its own version dir is scanned
+
+
+def test_manifest_partition_value_encoding_roundtrip(spark, tmp_path):
+    """Partition values parsed from the hive path segments must invert
+    ``_encode`` exactly: null (``__HIVE_DEFAULT_PARTITION__``) and
+    URL-quoted specials (space, %, /) round-trip through the multi-path
+    scan and through the O(1) read_partition resolution."""
+    table = LakeTable(
+        spark, str(tmp_path / "t"), LAYOUT_LARGE, committer=ManifestCommitter()
+    )
+    schema = (
+        "href string, key string, modified timestamp, "
+        "jsondata string, resourcetype string"
+    )
+    rows = spark.createDataFrame([("/x/1", "1", None, "{}", "T")], schema)
+    table.replace_partition(rows, None, None)
+    table.replace_partition(rows, "https://b", "/a b/c%d")
+    got = {(r.baseurl, r.path) for r in table.read().collect()}
+    assert got == {(None, None), ("https://b", "/a b/c%d")}
+    assert table.read_partition(None, None).count() == 1
+    assert table.read_partition("https://b", "/a b/c%d").count() == 1
 
 
 def test_lake_partition_pruning_on_manifest_backend(spark, tmp_path):
