@@ -272,6 +272,59 @@ def snapshot_main(argv: list[str]) -> int:
     return 0
 
 
+def state_main(argv: list[str]) -> int:
+    """Curation-state / streaming-output maintenance:
+
+    state-compact  --state DIR [--committer rename|manifest]
+    state-retract  --state DIR --ids ID[,ID…] [--id-type long|string]
+                   [--committer rename|manifest]
+    output-compact --dir DIR [--keys col[,col…]]
+
+    ``--committer manifest`` routes the state rewrite through the
+    object-store commit protocol (one atomic pointer publish — a reader
+    mid-maintenance sees old-or-new, never a missing store). Quiesce the
+    ingest stream first either way: maintenance folds all but the
+    replay-protected history.
+    """
+    cmd = argv[0]
+    p = argparse.ArgumentParser(prog="sri2db_spark " + cmd)
+    p.add_argument("--master", default=None)
+    if cmd in ("state-compact", "state-retract"):
+        p.add_argument("--state", required=True, help="curation state dir")
+        p.add_argument(
+            "--committer", default="rename", choices=["rename", "manifest"]
+        )
+    if cmd == "state-retract":
+        p.add_argument("--ids", required=True, help="comma-separated doc ids")
+        p.add_argument("--id-type", default="long", choices=["long", "string"])
+    if cmd == "output-compact":
+        p.add_argument("--dir", required=True, help="batch_id=* output dir")
+        p.add_argument("--keys", default=None, help="dedup columns, comma-sep")
+    args = p.parse_args(argv[1:])
+    spark = get_spark(app_name="sri2db_spark_state", master=args.master)
+    from .functions import pipeline as P  # noqa: PLC0415
+
+    if cmd == "state-compact":
+        rep = P.compact_curation_state(
+            spark, args.state, committer=_committer_for({"committer": args.committer})
+        )
+        for sub, (before, after) in sorted(rep.items()):
+            print(f"state-compact {sub}: {before} -> {after} files")
+    elif cmd == "state-retract":
+        raw = [s for s in args.ids.split(",") if s]
+        ids = [int(s) for s in raw] if args.id_type == "long" else raw
+        P.retract_from_state(
+            spark, args.state, ids,
+            committer=_committer_for({"committer": args.committer}),
+        )
+        print(f"state-retract ok: {len(ids)} ids removed from {args.state}")
+    else:
+        keys = args.keys.split(",") if args.keys else None
+        before, after = P.compact_batch_output(spark, args.dir, keys=keys)
+        print(f"output-compact: {before} -> {after} files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -281,6 +334,8 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot-pin", "snapshot-list", "snapshot-unpin", "snapshot-read"
     ):
         return snapshot_main(argv)
+    if argv and argv[0] in ("state-compact", "state-retract", "output-compact"):
+        return state_main(argv)
     p = argparse.ArgumentParser(prog="sri2db_spark")
     p.add_argument("config", help="path to JSON config (single or multi)")
     p.add_argument("--synctype", default=None, help="override configured synctype")

@@ -105,6 +105,44 @@ def test_cli_dry_run_flag(spark, tmp_path, capsys):
     )
 
 
+def test_cli_state_maintenance_commands(spark, tmp_path, capsys):
+    """state-compact / state-retract / output-compact drive the library
+    maintenance ops, including the manifest-committer route."""
+    from sri2db_spark.functions import pipeline as P
+    from sri2db_spark.functions.statestore import read_store
+    from sri2db_spark.sinks.committer import ManifestCommitter
+
+    mc = ManifestCommitter()
+    state = str(tmp_path / "state")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", "en"),
+         (2, "completely different text about columnar storage engines", "en")],
+        "doc_id long, text string, lang string",
+    )
+    P.init_curation_state(docs, state, committer=mc)
+    rc = cli.main(["state-compact", "--state", state, "--committer", "manifest"])
+    assert rc == 0
+    assert "state-compact" in capsys.readouterr().out
+    rc = cli.main([
+        "state-retract", "--state", state, "--ids", "2", "--committer", "manifest"
+    ])
+    assert rc == 0
+    assert "1 ids removed" in capsys.readouterr().out
+    assert sorted(
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    ) == [1]
+    # output-compact over a batch_id-addressed output dir
+    out = str(tmp_path / "out")
+    for b in range(3):
+        spark.createDataFrame(
+            [(b, f"d{b}")], "doc_id long, text string"
+        ).write.parquet(f"{out}/batch_id={b}")
+    rc = cli.main(["output-compact", "--dir", out, "--keys", "doc_id"])
+    assert rc == 0
+    assert "output-compact" in capsys.readouterr().out
+    assert spark.read.parquet(out).count() == 3
+
+
 # ---- JDBC merge SQL generation ------------------------------------------
 
 
