@@ -218,6 +218,23 @@ def main() -> None:
         b_runs.sort()
         timings["ann_ivfpq_bulk_10k"] = round(b_runs[len(b_runs) // 2], 3)
         spreads["ann_ivfpq_bulk_10k"] = _spread(b_runs)
+
+        # Same 10k-query job through the sort-merge path
+        # (broadcast_queries=False): the shape that has NO per-job query
+        # ceiling — both sides shuffle by cell, nothing broadcasts.
+        s_runs: list[float] = []
+        S.ivfpq_query_index(
+            spark, idx_tmp, bulk_q, k=5, nprobe=4, broadcast_queries=False
+        ).write.format("noop").mode("overwrite").save()  # untimed warmup
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            S.ivfpq_query_index(
+                spark, idx_tmp, bulk_q, k=5, nprobe=4, broadcast_queries=False
+            ).write.format("noop").mode("overwrite").save()
+            s_runs.append(time.perf_counter() - t0)
+        s_runs.sort()
+        timings["ann_ivfpq_bulk_10k_shuffle"] = round(s_runs[len(s_runs) // 2], 3)
+        spreads["ann_ivfpq_bulk_10k_shuffle"] = _spread(s_runs)
     finally:
         shutil.rmtree(idx_tmp, ignore_errors=True)
 

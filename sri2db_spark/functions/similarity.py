@@ -605,8 +605,11 @@ def pq_adc_topk(
     m·ksub·|queries| doubles through the driver. The broadcast of the
     finished LUTs bounds this path at ~10⁵ queries per job; beyond that,
     partition the query set and run per-partition jobs (each side stays
-    broadcast-sized), or drop the broadcast hint and let AQE shuffle the
-    code scan on the join instead.
+    broadcast-sized) — or use the IVF-PQ index path, whose
+    ``broadcast_queries=False`` mode joins by cell with a sort-merge join
+    and has no per-job ceiling (flat PQ has no join key to shuffle on:
+    every query scores every code, so all-pairs broadcast is the only
+    single-job plan).
     """
     lutdf = queries.select(
         F.col(id_col).alias("query_id"),
@@ -940,6 +943,7 @@ def ivfpq_query_index(
     k: int = 5,
     nprobe: int | None = 4,
     rerank_shortlist: int | str | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ANN top-k against a saved IVF-PQ index: each query probes its
     ``nprobe`` nearest cells (dynamic partition pruning — only those
@@ -947,6 +951,17 @@ def ivfpq_query_index(
     the query's ADC lookup table. The double win at 100 TB: the scan touches
     nprobe/nlist of the corpus, and what it touches is 10-100× smaller than
     the float vectors. Returns (query_id, neighbor_id, adc_dist, rank).
+
+    ``broadcast_queries`` picks the physical join strategy, output-identical
+    either way. True (serving shape, default): the per-query LUTs broadcast
+    to every executor — one pass over the probed cells, no shuffle of the
+    corpus side; bounded at ~10⁵ queries by the m·ksub-doubles-per-query
+    broadcast. False (bulk offline shape): sort-merge join keyed on the
+    probed ``cell`` — BOTH sides shuffle-partition by cell, so 10⁶-10⁸
+    query jobs run without any driver- or broadcast-side state; parallelism
+    is nlist, which at production index sizes (2¹²-2¹⁶ cells) saturates any
+    cluster. Dynamic cell pruning is lost, but a bulk job probes
+    essentially every cell anyway.
 
     Residual indexes (``build_ivfpq_index(residual=True)``) are detected
     from the saved meta: the LUT is then built per (query, probed cell)
@@ -1014,9 +1029,10 @@ def ivfpq_query_index(
     cells = spark.read.parquet(f"{path}/cells").select(
         F.col("id").alias("neighbor_id"), "code", "cell"
     )
-    cand = F.broadcast(probes).join(
+    probe_side = F.broadcast(probes) if broadcast_queries else probes.hint("merge")
+    cand = probe_side.join(
         cells,
-        (probes["cell"] == cells["cell"])
+        (probe_side["cell"] == cells["cell"])
         & (F.col("query_id") != F.col("neighbor_id")),
     )
     scored = cand.select(
@@ -1046,8 +1062,9 @@ def ivfpq_query_index(
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    qv_side = F.broadcast(qv) if broadcast_queries else qv.hint("merge")
     exact = (
-        short.join(F.broadcast(qv), "query_id")
+        short.join(qv_side, "query_id")
         .join(vecs, "neighbor_id")
         .select(
             "query_id",

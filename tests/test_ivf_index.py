@@ -345,3 +345,46 @@ def test_ivfpq_auto_recall_floor(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bulk_shuffle_mode_matches_broadcast_mode(spark):
+    """broadcast_queries=False (the 10^6-query offline shape) is a physical
+    strategy switch only: results are row-identical to the broadcast path in
+    all three variants (raw, residual, rerank), and the probe->cells join
+    really is a sort-merge join on cell with no broadcast of the LUT side."""
+    emb = _tp(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    for residual in (False, True):
+        tmp = tempfile.mkdtemp(prefix="bulk_shuffle_")
+        try:
+            S.build_ivfpq_index(
+                emb, tmp, nlist=8, m=4, ksub=16, pq_iters=1, residual=residual
+            )
+            for shortlist in (None, 20):
+                bcast = S.ivfpq_query_index(
+                    spark, tmp, queries, k=5, nprobe=3,
+                    rerank_shortlist=shortlist, broadcast_queries=True,
+                )
+                shuf = S.ivfpq_query_index(
+                    spark, tmp, queries, k=5, nprobe=3,
+                    rerank_shortlist=shortlist, broadcast_queries=False,
+                )
+                assert sorted(map(tuple, bcast.collect())) == sorted(
+                    map(tuple, shuf.collect())
+                ), f"residual={residual} shortlist={shortlist}"
+            # plan shape: SMJ on cell, LUT side never broadcast
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                S.ivfpq_query_index(
+                    spark, tmp, queries, k=5, nprobe=3, broadcast_queries=False
+                ).explain(True)
+            plan = buf.getvalue()
+            physical = plan[plan.index("== Physical Plan =="):]
+            assert "SortMergeJoin" in physical
+            assert "BroadcastExchange" not in physical
+        finally:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
