@@ -93,6 +93,89 @@ class LocalFS:
         return out
 
 
+class FsspecFS:
+    """Adapter from this interface onto an fsspec ``AbstractFileSystem``
+    (s3fs, gcsfs, adlfs, ``LocalFileSystem``, …): hand it
+    ``fsspec.filesystem("s3")`` and the committer/state layer runs
+    unchanged against the real object store. fsspec itself stays an
+    optional dependency — this class touches only the instance you pass,
+    never imports the package.
+
+    Object-store mapping notes:
+
+    - ``put`` opens the key for write and closes it; on s3fs/gcsfs the
+      object appears atomically under its final key when the upload
+      completes (single-key PUT) — exactly the one atomic primitive the
+      commit protocol is built on.
+    - ``getmtime`` of a DIRECTORY (used to age GC candidates and to find
+      the newest replay-protected batch dir) has no object-store analog:
+      it aggregates ``max(modified)`` over the keys below the prefix
+      (empty prefix → 0.0). Key mtimes only move forward on overwrite,
+      so "newest batch dir" stays correct.
+    - ``move_in`` maps to ``mv(recursive=True)``, which object-store
+      backends implement as copy+delete — functional but NOT atomic,
+      which is why the committer stages in place and never reaches it on
+      these backends.
+
+    Paths are returned exactly as the backend names them; on s3/gcs the
+    caller owns prepending the ``s3://`` scheme before handing file lists
+    to Spark.
+    """
+
+    def __init__(self, fs) -> None:
+        self._fs = fs
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(path))
+
+    def isdir(self, path: str) -> bool:
+        return bool(self._fs.isdir(path))
+
+    def listdir(self, path: str) -> list[str]:
+        return [
+            n.rstrip("/").rsplit("/", 1)[-1]
+            for n in self._fs.ls(path, detail=False)
+        ]
+
+    def makedirs(self, path: str) -> None:
+        self._fs.makedirs(path, exist_ok=True)
+
+    def getmtime(self, path: str) -> float:
+        if self._fs.isdir(path):
+            times = [
+                self._mtime(f) for f in self._fs.find(path)
+            ]
+            return max(times, default=0.0)
+        return self._mtime(path)
+
+    def _mtime(self, path: str) -> float:
+        m = self._fs.modified(path)
+        return m.timestamp() if hasattr(m, "timestamp") else float(m)
+
+    def put(self, path: str, data: str) -> None:
+        with self._fs.open(path, "w") as f:
+            f.write(data)
+
+    def read(self, path: str) -> str:
+        with self._fs.open(path, "r") as f:
+            return f.read()
+
+    def remove(self, path: str) -> None:
+        self._fs.rm_file(path)
+
+    def rmtree(self, path: str) -> None:
+        try:
+            self._fs.rm(path, recursive=True)
+        except FileNotFoundError:
+            pass
+
+    def move_in(self, src_dir: str, dst_dir: str) -> None:
+        self._fs.mv(src_dir, dst_dir, recursive=True)
+
+    def walk_files(self, path: str, suffix: str = ".parquet") -> list[str]:
+        return [f for f in self._fs.find(path) if f.endswith(suffix)]
+
+
 class ObjectStoreFS(LocalFS):
     """Object-store semantics over a local backing dir: no rename/move.
 
