@@ -349,7 +349,7 @@ def compact_curation_state(
     import os  # noqa: PLC0415
     import uuid  # noqa: PLC0415
 
-    from .statestore import list_store_files  # noqa: PLC0415
+    from .statestore import FOLDED_MARKER, list_store_files  # noqa: PLC0415
 
     versioned = committer is not None and committer.versioned
 
@@ -377,6 +377,25 @@ def compact_curation_state(
                 if n.startswith("batch_id=")
                 and fs.isdir(os.path.join(path, n))
             ]
+            # appends the CURRENT base's _FOLDED marker records as already
+            # folded into it (a prior maintenance op crashed before its
+            # cleanup): their rows are superseded — a retraction may have
+            # REMOVED some of them — so they must be deleted, never
+            # re-merged, and they are not live replay candidates either
+            base = committer.resolve(path)
+            prior_folded: set[str] = set()
+            marker_mtime = 0.0
+            if base is not None:
+                marker = os.path.join(base, FOLDED_MARKER)
+                if fs.exists(marker):
+                    prior_folded = set(fs.read(marker).splitlines())
+                    marker_mtime = fs.getmtime(marker)
+            stale = {
+                n
+                for n, mt in batch_dirs
+                if n in prior_folded and mt <= marker_mtime
+            }
+            batch_dirs = [(n, mt) for n, mt in batch_dirs if n not in stale]
         else:
             batch_dirs = [
                 (e.name, os.path.getmtime(e.path))
@@ -389,14 +408,24 @@ def compact_curation_state(
         )
         if versioned:
             # fold: root flat files (a legacy store being migrated), the
-            # committed base, and every non-preserved batch append
-            flat = [
+            # committed base, and every non-preserved live batch append
+            flat_all = [
                 os.path.join(path, n)
                 for n in fs.listdir(path)
                 if n.endswith(".parquet")
             ]
+            # the fence covers root flat files too: a flat file the
+            # CURRENT base's marker lists was already folded by a prior
+            # (crashed) rewrite — its rows are superseded, possibly by a
+            # retraction, so it must be deleted, never re-merged
+            stale_flat = [
+                f
+                for f in flat_all
+                if os.path.basename(f) in prior_folded
+                and fs.getmtime(f) <= marker_mtime
+            ]
+            flat = [f for f in flat_all if f not in set(stale_flat)]
             files = list(flat)
-            base = committer.resolve(path)
             if base is not None:
                 files += fs.walk_files(base)
             folded_dirs = [
@@ -413,12 +442,27 @@ def compact_curation_state(
             n_out = max(1, df.rdd.getNumPartitions() // 8)
             tmp = committer.stage(path)
             df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            # stale names carry forward: if OUR cleanup also crashes, the
+            # new base still fences them off from reads
+            _write_folded_marker(
+                fs,
+                tmp,
+                [os.path.basename(f) for f in flat]
+                + [os.path.basename(d) for d in folded_dirs]
+                + sorted(stale)
+                + sorted(os.path.basename(f) for f in stale_flat),
+            )
             committer.commit(tmp, path)
-            # post-commit cleanup — see docstring for the crash window
+            # post-commit cleanup; a crash here leaves garbage dirs that
+            # reads already exclude via the _FOLDED marker
             for f in flat:
                 fs.remove(f)
             for d in folded_dirs:
                 fs.rmtree(d)
+            for n in stale:
+                fs.rmtree(os.path.join(path, n))
+            for f in stale_flat:
+                fs.remove(f)
             new_base = committer.resolve(path)
             report[sub] = (
                 n_before,
@@ -541,26 +585,53 @@ def compact_batch_output(
     return (n_total, len(_parquet_under(out_dir)))
 
 
+def _write_folded_marker(fs, version_dir: str, folded: list[str]) -> None:
+    """Record which sibling appends this staged version folded. The marker
+    is part of the immutable version directory, so the atomic pointer
+    commit publishes the fold-set together with the base — readers
+    (:func:`~.statestore.list_store_files`) exclude the listed appends
+    even if a crash before the post-commit cleanup left them on disk."""
+    import os  # noqa: PLC0415
+
+    from .statestore import FOLDED_MARKER  # noqa: PLC0415
+
+    fs.put(os.path.join(version_dir, FOLDED_MARKER), "\n".join(sorted(folded)))
+
+
 def _commit_state_rewrite(df: DataFrame, committer, path: str) -> None:
     """Publish a full rewrite of a committer-managed state store: stage a
     version dir, write, ONE atomic pointer commit, then remove the now-
     superseded appends (``batch_id=*`` dirs) and flat files — every row
     they held was folded into the new base, so post-commit they are pure
-    duplicates. A crash between the commit and the cleanup leaves those
-    duplicates visible (callers that rewrite to REMOVE rows must re-run on
-    failure — the op is idempotent); it never leaves a missing or partial
-    store."""
+    duplicates.
+
+    The staged version carries a ``_FOLDED`` marker listing the appends it
+    folded (see :func:`_write_folded_marker`), published atomically WITH
+    the base by the pointer commit — so a crash between the commit and the
+    cleanup leaves the stale appends on disk but READS already exclude
+    them: rows a rewrite removed (retraction!) cannot transiently
+    resurface from a superseded append. Re-running the op (idempotent) or
+    the next compaction removes the garbage directories."""
     import os  # noqa: PLC0415
 
     fs = committer.fs
+    folded = []
+    if fs.isdir(path):
+        folded = [
+            n
+            for n in fs.listdir(path)
+            if (n.startswith("batch_id=") and fs.isdir(os.path.join(path, n)))
+            or n.endswith(".parquet")
+        ]
     tmp = committer.stage(path)
     df.write.mode("overwrite").parquet(tmp)
+    _write_folded_marker(fs, tmp, folded)
     committer.commit(tmp, path)
-    for n in fs.listdir(path):
+    for n in folded:
         full = os.path.join(path, n)
-        if n.startswith("batch_id=") and fs.isdir(full):
+        if fs.isdir(full):
             fs.rmtree(full)
-        elif n.endswith(".parquet"):
+        elif fs.exists(full):
             fs.remove(full)
 
 
@@ -581,13 +652,17 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     Without a ``committer`` the rewrite swaps via two renames (quiesce
     readers first, see :func:`_swap_dir`). With a versioned ``committer``
     the rewrite publishes through one atomic pointer write — a concurrent
-    reader sees the pre- or post-retraction store, never a missing one —
-    and the superseded ``batch_id=*`` appends are removed after the
-    commit. Retraction must not run concurrently with ingest either way
-    (it folds the replayable batch), and if it crashes between the commit
-    and the append cleanup the retracted ids can transiently reappear
-    from a stale append — RE-RUN the retraction on failure (idempotent)
-    to complete it.
+    reader sees the pre- or post-retraction store, never a missing one.
+    The superseded ``batch_id=*`` appends are removed after the commit,
+    but the commit itself already fences them: the new base's ``_FOLDED``
+    marker (published atomically with it) makes reads exclude them, so a
+    crash before the cleanup leaves garbage directories, never resurfaced
+    retracted ids. Retraction must not run concurrently with ingest (it
+    folds the replayable batch). On ANY failure re-run the retraction
+    (idempotent): stores are rewritten one at a time (corpus, sigs,
+    hashes), so a crash can leave later stores not yet retracted —
+    compaction only sweeps the fenced garbage of stores whose rewrite
+    committed, it does not retract the rest.
     """
     import uuid  # noqa: PLC0415
 

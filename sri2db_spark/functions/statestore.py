@@ -47,6 +47,12 @@ import os
 from pyspark.sql import DataFrame
 
 
+#: marker file inside a committed state version listing the batch_id=* /
+#: flat-file names whose rows it folded; `_`-prefixed so Spark's parquet
+#: reader ignores it alongside the data files
+FOLDED_MARKER = "_FOLDED"
+
+
 def store_batch_path(path: str, token) -> str:
     """The subdirectory a batch's state write is addressed to."""
     return f"{path}/batch_id={token}"
@@ -55,7 +61,14 @@ def store_batch_path(path: str, token) -> str:
 def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:
     """File list of a committer-managed store: the committed base version
     (resolved through the manifest pointer) plus every ``batch_id=*``
-    append directory except the excluded token's."""
+    append directory except the excluded token's — and except appends the
+    base's ``_FOLDED`` marker records as already folded into it (a crash
+    between a maintenance commit and its cleanup leaves such dirs on disk;
+    without the exclusion a retraction's removed rows would transiently
+    resurface from them). The exclusion is mtime-guarded: a FRESH append
+    that merely reuses a folded name (checkpoint reset restarting batch
+    ids over a reused state dir) is newer than the marker and stays
+    visible."""
     from ..sinks.committer import check_backend_layout  # noqa: PLC0415
 
     fs = committer.fs
@@ -68,17 +81,26 @@ def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:
     # files into the first committed version.
     check_backend_layout(path, versioned=True, fs=fs)
     files: list[str] = []
+    folded: set[str] = set()
+    marker_mtime = 0.0
     base = committer.resolve(path)
     if base is not None:
         files += fs.walk_files(base)
+        marker = os.path.join(base, FOLDED_MARKER)
+        if fs.exists(marker):
+            folded = set(fs.read(marker).splitlines())
+            marker_mtime = fs.getmtime(marker)
     for name in fs.listdir(path):
         if not name.startswith("batch_id="):
             continue
         if exclude_token is not None and name == f"batch_id={exclude_token}":
             continue
         sub = os.path.join(path, name)
-        if fs.isdir(sub):
-            files += fs.walk_files(sub)
+        if not fs.isdir(sub):
+            continue
+        if name in folded and fs.getmtime(sub) <= marker_mtime:
+            continue  # superseded append awaiting cleanup — already in base
+        files += fs.walk_files(sub)
     return files
 
 

@@ -223,3 +223,156 @@ def test_flat_store_migrates_via_committer_compaction(spark, tmp_path):
         ).collect()
     }
     assert out == {11}  # exact dup vs migrated state still detected
+
+
+def _state_with_crashed_retraction(spark, tmp_path, monkeypatch, name):
+    """Build a committer-routed state holding docs {1, 2, 10}, then retract
+    doc 10 with the post-commit append cleanup CRASHING — returns
+    (state_dir, committer). Leaves corpus committed without doc 10 but with
+    doc 10's stale batch_id=0 append still on disk (fenced by _FOLDED)."""
+    mc = ManifestCommitter()
+    state = str(tmp_path / name)
+    seed = spark.createDataFrame([(1, NAT, "en"), (2, NAT2, "en")], SCHEMA)
+    P.init_curation_state(seed, state, committer=mc)
+    b1 = spark.createDataFrame([(10, NAT3, "en")], SCHEMA)
+    P.curate_batch_incremental(
+        spark, b1, state, _bench(spark), batch_token=0, committer=mc
+    ).collect()
+    # pin append mtimes well before the retraction's marker so the fence's
+    # mtime guard is deterministic even on coarse-timestamp filesystems
+    import time
+
+    for sub in ("hashes", "sigs", "corpus"):
+        d = f"{state}/{sub}/batch_id=0"
+        if os.path.isdir(d):
+            os.utime(d, (time.time() - 100, time.time() - 100))
+    real_rmtree = mc.fs.rmtree
+
+    def boom(path):
+        if "batch_id=" in path:
+            raise OSError("simulated crash during post-commit cleanup")
+        return real_rmtree(path)
+
+    monkeypatch.setattr(mc.fs, "rmtree", boom)
+    with pytest.raises(OSError):
+        P.retract_from_state(spark, state, [10], committer=mc)
+    monkeypatch.undo()
+    return state, mc
+
+
+def test_retraction_crash_before_cleanup_never_resurfaces_ids(
+    spark, tmp_path, monkeypatch
+):
+    """The right-to-be-forgotten property under the worst crash: retraction
+    commits the rewritten corpus, then dies before deleting the superseded
+    appends. The stale append (which still physically holds doc 10's rows)
+    is fenced by the new base's _FOLDED marker, so reads NEVER resurface
+    the retracted id; a re-run completes the cleanup."""
+    state, mc = _state_with_crashed_retraction(spark, tmp_path, monkeypatch, "ret")
+    stale = f"{state}/corpus/batch_id=0"
+    assert os.path.isdir(stale)  # the garbage is really still there...
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2}  # ...but the retracted id does not resurface
+    # re-run converges: garbage deleted, every store consistent
+    P.retract_from_state(spark, state, [10], committer=mc)
+    assert not os.path.isdir(stale)
+    assert {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    } == {1, 2}
+    assert {
+        r.id for r in read_store(spark, f"{state}/sigs", committer=mc).collect()
+    } == {1, 2}
+    assert read_store(spark, f"{state}/hashes", committer=mc).count() == 2
+
+
+def test_folded_fence_does_not_hide_fresh_reset_batch(
+    spark, tmp_path, monkeypatch
+):
+    """A checkpoint reset may reuse a FENCED name (batch_id=0) for a live
+    batch. The fence is mtime-guarded: a fresh dir newer than the marker
+    stays visible even though its name is in the _FOLDED list."""
+    import time
+
+    from sri2db_spark.functions.statestore import write_store_batch
+
+    state, mc = _state_with_crashed_retraction(spark, tmp_path, monkeypatch, "rst")
+    fresh = spark.createDataFrame([(77, "brand new post-reset doc", "en")], SCHEMA)
+    write_store_batch(
+        fresh.select(F.col("doc_id").alias("id"), "text"),
+        f"{state}/corpus",
+        token=0,
+    )
+    now = time.time()
+    os.utime(f"{state}/corpus/batch_id=0", (now + 100, now + 100))
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2, 77}  # fresh rows visible, retracted id still gone
+
+
+def test_compaction_deletes_fenced_garbage_without_remerging(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction after a crashed retraction must DELETE the fenced appends,
+    not fold them back into the base (re-merging would resurface the
+    retracted rows through maintenance itself)."""
+    state, mc = _state_with_crashed_retraction(spark, tmp_path, monkeypatch, "cmp")
+    P.compact_curation_state(spark, state, committer=mc)
+    assert not os.path.isdir(f"{state}/corpus/batch_id=0")
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2}
+
+
+def test_compaction_fences_stale_flat_files_from_remigration(
+    spark, tmp_path, monkeypatch
+):
+    """Root flat files a prior (crashed) rewrite already folded must be
+    DELETED by the next compaction, never re-merged as if they were a
+    legacy store awaiting migration — re-merging would resurface rows a
+    retraction removed. Chain: migration compaction crashes before its
+    flat cleanup, a retraction then removes doc 10 and ALSO crashes
+    before cleanup; the stale flat files (which still hold doc 10's rows)
+    must not leak the id back through the following compaction."""
+    mc = ManifestCommitter()
+    state = str(tmp_path / "ffence")
+    seed = spark.createDataFrame(
+        [(1, NAT, "en"), (2, NAT2, "en"), (10, NAT3, "en")], SCHEMA
+    )
+    P.init_curation_state(seed, state)  # legacy flat layout
+
+    real_remove = mc.fs.remove
+
+    def boom(path):
+        if "/corpus/" in path and path.endswith(".parquet"):
+            raise OSError("simulated crash during flat-file cleanup")
+        return real_remove(path)
+
+    monkeypatch.setattr(mc.fs, "remove", boom)
+    with pytest.raises(OSError):
+        P.compact_curation_state(spark, state, committer=mc)
+    with pytest.raises(OSError):
+        P.retract_from_state(spark, state, [10], committer=mc)
+    monkeypatch.undo()
+
+    flat_left = [
+        n for n in os.listdir(f"{state}/corpus") if n.endswith(".parquet")
+    ]
+    assert flat_left  # the stale flat garbage (holding doc 10) is on disk
+    # fence already protects reads...
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2}
+    # ...and compaction deletes the garbage instead of re-migrating it
+    P.compact_curation_state(spark, state, committer=mc)
+    assert not any(
+        n.endswith(".parquet") for n in os.listdir(f"{state}/corpus")
+    )
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2}
