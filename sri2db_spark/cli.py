@@ -303,20 +303,31 @@ def state_main(argv: list[str]) -> int:
     args = p.parse_args(argv[1:])
     spark = get_spark(app_name="sri2db_spark_state", master=args.master)
     from .functions import pipeline as P  # noqa: PLC0415
+    from .sinks.committer import CommitConflict  # noqa: PLC0415
 
     if cmd == "state-compact":
-        rep = P.compact_curation_state(
-            spark, args.state, committer=_committer_for({"committer": args.committer})
-        )
+        try:
+            rep = P.compact_curation_state(
+                spark,
+                args.state,
+                committer=_committer_for({"committer": args.committer}),
+            )
+        except CommitConflict as e:
+            print(f"state-compact conflict: {e}")
+            return 3
         for sub, (before, after) in sorted(rep.items()):
             print(f"state-compact {sub}: {before} -> {after} files")
     elif cmd == "state-retract":
         raw = [s for s in args.ids.split(",") if s]
         ids = [int(s) for s in raw] if args.id_type == "long" else raw
-        P.retract_from_state(
-            spark, args.state, ids,
-            committer=_committer_for({"committer": args.committer}),
-        )
+        try:
+            P.retract_from_state(
+                spark, args.state, ids,
+                committer=_committer_for({"committer": args.committer}),
+            )
+        except CommitConflict as e:
+            print(f"state-retract conflict (re-run to retry): {e}")
+            return 3
         print(f"state-retract ok: {len(ids)} ids removed from {args.state}")
     else:
         keys = args.keys.split(",") if args.keys else None

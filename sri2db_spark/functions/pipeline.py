@@ -340,11 +340,17 @@ def compact_curation_state(
     published with ONE atomic pointer write: a reader mid-compaction
     resolves the old base or the new base, never a missing store. The
     folded sources (old base, flat files, folded ``batch_id=*`` dirs) are
-    cleaned up AFTER the pointer commit; a crash in between leaves
-    transient duplicate rows (harmless for membership-set reads, removed
-    by the next compaction), never a partial store. A flat legacy store is
-    MIGRATED by this call: its files fold into the first committed
-    version.
+    cleaned up AFTER the pointer commit; a crash in between leaves only
+    garbage the new base's ``_FOLDED`` marker already fences off from
+    reads (see :func:`_write_folded_marker`), never a partial store or a
+    duplicate row. A flat legacy store is MIGRATED by this call: its files
+    fold into the first committed version.
+
+    The pointer write is a compare-and-swap against the base version this
+    compaction read (``expected_basis``): if another maintenance op
+    commits the same store concurrently, this one raises
+    :class:`...sinks.committer.CommitConflict` instead of silently
+    overwriting it — re-run to compact the new state.
     """
     import os  # noqa: PLC0415
     import uuid  # noqa: PLC0415
@@ -371,6 +377,9 @@ def compact_curation_state(
             continue
         if versioned:
             fs = committer.fs
+            # CAS basis: captured BEFORE anything is read, so any commit
+            # that lands on this store in between conflicts our commit
+            basis = committer.current_version(path)
             batch_dirs = [
                 (n, fs.getmtime(os.path.join(path, n)))
                 for n in fs.listdir(path)
@@ -382,7 +391,7 @@ def compact_curation_state(
             # cleanup): their rows are superseded — a retraction may have
             # REMOVED some of them — so they must be deleted, never
             # re-merged, and they are not live replay candidates either
-            base = committer.resolve(path)
+            base = committer.resolve(path, basis)
             prior_folded: set[str] = set()
             marker_mtime = 0.0
             if base is not None:
@@ -452,7 +461,7 @@ def compact_curation_state(
                 + sorted(stale)
                 + sorted(os.path.basename(f) for f in stale_flat),
             )
-            committer.commit(tmp, path)
+            committer.commit(tmp, path, expected_basis=basis)
             # post-commit cleanup; a crash here leaves garbage dirs that
             # reads already exclude via the _FOLDED marker
             for f in flat:
@@ -598,12 +607,15 @@ def _write_folded_marker(fs, version_dir: str, folded: list[str]) -> None:
     fs.put(os.path.join(version_dir, FOLDED_MARKER), "\n".join(sorted(folded)))
 
 
-def _commit_state_rewrite(df: DataFrame, committer, path: str) -> None:
+def _commit_state_rewrite(df: DataFrame, committer, path: str, basis) -> None:
     """Publish a full rewrite of a committer-managed state store: stage a
     version dir, write, ONE atomic pointer commit, then remove the now-
     superseded appends (``batch_id=*`` dirs) and flat files — every row
     they held was folded into the new base, so post-commit they are pure
-    duplicates.
+    duplicates. ``basis`` (capture it with ``committer.current_version``
+    BEFORE reading the data being rewritten) makes the pointer commit a
+    compare-and-swap — a concurrent commit raises ``CommitConflict``
+    instead of being silently overwritten.
 
     The staged version carries a ``_FOLDED`` marker listing the appends it
     folded (see :func:`_write_folded_marker`), published atomically WITH
@@ -626,7 +638,7 @@ def _commit_state_rewrite(df: DataFrame, committer, path: str) -> None:
     tmp = committer.stage(path)
     df.write.mode("overwrite").parquet(tmp)
     _write_folded_marker(fs, tmp, folded)
-    committer.commit(tmp, path)
+    committer.commit(tmp, path, expected_basis=basis)
     for n in folded:
         full = os.path.join(path, n)
         if fs.isdir(full):
@@ -662,7 +674,11 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     (idempotent): stores are rewritten one at a time (corpus, sigs,
     hashes), so a crash can leave later stores not yet retracted —
     compaction only sweeps the fenced garbage of stores whose rewrite
-    committed, it does not retract the rest.
+    committed, it does not retract the rest. Each store's pointer commit
+    is a compare-and-swap against the version this retraction read: a
+    concurrent commit raises
+    :class:`...sinks.committer.CommitConflict` — re-run against the new
+    state rather than silently overwriting it.
     """
     import uuid  # noqa: PLC0415
 
@@ -671,6 +687,10 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     from .statestore import read_store  # noqa: PLC0415
 
     versioned = committer is not None and committer.versioned
+    # CAS bases, captured BEFORE each store is read: a concurrent commit
+    # on any of them turns this retraction's commit into a CommitConflict
+    # instead of a silent lost update
+    basis_c = committer.current_version(f"{state_dir}/corpus") if versioned else None
     corpus_all = read_store(spark, f"{state_dir}/corpus", committer=committer)
     if corpus_all is None:
         return
@@ -683,20 +703,22 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     )
     corpus = corpus_all.join(F.broadcast(ids_df), "id", "left_anti")
     if versioned:
-        _commit_state_rewrite(corpus, committer, f"{state_dir}/corpus")
+        _commit_state_rewrite(corpus, committer, f"{state_dir}/corpus", basis_c)
     else:
         tmp_c = f"{state_dir}/corpus__tmp_{uuid.uuid4().hex}"
         corpus.write.mode("overwrite").parquet(tmp_c)
         _swap_dir(tmp_c, f"{state_dir}/corpus")
+    basis_s = committer.current_version(f"{state_dir}/sigs") if versioned else None
     sigs_all = read_store(spark, f"{state_dir}/sigs", committer=committer)
     if sigs_all is not None:
         sigs = sigs_all.join(F.broadcast(ids_df), "id", "left_anti")
         if versioned:
-            _commit_state_rewrite(sigs, committer, f"{state_dir}/sigs")
+            _commit_state_rewrite(sigs, committer, f"{state_dir}/sigs", basis_s)
         else:
             tmp_s = f"{state_dir}/sigs__tmp_{uuid.uuid4().hex}"
             sigs.write.mode("overwrite").parquet(tmp_s)
             _swap_dir(tmp_s, f"{state_dir}/sigs")
+    basis_h = committer.current_version(f"{state_dir}/hashes") if versioned else None
     remaining = read_store(spark, f"{state_dir}/corpus", committer=committer)
     if remaining is None:
         # full retraction: Spark writes no part files for an all-empty
@@ -706,7 +728,7 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     else:
         hashes = remaining.select(F.md5(F.col("text")).alias("h")).distinct()
     if versioned:
-        _commit_state_rewrite(hashes, committer, f"{state_dir}/hashes")
+        _commit_state_rewrite(hashes, committer, f"{state_dir}/hashes", basis_h)
     else:
         tmp_h = f"{state_dir}/hashes__tmp_{uuid.uuid4().hex}"
         hashes.write.mode("overwrite").parquet(tmp_h)

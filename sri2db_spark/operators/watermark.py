@@ -159,22 +159,48 @@ class WatermarkStore:
         lastmodified_ms: int,
         syncstart_ms: int,
     ) -> None:
-        current = self._read()
-        survivors = current.filter(
-            ~(
-                (F.col("tablename") == tablename)
-                & F.col("baseurl").eqNullSafe(F.lit(baseurl))
-                & F.col("path").eqNullSafe(F.lit(path))
-                & (F.col("synctype") == synctype)
+        from ..sinks.committer import CommitConflict  # noqa: PLC0415
+
+        # The in-process lock serializes upserts within THIS driver; on the
+        # manifest backend the commit is additionally a compare-and-swap on
+        # the version we read, so a concurrent writer in ANOTHER driver
+        # (separate Spark apps sharing one control table) conflicts instead
+        # of being silently overwritten — the upsert then re-reads and
+        # re-applies, which converges because upserts by different keys
+        # commute and same-key upserts are serialized by the sync engine.
+        for attempt in range(5):
+            basis = (
+                self.committer.current_version(self.location)
+                if self.committer.versioned
+                else None
             )
-        )
-        new_row = self.spark.createDataFrame(
-            [(tablename, baseurl, path, synctype, lastmodified_ms, syncstart_ms)],
-            SYNCTIMES_SCHEMA,
-        )
-        updated = survivors.unionByName(new_row)
-        # stage() keeps the write on the store's own filesystem; on the
-        # manifest backend it is the final version dir (pointer-only commit)
-        tmp = self.committer.stage(self.location)
-        updated.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self.committer.commit(tmp, self.location)
+            current = self._read()
+            survivors = current.filter(
+                ~(
+                    (F.col("tablename") == tablename)
+                    & F.col("baseurl").eqNullSafe(F.lit(baseurl))
+                    & F.col("path").eqNullSafe(F.lit(path))
+                    & (F.col("synctype") == synctype)
+                )
+            )
+            new_row = self.spark.createDataFrame(
+                [(tablename, baseurl, path, synctype, lastmodified_ms, syncstart_ms)],
+                SYNCTIMES_SCHEMA,
+            )
+            updated = survivors.unionByName(new_row)
+            # stage() keeps the write on the store's own filesystem; on the
+            # manifest backend it is the final version dir (pointer-only
+            # commit)
+            tmp = self.committer.stage(self.location)
+            updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+            try:
+                if self.committer.versioned:
+                    self.committer.commit(
+                        tmp, self.location, expected_basis=basis
+                    )
+                else:
+                    self.committer.commit(tmp, self.location)
+                return
+            except CommitConflict:
+                if attempt == 4:
+                    raise

@@ -46,6 +46,28 @@ from .fs import LocalFS
 
 MANIFEST = "_MANIFEST"
 
+#: default ``expected_basis``: publish unconditionally (last writer wins) —
+#: the single-flight sync engine's contract (SURVEY D4), where at most one
+#: writer per directory exists by construction
+UNCONDITIONAL = object()
+
+
+class CommitConflict(RuntimeError):
+    """A compare-and-swap commit lost the race: the manifest pointer moved
+    past the writer's ``expected_basis`` between its read and its commit.
+    The staged data was discarded; re-read the store and re-run the op
+    (every maintenance op that uses CAS is idempotent)."""
+
+    def __init__(self, dst_dir: str, expected, actual) -> None:
+        self.dst_dir = dst_dir
+        self.expected = expected
+        self.actual = actual
+        super().__init__(
+            f"commit conflict at {dst_dir}: expected basis "
+            f"{expected!r}, found {actual!r} — another writer committed "
+            "first; re-read and re-run"
+        )
+
 
 def check_backend_layout(dst_dir: str, versioned: bool, fs=None) -> None:
     """Raise when a directory's on-disk layout belongs to the OTHER commit
@@ -99,10 +121,17 @@ class RenameCommitter:
         tmp dir that the commit renames into place."""
         return f"{dst_dir}__tmp_{uuid.uuid4().hex}"
 
-    def commit(self, tmp_dir: str, dst_dir: str) -> None:
+    def commit(
+        self, tmp_dir: str, dst_dir: str, expected_basis=UNCONDITIONAL
+    ) -> None:
         """Swap ``tmp_dir`` into place at ``dst_dir`` via two renames.
         Atomic per rename on POSIX; see class docstring for the (documented)
         gap between them."""
+        if expected_basis is not UNCONDITIONAL:
+            raise NotImplementedError(
+                "the rename backend has no version identity to compare — "
+                "conditional commits need the ManifestCommitter"
+            )
         old = f"{dst_dir}__old_{uuid.uuid4().hex}"
         if os.path.exists(dst_dir):
             os.rename(dst_dir, old)
@@ -126,9 +155,17 @@ class ManifestCommitter:
     name: a pin exempts that version from GC and lets readers resolve it
     later. Pins are what make training runs reproducible — a pipeline pins
     the snapshot it trained on, and re-reads byte-identical input months
-    later regardless of how many syncs have run since. Sequence assignment
-    assumes one writer per directory, which is already the sync engine's
-    single-flight contract (SURVEY D4).
+    later regardless of how many syncs have run since.
+
+    Concurrency: blind writes (a full sync replacing a partition) publish
+    unconditionally — last writer wins, and the sync engine's single-flight
+    contract (SURVEY D4) already serializes those. Read-modify-write ops
+    (compaction, retraction) pass :meth:`current_version` as
+    ``expected_basis`` so the pointer write is a compare-and-swap: a
+    concurrent commit turns into an explicit :class:`CommitConflict`
+    instead of a silent lost update. GC never collects a version that has
+    no commit marker yet until it is ``stage_grace_s`` old — another
+    writer may still be producing data inside it.
     """
 
     versioned = True
@@ -136,7 +173,9 @@ class ManifestCommitter:
     COMMITS = "_commits"
     PIN_PREFIX = "_PIN."
 
-    def __init__(self, keep_versions: int = 1, fs=None):
+    def __init__(
+        self, keep_versions: int = 1, fs=None, stage_grace_s: float = 3600.0
+    ):
         # how many SUPERSEDED versions to retain after a commit (readers
         # mid-scan on the old version keep working; a scheduled GC can
         # shorten this once reads are known to have drained)
@@ -145,6 +184,10 @@ class ManifestCommitter:
         # ..sinks.fs) — an S3/GCS binding is a drop-in; the protocol
         # itself never renames when the write was stage()d in place
         self.fs = fs or LocalFS()
+        # a v_* dir without a commit marker is either an in-flight stage
+        # (another writer, mid-write) or debris from a crash before the
+        # marker write; GC only collects it once it is this old
+        self.stage_grace_s = stage_grace_s
 
     def _manifest_path(self, dst_dir: str) -> str:
         return os.path.join(dst_dir, MANIFEST)
@@ -158,7 +201,20 @@ class ManifestCommitter:
         self.fs.makedirs(dst_dir)
         return os.path.join(dst_dir, f"v_{uuid.uuid4().hex}")
 
-    def commit(self, tmp_dir: str, dst_dir: str) -> None:
+    def commit(
+        self, tmp_dir: str, dst_dir: str, expected_basis=UNCONDITIONAL
+    ) -> None:
+        """Publish the staged version. With the default ``expected_basis``
+        (:data:`UNCONDITIONAL`) the pointer write is a plain PUT — last
+        writer wins, the single-flight contract's mode. Passing a basis
+        (the version string :meth:`current_version` returned before the
+        writer READ the data it is now rewriting, or ``None`` for "nothing
+        committed yet") makes the pointer write a compare-and-swap: if
+        another writer committed in between, the staged version is
+        discarded and :class:`CommitConflict` raised — a read-modify-write
+        (compaction, retraction) can never silently overwrite a concurrent
+        writer's commit. On S3/GCS the CAS is the store's conditional PUT;
+        see :meth:`.fs.LocalFS.put_if`."""
         version = os.path.basename(tmp_dir)
         staged_in_place = version.startswith("v_") and os.path.abspath(
             os.path.dirname(tmp_dir)
@@ -181,8 +237,35 @@ class ManifestCommitter:
         self.fs.put(os.path.join(commits, f"{seq:020d}_{version}"), "")
         # the commit point: one atomic pointer write (a single-key PUT —
         # os.replace under LocalFS, PutObject on an object store)
-        self.fs.put(self._manifest_path(dst_dir), version)
+        manifest = self._manifest_path(dst_dir)
+        if expected_basis is UNCONDITIONAL:
+            self.fs.put(manifest, version)
+        elif not self.fs.put_if(manifest, version, expected_basis):
+            # lost the race: drop the never-published version and its
+            # marker (both invisible to readers), then surface the loss
+            self.fs.rmtree(os.path.join(dst_dir, version))
+            try:
+                self.fs.remove(
+                    os.path.join(commits, f"{seq:020d}_{version}")
+                )
+            except FileNotFoundError:
+                pass
+            raise CommitConflict(
+                dst_dir, expected_basis, self.current_version(dst_dir)
+            )
         self._gc(dst_dir, current=version)
+
+    def current_version(self, dst_dir: str) -> str | None:
+        """The committed version id (``v_…``) the manifest currently points
+        at, or ``None`` when nothing has been committed. Capture this
+        BEFORE reading the data a read-modify-write op will rewrite, and
+        pass it to :meth:`commit` as ``expected_basis`` — any commit that
+        lands in between then raises :class:`CommitConflict` instead of
+        being silently overwritten."""
+        try:
+            return self.fs.read(self._manifest_path(dst_dir)).strip()
+        except FileNotFoundError:
+            return None
 
     def resolve(self, dst_dir: str, version: str | None = None) -> str | None:
         """The physical directory of the current committed version (or of an
@@ -258,6 +341,19 @@ class ManifestCommitter:
         # order (authoritative), mtime as the fallback for dirs committed
         # before markers existed
         seq_of = {v: s for s, v in self._markers(dst_dir)}
+        # a markerless dir younger than the grace window may be another
+        # writer's IN-FLIGHT stage (its marker only appears at commit) —
+        # collecting it would delete data out from under that writer
+        import time  # noqa: PLC0415
+
+        now = time.time()
+        versions = [
+            d
+            for d in versions
+            if d in seq_of
+            or now - self.fs.getmtime(os.path.join(dst_dir, d))
+            >= self.stage_grace_s
+        ]
         versions.sort(
             key=lambda d: (
                 seq_of.get(d, 0),

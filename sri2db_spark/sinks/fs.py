@@ -63,6 +63,65 @@ class LocalFS:
             f.write(data)
         os.replace(tmp, path)
 
+    def put_if(
+        self,
+        path: str,
+        data: str,
+        expected: str | None,
+        lock_timeout_s: float = 10.0,
+        stale_lock_s: float = 60.0,
+    ) -> bool:
+        """Conditional single-key PUT (compare-and-swap): publish ``data``
+        at ``path`` iff the current content equals ``expected`` (``None``
+        = the key must not exist). Returns ``True`` on success, ``False``
+        when the precondition failed — the caller lost a race and must
+        re-read before retrying.
+
+        On a real object store this IS one server-side primitive — S3
+        conditional writes (``If-Match``/``If-None-Match`` on PutObject),
+        GCS ``if-generation-match`` — with no extra object involved. The
+        local emulation brackets read-check-replace with an ``O_EXCL``
+        lock file; note that create-if-absent + delete is itself
+        expressible as ``If-None-Match: *`` PUTs, so even the emulation
+        strategy ports to stores that only offer the ``None`` flavor. A
+        lock left by a crashed holder is stolen after ``stale_lock_s``.
+        """
+        import time  # noqa: PLC0415
+
+        lock = path + ".cas_lock"
+        deadline = time.monotonic() + lock_timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_lock_s:
+                        os.remove(lock)  # crashed holder — steal
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"CAS lock contention on {lock}"
+                    ) from None
+                time.sleep(0.01)
+        try:
+            try:
+                current: str | None = self.read(path)
+            except FileNotFoundError:
+                current = None
+            if current != expected:
+                return False
+            self.put(path, data)
+            return True
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
     def read(self, path: str) -> str:
         """Contents of a small object; FileNotFoundError when absent."""
         with open(path) as f:
@@ -155,6 +214,25 @@ class FsspecFS:
     def put(self, path: str, data: str) -> None:
         with self._fs.open(path, "w") as f:
             f.write(data)
+
+    def put_if(self, path: str, data: str, expected: str | None) -> bool:
+        """Best-effort CAS over generic fsspec: read-check-put WITHOUT a
+        server-side precondition, because ``AbstractFileSystem`` exposes
+        none. This catches stale-basis writers (the common lost-update
+        case) but two writers racing inside the check-put window can both
+        succeed — a production S3/GCS binding must override this with the
+        store's conditional write (S3 ``If-Match``/``If-None-Match`` PUT,
+        GCS ``if-generation-match``), which closes the window server-side.
+        """
+        try:
+            with self._fs.open(path, "r") as f:
+                current: str | None = f.read()
+        except FileNotFoundError:
+            current = None
+        if current != expected:
+            return False
+        self.put(path, data)
+        return True
 
     def read(self, path: str) -> str:
         with self._fs.open(path, "r") as f:

@@ -437,7 +437,15 @@ class LakeTable:
         df = self.spark.read.parquet(physical).coalesce(int(n_out))
         tmp = self.committer.stage(part_dir)
         df.write.mode("overwrite").parquet(tmp)
-        self.committer.commit(tmp, part_dir)
+        if self.committer.versioned:
+            # read-modify-write: CAS on the version we compacted, so a
+            # sync that replaced this partition mid-compaction wins and
+            # we raise CommitConflict instead of resurrecting old rows
+            self.committer.commit(
+                tmp, part_dir, expected_basis=os.path.basename(physical)
+            )
+        else:
+            self.committer.commit(tmp, part_dir)
         after_dir = self.committer.resolve(part_dir)
         files_after = len(
             [f for f in os.listdir(after_dir) if f.endswith(".parquet")]

@@ -629,3 +629,108 @@ def test_lake_partition_pruning_on_manifest_backend(spark, tmp_path):
     assert table.read_partition(BASEURL, "/a").count() == 3
     assert table.read_partition(BASEURL, "/b").count() == 2
     assert table.read_partition(BASEURL, "/none").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# compare-and-swap commits (concurrent writers)
+
+
+def _stage_payload(c, dst, content):
+    """Stage a version in place and drop one data file into it."""
+    v = c.stage(dst)
+    os.makedirs(v, exist_ok=True)
+    with open(os.path.join(v, "a.parquet"), "w") as f:
+        f.write(content)
+    return v
+
+
+@pytest.mark.parametrize("fs_cls", ["local", "objectstore"])
+def test_cas_commit_conflict_preserves_winner_and_retry_converges(
+    tmp_path, fs_cls
+):
+    """Two writers read the same basis and race their commits: the loser
+    gets CommitConflict (its staged version and marker discarded), the
+    winner's data stays current, and the loser's retry on the fresh basis
+    succeeds. This is the lost-update protection for read-modify-write
+    maintenance ops (compaction, retraction racing each other)."""
+    from sri2db_spark.sinks.committer import CommitConflict
+    from sri2db_spark.sinks.fs import LocalFS, ObjectStoreFS
+
+    fs = {"local": LocalFS, "objectstore": ObjectStoreFS}[fs_cls]()
+    c = ManifestCommitter(fs=fs)
+    dst = str(tmp_path / "store")
+    c.commit(_stage_payload(c, dst, "v0"), dst)
+
+    basis = c.current_version(dst)
+    a = _stage_payload(c, dst, "A")
+    b = _stage_payload(c, dst, "B")
+    c.commit(a, dst, expected_basis=basis)  # writer A wins
+    with pytest.raises(CommitConflict):
+        c.commit(b, dst, expected_basis=basis)  # writer B lost the race
+    # winner preserved, loser's staged version gone
+    phys = c.resolve(dst)
+    assert open(os.path.join(phys, "a.parquet")).read() == "A"
+    assert not os.path.isdir(b)
+    # loser retries against the new basis: read-modify-write converges
+    b2 = _stage_payload(c, dst, "B2")
+    c.commit(b2, dst, expected_basis=c.current_version(dst))
+    assert open(os.path.join(c.resolve(dst), "a.parquet")).read() == "B2"
+
+
+def test_cas_first_commit_expects_absent_pointer(tmp_path):
+    """expected_basis=None means 'nothing committed yet': it succeeds on a
+    fresh store and conflicts when someone else committed first."""
+    from sri2db_spark.sinks.committer import CommitConflict
+
+    c = ManifestCommitter()
+    dst = str(tmp_path / "store")
+    c.commit(_stage_payload(c, dst, "first"), dst, expected_basis=None)
+    assert open(os.path.join(c.resolve(dst), "a.parquet")).read() == "first"
+    with pytest.raises(CommitConflict):
+        c.commit(_stage_payload(c, dst, "late"), dst, expected_basis=None)
+    assert open(os.path.join(c.resolve(dst), "a.parquet")).read() == "first"
+
+
+def test_gc_spares_inflight_unmarked_stage(tmp_path):
+    """A markerless v_* dir younger than stage_grace_s may be another
+    writer's in-flight stage — commits (and their GC) must not collect it.
+    With the grace elapsed (stage_grace_s=0 here), it is debris and goes."""
+    c = ManifestCommitter(keep_versions=0)
+    dst = str(tmp_path / "store")
+    inflight = c.stage(dst)
+    os.makedirs(inflight, exist_ok=True)
+    with open(os.path.join(inflight, "partial.parquet"), "w") as f:
+        f.write("still being written")
+    for i in range(3):
+        c.commit(_stage_payload(c, dst, f"v{i}"), dst)
+    assert os.path.isdir(inflight)  # survived three GC passes
+    impatient = ManifestCommitter(keep_versions=0, stage_grace_s=0.0)
+    impatient.commit(_stage_payload(impatient, dst, "sweep"), dst)
+    assert not os.path.isdir(inflight)  # grace elapsed -> debris collected
+
+
+def test_put_if_steals_stale_lock(tmp_path):
+    """A CAS lock left by a crashed holder must not wedge the store: a lock
+    older than stale_lock_s is stolen and the put proceeds."""
+    from sri2db_spark.sinks.fs import LocalFS
+
+    import time
+
+    fs = LocalFS()
+    path = str(tmp_path / "obj")
+    fs.put(path, "v1")
+    lock = path + ".cas_lock"
+    with open(lock, "w"):
+        pass
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    assert fs.put_if(path, "v2", "v1", stale_lock_s=60.0) is True
+    assert fs.read(path) == "v2"
+    assert not os.path.exists(lock)
+
+
+def test_rename_backend_rejects_conditional_commit(tmp_path):
+    c = RenameCommitter()
+    tmp = _write_dir(tmp_path / "t", {"a.parquet": "x"})
+    with pytest.raises(NotImplementedError):
+        c.commit(tmp, str(tmp_path / "dst"), expected_basis="v_x")

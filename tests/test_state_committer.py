@@ -376,3 +376,87 @@ def test_compaction_fences_stale_flat_files_from_remigration(
         r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
     }
     assert got == {1, 2}
+
+
+def test_concurrent_maintenance_conflicts_instead_of_lost_update(
+    spark, tmp_path, monkeypatch
+):
+    """Two read-modify-write maintenance ops racing the same store: the
+    compaction captures its basis, then a retraction commits the corpus
+    from under it. The compaction's commit must raise CommitConflict —
+    NOT silently republish the pre-retraction rows (which would undo a
+    right-to-be-forgotten deletion). A re-run compacts the new state."""
+    from sri2db_spark.sinks.committer import CommitConflict
+
+    mc = ManifestCommitter()
+    state = str(tmp_path / "race")
+    seed = spark.createDataFrame(
+        [(1, NAT, "en"), (2, NAT2, "en"), (10, NAT3, "en")], SCHEMA
+    )
+    P.init_curation_state(seed, state, committer=mc)
+
+    fired = [False]
+    orig_stage = mc.stage
+
+    def sneaky(dst):
+        # between the compaction's basis capture and its commit, a
+        # concurrent retraction rewrites the corpus
+        if dst.endswith("/corpus") and not fired[0]:
+            fired[0] = True
+            P.retract_from_state(spark, state, [10], committer=ManifestCommitter())
+        return orig_stage(dst)
+
+    monkeypatch.setattr(mc, "stage", sneaky)
+    with pytest.raises(CommitConflict):
+        P.compact_curation_state(spark, state, committer=mc)
+    monkeypatch.undo()
+
+    # the retraction's result is preserved — the lost update did not happen
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2}
+    # re-run compacts the post-retraction state cleanly
+    P.compact_curation_state(spark, state, committer=mc)
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2}
+
+
+def test_watermark_upsert_retries_past_concurrent_commit(spark, tmp_path):
+    """The watermark-store upsert on the manifest backend is CAS-protected
+    against writers in OTHER drivers (the in-process lock cannot see
+    them): a conflicting commit between its read and its commit makes it
+    re-read and re-apply instead of silently clobbering — and the
+    concurrent writer's row survives."""
+    from sri2db_spark.operators.watermark import WatermarkStore
+    from sri2db_spark.sinks.committer import ManifestCommitter as MC
+
+    loc = str(tmp_path / "synctimes")
+    store_a = WatermarkStore(spark, loc, committer=MC())
+    store_a.put("t", "http://a", "/r", "FULL", 1000, 2000)
+
+    # simulate another driver committing between store_a's basis capture
+    # and its commit: hook current_version to fire a competing upsert once
+    mc = store_a.committer
+    orig_cv = mc.current_version
+    fired = [False]
+
+    def hooked(dst):
+        basis = orig_cv(dst)
+        if not fired[0]:
+            fired[0] = True
+            other = WatermarkStore(spark, loc, committer=MC())
+            # _put_locked directly: a writer in another DRIVER would not
+            # share this process's location lock (calling put() here would
+            # self-deadlock on it, which is exactly the point)
+            other._put_locked("t", "http://b", "/r", "FULL", 5000, 6000)
+        return basis
+
+    mc.current_version = hooked
+    store_a.put("t", "http://a", "/r", "FULL", 3000, 4000)  # retries inside
+    mc.current_version = orig_cv
+
+    assert store_a.get("t", "http://a", "/r", "FULL") == (3000, 4000)
+    assert store_a.get("t", "http://b", "/r", "FULL") == (5000, 6000)
