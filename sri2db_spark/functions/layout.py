@@ -30,11 +30,17 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "corpus_shuffle",
+    "read_skipping",
     "shard_assign",
     "shard_manifest",
+    "write_zordered",
     "zorder_key",
     "zorder_repartition",
 ]
+
+#: per-file min/max stats sidecar inside a written (or committed-version)
+#: directory; `_`-prefixed so Spark's parquet reader ignores it
+FILE_STATS = "_FILE_STATS.json"
 
 
 def _md5_bucket(col: F.Column, modulus: int) -> F.Column:
@@ -161,3 +167,141 @@ def zorder_repartition(
     consumer shouldn't see it."""
     keyed, _ = zorder_key(df, cols, bits=bits)
     return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")
+
+
+def _file_basename(uri: str) -> str:
+    """Basename of ``input_file_name()``'s URI (strips scheme + dirs)."""
+    from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
+    return unquote(urlparse(uri).path).rsplit("/", 1)[-1]
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    committer=None,
+) -> dict:
+    """Z-order-cluster ``df`` on ``cols``, write it, and publish per-file
+    min/max stats (``_FILE_STATS.json``) alongside the data — the
+    file-level data-skipping index lakehouse formats keep in their
+    metadata layer.
+
+    Parquet footers already give min/max per file, but at 100 TB a table
+    is 10⁵+ files and *planning* a range scan means 10⁵ footer GETs
+    against the object store before a single row is read. One stats
+    object read by the driver replaces all of them:
+    :func:`read_skipping` hands Spark only the files whose stat ranges
+    overlap the predicate. Z-order clustering is what makes those ranges
+    tight on every listed column at once.
+
+    With a versioned ``committer`` the data and its stats are staged in
+    one version directory and published by the ONE atomic pointer write —
+    a reader never sees data without its stats or stats for other data.
+    Returns ``{filename: {col: [min, max]}}``.
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    clustered = zorder_repartition(df, cols, n_files, bits=bits).drop("zkey")
+    versioned = committer is not None and committer.versioned
+    target = committer.stage(path) if versioned else path
+    clustered.write.mode("overwrite").parquet(target)
+    spark = df.sparkSession
+    rows = (
+        spark.read.parquet(target)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            *[
+                f
+                for c in cols
+                for f in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
+            ]
+        )
+        .collect()
+    )  # one row per FILE (n_files-scale), driver-safe at any data size
+    stats = {
+        _file_basename(r["file"]): {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols
+        }
+        for r in rows
+    }
+    fs = committer.fs if committer is not None else LocalFS()
+    fs.put(
+        os.path.join(target, FILE_STATS),
+        json.dumps({"cols": cols, "files": stats}, sort_keys=True),
+    )
+    if versioned:
+        committer.commit(target, path)
+    return stats
+
+
+def read_skipping(
+    spark, path: str, ranges: dict, committer=None
+) -> DataFrame:
+    """Range scan over a :func:`write_zordered` directory that feeds Spark
+    ONLY the files whose published min/max overlap every predicate.
+
+    ``ranges`` maps column → ``(lo, hi)`` (either bound may be ``None``).
+    The residual filter is always applied, so the result is exactly
+    ``read(path).filter(...)`` — the stats only cut the file list. A
+    directory without stats falls back to the full scan (correct, just
+    unpruned); a file whose stats are all-``None`` for a ranged column
+    holds only nulls there and is pruned (range predicates never match
+    null). Stats live with the committed version when a ``committer`` is
+    given, so a compaction/rewrite that republished the data republished
+    its stats with it.
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    base = (
+        committer.resolve(path)
+        if committer is not None and committer.versioned
+        else path
+    )
+    if base is None:
+        raise FileNotFoundError(f"nothing committed at {path}")
+    residual = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            residual = residual & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            residual = residual & (F.col(c) <= F.lit(hi))
+    fs = committer.fs if committer is not None else LocalFS()
+    try:
+        meta = json.loads(fs.read(os.path.join(base, FILE_STATS)))
+    except FileNotFoundError:
+        return spark.read.parquet(base).filter(residual)
+
+    def _overlaps(st: dict) -> bool:
+        for c, (lo, hi) in ranges.items():
+            if c not in st:
+                continue  # no stats for this column -> cannot prune on it
+            fmin, fmax = st[c]
+            if fmin is None or fmax is None:
+                return False  # only nulls in this file's column
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        return True
+
+    names = sorted(meta["files"])
+    if not names:  # stats for an empty write: nothing to prune or read
+        return spark.read.parquet(base).filter(residual)
+    keep = [n for n in names if _overlaps(meta["files"][n])]
+    if not keep:
+        # schema-preserving empty result: scan one file, match nothing
+        return spark.read.parquet(os.path.join(base, names[0])).filter(
+            F.lit(False)
+        )
+    return spark.read.parquet(
+        *[os.path.join(base, n) for n in keep]
+    ).filter(residual)

@@ -1876,6 +1876,38 @@ def q_zorder_events(spark, sf):
     return keyed.select("event_id", "zkey")
 
 
+def q_zorder_pruned_scan(spark, sf):
+    """File-level data skipping over a Z-ordered write: cluster events on
+    (user_id, ts_ms), publish per-file min/max stats with the data, and
+    answer a 2-D range predicate by scanning ONLY the overlapping files —
+    the lakehouse metadata-layer scan plan (one stats object read instead
+    of 10⁵ parquet-footer GETs at 100 TB). Values are identical to a plain
+    filtered scan, which is exactly what the oracle runs."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.layout import read_skipping, write_zordered  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", ns_to_ms().alias("ts_ms")
+    )
+    tmp = tempfile.mkdtemp(prefix="zskip_")
+    try:
+        write_zordered(ev, tmp, ["user_id", "ts_ms"], n_files=8)
+        out = read_skipping(
+            spark,
+            tmp,
+            {
+                "user_id": (3, 7),
+                "ts_ms": (1704500000000, 1705500000000),
+            },
+        ).select("event_id", "user_id", "ts_ms")
+        # materialize before the temp directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness runner executes entries in
     # dict order under a global time budget (round 3 graded only the first
@@ -1964,6 +1996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "corpus_shuffle": q_corpus_shuffle,
     "zorder_events": q_zorder_events,
+    "zorder_pruned_scan": q_zorder_pruned_scan,
     # remaining events / time-series / stats
     "events_hourly": q_events_hourly,
     "events_funnel": q_events_funnel,

@@ -1988,6 +1988,15 @@ ORACLES: dict[str, str] = {
                  PARTITION BY substr(skey, 1, 1) ORDER BY skey, doc_id) AS pos
         FROM k
     """,
+    # File-level data skipping only changes WHICH files Spark opens — the
+    # result is a plain 2-D range scan, which is the whole correctness
+    # contract of the stats-pruned read.
+    "zorder_pruned_scan": """
+        SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms
+        FROM events
+        WHERE user_id BETWEEN 3 AND 7
+          AND epoch_ns(ts) // 1000000 BETWEEN 1704500000000 AND 1705500000000
+    """,
     # Bit-for-bit replay of the Morton interleave: the same integer-exact
     # bucketing ((x - min) // width, width = span // 2^16 + 1) then bit j of
     # user_id to position 2j+1 and of ts_ms to 2j.

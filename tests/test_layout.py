@@ -201,3 +201,105 @@ def test_zorder_write_skips_files_on_both_dimensions(spark):
         # each file should still cover well under the full span of each.
         assert avg_u < g["uspan"] * 0.7
         assert avg_t < g["tspan"] * 0.7
+
+
+# ---------------------------------------------------------------------------
+# file-level data skipping (write_zordered / read_skipping)
+
+
+def _events_ms(spark):
+    return _t(spark, SF, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+
+
+def test_read_skipping_matches_full_filtered_scan(spark):
+    """Stats pruning only changes which files are OPENED — row-for-row the
+    result equals a plain filtered scan of everything."""
+    from sri2db_spark.functions.layout import read_skipping, write_zordered
+
+    ev = _events_ms(spark)
+    ranges = {"user_id": (3, 9), "ts_ms": (1704500000000, 1705800000000)}
+    with tempfile.TemporaryDirectory(prefix="zskip_") as tmp:
+        path = os.path.join(tmp, "ev")
+        write_zordered(ev, path, ["user_id", "ts_ms"], n_files=8)
+        got = {
+            tuple(r)
+            for r in read_skipping(spark, path, ranges)
+            .select("event_id", "user_id", "ts_ms")
+            .collect()
+        }
+    want = {
+        tuple(r)
+        for r in ev.filter(
+            F.col("user_id").between(3, 9)
+            & F.col("ts_ms").between(1704500000000, 1705800000000)
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_read_skipping_actually_prunes_files(spark):
+    """The scale contract: a narrow 2-D range over a Z-ordered write must
+    hand Spark a strict subset of the files (inputFiles), and an
+    out-of-range predicate must scan at most one (schema-keeper) file."""
+    from sri2db_spark.functions.layout import read_skipping, write_zordered
+
+    ev = _events_ms(spark)
+    with tempfile.TemporaryDirectory(prefix="zprune_") as tmp:
+        path = os.path.join(tmp, "ev")
+        stats = write_zordered(ev, path, ["user_id", "ts_ms"], n_files=8)
+        n_total = len(stats)
+        assert n_total >= 4  # the clustering really produced several files
+        narrow = read_skipping(
+            spark, path, {"user_id": (0, 2), "ts_ms": (1704500000000, 1704600000000)}
+        )
+        assert 0 < len(narrow.inputFiles()) < n_total
+        # degenerate range below every file's min: zero data files needed
+        nothing = read_skipping(spark, path, {"user_id": (-100, -50)})
+        assert len(nothing.inputFiles()) <= 1  # schema-keeper only
+        assert nothing.count() == 0
+        assert nothing.columns == narrow.columns
+
+
+def test_read_skipping_without_stats_falls_back_to_full_scan(spark):
+    from sri2db_spark.functions.layout import read_skipping
+
+    ev = _events_ms(spark)
+    with tempfile.TemporaryDirectory(prefix="znostat_") as tmp:
+        path = os.path.join(tmp, "ev")
+        ev.write.mode("overwrite").parquet(path)  # no stats sidecar
+        got = read_skipping(spark, path, {"user_id": (3, 5)})
+        assert got.count() == ev.filter(F.col("user_id").between(3, 5)).count()
+
+
+def test_write_zordered_publishes_stats_atomically_with_committer(spark, tmp_path):
+    """On the manifest backend, data + stats are one committed version: a
+    reader resolves both together, and a rewrite supersedes both together."""
+    from sri2db_spark.functions.layout import (
+        FILE_STATS,
+        read_skipping,
+        write_zordered,
+    )
+    from sri2db_spark.sinks.committer import ManifestCommitter
+
+    mc = ManifestCommitter()
+    ev = _events_ms(spark)
+    path = str(tmp_path / "zv")
+    write_zordered(ev, path, ["user_id", "ts_ms"], n_files=4, committer=mc)
+    phys = mc.resolve(path)
+    assert os.path.exists(os.path.join(phys, FILE_STATS))
+    ranges = {"user_id": (3, 9), "ts_ms": (1704500000000, 1705800000000)}
+    got = read_skipping(spark, path, ranges, committer=mc)
+    want = ev.filter(
+        F.col("user_id").between(3, 9)
+        & F.col("ts_ms").between(1704500000000, 1705800000000)
+    )
+    assert got.count() == want.count() > 0
+    # rewrite with HALF the data: new version's stats rule the read
+    write_zordered(
+        ev.filter(F.col("user_id") < 5), path,
+        ["user_id", "ts_ms"], n_files=4, committer=mc,
+    )
+    got2 = read_skipping(spark, path, {"user_id": (0, 100)}, committer=mc)
+    assert got2.count() == ev.filter(F.col("user_id") < 5).count()
