@@ -207,6 +207,19 @@ def write_zordered(
 
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
+    # validate BEFORE the (destructive, mode=overwrite) write: stats
+    # min/max must be JSON-serializable and comparable to the plain
+    # numbers/strings read_skipping's ranges carry — timestamp/date/
+    # decimal/binary columns would either crash json.dumps after the data
+    # was already replaced or compare inconsistently at read time
+    allowed = {"byte", "short", "int", "bigint", "float", "double", "string"}
+    for c, t in df.select(cols).dtypes:
+        if t not in allowed:
+            raise TypeError(
+                f"write_zordered stats column {c!r} has type {t}; cast it "
+                "to a numeric/string first (e.g. a timestamp to epoch ms: "
+                f"F.expr('{c} div 1000000'))"
+            )
     clustered = zorder_repartition(df, cols, n_files, bits=bits).drop("zkey")
     versioned = committer is not None and committer.versioned
     target = committer.stage(path) if versioned else path
@@ -282,6 +295,9 @@ def read_skipping(
 
     def _overlaps(st: dict) -> bool:
         for c, (lo, hi) in ranges.items():
+            if lo is None and hi is None:
+                continue  # unbounded range constrains nothing (and its
+                # residual keeps null rows, so all-null files must stay)
             if c not in st:
                 continue  # no stats for this column -> cannot prune on it
             fmin, fmax = st[c]

@@ -357,15 +357,12 @@ def compact_curation_state(
 
     from .statestore import FOLDED_MARKER, list_store_files  # noqa: PLC0415
 
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
     versioned = committer is not None and committer.versioned
 
     def _count_files(path: str) -> int:
-        return sum(
-            1
-            for _, _, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        return len(LocalFS().walk_files(path))
 
     report: dict[str, tuple[int, int]] = {}
     for sub, keys in (("hashes", ["h"]), ("sigs", ["id"]), ("corpus", ["id"])):
@@ -390,7 +387,12 @@ def compact_curation_state(
             # folded into it (a prior maintenance op crashed before its
             # cleanup): their rows are superseded — a retraction may have
             # REMOVED some of them — so they must be deleted, never
-            # re-merged, and they are not live replay candidates either
+            # re-merged, and they are not live replay candidates either.
+            # Fencing is by exact FILE name (Spark part files carry a
+            # per-job uuid): a dir is stale only when every parquet file
+            # in it was folded — a checkpoint-reset batch that reuses a
+            # fenced dir NAME has fresh file names and stays live. Legacy
+            # bare-dir entries keep the old mtime guard.
             base = committer.resolve(path, basis)
             prior_folded: set[str] = set()
             marker_mtime = 0.0
@@ -399,11 +401,18 @@ def compact_curation_state(
                 if fs.exists(marker):
                     prior_folded = set(fs.read(marker).splitlines())
                     marker_mtime = fs.getmtime(marker)
-            stale = {
-                n
-                for n, mt in batch_dirs
-                if n in prior_folded and mt <= marker_mtime
-            }
+            fence_by_dir, fence_flat, fence_legacy = _parse_fence(prior_folded)
+
+            def _dir_is_stale(n: str, mt: float) -> bool:
+                if n in fence_legacy and mt <= marker_mtime:
+                    return True
+                inside = {
+                    os.path.basename(f)
+                    for f in fs.walk_files(os.path.join(path, n))
+                }
+                return bool(inside) and inside <= fence_by_dir.get(n, set())
+
+            stale = {n for n, mt in batch_dirs if _dir_is_stale(n, mt)}
             batch_dirs = [(n, mt) for n, mt in batch_dirs if n not in stale]
         else:
             batch_dirs = [
@@ -426,12 +435,10 @@ def compact_curation_state(
             # the fence covers root flat files too: a flat file the
             # CURRENT base's marker lists was already folded by a prior
             # (crashed) rewrite — its rows are superseded, possibly by a
-            # retraction, so it must be deleted, never re-merged
+            # retraction, so it must be deleted, never re-merged (exact
+            # name match; flat part files are uuid-named and never recur)
             stale_flat = [
-                f
-                for f in flat_all
-                if os.path.basename(f) in prior_folded
-                and fs.getmtime(f) <= marker_mtime
+                f for f in flat_all if os.path.basename(f) in fence_flat
             ]
             flat = [f for f in flat_all if f not in set(stale_flat)]
             files = list(flat)
@@ -451,15 +458,24 @@ def compact_curation_state(
             n_out = max(1, df.rdd.getNumPartitions() // 8)
             tmp = committer.stage(path)
             df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-            # stale names carry forward: if OUR cleanup also crashes, the
-            # new base still fences them off from reads
+            # stale entries carry forward: if OUR cleanup also crashes,
+            # the new base still fences them off from reads
+            still_flat = {os.path.basename(f) for f in stale_flat}
+            carried = sorted(
+                e
+                for e in prior_folded
+                if e.split("/", 1)[0] in stale or e in still_flat
+            )
             _write_folded_marker(
                 fs,
                 tmp,
-                [os.path.basename(f) for f in flat]
-                + [os.path.basename(d) for d in folded_dirs]
-                + sorted(stale)
-                + sorted(os.path.basename(f) for f in stale_flat),
+                _fold_file_entries(
+                    fs,
+                    path,
+                    [os.path.basename(f) for f in flat]
+                    + [os.path.basename(d) for d in folded_dirs],
+                )
+                + carried,
             )
             committer.commit(tmp, path, expected_basis=basis)
             # post-commit cleanup; a crash here leaves garbage dirs that
@@ -538,16 +554,12 @@ def compact_batch_output(
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
     if not os.path.isdir(out_dir):
         return (0, 0)
 
-    def _parquet_under(d: str) -> list[str]:
-        return [
-            os.path.join(root, f)
-            for root, _dirs, fnames in os.walk(d)
-            for f in fnames
-            if f.endswith(".parquet")
-        ]
+    _parquet_under = LocalFS().walk_files
 
     entries = list(os.scandir(out_dir))
     flat = [e.path for e in entries if e.is_file() and e.name.endswith(".parquet")]
@@ -578,7 +590,9 @@ def compact_batch_output(
     if not files:
         return (n_total, n_total)
     tokens = [t for t in (_numeric(n) for n, _ in batch_dirs) if t is not None]
-    new_token = min(0, *tokens) - 1
+    # the [0, ...] floor also covers a legacy dir holding ONLY flat root
+    # files (no batch_id=* subdirs): the fold then lands at batch_id=-1
+    new_token = min([0, *tokens]) - 1
     df = spark.read.parquet(*files)
     if keys:
         df = df.dropDuplicates(keys)
@@ -595,16 +609,59 @@ def compact_batch_output(
 
 
 def _write_folded_marker(fs, version_dir: str, folded: list[str]) -> None:
-    """Record which sibling appends this staged version folded. The marker
-    is part of the immutable version directory, so the atomic pointer
-    commit publishes the fold-set together with the base — readers
-    (:func:`~.statestore.list_store_files`) exclude the listed appends
-    even if a crash before the post-commit cleanup left them on disk."""
+    """Record what this staged version folded. The marker is part of the
+    immutable version directory, so the atomic pointer commit publishes the
+    fold-set together with the base — readers
+    (:func:`~.statestore.list_store_files`) exclude the listed entries even
+    if a crash before the post-commit cleanup left them on disk.
+
+    Entries are individual data FILES (``batch_id=N/part-….parquet`` for
+    appends, bare ``part-….parquet`` for root flat files). Spark part-file
+    names carry a per-job UUID, so exclusion by exact path is airtight:
+    a checkpoint-reset batch that reuses a fenced DIRECTORY name writes
+    new file names and stays fully visible — no mtime-granularity window
+    (coarse object-store timestamps made ordering-based fencing unsafe).
+    Bare ``batch_id=N`` directory entries from markers written by older
+    versions are still honored, mtime-guarded as before."""
     import os  # noqa: PLC0415
 
     from .statestore import FOLDED_MARKER  # noqa: PLC0415
 
     fs.put(os.path.join(version_dir, FOLDED_MARKER), "\n".join(sorted(folded)))
+
+
+def _fold_file_entries(fs, path: str, names: list[str]) -> list[str]:
+    """Expand fold-source NAMES (``batch_id=*`` dir names and flat file
+    basenames under ``path``) into per-file marker entries."""
+    import os  # noqa: PLC0415
+
+    entries: list[str] = []
+    for n in names:
+        full = os.path.join(path, n)
+        if fs.isdir(full):
+            entries += [
+                f"{n}/{os.path.basename(f)}" for f in fs.walk_files(full)
+            ]
+        else:
+            entries.append(n)
+    return entries
+
+
+def _parse_fence(prior: set[str]):
+    """Split marker entries into (files-per-dir, flat file names, legacy
+    dir names). See :func:`_write_folded_marker` for the entry forms."""
+    by_dir: dict[str, set[str]] = {}
+    flat: set[str] = set()
+    legacy_dirs: set[str] = set()
+    for e in prior:
+        if "/" in e:
+            d, f = e.split("/", 1)
+            by_dir.setdefault(d, set()).add(f)
+        elif e.endswith(".parquet"):
+            flat.add(e)
+        elif e:
+            legacy_dirs.add(e)
+    return by_dir, flat, legacy_dirs
 
 
 def _commit_state_rewrite(df: DataFrame, committer, path: str, basis) -> None:
@@ -637,7 +694,7 @@ def _commit_state_rewrite(df: DataFrame, committer, path: str, basis) -> None:
         ]
     tmp = committer.stage(path)
     df.write.mode("overwrite").parquet(tmp)
-    _write_folded_marker(fs, tmp, folded)
+    _write_folded_marker(fs, tmp, _fold_file_entries(fs, path, folded))
     committer.commit(tmp, path, expected_basis=basis)
     for n in folded:
         full = os.path.join(path, n)

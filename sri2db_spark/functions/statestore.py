@@ -47,8 +47,9 @@ import os
 from pyspark.sql import DataFrame
 
 
-#: marker file inside a committed state version listing the batch_id=* /
-#: flat-file names whose rows it folded; `_`-prefixed so Spark's parquet
+#: marker file inside a committed state version listing the data FILES
+#: (``batch_id=N/part-….parquet`` appends, bare ``part-….parquet`` root
+#: flat files) whose rows it folded; `_`-prefixed so Spark's parquet
 #: reader ignores it alongside the data files
 FOLDED_MARKER = "_FOLDED"
 
@@ -61,14 +62,16 @@ def store_batch_path(path: str, token) -> str:
 def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:
     """File list of a committer-managed store: the committed base version
     (resolved through the manifest pointer) plus every ``batch_id=*``
-    append directory except the excluded token's — and except appends the
+    append directory except the excluded token's — and except files the
     base's ``_FOLDED`` marker records as already folded into it (a crash
-    between a maintenance commit and its cleanup leaves such dirs on disk;
+    between a maintenance commit and its cleanup leaves them on disk;
     without the exclusion a retraction's removed rows would transiently
-    resurface from them). The exclusion is mtime-guarded: a FRESH append
-    that merely reuses a folded name (checkpoint reset restarting batch
-    ids over a reused state dir) is newer than the marker and stays
-    visible."""
+    resurface from them). Fencing is by exact FILE name (Spark part files
+    are uuid-named), so a FRESH append that merely reuses a folded
+    directory name (checkpoint reset restarting batch ids over a reused
+    state dir) stays fully visible regardless of filesystem timestamp
+    granularity. Bare-directory entries written by older markers keep
+    their original mtime guard."""
     from ..sinks.committer import check_backend_layout  # noqa: PLC0415
 
     fs = committer.fs
@@ -90,6 +93,9 @@ def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:
         if fs.exists(marker):
             folded = set(fs.read(marker).splitlines())
             marker_mtime = fs.getmtime(marker)
+    legacy_dirs = {
+        e for e in folded if "/" not in e and not e.endswith(".parquet")
+    }
     for name in fs.listdir(path):
         if not name.startswith("batch_id="):
             continue
@@ -98,9 +104,13 @@ def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:
         sub = os.path.join(path, name)
         if not fs.isdir(sub):
             continue
-        if name in folded and fs.getmtime(sub) <= marker_mtime:
+        if name in legacy_dirs and fs.getmtime(sub) <= marker_mtime:
             continue  # superseded append awaiting cleanup — already in base
-        files += fs.walk_files(sub)
+        files += [
+            f
+            for f in fs.walk_files(sub)
+            if f"{name}/{os.path.basename(f)}" not in folded
+        ]
     return files
 
 

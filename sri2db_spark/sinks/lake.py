@@ -28,7 +28,6 @@ the same idea as those formats' transaction logs, minimized.)
 from __future__ import annotations
 
 import os
-import urllib.parse
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,12 +39,47 @@ HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _encode(value: str | None) -> str:
-    return HIVE_DEFAULT if value is None else urllib.parse.quote(value, safe="")
+    """Hive-style partition-value escaping, matching what Spark's
+    ``unescapePathName`` inverts: ``%XX`` encodes a single CHARACTER's
+    code point, so only ASCII specials are escaped and non-ASCII
+    characters stay raw in the directory name. ``urllib.parse.quote``
+    (UTF-8 BYTE escaping) would round-trip through our own ``_decode``
+    but NOT through Spark's per-char decoder — a multi-path scan would
+    then hand back mojibake partition values (é → Ã©)."""
+    if value is None:
+        return HIVE_DEFAULT
+    # safe set matches urllib's always-safe ASCII (alnum + "-_.~") so
+    # pure-ASCII values encode byte-identically to directories written by
+    # earlier releases (which used quote(safe="")) — only non-ASCII values
+    # change layout, and those never round-tripped before
+    return "".join(
+        ch
+        if ord(ch) > 0x7F or ch.isalnum() or ch in "-_.~"
+        else f"%{ord(ch):02X}"
+        for ch in value
+    )
 
 
 def _decode(segment: str) -> str | None:
     value = segment.split("=", 1)[1]
-    return None if value == HIVE_DEFAULT else urllib.parse.unquote(value)
+    if value == HIVE_DEFAULT:
+        return None
+    # inverse of _encode: every %XX is one ASCII char; raw non-ASCII
+    # passes through (errors="strict" would also work — _encode never
+    # emits byte sequences — but unquote assumes UTF-8 bytes, so decode
+    # per-char exactly like Spark's unescapePathName)
+    out = []
+    i = 0
+    while i < len(value):
+        ch = value[i]
+        nxt = value[i + 1 : i + 3]
+        if ch == "%" and len(nxt) == 2 and all(c in "0123456789abcdefABCDEF" for c in nxt):
+            out.append(chr(int(nxt, 16)))
+            i += 3
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 @dataclass

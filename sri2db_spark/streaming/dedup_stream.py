@@ -54,6 +54,29 @@ def stream_exact_dedup_global(stream: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _check_no_root_flat(*dirs: str) -> None:
+    """Refuse to start a batch-id-addressed stream over an output directory
+    that still holds flat parquet at its ROOT (the pre-batch-addressed
+    append layout): ``spark.read.parquet(dir)`` over such a mix returns
+    ONLY the root files and silently drops every ``batch_id=*`` row, so
+    new survivors would be invisible to the documented read. Migrate the
+    legacy files first (``sri2db_spark output-compact --dir <dir>`` folds
+    them into a batch-addressed base), then restart the stream."""
+    import os  # noqa: PLC0415
+
+    for d in dirs:
+        if os.path.isdir(d) and any(
+            n.endswith(".parquet") for n in os.listdir(d)
+        ):
+            raise ValueError(
+                f"{d} holds flat parquet at its root (legacy append "
+                "layout); mixing it with batch_id=* subdirectories makes "
+                "spark.read.parquet silently drop the subdirectory rows. "
+                f"Run `python -m sri2db_spark output-compact --dir {d}` "
+                "to migrate, then restart the stream."
+            )
+
+
 def stream_neardup_incremental(
     stream: DataFrame,
     store_dir: str,
@@ -91,6 +114,8 @@ def stream_neardup_incremental(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from ..functions import dedup as D  # noqa: PLC0415
+
+    _check_no_root_flat(store_dir, corpus_dir, pairs_dir)
 
     def _read_excluding(spark, base: str, batch_id: int, cols: list[str]):
         from pyspark.errors import AnalysisException  # noqa: PLC0415
@@ -165,6 +190,8 @@ def stream_curate_incremental(
     """
     from ..functions.pipeline import curate_batch_incremental  # noqa: PLC0415
 
+    _check_no_root_flat(out_dir)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         out = curate_batch_incremental(
@@ -206,9 +233,13 @@ def stream_neardup_dedup(
     incremental wrappers above), so a replayed batch replaces its own
     partial output instead of double-appending it. Read the output with
     ``spark.read.parquet(out_dir)`` — ``batch_id`` surfaces as a partition
-    column.
+    column. An ``out_dir`` still holding the PRE-batch-addressed flat
+    layout is rejected at start (see :func:`_check_no_root_flat`) — run
+    ``output-compact`` on it first.
     """
     from ..functions.dedup import neardup_filter_against_index  # noqa: PLC0415
+
+    _check_no_root_flat(out_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         survivors = neardup_filter_against_index(

@@ -603,10 +603,19 @@ def test_manifest_partition_value_encoding_roundtrip(spark, tmp_path):
     rows = spark.createDataFrame([("/x/1", "1", None, "{}", "T")], schema)
     table.replace_partition(rows, None, None)
     table.replace_partition(rows, "https://b", "/a b/c%d")
+    # non-ASCII values: Spark's unescapePathName decodes %XX PER CHAR, so
+    # the encoder must leave multi-byte characters raw (UTF-8-byte quoting
+    # reads back as mojibake, é -> Ã©)
+    table.replace_partition(rows, "https://b/café", "/考试/路径")
     got = {(r.baseurl, r.path) for r in table.read().collect()}
-    assert got == {(None, None), ("https://b", "/a b/c%d")}
+    assert got == {
+        (None, None),
+        ("https://b", "/a b/c%d"),
+        ("https://b/café", "/考试/路径"),
+    }
     assert table.read_partition(None, None).count() == 1
     assert table.read_partition("https://b", "/a b/c%d").count() == 1
+    assert table.read_partition("https://b/café", "/考试/路径").count() == 1
 
 
 def test_lake_partition_pruning_on_manifest_backend(spark, tmp_path):

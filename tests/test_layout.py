@@ -303,3 +303,44 @@ def test_write_zordered_publishes_stats_atomically_with_committer(spark, tmp_pat
     )
     got2 = read_skipping(spark, path, {"user_id": (0, 100)}, committer=mc)
     assert got2.count() == ev.filter(F.col("user_id") < 5).count()
+
+
+def test_write_zordered_rejects_unserializable_types_before_writing(spark):
+    """A timestamp/decimal cluster column would crash json.dumps AFTER a
+    mode=overwrite already replaced the data — the type check must fire
+    BEFORE anything is written, leaving the existing directory intact."""
+    from sri2db_spark.functions.layout import write_zordered
+
+    ev_ts = _t(spark, SF, "events").select(
+        "event_id", "user_id", F.expr("timestamp_micros(ts div 1000)").alias("tstamp")
+    )
+    with tempfile.TemporaryDirectory(prefix="ztype_") as tmp:
+        path = os.path.join(tmp, "ev")
+        spark.createDataFrame([(1,)], "sentinel long").write.parquet(path)
+        with pytest.raises(TypeError, match="epoch ms"):
+            write_zordered(ev_ts, path, ["user_id", "tstamp"], n_files=4)
+        # the pre-existing data survived the rejected call
+        assert spark.read.parquet(path).collect()[0].sentinel == 1
+
+
+def test_read_skipping_unbounded_range_keeps_all_null_files(spark):
+    """ranges may carry (None, None) for a column (documented: 'either
+    bound may be None'): that constrains nothing, so files whose stats for
+    it are all-null must NOT be pruned — their rows match the other
+    columns' predicates and would otherwise silently vanish."""
+    from sri2db_spark.functions.layout import read_skipping, write_zordered
+
+    df = spark.createDataFrame(
+        [(i, i, None if i < 50 else i) for i in range(100)],
+        "id long, a long, b long",
+    )
+    with tempfile.TemporaryDirectory(prefix="znull_") as tmp:
+        path = os.path.join(tmp, "t")
+        write_zordered(df, path, ["a", "b"], n_files=4)
+        got = {
+            r.id
+            for r in read_skipping(
+                spark, path, {"a": (0, 20), "b": (None, None)}
+            ).collect()
+        }
+    assert got == set(range(21))  # null-b rows (id<50) included

@@ -460,3 +460,39 @@ def test_watermark_upsert_retries_past_concurrent_commit(spark, tmp_path):
 
     assert store_a.get("t", "http://a", "/r", "FULL") == (3000, 4000)
     assert store_a.get("t", "http://b", "/r", "FULL") == (5000, 6000)
+
+
+def test_fence_is_immune_to_mtime_granularity(spark, tmp_path, monkeypatch):
+    """The coarse-timestamp hole: a checkpoint-reset batch recreates a
+    FENCED name with an mtime equal to (or older than) the fence marker's
+    — second-granularity object-store timestamps make this routine. The
+    file-level fence must keep the fresh rows visible to reads AND fold
+    (not delete) them through compaction: Spark part files are uuid-named,
+    so exact-name exclusion needs no timestamp ordering at all."""
+    import time
+
+    from sri2db_spark.functions.statestore import write_store_batch
+
+    state, mc = _state_with_crashed_retraction(spark, tmp_path, monkeypatch, "gran")
+    marker_mtime = None
+    base = mc.resolve(f"{state}/corpus")
+    marker_mtime = os.path.getmtime(
+        os.path.join(base, "_FOLDED")
+    )
+    fresh = spark.createDataFrame([(88, "post reset same second doc", "en")], SCHEMA)
+    write_store_batch(
+        fresh.select(F.col("doc_id").alias("id"), "text"),
+        f"{state}/corpus",
+        token=0,
+    )
+    # worst case: the fresh dir sorts AT/BELOW the marker's timestamp
+    os.utime(f"{state}/corpus/batch_id=0", (marker_mtime - 5, marker_mtime - 5))
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2, 88}  # fresh rows visible despite the older mtime
+    P.compact_curation_state(spark, state, committer=mc)
+    got = {
+        r.id for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+    assert got == {1, 2, 88}  # folded into the base, never deleted

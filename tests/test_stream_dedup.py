@@ -491,3 +491,53 @@ def test_curate_incremental_mixed_flat_and_token_state(spark, tmp_path):
         r.id for r in read_store(spark, f"{state}/corpus").collect()
     ) == [1]
     assert read_store(spark, f"{state}/hashes").count() == 1
+
+
+def test_batch_addressed_stream_rejects_legacy_flat_output_dir(spark, tmp_path):
+    """An out_dir still holding the pre-batch-addressed FLAT layout must be
+    rejected at stream start: spark.read.parquet over a mix of root files
+    and batch_id=* subdirs returns ONLY the root files, silently hiding
+    every new survivor. The guard forces the documented migration
+    (output-compact) first."""
+    import pytest
+
+    from sri2db_spark.functions.dedup import build_lsh_index
+    from sri2db_spark.streaming.dedup_stream import stream_neardup_dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog once more")],
+        "doc_id long, text string",
+    )
+    bands_df, shingles_df = build_lsh_index(corpus, "doc_id", "text")
+    out = tmp_path / "legacy_out"
+    # legacy layout: flat parquet at the output root
+    spark.createDataFrame([(7, "old appended survivor")], "doc_id long, text string").write.mode("overwrite").parquet(str(out))
+    feed = tmp_path / "gfeed"
+    feed.mkdir()
+    _write_batch(feed, "b1.json", [{"doc_id": 1, "text": "x", "event_time": "2024-01-01T10:00:00"}], mtime=1_000)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).json(str(feed)).select("doc_id", "text")
+    )
+    with pytest.raises(ValueError, match="output-compact"):
+        stream_neardup_dedup(
+            stream, bands_df, shingles_df, str(out), str(tmp_path / "gckpt")
+        )
+
+
+def test_compact_batch_output_migrates_flat_only_dir(spark, tmp_path):
+    """The migration remedy itself must work on a dir holding ONLY legacy
+    flat files (no batch_id=* subdirs at all): they fold into a
+    batch-addressed base (batch_id=-1) and the root becomes clean."""
+    from sri2db_spark.functions.pipeline import compact_batch_output
+
+    out = tmp_path / "flat_only"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).coalesce(2).write.mode("overwrite").parquet(str(out))
+    assert any(n.endswith(".parquet") for n in os.listdir(out))
+    before, after = compact_batch_output(spark, str(out))
+    assert before >= 2 and after >= 1
+    assert not any(n.endswith(".parquet") for n in os.listdir(out))
+    assert os.path.isdir(out / "batch_id=-1")
+    got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2]
