@@ -450,7 +450,16 @@ def compact_curation_state(
                 if n not in preserve
             ]
             for d in folded_dirs:
-                files += fs.walk_files(d)
+                # same per-file exclusion as reads: a live dir never mixes
+                # fenced and fresh files in practice (overwrite clears it),
+                # but folding must not be LOOSER than reading — a fenced
+                # file's rows may have been retracted
+                dn = os.path.basename(d)
+                files += [
+                    f
+                    for f in fs.walk_files(d)
+                    if os.path.basename(f) not in fence_by_dir.get(dn, set())
+                ]
             if not files:
                 continue
             n_before = len(files) + n_preserved
