@@ -254,7 +254,7 @@ def write_zordered(
 
 
 def read_skipping(
-    spark, path: str, ranges: dict, committer=None
+    spark, path: str, ranges: dict, committer=None, version: str | None = None
 ) -> DataFrame:
     """Range scan over a :func:`write_zordered` directory that feeds Spark
     ONLY the files whose published min/max overlap every predicate.
@@ -267,15 +267,19 @@ def read_skipping(
     holds only nulls there and is pruned (range predicates never match
     null). Stats live with the committed version when a ``committer`` is
     given, so a compaction/rewrite that republished the data republished
-    its stats with it.
+    its stats with it — and time travel composes for free: pass a retained
+    ``version`` (e.g. from ``committer.pins(path)``) and the scan plans
+    from THAT snapshot's stats over that snapshot's files.
     """
     import json  # noqa: PLC0415
     import os  # noqa: PLC0415
 
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
+    if version is not None and committer is None:
+        raise ValueError("version requires a versioned committer")
     base = (
-        committer.resolve(path)
+        committer.resolve(path, version)
         if committer is not None and committer.versioned
         else path
     )

@@ -344,3 +344,26 @@ def test_read_skipping_unbounded_range_keeps_all_null_files(spark):
             ).collect()
         }
     assert got == set(range(21))  # null-b rows (id<50) included
+
+
+def test_read_skipping_time_travel_reads_pinned_snapshot_stats(spark, tmp_path):
+    """Stats live inside the committed version, so time travel composes:
+    pin a snapshot, rewrite the table, then read the PIN — both the file
+    list and the pruning stats come from the pinned version."""
+    from sri2db_spark.functions.layout import read_skipping, write_zordered
+    from sri2db_spark.sinks.committer import ManifestCommitter
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "tt")
+    v1 = spark.createDataFrame([(i, i, 10 * i) for i in range(40)], "id long, a long, b long")
+    write_zordered(v1, path, ["a", "b"], n_files=2, committer=mc)
+    pinned = mc.pin(path, "train-run-1")
+    v2 = spark.createDataFrame([(i, i, 10 * i) for i in range(5)], "id long, a long, b long")
+    write_zordered(v2, path, ["a", "b"], n_files=2, committer=mc)
+    # current read sees the rewrite...
+    assert read_skipping(spark, path, {"a": (0, 100)}, committer=mc).count() == 5
+    # ...the pinned snapshot still answers from ITS stats and files
+    old = read_skipping(
+        spark, path, {"a": (30, 100)}, committer=mc, version=pinned
+    )
+    assert sorted(r.id for r in old.collect()) == list(range(30, 40))
