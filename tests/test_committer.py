@@ -743,3 +743,21 @@ def test_rename_backend_rejects_conditional_commit(tmp_path):
     tmp = _write_dir(tmp_path / "t", {"a.parquet": "x"})
     with pytest.raises(NotImplementedError):
         c.commit(tmp, str(tmp_path / "dst"), expected_basis="v_x")
+
+
+def test_fsspec_put_if_check_then_put_semantics(tmp_path):
+    """The generic-fsspec CAS is read-check-put (AbstractFileSystem exposes
+    no server-side precondition): it must catch the stale-basis writer —
+    the lost-update case the committer guards — and its docstring warns a
+    production S3/GCS binding overrides it with a conditional PUT."""
+    from sri2db_spark.sinks.fs import FsspecFS
+
+    from .fake_fsspec import FakeFsspecFileSystem
+
+    fs = FsspecFS(FakeFsspecFileSystem())
+    path = str(tmp_path / "obj")
+    assert fs.put_if(path, "v1", None) is True       # create-if-absent
+    assert fs.put_if(path, "clobber", None) is False # key exists now
+    assert fs.put_if(path, "v2", "v1") is True       # matching basis
+    assert fs.put_if(path, "v3", "v1") is False      # stale basis loses
+    assert fs.read(path) == "v2"
