@@ -52,16 +52,90 @@ class LocalFS:
     def getmtime(self, path: str) -> float:
         return os.path.getmtime(path)
 
-    def put(self, path: str, data: str) -> None:
-        """Atomically publish a small object at ``path`` (the manifest /
-        pin / marker write). Local emulation of a single-key PUT: write a
-        sibling tmp file, then one atomic ``os.replace``."""
+    def size(self, path: str) -> int:
+        """Byte size of one object — compaction's file-sizing probe."""
+        return os.path.getsize(path)
+
+    def spark_path(self, path: str) -> str:
+        """The name Spark reads/writes this path under. Local filesystems:
+        identity. Object-store bindings prepend the scheme (``s3a://…``)
+        so driver-side listing (scheme-less backend keys) and executor
+        I/O (Hadoop-connector URLs) stay consistent — every path the lake
+        or state layer hands to ``spark.read``/``df.write`` goes through
+        this hook."""
+        return path
+
+    def _put_raw(self, path: str, data: str) -> None:
+        """The unlocked single-key PUT: write a sibling tmp file, then one
+        atomic ``os.replace``. Only :meth:`put` / :meth:`put_if` (which
+        hold the pointer lock) may call this."""
         tmp = os.path.join(
             os.path.dirname(path), f".put.{uuid.uuid4().hex}"
         )
         with open(tmp, "w") as f:
             f.write(data)
         os.replace(tmp, path)
+
+    def _lock_pointer(
+        self, path: str, lock_timeout_s: float, stale_lock_s: float
+    ) -> str:
+        """Acquire ``path``'s pointer lock (``O_EXCL`` create). A lock
+        left by a crashed holder is stolen after ``stale_lock_s`` — the
+        steal is rename-to-unique-then-remove, so when two waiters both
+        observe the same stale lock only the one whose rename succeeds
+        removes it; the loser can never remove the winner's FRESH lock
+        (the mtime-check-then-remove race). Returns the lock path."""
+        import time  # noqa: PLC0415
+
+        lock = path + ".cas_lock"
+        deadline = time.monotonic() + lock_timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    stale = time.time() - os.path.getmtime(lock) > stale_lock_s
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if stale:
+                    steal = f"{lock}.steal.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, steal)  # one stealer wins
+                    except FileNotFoundError:
+                        continue  # another stealer (or release) beat us
+                    os.remove(steal)
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"CAS lock contention on {lock}"
+                    ) from None
+                time.sleep(0.01)
+
+    def put(
+        self,
+        path: str,
+        data: str,
+        lock_timeout_s: float = 10.0,
+        stale_lock_s: float = 60.0,
+    ) -> None:
+        """Atomically publish a small object at ``path`` (the manifest /
+        pin / marker write). Takes the same pointer lock as :meth:`put_if`
+        so an UNCONDITIONAL pointer write (a blind sync publish) landing
+        inside a concurrent CAS's read-check-replace window is observed by
+        that CAS (which then fails its precondition) instead of being
+        silently overwritten — conditional and unconditional writers
+        serialize. On a real object store both are single PutObject calls
+        against the same key, which the store itself serializes."""
+        lock = self._lock_pointer(path, lock_timeout_s, stale_lock_s)
+        try:
+            self._put_raw(path, data)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
     def put_if(
         self,
@@ -84,29 +158,11 @@ class LocalFS:
         lock file; note that create-if-absent + delete is itself
         expressible as ``If-None-Match: *`` PUTs, so even the emulation
         strategy ports to stores that only offer the ``None`` flavor. A
-        lock left by a crashed holder is stolen after ``stale_lock_s``.
+        lock left by a crashed holder is stolen after ``stale_lock_s``
+        (see :meth:`_lock_pointer` for why the steal cannot remove a
+        fresh lock).
         """
-        import time  # noqa: PLC0415
-
-        lock = path + ".cas_lock"
-        deadline = time.monotonic() + lock_timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > stale_lock_s:
-                        os.remove(lock)  # crashed holder — steal
-                        continue
-                except FileNotFoundError:
-                    continue  # holder just released; retry immediately
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"CAS lock contention on {lock}"
-                    ) from None
-                time.sleep(0.01)
+        lock = self._lock_pointer(path, lock_timeout_s, stale_lock_s)
         try:
             try:
                 current: str | None = self.read(path)
@@ -114,7 +170,7 @@ class LocalFS:
                 current = None
             if current != expected:
                 return False
-            self.put(path, data)
+            self._put_raw(path, data)
             return True
         finally:
             try:
@@ -152,6 +208,12 @@ class LocalFS:
         return out
 
 
+class WeakCasError(RuntimeError):
+    """A compare-and-swap was requested on a backend that can only offer
+    read-check-put (no server-side conditional write) and the caller did
+    not opt into that weaker semantics."""
+
+
 class FsspecFS:
     """Adapter from this interface onto an fsspec ``AbstractFileSystem``
     (s3fs, gcsfs, adlfs, ``LocalFileSystem``, …): hand it
@@ -176,13 +238,24 @@ class FsspecFS:
       which is why the committer stages in place and never reaches it on
       these backends.
 
-    Paths are returned exactly as the backend names them; on s3/gcs the
-    caller owns prepending the ``s3://`` scheme before handing file lists
-    to Spark.
+    Paths are kept in the backend's own scheme-less key space internally;
+    :meth:`spark_path` re-prepends the wrapped filesystem's protocol
+    (``unstrip_protocol``) so callers hand Spark fully-qualified URLs —
+    the lake/state layers route every Spark-facing path through it.
+
+    ``allow_weak_cas``: a generic ``AbstractFileSystem`` exposes no
+    server-side conditional write, so :meth:`put_if` here can only be
+    read-check-put — two writers racing inside the window BOTH succeed,
+    the exact lost update ``CommitConflict`` exists to prevent. That
+    downgrade must be chosen, not stumbled into: by default ``put_if``
+    raises :class:`WeakCasError`; pass ``allow_weak_cas=True`` to accept
+    best-effort CAS, or use :class:`S3FsspecFS` / :class:`GcsFsspecFS`,
+    which close the window with the store's own conditional PUT.
     """
 
-    def __init__(self, fs) -> None:
+    def __init__(self, fs, allow_weak_cas: bool = False) -> None:
         self._fs = fs
+        self._allow_weak_cas = allow_weak_cas
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(path))
@@ -211,6 +284,17 @@ class FsspecFS:
         m = self._fs.modified(path)
         return m.timestamp() if hasattr(m, "timestamp") else float(m)
 
+    def size(self, path: str) -> int:
+        return int(self._fs.size(path))
+
+    def spark_path(self, path: str) -> str:
+        """Re-prepend the wrapped filesystem's protocol so Spark gets a
+        fully-qualified URL (``s3://bucket/key``) for the scheme-less key
+        the driver-side listing works in. Backends without
+        ``unstrip_protocol`` (e.g. a local stand-in) pass through."""
+        unstrip = getattr(self._fs, "unstrip_protocol", None)
+        return unstrip(path) if unstrip is not None else path
+
     def put(self, path: str, data: str) -> None:
         with self._fs.open(path, "w") as f:
             f.write(data)
@@ -220,10 +304,20 @@ class FsspecFS:
         server-side precondition, because ``AbstractFileSystem`` exposes
         none. This catches stale-basis writers (the common lost-update
         case) but two writers racing inside the check-put window can both
-        succeed — a production S3/GCS binding must override this with the
-        store's conditional write (S3 ``If-Match``/``If-None-Match`` PUT,
-        GCS ``if-generation-match``), which closes the window server-side.
+        succeed — so it is OPT-IN (``allow_weak_cas=True``) and raises
+        :class:`WeakCasError` otherwise. :class:`S3FsspecFS` /
+        :class:`GcsFsspecFS` override this with the store's conditional
+        write (S3 ``If-Match``/``If-None-Match`` PUT, GCS
+        ``if-generation-match``), which closes the window server-side.
         """
+        if not self._allow_weak_cas:
+            raise WeakCasError(
+                f"conditional write on {path}: generic fsspec backends "
+                "have no server-side conditional PUT, so CAS here would "
+                "be read-check-put with a silent race window. Use "
+                "S3FsspecFS/GcsFsspecFS (server-side CAS) or pass "
+                "allow_weak_cas=True to accept best-effort semantics."
+            )
         try:
             with self._fs.open(path, "r") as f:
                 current: str | None = f.read()
@@ -252,6 +346,101 @@ class FsspecFS:
 
     def walk_files(self, path: str, suffix: str = ".parquet") -> list[str]:
         return [f for f in self._fs.find(path) if f.endswith(suffix)]
+
+
+#: substrings that identify a failed-precondition error from a store's
+#: conditional PUT, matched case-insensitively against the raised
+#: exception's repr — S3 returns HTTP 412 ``PreconditionFailed`` (or
+#: ``ConditionNotMet``-style codes via some proxies), GCS returns 412
+#: ``conditionNotMet``. Anything else re-raises: a network failure must
+#: not masquerade as "lost the race".
+_PRECONDITION_MARKERS = ("precondition", "conditionnotmet", "412")
+
+
+def _is_precondition_failure(exc: BaseException) -> bool:
+    text = repr(exc).lower()
+    return any(m in text for m in _PRECONDITION_MARKERS)
+
+
+class _ConditionalPutFsspecFS(FsspecFS):
+    """Shared shape of the server-side-CAS fsspec bindings.
+
+    :meth:`put_if` compares CONTENT (the committer's ``expected_basis``
+    protocol), but closes the read→put window with the store's version
+    token: read the current object together with its token, check the
+    content, then issue a conditional PUT pinned to that token — if any
+    writer lands in between, the token no longer matches and the store
+    itself rejects the PUT (HTTP 412), which we report as a lost race.
+    Subclasses name the token field and the conditional-PUT kwargs.
+    """
+
+    def __init__(self, fs) -> None:
+        # server-side CAS — the weak-CAS opt-in does not apply here
+        super().__init__(fs, allow_weak_cas=True)
+
+    def _token(self, info: dict):
+        raise NotImplementedError
+
+    def _cond_kwargs(self, token) -> dict:
+        """kwargs for ``pipe_file`` that make the PUT conditional on
+        ``token`` (``None`` = the key must not exist)."""
+        raise NotImplementedError
+
+    def put_if(self, path: str, data: str, expected: str | None) -> bool:
+        if expected is None:
+            token = None
+        else:
+            try:
+                info = self._fs.info(path)
+            except FileNotFoundError:
+                return False  # expected content, found nothing
+            token = self._token(info)
+            with self._fs.open(path, "r") as f:
+                if f.read() != expected:
+                    return False
+        try:
+            self._fs.pipe_file(
+                path, data.encode("utf-8"), **self._cond_kwargs(token)
+            )
+        except FileNotFoundError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — see marker rationale
+            if _is_precondition_failure(exc):
+                return False  # another writer moved the pointer first
+            raise
+        return True
+
+
+class S3FsspecFS(_ConditionalPutFsspecFS):
+    """s3fs binding with SERVER-SIDE compare-and-swap via S3 conditional
+    writes: ``IfMatch=<etag>`` pins an overwrite to the version whose
+    content was checked, ``IfNoneMatch='*'`` implements create-if-absent;
+    a losing writer gets HTTP 412 ``PreconditionFailed`` from S3 itself —
+    no race window. ``pipe_file`` forwards the kwargs to ``PutObject``.
+    Tested against the generation-token fake in ``tests/fake_fsspec.py``
+    (this sandbox has no s3fs); the racing-writer test shows the generic
+    read-check-put path losing an update that this binding turns into a
+    clean lost-race return."""
+
+    def _token(self, info: dict):
+        return info["ETag"]
+
+    def _cond_kwargs(self, token) -> dict:
+        return {"IfNoneMatch": "*"} if token is None else {"IfMatch": token}
+
+
+class GcsFsspecFS(_ConditionalPutFsspecFS):
+    """gcsfs binding with server-side CAS via object generations:
+    ``if_generation_match=<generation>`` pins the overwrite,
+    ``if_generation_match=0`` means the object must not exist; a losing
+    writer gets HTTP 412 from GCS. See :class:`S3FsspecFS` for the
+    test strategy."""
+
+    def _token(self, info: dict):
+        return info["generation"]
+
+    def _cond_kwargs(self, token) -> dict:
+        return {"if_generation_match": 0 if token is None else token}
 
 
 class ObjectStoreFS(LocalFS):

@@ -49,8 +49,26 @@ class _PutOnClose:
         return False
 
 
+class PreconditionFailed(Exception):
+    """Stand-in for the HTTP 412 a real store raises when a conditional
+    PUT's precondition does not hold (botocore ClientError
+    ``PreconditionFailed`` on S3, gcsfs HttpError ``conditionNotMet`` on
+    GCS) — the message carries the markers
+    :func:`sri2db_spark.sinks.fs._is_precondition_failure` matches."""
+
+    def __init__(self, detail: str) -> None:
+        super().__init__(f"412 Precondition Failed: {detail}")
+
+
 class FakeFsspecFileSystem:
-    """Local-disk stand-in with fsspec's method names and semantics."""
+    """Local-disk stand-in with fsspec's method names and semantics,
+    including the conditional-PUT surface of s3fs/gcsfs: ``info`` returns
+    an ``ETag`` (content MD5, exactly what S3 reports for single-part
+    uploads) and a ``generation`` (monotonic per overwrite, GCS-style),
+    and ``pipe_file`` honors ``IfMatch``/``IfNoneMatch`` /
+    ``if_generation_match`` by raising :class:`PreconditionFailed` — so
+    the server-side-CAS bindings are exercised end to end without the
+    cloud SDKs."""
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -103,3 +121,54 @@ class FakeFsspecFileSystem:
         return datetime.datetime.fromtimestamp(
             os.path.getmtime(path), tz=datetime.timezone.utc
         )
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def info(self, path: str) -> dict:
+        if not os.path.isfile(path):
+            raise FileNotFoundError(path)
+        with open(path, "rb") as f:
+            body = f.read()
+        import hashlib
+
+        st = os.stat(path)
+        return {
+            "name": path,
+            "size": st.st_size,
+            # S3 single-part ETag IS the quoted content MD5
+            "ETag": f'"{hashlib.md5(body).hexdigest()}"',
+            # GCS generation: strictly increases on every overwrite
+            "generation": st.st_mtime_ns,
+        }
+
+    def pipe_file(
+        self,
+        path: str,
+        value: bytes,
+        IfMatch: str | None = None,  # noqa: N803 — boto3 casing, as s3fs forwards
+        IfNoneMatch: str | None = None,  # noqa: N803
+        if_generation_match: int | None = None,
+    ) -> None:
+        """Atomic single-key PUT with the stores' conditional semantics:
+        the precondition is evaluated against the CURRENT object and the
+        write is published (or refused) atomically — no window."""
+        current = self.info(path) if os.path.isfile(path) else None
+        if IfNoneMatch == "*" and current is not None:
+            raise PreconditionFailed(f"{path} exists (If-None-Match: *)")
+        if IfMatch is not None and (
+            current is None or current["ETag"] != IfMatch
+        ):
+            raise PreconditionFailed(f"{path} ETag mismatch (If-Match)")
+        if if_generation_match is not None:
+            gen = 0 if current is None else current["generation"]
+            if gen != if_generation_match:
+                raise PreconditionFailed(
+                    f"{path} generation {gen} != {if_generation_match}"
+                )
+        tmp = os.path.join(
+            os.path.dirname(path), f".pipe.{uuid.uuid4().hex}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(value)
+        os.replace(tmp, path)

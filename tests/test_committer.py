@@ -748,13 +748,15 @@ def test_rename_backend_rejects_conditional_commit(tmp_path):
 def test_fsspec_put_if_check_then_put_semantics(tmp_path):
     """The generic-fsspec CAS is read-check-put (AbstractFileSystem exposes
     no server-side precondition): it must catch the stale-basis writer —
-    the lost-update case the committer guards — and its docstring warns a
-    production S3/GCS binding overrides it with a conditional PUT."""
+    the lost-update case the committer guards — and it is opt-in
+    (``allow_weak_cas=True``); without the opt-in it raises WeakCasError
+    instead of silently racing (see test_fs_cas for the gating and the
+    server-side S3/GCS bindings)."""
     from sri2db_spark.sinks.fs import FsspecFS
 
     from .fake_fsspec import FakeFsspecFileSystem
 
-    fs = FsspecFS(FakeFsspecFileSystem())
+    fs = FsspecFS(FakeFsspecFileSystem(), allow_weak_cas=True)
     path = str(tmp_path / "obj")
     assert fs.put_if(path, "v1", None) is True       # create-if-absent
     assert fs.put_if(path, "clobber", None) is False # key exists now
