@@ -562,7 +562,14 @@ def incremental_neardup_pairs(
         if batch_token is not None:
             from .statestore import write_store_batch  # noqa: PLC0415
 
-            write_store_batch(new_sigs, store_path, batch_token)
+            write_store_batch(
+                new_sigs,
+                store_path,
+                batch_token,
+                fs=committer.fs
+                if committer is not None and committer.versioned
+                else None,
+            )
         else:
             mode = "append" if old_sigs is not None else "overwrite"
             new_sigs.write.mode(mode).parquet(store_path)

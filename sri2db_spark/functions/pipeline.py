@@ -235,9 +235,16 @@ def curate_batch_incremental(
             surv, F.col("id") == F.col("__sid"), "left_semi"
         )
         if batch_token is not None:
-            write_store_batch(new_hashes, f"{state_dir}/hashes", batch_token)
-            write_store_batch(new_sigs, f"{state_dir}/sigs", batch_token)
-            write_store_batch(new_corpus, f"{state_dir}/corpus", batch_token)
+            store_fs = committer.fs if versioned else None
+            write_store_batch(
+                new_hashes, f"{state_dir}/hashes", batch_token, fs=store_fs
+            )
+            write_store_batch(
+                new_sigs, f"{state_dir}/sigs", batch_token, fs=store_fs
+            )
+            write_store_batch(
+                new_corpus, f"{state_dir}/corpus", batch_token, fs=store_fs
+            )
         else:
             new_hashes.write.mode(
                 "append" if old_hashes is not None else "overwrite"
@@ -362,7 +369,11 @@ def compact_curation_state(
     versioned = committer is not None and committer.versioned
 
     def _count_files(path: str) -> int:
-        return len(LocalFS().walk_files(path))
+        # route through the committer's fs when one manages the store —
+        # preserved-batch counting must list the same backend the store
+        # lives on, not the local disk
+        lister_fs = committer.fs if versioned else LocalFS()
+        return len(lister_fs.walk_files(path))
 
     report: dict[str, tuple[int, int]] = {}
     for sub, keys in (("hashes", ["h"]), ("sigs", ["id"]), ("corpus", ["id"])):
@@ -463,10 +474,14 @@ def compact_curation_state(
             if not files:
                 continue
             n_before = len(files) + n_preserved
-            df = spark.read.parquet(*files).dropDuplicates(keys)
+            df = spark.read.parquet(
+                *[fs.spark_path(f) for f in files]
+            ).dropDuplicates(keys)
             n_out = max(1, df.rdd.getNumPartitions() // 8)
             tmp = committer.stage(path)
-            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            df.coalesce(n_out).write.mode("overwrite").parquet(
+                fs.spark_path(tmp)
+            )
             # stale entries carry forward: if OUR cleanup also crashes,
             # the new base still fences them off from reads
             still_flat = {os.path.basename(f) for f in stale_flat}
@@ -530,7 +545,7 @@ def compact_curation_state(
 
 
 def compact_batch_output(
-    spark, out_dir: str, keys: list[str] | None = None
+    spark, out_dir: str, keys: list[str] | None = None, fs=None
 ) -> tuple[int, int]:
     """Compact a batch-id-addressed OUTPUT directory (the curated-corpus
     ``out_dir`` / near-dup ``pairs_dir`` / signature ``store_dir`` a
@@ -558,24 +573,33 @@ def compact_batch_output(
     never missing rows. Do not run concurrently with an active stream
     writing the same directory.
 
+    ``fs``: the filesystem the output lives on (defaults to the local
+    disk) — pass the committer's object-store binding to run this
+    maintenance against s3/gcs; every listing, deletion, and Spark path
+    goes through it.
+
     Returns ``(files_before, files_after)``.
     """
     import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
 
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
-    if not os.path.isdir(out_dir):
+    fs = fs or LocalFS()
+    if not fs.isdir(out_dir):
         return (0, 0)
 
-    _parquet_under = LocalFS().walk_files
+    _parquet_under = fs.walk_files
 
-    entries = list(os.scandir(out_dir))
-    flat = [e.path for e in entries if e.is_file() and e.name.endswith(".parquet")]
+    names = fs.listdir(out_dir)
+    flat = [
+        os.path.join(out_dir, n)
+        for n in names
+        if n.endswith(".parquet") and not fs.isdir(os.path.join(out_dir, n))
+    ]
     batch_dirs = [
-        (e.name, os.path.getmtime(e.path))
-        for e in entries
-        if e.is_dir() and e.name.startswith("batch_id=")
+        (n, fs.getmtime(os.path.join(out_dir, n)))
+        for n in names
+        if n.startswith("batch_id=") and fs.isdir(os.path.join(out_dir, n))
     ]
 
     def _numeric(name: str) -> int | None:
@@ -602,18 +626,18 @@ def compact_batch_output(
     # the [0, ...] floor also covers a legacy dir holding ONLY flat root
     # files (no batch_id=* subdirs): the fold then lands at batch_id=-1
     new_token = min([0, *tokens]) - 1
-    df = spark.read.parquet(*files)
+    df = spark.read.parquet(*[fs.spark_path(f) for f in files])
     if keys:
         df = df.dropDuplicates(keys)
     n_out = max(1, df.rdd.getNumPartitions() // 8)
     df.coalesce(n_out).write.mode("overwrite").parquet(
-        f"{out_dir}/batch_id={new_token}"
+        fs.spark_path(f"{out_dir}/batch_id={new_token}")
     )
     # sources removed only after the new base is complete (see docstring)
     for f in flat:
-        os.remove(f)
+        fs.remove(f)
     for name in foldable:
-        shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        fs.rmtree(os.path.join(out_dir, name))
     return (n_total, len(_parquet_under(out_dir)))
 
 
@@ -702,7 +726,7 @@ def _commit_state_rewrite(df: DataFrame, committer, path: str, basis) -> None:
             or n.endswith(".parquet")
         ]
     tmp = committer.stage(path)
-    df.write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(fs.spark_path(tmp))
     _write_folded_marker(fs, tmp, _fold_file_entries(fs, path, folded))
     committer.commit(tmp, path, expected_basis=basis)
     for n in folded:

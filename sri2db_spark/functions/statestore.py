@@ -158,9 +158,18 @@ def read_store(spark, path: str, exclude_token=None, committer=None) -> DataFram
     files = list_store_files(spark, path, exclude_token, committer)
     if not files:
         return None
+    if committer is not None and committer.versioned:
+        # driver-side listing works in the fs backend's key space; Spark
+        # needs the scheme-qualified form (s3a://… on an object store)
+        files = [committer.fs.spark_path(f) for f in files]
     return spark.read.parquet(*files)
 
 
-def write_store_batch(df: DataFrame, path: str, token) -> None:
-    """Idempotent state append: overwrite this batch's own subdirectory."""
-    df.write.mode("overwrite").parquet(store_batch_path(path, token))
+def write_store_batch(df: DataFrame, path: str, token, fs=None) -> None:
+    """Idempotent state append: overwrite this batch's own subdirectory.
+    ``fs``: the store's filesystem binding — qualifies the write path for
+    Spark (``s3a://…``) on object-store deployments; default local."""
+    target = store_batch_path(path, token)
+    df.write.mode("overwrite").parquet(
+        fs.spark_path(target) if fs is not None else target
+    )

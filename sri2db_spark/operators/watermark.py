@@ -108,12 +108,15 @@ class WatermarkStore:
     def _read(self) -> DataFrame:
         from ..sinks.committer import check_backend_layout  # noqa: PLC0415
 
-        check_backend_layout(self.location, self.committer.versioned)
+        fs = self.committer.fs
+        check_backend_layout(self.location, self.committer.versioned, fs=fs)
         physical = self.committer.resolve(self.location)
         if physical is not None and any(
-            f.endswith(".parquet") for f in self.committer.fs.listdir(physical)
+            f.endswith(".parquet") for f in fs.listdir(physical)
         ):
-            return self.spark.read.schema(SYNCTIMES_SCHEMA).parquet(physical)
+            return self.spark.read.schema(SYNCTIMES_SCHEMA).parquet(
+                fs.spark_path(physical)
+            )
         return self.spark.createDataFrame([], SYNCTIMES_SCHEMA)
 
     def get(
@@ -192,7 +195,9 @@ class WatermarkStore:
             # manifest backend it is the final version dir (pointer-only
             # commit)
             tmp = self.committer.stage(self.location)
-            updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+            updated.coalesce(1).write.mode("overwrite").parquet(
+                self.committer.fs.spark_path(tmp)
+            )
             try:
                 if self.committer.versioned:
                     self.committer.commit(

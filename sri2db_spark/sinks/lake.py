@@ -74,12 +74,76 @@ def _decode(segment: str) -> str | None:
         ch = value[i]
         nxt = value[i + 1 : i + 3]
         if ch == "%" and len(nxt) == 2 and all(c in "0123456789abcdefABCDEF" for c in nxt):
-            out.append(chr(int(nxt, 16)))
+            code = int(nxt, 16)
+            if code > 0x7F:
+                # _encode NEVER emits %XX above ASCII (non-ASCII stays
+                # raw) — this segment was written by the pre-r6 encoder,
+                # which escaped UTF-8 BYTES (é → %C3%A9). Decoding it
+                # per-char would silently return mojibake ('Ã©') AND a
+                # same-valued upsert would land in a fresh sibling
+                # directory, leaving the old rows stale-but-read. Fail
+                # loudly with the migration path instead.
+                raise ValueError(
+                    f"partition segment {segment!r} uses legacy UTF-8 "
+                    "byte escaping (written before the per-character "
+                    "encoder); run "
+                    "sri2db_spark.sinks.lake.migrate_legacy_partition_dirs("
+                    "location) once to rename such directories to the "
+                    "current encoding"
+                )
+            out.append(chr(code))
             i += 3
         else:
             out.append(ch)
             i += 1
     return "".join(out)
+
+
+def _is_legacy_segment(name: str) -> bool:
+    """True when a ``key=value`` directory name carries pre-r6 UTF-8 byte
+    escapes (any ``%XX`` above ASCII)."""
+    value = name.split("=", 1)[1]
+    for i, ch in enumerate(value):
+        nxt = value[i + 1 : i + 3]
+        if (
+            ch == "%"
+            and len(nxt) == 2
+            and all(c in "0123456789abcdefABCDEF" for c in nxt)
+            and int(nxt, 16) > 0x7F
+        ):
+            return True
+    return False
+
+
+def migrate_legacy_partition_dirs(location: str) -> list[tuple[str, str]]:
+    """One-time rename of partition directories written by the pre-r6
+    encoder (UTF-8 BYTE ``%XX`` escapes for non-ASCII values) to the
+    current per-character encoding. Local filesystems only — object
+    stores cannot rename directories, but no manifest-committed
+    object-store deployment predates the current encoder. Returns the
+    (old, new) directory pairs renamed; raises if a target already exists
+    (the store already holds a forked sibling — merge those partitions
+    manually before migrating)."""
+    from urllib.parse import unquote  # noqa: PLC0415
+
+    renamed: list[tuple[str, str]] = []
+    for root, dirs, _files in os.walk(location, topdown=False):
+        for d in dirs:
+            if "=" not in d or not _is_legacy_segment(d):
+                continue
+            key, _, _ = d.partition("=")
+            decoded = unquote(d.split("=", 1)[1])  # legacy = UTF-8 bytes
+            target = os.path.join(root, f"{key}={_encode(decoded)}")
+            src = os.path.join(root, d)
+            if os.path.exists(target):
+                raise FileExistsError(
+                    f"cannot migrate {src}: {target} already exists — the "
+                    "partition forked (writes landed under both encodings); "
+                    "merge the two directories manually, then re-run"
+                )
+            os.rename(src, target)
+            renamed.append((src, target))
+    return renamed
 
 
 @dataclass
@@ -113,8 +177,9 @@ class LakeTable:
         directory-encoded there, so only data columns come from the file).
         """
         committer = committer or RenameCommitter()
+        fs = committer.fs
         if not committer.versioned:
-            df = spark.read.parquet(location)
+            df = spark.read.parquet(fs.spark_path(location))
             cols = set(df.columns)
             layout = TableLayout(
                 has_path="path" in cols,
@@ -126,19 +191,23 @@ class LakeTable:
         # manifest layout: walk key=value segments down to the leaf
         # partition dirs and probe leaves until one resolves through its
         # manifest — an empty/aborted sibling (a partition dir with no
-        # committed version yet) must not mask committed data elsewhere
+        # committed version yet) must not mask committed data elsewhere.
+        # All listing goes through committer.fs (one LIST per level on an
+        # object store), never os.* — same discipline as _list_partitions.
         def _leaves(probe: str, keys: frozenset):
             kv = [
-                e
-                for e in os.scandir(probe)
-                if e.is_dir() and "=" in e.name and not e.name.startswith("v_")
+                n
+                for n in fs.listdir(probe)
+                if "=" in n
+                and not n.startswith("v_")
+                and fs.isdir(os.path.join(probe, n))
             ]
             if not kv:
                 yield probe, keys
                 return
-            for e in kv:
+            for n in kv:
                 yield from _leaves(
-                    e.path, keys | {e.name.split("=", 1)[0]}
+                    os.path.join(probe, n), keys | {n.split("=", 1)[0]}
                 )
 
         physical, keys = None, frozenset()
@@ -151,7 +220,7 @@ class LakeTable:
             raise FileNotFoundError(
                 f"no committed version found under {location}"
             )
-        cols = set(spark.read.parquet(physical).columns) | keys
+        cols = set(spark.read.parquet(fs.spark_path(physical)).columns) | keys
         layout = TableLayout(
             has_path="path" in cols,
             has_baseurl="baseurl" in cols,
@@ -171,32 +240,44 @@ class LakeTable:
     def _data_columns(self) -> list[str]:
         return [c for c in self.layout.columns if c not in self.layout.partition_columns]
 
+    @property
+    def _fs(self):
+        """Every driver-side filesystem touch goes through the committer's
+        fs interface — LocalFS by default; an S3/GCS binding makes the
+        whole lake (listing, discovery, compaction probing, Spark path
+        qualification) object-store-routed with no caller changes."""
+        return self.committer.fs
+
     def _list_partitions(self) -> list[tuple[str | None, str | None, str]]:
         """(baseurl, path, logical partition dir) for every partition
         directory present on disk — decoded from the hive-style segments.
 
-        Driver-side listing, O(#partitions) stat calls: partitions are
+        Driver-side listing through ``committer.fs`` (one LIST per level
+        on an object store), O(#partitions) calls: partitions are
         endpoints (hundreds, not millions), and the 1k-partition guard
-        test pins the read path's cost. An object-store deployment swaps
-        these ``os.scandir`` calls for the committer's ``fs`` interface
-        (one LIST per level), same shape."""
-        if not os.path.isdir(self.location):
+        test pins the read path's cost."""
+        fs = self._fs
+        if not fs.isdir(self.location):
             return []
+
+        def _subdirs(parent: str, prefix: str) -> list[tuple[str, str]]:
+            return [
+                (n, os.path.join(parent, n))
+                for n in fs.listdir(parent)
+                if n.startswith(prefix) and fs.isdir(os.path.join(parent, n))
+            ]
+
         out: list[tuple[str | None, str | None, str]] = []
         if self.layout.has_baseurl and self.layout.has_path:
-            for b in os.scandir(self.location):
-                if b.is_dir() and b.name.startswith("baseurl="):
-                    for p in os.scandir(b.path):
-                        if p.is_dir() and p.name.startswith("path="):
-                            out.append((_decode(b.name), _decode(p.name), p.path))
+            for bname, bpath in _subdirs(self.location, "baseurl="):
+                for pname, ppath in _subdirs(bpath, "path="):
+                    out.append((_decode(bname), _decode(pname), ppath))
         elif self.layout.has_baseurl:
-            for b in os.scandir(self.location):
-                if b.is_dir() and b.name.startswith("baseurl="):
-                    out.append((_decode(b.name), None, b.path))
+            for bname, bpath in _subdirs(self.location, "baseurl="):
+                out.append((_decode(bname), None, bpath))
         elif self.layout.has_path:
-            for p in os.scandir(self.location):
-                if p.is_dir() and p.name.startswith("path="):
-                    out.append((None, _decode(p.name), p.path))
+            for pname, ppath in _subdirs(self.location, "path="):
+                out.append((None, _decode(pname), ppath))
         else:
             out.append((None, None, self.location))
         return out
@@ -217,22 +298,23 @@ class LakeTable:
         endpoint-count × version scale that is the difference between a
         usable and an unusable metadata layer."""
         schema = resource_row_schema(self.layout)
+        fs = self._fs
         if not self.committer.versioned:
-            if not os.path.exists(self.location) or not any(
-                os.scandir(self.location)
-            ):
+            if not fs.isdir(self.location) or not fs.listdir(self.location):
                 return self.spark.createDataFrame([], schema)
             for _, _, logical in self._list_partitions():
-                check_backend_layout(logical, versioned=False)
+                check_backend_layout(logical, versioned=False, fs=fs)
             df = (
-                self.spark.read.option("basePath", self.location)
+                self.spark.read.option(
+                    "basePath", fs.spark_path(self.location)
+                )
                 .schema(schema)
-                .parquet(self.location)
+                .parquet(fs.spark_path(self.location))
             )
             return df.select(*self.layout.columns)
         paths: list[str] = []
         for _baseurl, _path, logical in self._list_partitions():
-            check_backend_layout(logical, versioned=True)
+            check_backend_layout(logical, versioned=True, fs=fs)
             physical = self.committer.resolve(logical)
             if physical is not None:
                 paths.append(physical)
@@ -248,10 +330,11 @@ class LakeTable:
         rename backend's directory discovery — so the two backends produce
         identical DataFrames and identical pruning behavior."""
         schema = resource_row_schema(self.layout)
+        fs = self._fs
         df = (
-            self.spark.read.option("basePath", self.location)
+            self.spark.read.option("basePath", fs.spark_path(self.location))
             .schema(schema)
-            .parquet(*paths)
+            .parquet(*[fs.spark_path(p) for p in paths])
         )
         return df.select(*self.layout.columns)
 
@@ -268,7 +351,9 @@ class LakeTable:
         data_schema = StructType(
             [f for f in schema.fields if f.name in data_cols]
         )
-        df = self.spark.read.schema(data_schema).parquet(physical)
+        df = self.spark.read.schema(data_schema).parquet(
+            self._fs.spark_path(physical)
+        )
         if self.layout.has_baseurl:
             df = df.withColumn("baseurl", F.lit(baseurl).cast("string"))
         if self.layout.has_path:
@@ -286,7 +371,7 @@ class LakeTable:
 
         if self.committer.versioned:
             logical = self._partition_dir(baseurl, path)
-            check_backend_layout(logical, versioned=True)
+            check_backend_layout(logical, versioned=True, fs=self._fs)
             physical = self.committer.resolve(logical)
             if physical is None:
                 return self.spark.createDataFrame(
@@ -318,7 +403,7 @@ class LakeTable:
         # partition first, and a rename-committer commit over a
         # manifest-versioned dir would rename the whole versioned tree
         # (manifest, history, every pinned snapshot) aside and delete it
-        check_backend_layout(part_dir, self.committer.versioned)
+        check_backend_layout(part_dir, self.committer.versioned, fs=self._fs)
         # stage() on the manifest backend is the final version directory
         # itself — data is written once at its final path and the commit is
         # pointer-only (no per-object copy on an object store)
@@ -329,7 +414,7 @@ class LakeTable:
         data = new_rows.select(*self._data_columns()).observe(
             obs, F.count(F.lit(1)).alias("n")
         )
-        data.write.mode("overwrite").parquet(tmp)
+        data.write.mode("overwrite").parquet(self._fs.spark_path(tmp))
         n = int(obs.get["n"])
         self.committer.commit(tmp, part_dir)
         return n
@@ -368,18 +453,70 @@ class LakeTable:
         self._require_versioned()
         self.committer.unpin(self._partition_dir(baseurl, path), name)
 
+    TABLE_PIN_PREFIX = "_TABLE_PIN."
+
+    def _table_pin_path(self, name: str) -> str:
+        return os.path.join(self.location, self.TABLE_PIN_PREFIX + name)
+
     def pin_table(self, name: str) -> dict[tuple[str | None, str | None], str]:
-        """Pin EVERY partition's current version under one name — the
-        whole-table reproducibility unit. Not a cross-partition atomic
-        cut (syncs are per-partition, so partitions advance
-        independently); each pin captures that partition's committed
-        version at call time. Returns {(baseurl, path): version}."""
+        """Pin EVERY partition's current version under one name and
+        publish the cut as ONE table-level manifest object — the
+        whole-table reproducibility unit.
+
+        Protocol (each step one pointer write):
+
+        1. capture each partition's current committed version,
+        2. pin that exact version per partition (exempts it from GC; if a
+           concurrent sync's GC collected it between capture and pin, the
+           capture is retried against the new current version),
+        3. publish ``_TABLE_PIN.<name>`` at the table root — a single
+           JSON object naming every partition's pinned version, written
+           with a create-if-absent conditional PUT so two runs pinning
+           the same name conflict loudly.
+
+        The cut is self-consistent as one object: readers resolve the
+        snapshot THROUGH the table manifest, so a sync advancing
+        partitions mid-call changes nothing the manifest already names —
+        each partition reads back exactly the version recorded in step 2.
+        (Partitions synced for the first time after step 1 are absent
+        from the cut, exactly as a transactional snapshot taken at
+        capture time would show.) Returns {(baseurl, path): version}."""
+        import json  # noqa: PLC0415
+
         self._require_versioned()
+        fs = self._fs
+        manifest = self._table_pin_path(name)
+        if fs.exists(manifest):
+            raise FileExistsError(
+                f"table pin {name!r} already exists at {manifest}; "
+                "unpin_table first"
+            )
         pinned: dict[tuple[str | None, str | None], str] = {}
+        entries: list[dict[str, str]] = []
         for baseurl, path, logical in self._list_partitions():
-            if self.committer.resolve(logical) is None:
+            version = None
+            v = None
+            for _attempt in range(5):
+                v = self.committer.current_version(logical)
+                if v is None:
+                    break  # never committed — absent from the cut
+                self.committer.pin(logical, name, version=v)
+                if self.committer.resolve(logical, version=v) is not None:
+                    version = v
+                    break
+                # GC collected v between capture and pin — re-capture
+            if version is None:
+                if v is not None:
+                    raise RuntimeError(
+                        f"pin_table({name!r}): could not pin a stable "
+                        f"version of {logical} after 5 attempts — GC kept "
+                        "collecting between capture and pin (pathological "
+                        "churn; retry when syncs quiesce)"
+                    )
                 continue
-            pinned[(baseurl, path)] = self.committer.pin(logical, name)
+            pinned[(baseurl, path)] = version
+            rel = os.path.relpath(logical, self.location)
+            entries.append({"dir": rel, "version": version})
         if not pinned:
             # an empty cut is almost certainly a typo'd location or a
             # not-yet-synced table; a silent no-op would only surface
@@ -388,30 +525,70 @@ class LakeTable:
                 f"pin_table({name!r}): no committed partitions under "
                 f"{self.location}"
             )
+        # the cut becomes one object: create-if-absent conditional PUT
+        if not fs.put_if(manifest, json.dumps({"partitions": entries}), None):
+            raise FileExistsError(
+                f"table pin {name!r} was created concurrently at {manifest}"
+            )
         return pinned
 
     def unpin_table(self, name: str) -> None:
         self._require_versioned()
+        fs = self._fs
+        try:
+            fs.remove(self._table_pin_path(name))
+        except FileNotFoundError:
+            pass
         for _, _, logical in self._list_partitions():
             self.committer.unpin(logical, name)
 
     def read_table_snapshot(self, name: str) -> DataFrame:
-        """The whole table as of :meth:`pin_table`'s capture — every
-        partition resolved through its named pin (partitions created
-        after the pin are absent, exactly as the pinned-time table was)."""
+        """The whole table as of :meth:`pin_table`'s capture, resolved
+        through the table-level manifest: one object names every
+        partition's pinned version, so the cut a training run reads is
+        self-consistent regardless of syncs racing the pin (partitions
+        created after the pin are absent, exactly as the pinned-time
+        table was). Tables pinned before the table manifest existed fall
+        back to scanning per-partition pins."""
+        import json  # noqa: PLC0415
+
         self._require_versioned()
+        fs = self._fs
+        manifest = self._table_pin_path(name)
         paths: list[str] = []
-        for _baseurl, _path, logical in self._list_partitions():
-            version = self.committer.pins(logical).get(name)
-            if version is None:
-                continue
-            physical = self.committer.resolve(logical, version=version)
-            if physical is None:
-                raise FileNotFoundError(
-                    f"pin {name} of partition {logical} points at collected "
-                    f"version {version}"
+        try:
+            cut = json.loads(fs.read(manifest))
+        except FileNotFoundError:
+            cut = None
+        if cut is not None:
+            for entry in cut["partitions"]:
+                logical = (
+                    self.location
+                    if entry["dir"] == "."
+                    else os.path.join(self.location, entry["dir"])
                 )
-            paths.append(physical)
+                physical = self.committer.resolve(
+                    logical, version=entry["version"]
+                )
+                if physical is None:
+                    raise FileNotFoundError(
+                        f"table pin {name} names collected version "
+                        f"{entry['version']} of partition {logical}"
+                    )
+                paths.append(physical)
+        else:
+            # legacy pre-manifest pins: reassemble from per-partition pins
+            for _baseurl, _path, logical in self._list_partitions():
+                version = self.committer.pins(logical).get(name)
+                if version is None:
+                    continue
+                physical = self.committer.resolve(logical, version=version)
+                if physical is None:
+                    raise FileNotFoundError(
+                        f"pin {name} of partition {logical} points at "
+                        f"collected version {version}"
+                    )
+                paths.append(physical)
         if not paths:
             raise FileNotFoundError(f"no partition carries pin {name!r}")
         # same O(1)-plan multi-path scan as read(): the pinned version dirs
@@ -454,23 +631,26 @@ class LakeTable:
         ``coalesce`` (not ``repartition``): compaction must not shuffle —
         each output task concatenates whole input files.
         """
+        fs = self._fs
         part_dir = self._partition_dir(baseurl, path)
-        check_backend_layout(part_dir, self.committer.versioned)
+        check_backend_layout(part_dir, self.committer.versioned, fs=fs)
         physical = self.committer.resolve(part_dir)
         if physical is None:
             return (0, 0)
         files = [
             os.path.join(physical, f)
-            for f in os.listdir(physical)
+            for f in fs.listdir(physical)
             if f.endswith(".parquet")
         ]
         if not files:
             return (0, 0)
-        total_bytes = sum(os.path.getsize(f) for f in files)
+        total_bytes = sum(fs.size(f) for f in files)
         n_out = max(1, -(-total_bytes // target_file_bytes))
-        df = self.spark.read.parquet(physical).coalesce(int(n_out))
+        df = self.spark.read.parquet(fs.spark_path(physical)).coalesce(
+            int(n_out)
+        )
         tmp = self.committer.stage(part_dir)
-        df.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(fs.spark_path(tmp))
         if self.committer.versioned:
             # read-modify-write: CAS on the version we compacted, so a
             # sync that replaced this partition mid-compaction wins and
@@ -482,6 +662,6 @@ class LakeTable:
             self.committer.commit(tmp, part_dir)
         after_dir = self.committer.resolve(part_dir)
         files_after = len(
-            [f for f in os.listdir(after_dir) if f.endswith(".parquet")]
+            [f for f in fs.listdir(after_dir) if f.endswith(".parquet")]
         )
         return (len(files), files_after)

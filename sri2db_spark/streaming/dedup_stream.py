@@ -54,19 +54,26 @@ def stream_exact_dedup_global(stream: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _check_no_root_flat(*dirs: str) -> None:
+def _fs_or_local(fs):
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    return fs or LocalFS()
+
+
+def _check_no_root_flat(*dirs: str, fs=None) -> None:
     """Refuse to start a batch-id-addressed stream over an output directory
     that still holds flat parquet at its ROOT (the pre-batch-addressed
     append layout): ``spark.read.parquet(dir)`` over such a mix returns
     ONLY the root files and silently drops every ``batch_id=*`` row, so
     new survivors would be invisible to the documented read. Migrate the
-    legacy files first (``sri2db_spark output-compact --dir <dir>`` folds
-    them into a batch-addressed base), then restart the stream."""
-    import os  # noqa: PLC0415
-
+    legacy files first (``python -m sri2db_spark output-compact --dir
+    <dir>`` folds them into a batch-addressed base), then restart the
+    stream. ``fs``: the filesystem the outputs live on (object-store
+    deployments pass their binding; default local disk)."""
+    fs = _fs_or_local(fs)
     for d in dirs:
-        if os.path.isdir(d) and any(
-            n.endswith(".parquet") for n in os.listdir(d)
+        if fs.isdir(d) and any(
+            n.endswith(".parquet") for n in fs.listdir(d)
         ):
             raise ValueError(
                 f"{d} holds flat parquet at its root (legacy append "
@@ -90,6 +97,7 @@ def stream_neardup_incremental(
     bands: int = 64,
     threshold: float = 0.5,
     trigger_available_now: bool = True,
+    fs=None,
 ):
     """Self-maintaining streaming near-dup: every micro-batch is near-dup
     checked against the signature store of ALL earlier batches via
@@ -110,18 +118,23 @@ def stream_neardup_incremental(
     - ``corpus_dir``: raw (id, text) per batch — the verification lookup.
     - ``pairs_dir``: (id_a, id_b, jaccard) near-dup pairs, partitioned by
       batch_id (pairs discovered when the later member arrived).
+
+    ``fs``: the filesystem the three directories live on — the layout
+    guard and Spark path qualification route through it (default local).
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from ..functions import dedup as D  # noqa: PLC0415
 
-    _check_no_root_flat(store_dir, corpus_dir, pairs_dir)
+    fs = _fs_or_local(fs)
+    _check_no_root_flat(store_dir, corpus_dir, pairs_dir, fs=fs)
 
     def _read_excluding(spark, base: str, batch_id: int, cols: list[str]):
         from pyspark.errors import AnalysisException  # noqa: PLC0415
 
+        sbase = fs.spark_path(base)
         try:
-            df = spark.read.option("basePath", base).parquet(base)
+            df = spark.read.option("basePath", sbase).parquet(sbase)
         except AnalysisException:  # first batch: nothing yet (path-missing
             # only — transient I/O errors propagate, see statestore)
             return None
@@ -147,11 +160,15 @@ def stream_neardup_incremental(
             k=k, num_perm=num_perm, bands=bands, threshold=threshold,
             update_store=False, new_sigs=sigs, old_sigs=old_sigs,
         )
-        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-        batch_docs.write.mode("overwrite").parquet(
-            f"{corpus_dir}/batch_id={batch_id}"
+        pairs.write.mode("overwrite").parquet(
+            fs.spark_path(f"{pairs_dir}/batch_id={batch_id}")
         )
-        sigs.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        batch_docs.write.mode("overwrite").parquet(
+            fs.spark_path(f"{corpus_dir}/batch_id={batch_id}")
+        )
+        sigs.write.mode("overwrite").parquet(
+            fs.spark_path(f"{store_dir}/batch_id={batch_id}")
+        )
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -173,6 +190,7 @@ def stream_curate_incremental(
     min_quality: float = 0.24,
     neardup_threshold: float = 0.5,
     trigger_available_now: bool = True,
+    fs=None,
 ):
     """Continuous corpus curation: every micro-batch runs the full
     batch-vs-state curation chain (``functions.pipeline.
@@ -190,7 +208,8 @@ def stream_curate_incremental(
     """
     from ..functions.pipeline import curate_batch_incremental  # noqa: PLC0415
 
-    _check_no_root_flat(out_dir)
+    fs = _fs_or_local(fs)
+    _check_no_root_flat(out_dir, fs=fs)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -200,7 +219,9 @@ def stream_curate_incremental(
             neardup_threshold=neardup_threshold, update_state=True,
             batch_token=batch_id,
         )
-        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        out.write.mode("overwrite").parquet(
+            fs.spark_path(f"{out_dir}/batch_id={batch_id}")
+        )
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -220,6 +241,7 @@ def stream_neardup_dedup(
     text_col: str = "text",
     threshold: float = 0.5,
     trigger_available_now: bool = True,
+    fs=None,
 ):
     """Stream-vs-static near-dup dedup: every micro-batch is LSH-filtered
     against a pre-built corpus index (functions.dedup.build_lsh_index) and
@@ -239,7 +261,8 @@ def stream_neardup_dedup(
     """
     from ..functions.dedup import neardup_filter_against_index  # noqa: PLC0415
 
-    _check_no_root_flat(out_dir)
+    fs = _fs_or_local(fs)
+    _check_no_root_flat(out_dir, fs=fs)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         survivors = neardup_filter_against_index(
@@ -247,7 +270,7 @@ def stream_neardup_dedup(
             threshold=threshold,
         )
         survivors.write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={batch_id}"
+            fs.spark_path(f"{out_dir}/batch_id={batch_id}")
         )
 
     writer = stream.writeStream.foreachBatch(_process).option(
