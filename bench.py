@@ -72,6 +72,16 @@ def main() -> None:
     # pause put a 40% phantom swing on q1, making a 2× regression bar
     # unenforceable for sub-2s queries.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5"))
+    # The two historically bimodal entries (3.0↔4.1 s across rounds on
+    # byte-identical code) get more repeats: tools/bench_bimodality_probe.py
+    # showed the swing is a per-JVM-SESSION plateau plus an in-session
+    # warm-up slope — JIT compiler threads spend 2-6 s of compile time PER
+    # RUN on these queries' large generated classes (128-perm OPH / n-gram
+    # explode), so early runs sit 20-40 % above steady state and median-of-5
+    # lands on the slope. More repeats push the median off the slope, and
+    # the reported per-query MIN is the load/JIT-robust statistic to compare
+    # across rounds (additive noise only ever inflates a run).
+    extra_repeat = {"dedup_minhash_lsh": 11, "ngram_topk": 11}
 
     def _spread(sorted_runs: list[float]) -> float:
         n = len(sorted_runs)
@@ -80,6 +90,7 @@ def main() -> None:
         return round(sorted_runs[-1] - sorted_runs[0], 3)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         # One untimed warmup: whole-stage codegen compilation of a large
@@ -89,7 +100,7 @@ def main() -> None:
         spark.catalog.clearCache()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs: list[float] = []
-        for _ in range(repeat):
+        for _ in range(extra_repeat.get(name, repeat)):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -97,6 +108,7 @@ def main() -> None:
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spreads[name] = _spread(runs)
+        mins[name] = round(runs[0], 3)
 
     # ETL throughput: full sync of a 20k-resource fake SRI collection at the
     # reference's defaults (500/page) into a lake partition — the number most
@@ -137,6 +149,7 @@ def main() -> None:
     sync_runs.sort()
     timings["sri_full_sync_20k"] = round(sync_runs[len(sync_runs) // 2], 3)
     spreads["sri_full_sync_20k"] = _spread(sync_runs)
+    mins["sri_full_sync_20k"] = round(sync_runs[0], 3)
 
     # Same 20k full sync through the A2 offset-sharded scale path: disjoint
     # executor-owned offset ranges paged inside Python workers (the shape a
@@ -159,6 +172,7 @@ def main() -> None:
     sh_runs.sort()
     timings["sri_full_sync_20k_sharded"] = round(sh_runs[len(sh_runs) // 2], 3)
     spreads["sri_full_sync_20k_sharded"] = _spread(sh_runs)
+    mins["sri_full_sync_20k_sharded"] = round(sh_runs[0], 3)
     shutil.rmtree(tmp, ignore_errors=True)
 
     # Steady-state ANN serving: the index is built ONCE (the amortized cost a
@@ -187,6 +201,7 @@ def main() -> None:
         q_runs.sort()
         timings["ann_ivfpq_query_64q"] = round(q_runs[len(q_runs) // 2], 3)
         spreads["ann_ivfpq_query_64q"] = _spread(q_runs)
+        mins["ann_ivfpq_query_64q"] = round(q_runs[0], 3)
 
         # Bulk offline scoring: 10,000 queries in ONE job — the regime the
         # distributed LUT build exists for (the former driver-side loop
@@ -218,6 +233,7 @@ def main() -> None:
         b_runs.sort()
         timings["ann_ivfpq_bulk_10k"] = round(b_runs[len(b_runs) // 2], 3)
         spreads["ann_ivfpq_bulk_10k"] = _spread(b_runs)
+        mins["ann_ivfpq_bulk_10k"] = round(b_runs[0], 3)
 
         # Same 10k-query job through the sort-merge path
         # (broadcast_queries=False): the shape that has NO per-job query
@@ -235,6 +251,7 @@ def main() -> None:
         s_runs.sort()
         timings["ann_ivfpq_bulk_10k_shuffle"] = round(s_runs[len(s_runs) // 2], 3)
         spreads["ann_ivfpq_bulk_10k_shuffle"] = _spread(s_runs)
+        mins["ann_ivfpq_bulk_10k_shuffle"] = round(s_runs[0], 3)
     finally:
         shutil.rmtree(idx_tmp, ignore_errors=True)
 
@@ -247,6 +264,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spreads": spreads,
+                "mins": mins,
                 "repeat": repeat,
                 "sf": sf,
                 "cpus": int(cpus),
