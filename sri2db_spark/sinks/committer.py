@@ -112,7 +112,17 @@ class RenameCommitter:
     def __init__(self, fs=None):
         # uniform interface with ManifestCommitter so callers can route
         # auxiliary listing through `committer.fs`; the swap itself stays
-        # os.rename — this protocol is only valid where that is atomic
+        # os.rename — this protocol is only valid where that is atomic,
+        # so a non-local fs binding is rejected loudly instead of letting
+        # the first commit fail halfway through its rename pair
+        from .fs import FsspecFS  # noqa: PLC0415
+
+        if isinstance(fs, FsspecFS):
+            raise ValueError(
+                "the rename protocol needs an atomic directory rename, "
+                "which object-store/fsspec backends do not have — use "
+                "ManifestCommitter for this filesystem"
+            )
         self.fs = fs or LocalFS()
 
     def stage(self, dst_dir: str) -> str:

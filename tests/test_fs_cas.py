@@ -251,3 +251,11 @@ def test_python_dash_m_entry_point(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "output-compact" in r.stdout
+
+
+def test_rename_committer_rejects_fsspec_binding():
+    from sri2db_spark.sinks.committer import RenameCommitter
+    from sri2db_spark.sinks.fs import FsspecFS
+
+    with pytest.raises(ValueError, match="ManifestCommitter"):
+        RenameCommitter(fs=FsspecFS(FakeFsspecFileSystem()))
