@@ -81,7 +81,14 @@ def main() -> None:
     # lands on the slope. More repeats push the median off the slope, and
     # the reported per-query MIN is the load/JIT-robust statistic to compare
     # across rounds (additive noise only ever inflates a run).
-    extra_repeat = {"dedup_minhash_lsh": 11, "ngram_topk": 11}
+    # floor, not override: a caller raising SPARK_GRAFT_BENCH_REPEAT above
+    # 11 gets that many runs here too, and the emitted per-query "repeats"
+    # map records the actual count for every entry
+    extra_repeat = {
+        "dedup_minhash_lsh": max(repeat, 11),
+        "ngram_topk": max(repeat, 11),
+    }
+    repeats_used: dict[str, int] = {}
 
     def _spread(sorted_runs: list[float]) -> float:
         n = len(sorted_runs)
@@ -100,7 +107,8 @@ def main() -> None:
         spark.catalog.clearCache()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs: list[float] = []
-        for _ in range(extra_repeat.get(name, repeat)):
+        repeats_used[name] = extra_repeat.get(name, repeat)
+        for _ in range(repeats_used[name]):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -266,6 +274,7 @@ def main() -> None:
                 "spreads": spreads,
                 "mins": mins,
                 "repeat": repeat,
+                "repeats": repeats_used,
                 "sf": sf,
                 "cpus": int(cpus),
             }

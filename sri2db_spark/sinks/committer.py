@@ -314,9 +314,12 @@ class ManifestCommitter:
             return out
         for name in self.fs.listdir(dst_dir):
             if name.startswith(self.PIN_PREFIX):
-                out[name[len(self.PIN_PREFIX) :]] = self.fs.read(
-                    os.path.join(dst_dir, name)
-                ).strip()
+                try:
+                    out[name[len(self.PIN_PREFIX) :]] = self.fs.read(
+                        os.path.join(dst_dir, name)
+                    ).strip()
+                except FileNotFoundError:
+                    continue  # unpinned between listdir and read
         return out
 
     def pin(self, dst_dir: str, name: str, version: str | None = None) -> str:
@@ -330,6 +333,19 @@ class ManifestCommitter:
             version = os.path.basename(physical)
         self.fs.put(os.path.join(dst_dir, self.PIN_PREFIX + name), version)
         return version
+
+    def pin_if(
+        self, dst_dir: str, name: str, version: str, expected: str | None
+    ) -> bool:
+        """Conditional pin write — the same compare-and-swap primitive as
+        the manifest pointer: publish ``version`` under ``name`` iff the
+        pin currently holds ``expected`` (``None`` = must not exist).
+        Returns False when the precondition failed. Lets
+        :meth:`~.lake.LakeTable.pin_table` create/refresh pins without
+        ever overwriting a pin a concurrent writer owns."""
+        return self.fs.put_if(
+            os.path.join(dst_dir, self.PIN_PREFIX + name), version, expected
+        )
 
     def unpin(self, dst_dir: str, name: str) -> None:
         """Drop a pin; its version becomes eligible for GC at the next
@@ -370,7 +386,17 @@ class ManifestCommitter:
                 self.fs.getmtime(os.path.join(dst_dir, d)),
             )
         )
-        for stale in versions[: max(0, len(versions) - self.keep_versions)]:
+        victims = versions[: max(0, len(versions) - self.keep_versions)]
+        if victims:
+            # re-read pins immediately before deleting: a pin_table()
+            # racing this GC may have pinned a victim after the first
+            # pins() read above. This narrows (not closes) the window —
+            # the pinner's own post-publish verification closes the rest
+            # (see LakeTable.pin_table).
+            protected = set(self.pins(dst_dir).values()) | {current}
+        for stale in victims:
+            if stale in protected:
+                continue
             self.fs.rmtree(os.path.join(dst_dir, stale))
         # prune commit markers whose version is gone (one marker accrues per
         # sync — unbounded over thousands of syncs). The max-seq marker is

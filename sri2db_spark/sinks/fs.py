@@ -78,36 +78,47 @@ class LocalFS:
 
     def _lock_pointer(
         self, path: str, lock_timeout_s: float, stale_lock_s: float
-    ) -> str:
-        """Acquire ``path``'s pointer lock (``O_EXCL`` create). A lock
-        left by a crashed holder is stolen after ``stale_lock_s`` — the
-        steal is rename-to-unique-then-remove, so when two waiters both
-        observe the same stale lock only the one whose rename succeeds
-        removes it; the loser can never remove the winner's FRESH lock
-        (the mtime-check-then-remove race). Returns the lock path."""
+    ) -> int:
+        """Acquire ``path``'s pointer lock; returns an fd holding an
+        exclusive OS advisory lock (``flock``) on a PERSISTENT dot-named
+        sibling file (``.<name>.cas_lock``). Close the fd to release.
+
+        ``flock`` instead of ``O_EXCL``-create for two reasons proven
+        buggy in the create/steal design: (1) a crashed holder's lock is
+        released by the kernel the moment its process dies — there is no
+        staleness heuristic and therefore no steal race (two waiters
+        deciding "stale" from an mtime read could previously both act on
+        it, one of them renaming away a FRESH lock); (2) the lock file is
+        never created-and-removed under pointer names, so prefix scans
+        over the pointer directory (``_PIN.*``, ``_TABLE_PIN.*``,
+        commit-marker listings) can never observe a transient
+        ``<pointer>.cas_lock`` entry as a phantom pointer — the dot-named
+        lock file is permanent, tiny, and matches no pointer prefix.
+
+        The lock file must never be unlinked while the store lives:
+        removing it while one holder has it flocked would let the next
+        acquirer lock a NEW inode and break mutual exclusion (the classic
+        unlink-vs-flock race). ``stale_lock_s`` is retained in the
+        signature for callers written against the steal design; it is
+        unused — kernel-released locks have no stale state.
+        """
+        import fcntl  # noqa: PLC0415
         import time  # noqa: PLC0415
 
-        lock = path + ".cas_lock"
+        del stale_lock_s  # no steal protocol: crashed holders auto-release
+        lock = os.path.join(
+            os.path.dirname(path),
+            f".{os.path.basename(path)}.cas_lock",
+        )
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         deadline = time.monotonic() + lock_timeout_s
         while True:
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                return lock
-            except FileExistsError:
-                try:
-                    stale = time.time() - os.path.getmtime(lock) > stale_lock_s
-                except FileNotFoundError:
-                    continue  # holder just released; retry immediately
-                if stale:
-                    steal = f"{lock}.steal.{uuid.uuid4().hex}"
-                    try:
-                        os.rename(lock, steal)  # one stealer wins
-                    except FileNotFoundError:
-                        continue  # another stealer (or release) beat us
-                    os.remove(steal)
-                    continue
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return fd
+            except (BlockingIOError, PermissionError):
                 if time.monotonic() > deadline:
+                    os.close(fd)
                     raise TimeoutError(
                         f"CAS lock contention on {lock}"
                     ) from None
@@ -128,14 +139,11 @@ class LocalFS:
         silently overwritten — conditional and unconditional writers
         serialize. On a real object store both are single PutObject calls
         against the same key, which the store itself serializes."""
-        lock = self._lock_pointer(path, lock_timeout_s, stale_lock_s)
+        fd = self._lock_pointer(path, lock_timeout_s, stale_lock_s)
         try:
             self._put_raw(path, data)
         finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            os.close(fd)  # releases the flock
 
     def put_if(
         self,
@@ -154,15 +162,12 @@ class LocalFS:
         On a real object store this IS one server-side primitive — S3
         conditional writes (``If-Match``/``If-None-Match`` on PutObject),
         GCS ``if-generation-match`` — with no extra object involved. The
-        local emulation brackets read-check-replace with an ``O_EXCL``
-        lock file; note that create-if-absent + delete is itself
-        expressible as ``If-None-Match: *`` PUTs, so even the emulation
-        strategy ports to stores that only offer the ``None`` flavor. A
-        lock left by a crashed holder is stolen after ``stale_lock_s``
-        (see :meth:`_lock_pointer` for why the steal cannot remove a
-        fresh lock).
+        local emulation brackets read-check-replace with an exclusive
+        ``flock`` on a persistent dot-named sibling lock file; a crashed
+        holder's lock is released by the kernel, so there is no stale
+        state and no steal protocol (see :meth:`_lock_pointer`).
         """
-        lock = self._lock_pointer(path, lock_timeout_s, stale_lock_s)
+        fd = self._lock_pointer(path, lock_timeout_s, stale_lock_s)
         try:
             try:
                 current: str | None = self.read(path)
@@ -173,10 +178,7 @@ class LocalFS:
             self._put_raw(path, data)
             return True
         finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            os.close(fd)  # releases the flock
 
     def read(self, path: str) -> str:
         """Contents of a small object; FileNotFoundError when absent."""
@@ -348,18 +350,47 @@ class FsspecFS:
         return [f for f in self._fs.find(path) if f.endswith(suffix)]
 
 
-#: substrings that identify a failed-precondition error from a store's
-#: conditional PUT, matched case-insensitively against the raised
-#: exception's repr — S3 returns HTTP 412 ``PreconditionFailed`` (or
-#: ``ConditionNotMet``-style codes via some proxies), GCS returns 412
-#: ``conditionNotMet``. Anything else re-raises: a network failure must
-#: not masquerade as "lost the race".
-_PRECONDITION_MARKERS = ("precondition", "conditionnotmet", "412")
+#: error-code strings that identify a failed-precondition response from a
+#: store's conditional PUT — S3 ``PreconditionFailed`` (412), GCS
+#: ``conditionNotMet`` (412), plus proxy variants.
+_PRECONDITION_CODES = frozenset(
+    {"preconditionfailed", "conditionnotmet", "precondition failed"}
+)
 
 
 def _is_precondition_failure(exc: BaseException) -> bool:
-    text = repr(exc).lower()
-    return any(m in text for m in _PRECONDITION_MARKERS)
+    """True iff ``exc`` is a store's failed-precondition (HTTP 412)
+    response to a conditional PUT. STRUCTURED fields only — exception
+    class name, numeric status attributes (gcsfs ``HttpError.code``),
+    and the botocore response dict (``Error.Code`` /
+    ``ResponseMetadata.HTTPStatusCode``) — never a substring scan of the
+    repr, where a request id or byte count containing "412" would turn a
+    throttling failure into a silent "lost the race" (masking real
+    infrastructure errors as benign). Walks ``__cause__``/``__context__``
+    because s3fs wraps botocore errors when translating them. Anything
+    unrecognized re-raises at the call site."""
+    seen: set[int] = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        name = type(e).__name__.lower()
+        if "preconditionfailed" in name or "conditionnotmet" in name:
+            return True
+        for attr in ("code", "status", "status_code"):
+            v = getattr(e, attr, None)
+            if v == 412 or (isinstance(v, str) and v.strip() == "412"):
+                return True
+        resp = getattr(e, "response", None)
+        if isinstance(resp, dict):
+            meta = resp.get("ResponseMetadata", {})
+            if isinstance(meta, dict) and meta.get("HTTPStatusCode") == 412:
+                return True
+            err = resp.get("Error", {})
+            code = err.get("Code", "") if isinstance(err, dict) else ""
+            if str(code).strip().lower() in _PRECONDITION_CODES | {"412"}:
+                return True
+        e = e.__cause__ or e.__context__
+    return False
 
 
 class _ConditionalPutFsspecFS(FsspecFS):

@@ -463,16 +463,34 @@ class LakeTable:
         publish the cut as ONE table-level manifest object — the
         whole-table reproducibility unit.
 
-        Protocol (each step one pointer write):
+        Two-phase protocol (each step one pointer write):
 
+        0. CLAIM the name: publish ``_TABLE_PIN.<name>`` in a "pending"
+           state with a create-if-absent conditional PUT. Two runs
+           pinning the same name conflict HERE — before either has
+           touched a single per-partition pin, so a loser can never
+           overwrite the winner's pins (which would have silently
+           stripped the winner's versions of GC protection).
         1. capture each partition's current committed version,
-        2. pin that exact version per partition (exempts it from GC; if a
-           concurrent sync's GC collected it between capture and pin, the
-           capture is retried against the new current version),
-        3. publish ``_TABLE_PIN.<name>`` at the table root — a single
-           JSON object naming every partition's pinned version, written
-           with a create-if-absent conditional PUT so two runs pinning
-           the same name conflict loudly.
+        2. pin that exact version per partition with a CONDITIONAL write
+           (create-if-absent, or replace our own now-stale pin on retry;
+           a live foreign pin under this name — a legacy
+           :meth:`pin_partition` — conflicts loudly), re-capturing if a
+           concurrent sync's GC collected the version in between,
+        3. VERIFY every recorded version still resolves — closes the race
+           with a GC whose pins() read preceded our pin write (its
+           delayed rmtree could otherwise collect a version the cut
+           names); any partition that lost its version is re-pinned
+           against the new current version,
+        4. FINALIZE: flip the manifest pending → the entry list with a
+           CAS pinned to the pending content.
+
+        Any failure (including a crash) leaves either no manifest or a
+        "pending" one — :meth:`read_table_snapshot` refuses a pending
+        manifest loudly instead of falling back to a silently PARTIAL
+        per-partition-pin cut, and :meth:`unpin_table` cleans it up. On a
+        non-crash failure this method removes the pins and the pending
+        manifest itself before re-raising.
 
         The cut is self-consistent as one object: readers resolve the
         snapshot THROUGH the table manifest, so a sync advancing
@@ -486,51 +504,145 @@ class LakeTable:
         self._require_versioned()
         fs = self._fs
         manifest = self._table_pin_path(name)
-        if fs.exists(manifest):
+        pending = json.dumps({"state": "pending"})
+        if not fs.put_if(manifest, pending, None):
             raise FileExistsError(
-                f"table pin {name!r} already exists at {manifest}; "
-                "unpin_table first"
+                f"table pin {name!r} already exists at {manifest} "
+                "(or a pin_table run is in flight); unpin_table first"
             )
-        pinned: dict[tuple[str | None, str | None], str] = {}
-        entries: list[dict[str, str]] = []
-        for baseurl, path, logical in self._list_partitions():
-            version = None
-            v = None
+        created: list[str] = []  # partitions where WE wrote the pin
+        try:
+            pinned: dict[tuple[str | None, str | None], str] = {}
+            entries: list[dict[str, str]] = []
+            for baseurl, path, logical in self._list_partitions():
+                version = self._pin_one_partition(name, logical, created)
+                if version is None:
+                    continue  # never committed — absent from the cut
+                pinned[(baseurl, path)] = version
+                rel = os.path.relpath(logical, self.location)
+                entries.append({"dir": rel, "version": version})
+            if not pinned:
+                # an empty cut is almost certainly a typo'd location or a
+                # not-yet-synced table; a silent no-op would only surface
+                # weeks later when the "snapshot" turns out not to exist
+                raise FileNotFoundError(
+                    f"pin_table({name!r}): no committed partitions under "
+                    f"{self.location}"
+                )
+            # step 3: a GC already past its pins() read when we pinned may
+            # have collected a captured version after the per-partition
+            # check — re-verify the whole cut and re-pin any loss
             for _attempt in range(5):
-                v = self.committer.current_version(logical)
-                if v is None:
-                    break  # never committed — absent from the cut
-                self.committer.pin(logical, name, version=v)
-                if self.committer.resolve(logical, version=v) is not None:
-                    version = v
-                    break
-                # GC collected v between capture and pin — re-capture
-            if version is None:
-                if v is not None:
-                    raise RuntimeError(
-                        f"pin_table({name!r}): could not pin a stable "
-                        f"version of {logical} after 5 attempts — GC kept "
-                        "collecting between capture and pin (pathological "
-                        "churn; retry when syncs quiesce)"
+                stale = [
+                    e
+                    for e in entries
+                    if self.committer.resolve(
+                        self._entry_dir(e), version=e["version"]
                     )
-                continue
-            pinned[(baseurl, path)] = version
-            rel = os.path.relpath(logical, self.location)
-            entries.append({"dir": rel, "version": version})
-        if not pinned:
-            # an empty cut is almost certainly a typo'd location or a
-            # not-yet-synced table; a silent no-op would only surface
-            # weeks later when the "snapshot" turns out not to exist
-            raise FileNotFoundError(
-                f"pin_table({name!r}): no committed partitions under "
-                f"{self.location}"
-            )
-        # the cut becomes one object: create-if-absent conditional PUT
-        if not fs.put_if(manifest, json.dumps({"partitions": entries}), None):
+                    is None
+                ]
+                if not stale:
+                    break
+                for e in stale:
+                    v = self._pin_one_partition(
+                        name, self._entry_dir(e), created
+                    )
+                    if v is None:
+                        raise RuntimeError(
+                            f"pin_table({name!r}): partition "
+                            f"{self._entry_dir(e)} lost its only committed "
+                            "version mid-pin"
+                        )
+                    e["version"] = v
+                    key = next(
+                        k for k, d in zip(pinned, entries) if d is e
+                    )
+                    pinned[key] = v
+            else:
+                raise RuntimeError(
+                    f"pin_table({name!r}): versions kept being collected "
+                    "between pin and verify (pathological churn; retry "
+                    "when syncs quiesce)"
+                )
+            # step 4: finalize pending → the cut, CAS'd on pending (only
+            # unpin_table could have removed/changed it meanwhile)
+            if not fs.put_if(
+                manifest, json.dumps({"partitions": entries}), pending
+            ):
+                raise RuntimeError(
+                    f"table pin {name!r} was unpinned concurrently while "
+                    "being created"
+                )
+            return pinned
+        except BaseException:
+            for logical in created:
+                self.committer.unpin(logical, name)
+            try:
+                if fs.read(manifest) == pending:
+                    fs.remove(manifest)
+            except FileNotFoundError:
+                pass
+            raise
+
+    def _entry_dir(self, entry: dict[str, str]) -> str:
+        return (
+            self.location
+            if entry["dir"] == "."
+            else os.path.join(self.location, entry["dir"])
+        )
+
+    def _pin_one_partition(
+        self, name: str, logical: str, created: list[str]
+    ) -> str | None:
+        """Pin ``logical``'s current version under ``name`` with
+        conditional writes only. Returns the pinned version, or ``None``
+        when nothing is committed. Raises on a LIVE foreign pin under the
+        same name (a legacy per-partition pin — the table-level name was
+        already claimed, so it cannot be another pin_table)."""
+        cur = self.committer.pins(logical).get(name)
+        if (
+            cur is not None
+            and logical not in created
+            and self.committer.resolve(logical, version=cur) is not None
+        ):
             raise FileExistsError(
-                f"table pin {name!r} was created concurrently at {manifest}"
+                f"partition {logical} already carries a live pin "
+                f"{name!r} (a pre-existing pin_partition?); unpin it or "
+                "choose another name"
             )
-        return pinned
+        for _attempt in range(5):
+            v = self.committer.current_version(logical)
+            if v is None:
+                return None
+            if cur == v or self.committer.pin_if(
+                logical, name, v, expected=cur
+            ):
+                if logical not in created:
+                    created.append(logical)
+                cur = v
+                if self.committer.resolve(logical, version=v) is not None:
+                    return v
+                # GC collected v between capture and pin — re-capture
+            else:
+                # pin file changed under us (a racing legacy pinner);
+                # re-read and let the live-pin check above decide
+                cur = self.committer.pins(logical).get(name)
+                if (
+                    cur is not None
+                    and logical not in created
+                    and self.committer.resolve(logical, version=cur)
+                    is not None
+                ):
+                    raise FileExistsError(
+                        f"partition {logical} gained a live pin {name!r} "
+                        "concurrently; unpin it or choose another name"
+                    )
+        raise RuntimeError(
+            f"pin_table({name!r}): could not pin a stable version of "
+            f"{logical} after 5 attempts — GC kept collecting between "
+            "capture and pin (pathological churn; retry when syncs "
+            "quiesce)"
+        )
 
     def unpin_table(self, name: str) -> None:
         self._require_versioned()
@@ -560,6 +672,17 @@ class LakeTable:
             cut = json.loads(fs.read(manifest))
         except FileNotFoundError:
             cut = None
+        if cut is not None and "partitions" not in cut:
+            # a claimed-but-unfinalized manifest: a pin_table() run is in
+            # flight or crashed mid-pin. Refusing here is what prevents a
+            # crashed pin from ever being read back as a silently PARTIAL
+            # cut through the legacy per-partition fallback below.
+            raise RuntimeError(
+                f"table pin {name!r} is incomplete "
+                f"(state={cut.get('state')!r}): a pin_table() run is in "
+                f"flight or crashed mid-pin; retry once it finishes, or "
+                f"unpin_table({name!r}) to discard the partial pin"
+            )
         if cut is not None:
             for entry in cut["partitions"]:
                 logical = (

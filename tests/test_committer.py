@@ -134,7 +134,10 @@ def test_sync_end_to_end_on_manifest_backend(spark, tmp_path):
     entries = set(os.listdir(part))
     assert "_MANIFEST" in entries
     assert all(
-        e in ("_MANIFEST", "_commits") or e.startswith(("v_", "_PIN."))
+        e in ("_MANIFEST", "_commits")
+        or e.startswith(("v_", "_PIN."))
+        # persistent dot-named pointer locks (see LocalFS._lock_pointer)
+        or (e.startswith(".") and e.endswith(".cas_lock"))
         for e in entries
     )
     # delta: update one resource, sync, merged in place
@@ -718,24 +721,22 @@ def test_gc_spares_inflight_unmarked_stage(tmp_path):
     assert not os.path.isdir(inflight)  # grace elapsed -> debris collected
 
 
-def test_put_if_steals_stale_lock(tmp_path):
-    """A CAS lock left by a crashed holder must not wedge the store: a lock
-    older than stale_lock_s is stolen and the put proceeds."""
+def test_put_if_proceeds_past_crashed_holder(tmp_path):
+    """A CAS lock left by a crashed holder must not wedge the store: the
+    flock a dead process held is released by the kernel, so the next
+    put_if proceeds immediately (no staleness window, no steal)."""
     from sri2db_spark.sinks.fs import LocalFS
-
-    import time
 
     fs = LocalFS()
     path = str(tmp_path / "obj")
     fs.put(path, "v1")
-    lock = path + ".cas_lock"
-    with open(lock, "w"):
-        pass
-    old = time.time() - 3600
-    os.utime(lock, (old, old))
+    # what a crashed holder leaves behind: the persistent lock file,
+    # with no process holding its flock
+    lock = str(tmp_path / ".obj.cas_lock")
+    assert os.path.exists(lock)
     assert fs.put_if(path, "v2", "v1", stale_lock_s=60.0) is True
     assert fs.read(path) == "v2"
-    assert not os.path.exists(lock)
+    assert os.path.exists(lock)  # persistent by design (never unlinked)
 
 
 def test_rename_backend_rejects_conditional_commit(tmp_path):

@@ -2,8 +2,11 @@
 
 Covers the round-7 hardening: (1) unconditional pointer writes serialize
 against conditional ones (a blind sync publish can no longer be silently
-lost to a CAS writer whose read preceded it), (2) stale-lock stealing is
-single-winner (rename-to-unique), (3) generic fsspec CAS is opt-in and
+lost to a CAS writer whose read preceded it), (2) the pointer lock is an
+OS advisory lock (flock) on a persistent dot-named file — crashed holders
+release via the kernel (no staleness heuristic, no steal race) and lock
+files can never shadow pointer prefix scans, (3) generic fsspec CAS is
+opt-in and
 the S3/GCS bindings close the read-put window with the store's own
 conditional PUT — proven by the same interleaving losing an update on the
 weak path and failing cleanly on the server-side path.
@@ -75,58 +78,86 @@ def test_unconditional_put_serializes_with_cas(tmp_path, monkeypatch):
     assert fs.read(path) == "C"
 
 
-def test_stale_lock_steal_is_single_winner(tmp_path):
-    """A crashed holder's lock is stolen via rename-to-unique + remove:
-    the steal succeeds, the CAS completes, and a racer whose rename loses
-    retries instead of removing the winner's fresh lock."""
+def test_crashed_holder_does_not_wedge_the_lock(tmp_path):
+    """The pointer lock is an OS advisory lock (flock) on a persistent
+    dot-named file: a crashed holder's lock is released by the KERNEL
+    when its process dies, so the on-disk lock file left behind holds
+    nothing — the next writer proceeds immediately, with no staleness
+    heuristic and no steal protocol (whose mtime-check-then-rename could
+    previously rename away a FRESH lock)."""
     fs = LocalFS()
     path = str(tmp_path / "ptr")
     fs.put(path, "A")
-    lock = path + ".cas_lock"
-    open(lock, "w").close()
+    lock = str(tmp_path / ".ptr.cas_lock")
+    assert os.path.exists(lock)  # persistent from the first put
     old = time.time() - 3600
-    os.utime(lock, (old, old))  # crashed an hour ago
-    assert fs.put_if(path, "B", "A", stale_lock_s=60.0) is True
+    os.utime(lock, (old, old))  # looks ancient — irrelevant to flock
+    assert fs.put_if(path, "B", "A") is True
     assert fs.read(path) == "B"
-    assert not os.path.exists(lock)
-    assert not any(n.startswith(".cas_lock.steal") for n in os.listdir(tmp_path))
+    # the lock file is NEVER unlinked: removing it while a holder has it
+    # flocked would let the next acquirer lock a fresh inode and break
+    # mutual exclusion (the classic unlink-vs-flock race)
+    assert os.path.exists(lock)
 
 
-def test_losing_stealer_retries_not_removes(tmp_path, monkeypatch):
-    """When the stale lock vanishes under a stealer (the other stealer's
-    rename won), its own rename raises FileNotFoundError and it loops —
-    it never removes anything."""
+def test_lock_file_name_cannot_shadow_pointer_prefix_scans(tmp_path):
+    """The lock file of a ``_PIN.<name>`` pointer must not itself match
+    the ``_PIN.`` prefix: ManifestCommitter.pins() listdir-scans the
+    pointer directory, and a ``_PIN.<name>.cas_lock`` entry would read
+    back as a phantom pin (crashing GC mid-commit or permanently
+    protecting nothing). Dot-prefixed lock names are invisible to every
+    pointer prefix scan."""
+    fs = LocalFS()
+    pin = str(tmp_path / "_PIN.cut1")
+    fs.put(pin, "v_abc")
+    names = os.listdir(tmp_path)
+    assert "_PIN.cut1" in names
+    assert all(
+        not n.startswith("_PIN.") or n == "_PIN.cut1" for n in names
+    ), names
+    assert any(n == "._PIN.cut1.cas_lock" for n in names)
+
+
+def test_live_holder_blocks_until_release_then_times_out_cleanly(tmp_path):
+    """A LIVE holder (fd flocked, process alive) blocks a second writer:
+    a short-timeout put_if raises TimeoutError while held, succeeds after
+    release."""
     fs = LocalFS()
     path = str(tmp_path / "ptr")
     fs.put(path, "A")
-    lock = path + ".cas_lock"
-    open(lock, "w").close()
-    old = time.time() - 3600
-    os.utime(lock, (old, old))
-
-    removed: list[str] = []
-    orig_rename, orig_remove = os.rename, os.remove
-    raced = [False]
-
-    def rename_raced(src, dst):
-        if src == lock and not raced[0]:
-            raced[0] = True
-            orig_remove(lock)  # the OTHER stealer wins first
-            raise FileNotFoundError(src)
-        return orig_rename(src, dst)
-
-    def remove_spy(p):
-        removed.append(p)
-        return orig_remove(p)
-
-    monkeypatch.setattr(os, "rename", rename_raced)
-    monkeypatch.setattr(os, "remove", remove_spy)
-    assert fs.put_if(path, "B", "A", stale_lock_s=60.0) is True
+    fd = fs._lock_pointer(path, lock_timeout_s=5.0, stale_lock_s=60.0)
+    try:
+        with pytest.raises(TimeoutError):
+            fs.put_if(path, "B", "A", lock_timeout_s=0.2)
+        assert fs.read(path) == "A"  # nothing slipped through
+    finally:
+        os.close(fd)  # release
+    assert fs.put_if(path, "B", "A") is True
     assert fs.read(path) == "B"
-    # the loser never removed the (now-missing) lock path directly while
-    # racing — only its own fresh lock at release time
-    assert lock in removed  # its own release
-    assert removed.count(lock) == 1
+
+
+def test_concurrent_cas_increments_lose_no_updates(tmp_path):
+    """Mutual exclusion under real concurrency: N threads each advance a
+    counter via read→put_if(expected=read) retry loops; every one of the
+    N×M increments lands (flock between distinct fds serializes even
+    within one process)."""
+    fs = LocalFS()
+    path = str(tmp_path / "ctr")
+    fs.put(path, "0")
+
+    def bump(times: int) -> None:
+        for _ in range(times):
+            while True:
+                cur = fs.read(path)
+                if fs.put_if(path, str(int(cur) + 1), cur):
+                    break
+
+    threads = [threading.Thread(target=bump, args=(25,)) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert fs.read(path) == "100"
 
 
 def test_fsspec_weak_cas_is_opt_in(tmp_path):
@@ -259,3 +290,65 @@ def test_rename_committer_rejects_fsspec_binding():
 
     with pytest.raises(ValueError, match="ManifestCommitter"):
         RenameCommitter(fs=FsspecFS(FakeFsspecFileSystem()))
+
+
+def test_precondition_detection_is_structured_not_substring():
+    """A failed conditional PUT is recognized by STRUCTURED error fields
+    (class name, status attributes, botocore response dict) — never by
+    substring-scanning the repr, where a request id containing '412'
+    would silently turn an infrastructure failure into 'lost the race'
+    (rmtree'ing a successfully staged version and raising
+    CommitConflict instead of surfacing the outage)."""
+    from sri2db_spark.sinks.fs import _is_precondition_failure
+
+    # true positives: realistic shapes of the three paths we bind
+    class PreconditionFailed(Exception):  # fake / s3fs-translated name
+        pass
+
+    assert _is_precondition_failure(PreconditionFailed("nope"))
+
+    class HttpError(Exception):  # gcsfs.retry.HttpError carries .code
+        def __init__(self, code):
+            self.code = code
+
+    assert _is_precondition_failure(HttpError(412))
+    assert not _is_precondition_failure(HttpError(503))
+
+    class ClientError(Exception):  # botocore shape
+        def __init__(self, code, status):
+            self.response = {
+                "Error": {"Code": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            }
+
+    assert _is_precondition_failure(ClientError("PreconditionFailed", 412))
+    assert not _is_precondition_failure(ClientError("SlowDown", 503))
+
+    # wrapped one level (s3fs translates botocore errors)
+    wrapped = OSError("conditional write failed")
+    wrapped.__cause__ = ClientError("PreconditionFailed", 412)
+    assert _is_precondition_failure(wrapped)
+
+    # the case the substring scan got wrong: '412' in free text only
+    assert not _is_precondition_failure(
+        RuntimeError("throttled; RequestId: A412BCD, retry later")
+    )
+    assert not _is_precondition_failure(
+        OSError("wrote 412 bytes before connection reset")
+    )
+
+
+def test_unrecognized_conditional_put_error_reraises(tmp_path):
+    """S3FsspecFS.put_if must RE-RAISE an error that is not a
+    precondition failure — returning False would misreport an outage as
+    a benign lost race."""
+    fake = FakeFsspecFileSystem()
+    fs = S3FsspecFS(fake)
+    fs.put(str(tmp_path / "k"), "A")
+
+    def explode(path, data, **kw):
+        raise RuntimeError("throttled; RequestId: A412BCD")
+
+    fake.pipe_file = explode
+    with pytest.raises(RuntimeError, match="throttled"):
+        fs.put_if(str(tmp_path / "k"), "B", "A")

@@ -142,11 +142,11 @@ def test_table_pin_cut_is_self_consistent_under_concurrent_sync(
     table.replace_partition(_rows(spark, "/a", "old", 3), BASEURL, "/a")
     table.replace_partition(_rows(spark, "/b", "old", 2), BASEURL, "/b")
 
-    orig_pin = ManifestCommitter.pin
+    orig_pin_if = ManifestCommitter.pin_if
     fired = [False]
 
-    def pin_with_interloping_sync(self, dst_dir, name, version=None):
-        out = orig_pin(self, dst_dir, name, version)
+    def pin_if_with_interloping_sync(self, dst_dir, name, version, expected):
+        out = orig_pin_if(self, dst_dir, name, version, expected)
         if not fired[0]:
             fired[0] = True
             # a full sync lands on BOTH partitions right after the first
@@ -155,9 +155,9 @@ def test_table_pin_cut_is_self_consistent_under_concurrent_sync(
             table.replace_partition(_rows(spark, "/b", "new", 9), BASEURL, "/b")
         return out
 
-    monkeypatch.setattr(ManifestCommitter, "pin", pin_with_interloping_sync)
+    monkeypatch.setattr(ManifestCommitter, "pin_if", pin_if_with_interloping_sync)
     pinned = table.pin_table("cut")
-    monkeypatch.setattr(ManifestCommitter, "pin", orig_pin)
+    monkeypatch.setattr(ManifestCommitter, "pin_if", orig_pin_if)
     assert set(pinned) == {(BASEURL, "/a"), (BASEURL, "/b")}
     snap = table.read_table_snapshot("cut")
     rows = snap.collect()
@@ -231,3 +231,140 @@ def test_compact_batch_output_on_object_store_fs(spark, tmp_path):
     names = set(os.listdir(out))
     assert "batch_id=3" in names
     assert any(n.startswith("batch_id=-") for n in names)
+
+
+def test_concurrent_pin_table_loser_cannot_overwrite_winner_pins(
+    spark, tmp_path
+):
+    """Two pin_table runs with the same name conflict at the CLAIM step —
+    before the loser has written a single per-partition pin. Previously
+    the loser overwrote the winner's ``_PIN.<name>`` files (a plain put)
+    before failing at the manifest, stripping the winner's versions of
+    GC protection."""
+    table = LakeTable(
+        spark,
+        str(tmp_path / "t"),
+        LAYOUT_LARGE,
+        committer=ManifestCommitter(),
+    )
+    table.replace_partition(_rows(spark, "/a", "w", 3), BASEURL, "/a")
+    winner = table.pin_table("cut")
+    part = table._partition_dir(BASEURL, "/a")
+    pin_before = table.committer.pins(part)["cut"]
+    with pytest.raises(FileExistsError, match="already exists"):
+        table.pin_table("cut")
+    # loser touched NOTHING: the winner's pin still names its version
+    assert table.committer.pins(part)["cut"] == pin_before
+    assert winner[(BASEURL, "/a")] == pin_before
+
+
+def test_failed_pin_table_cleans_up_and_reads_never_see_partial_cut(
+    spark, tmp_path, monkeypatch
+):
+    """pin_table failing mid-loop removes the pins it created and its
+    pending manifest; a kill-9-style crash (pins + pending manifest left
+    on disk) makes read_table_snapshot fail LOUDLY instead of silently
+    returning the pinned subset as a complete cut, and unpin_table
+    recovers."""
+    table = LakeTable(
+        spark,
+        str(tmp_path / "t"),
+        LAYOUT_LARGE,
+        committer=ManifestCommitter(),
+    )
+    table.replace_partition(_rows(spark, "/a", "x", 2), BASEURL, "/a")
+    table.replace_partition(_rows(spark, "/b", "x", 2), BASEURL, "/b")
+
+    orig_pin_if = ManifestCommitter.pin_if
+    calls = [0]
+
+    def explode_on_second(self, dst_dir, name, version, expected):
+        calls[0] += 1
+        if calls[0] == 2:
+            raise OSError("injected: fs died mid-pin")
+        return orig_pin_if(self, dst_dir, name, version, expected)
+
+    monkeypatch.setattr(ManifestCommitter, "pin_if", explode_on_second)
+    with pytest.raises(OSError, match="injected"):
+        table.pin_table("cut")
+    monkeypatch.setattr(ManifestCommitter, "pin_if", orig_pin_if)
+    # non-crash failure: everything cleaned up, name reusable
+    assert not os.path.exists(table._table_pin_path("cut"))
+    for p in ("/a", "/b"):
+        assert "cut" not in table.committer.pins(
+            table._partition_dir(BASEURL, p)
+        )
+
+    # kill-9 simulation: pin one partition + pending manifest, no finalize
+    part_a = table._partition_dir(BASEURL, "/a")
+    table.committer.pin(part_a, "crashed")
+    table._fs.put(
+        table._table_pin_path("crashed"), json.dumps({"state": "pending"})
+    )
+    with pytest.raises(RuntimeError, match="incomplete"):
+        table.read_table_snapshot("crashed")
+    table.unpin_table("crashed")
+    assert not os.path.exists(table._table_pin_path("crashed"))
+    pinned = table.pin_table("crashed")  # name reusable after cleanup
+    assert set(pinned) == {(BASEURL, "/a"), (BASEURL, "/b")}
+
+
+def test_pin_table_survives_gc_collecting_a_captured_version(
+    spark, tmp_path, monkeypatch
+):
+    """The verify pass (step 3) catches a version deleted AFTER the
+    per-partition pin-and-check passed — the delayed-rmtree window of a
+    GC whose pins() read preceded the pin — and re-pins the partition
+    against the new current version instead of publishing a cut that
+    names a collected version."""
+    table = LakeTable(
+        spark,
+        str(tmp_path / "t"),
+        LAYOUT_LARGE,
+        committer=ManifestCommitter(),
+    )
+    table.replace_partition(_rows(spark, "/a", "old", 3), BASEURL, "/a")
+    part = table._partition_dir(BASEURL, "/a")
+    v_old = table.committer.current_version(part)
+
+    fired = [False]
+    orig_resolve = ManifestCommitter.resolve
+
+    def resolve_then_gc_nukes_v_old(self, dst_dir, version=None):
+        out = orig_resolve(self, dst_dir, version)
+        if not fired[0] and version == v_old and out is not None:
+            fired[0] = True
+            # per-partition check passes on v_old... then the racing GC's
+            # delayed rmtree lands: a sync supersedes v_old and collects it
+            table.replace_partition(
+                _rows(spark, "/a", "new", 5), BASEURL, "/a"
+            )
+            self.fs.rmtree(os.path.join(dst_dir, v_old))
+        return out
+
+    monkeypatch.setattr(
+        ManifestCommitter, "resolve", resolve_then_gc_nukes_v_old
+    )
+    pinned = table.pin_table("cut")
+    monkeypatch.setattr(ManifestCommitter, "resolve", orig_resolve)
+    assert pinned[(BASEURL, "/a")] != v_old  # re-pinned, not torn
+    snap = table.read_table_snapshot("cut")
+    assert snap.count() == 5  # reads the re-captured version
+
+
+def test_pin_table_conflicts_with_live_legacy_pin(spark, tmp_path):
+    """A pre-existing live pin_partition under the same name is a
+    conflict, not something pin_table silently overwrites."""
+    table = LakeTable(
+        spark,
+        str(tmp_path / "t"),
+        LAYOUT_LARGE,
+        committer=ManifestCommitter(),
+    )
+    table.replace_partition(_rows(spark, "/a", "x", 2), BASEURL, "/a")
+    table.pin_partition(BASEURL, "/a", "cut")
+    with pytest.raises(FileExistsError, match="live pin"):
+        table.pin_table("cut")
+    # the claim was rolled back: the name is free again once unpinned
+    table.unpin_partition(BASEURL, "/a", "cut")
+    assert table.pin_table("cut")
