@@ -121,19 +121,53 @@ def _q(c: str, dialect: str) -> str:
 
 
 def _key_eq(alias_a: str, alias_b: str, layout: TableLayout, dialect: str = "postgresql") -> str:
+    """Null-aware key equality. The reference joins scope columns with plain
+    ``=`` (client.js:929-931 mssql, :1061-1063 pg) because its config always
+    populates them; we strengthen to null-aware so an unscoped store (NULL
+    baseurl/path) still matches itself. Only postgresql gets the native
+    ``IS NOT DISTINCT FROM`` — SQL Server added it in 2022 and Derby never
+    had it, so mssql/ansi use the portable ``(= OR both-NULL)`` expansion
+    that every supported engine version parses."""
+
     def one(c: str) -> str:
         qc = _q(c, dialect)
         if c not in ("baseurl", "path"):
             return f"{alias_a}.{qc} = {alias_b}.{qc}"
-        if dialect == "ansi":
-            # portable null-aware equality (Derby etc. lack IS NOT DISTINCT FROM)
-            return (
-                f"({alias_a}.{qc} = {alias_b}.{qc} OR "
-                f"({alias_a}.{qc} IS NULL AND {alias_b}.{qc} IS NULL))"
-            )
-        return f"{alias_a}.{qc} IS NOT DISTINCT FROM {alias_b}.{qc}"
+        if dialect == "postgresql":
+            return f"{alias_a}.{qc} IS NOT DISTINCT FROM {alias_b}.{qc}"
+        return (
+            f"({alias_a}.{qc} = {alias_b}.{qc} OR "
+            f"({alias_a}.{qc} IS NULL AND {alias_b}.{qc} IS NULL))"
+        )
 
     return " AND ".join(one(c) for c in layout.key_columns)
+
+
+def _scope_pred(scope: dict, dialect: str) -> str:
+    """Sync-scope predicate over LITERAL config values (client.js:884,
+    :1004, :1140). Against a literal, ``IS NOT DISTINCT FROM 'v'`` and
+    ``= 'v'`` reject the same rows in a WHERE clause (FALSE vs UNKNOWN
+    both filter), so only postgresql keeps the native form; mssql/ansi
+    emit ``IS NULL`` / ``=`` which every engine version parses — T-SQL
+    also has no bare ``TRUE`` boolean literal, hence the ``1=1``
+    fallback."""
+    if dialect == "postgresql":
+        return " AND ".join(
+            f"w.{c} IS NOT DISTINCT FROM {_lit(v)}" for c, v in scope.items()
+        ) or "TRUE"
+    return " AND ".join(
+        f"w.{_q(c, dialect)} IS NULL" if v is None else f"w.{_q(c, dialect)} = {_lit(v)}"
+        for c, v in scope.items()
+    ) or "1=1"
+
+
+def _delete_head(target: str, dialect: str) -> str:
+    """T-SQL cannot alias a plain DELETE target (``DELETE FROM t w`` is a
+    syntax error); the reference writes ``DELETE w FROM … w`` there
+    (client.js:1130). pg/Derby accept the bare-alias form."""
+    if dialect == "mssql":
+        return f"DELETE w FROM {target} w"
+    return f"DELETE FROM {target} w"
 
 
 def _cols(layout: TableLayout, dialect: str = "postgresql") -> str:
@@ -166,18 +200,10 @@ def generate_full_sync_sql(
     then blind insert of the deduped staging. merge mode (client.js:1006-1111):
     anti-join delete + change-detecting update + insert-if-absent.
     """
-    if dialect == "ansi":
-        scope_pred = " AND ".join(
-            f'w."{c}" IS NULL' if v is None else f'w."{c}" = {_lit(v)}'
-            for c, v in scope.items()
-        ) or "1=1"
-    else:
-        scope_pred = " AND ".join(
-            f"w.{c} IS NOT DISTINCT FROM {_lit(v)}" for c, v in scope.items()
-        ) or "TRUE"
+    scope_pred = _scope_pred(scope, dialect)
     stmts: list[str] = []
     if not prefer_updates_over_inserts:
-        stmts.append(f"DELETE FROM {target} w WHERE {scope_pred}")
+        stmts.append(f"{_delete_head(target, dialect)} WHERE {scope_pred}")
         if dialect == "ansi":
             # ANSI path: staging arrives C1-deduped from Spark (dedup_latest
             # is one window in the engine, cheaper than re-deriving it
@@ -193,14 +219,14 @@ def generate_full_sync_sql(
         return stmts
     # merge mode
     stmts.append(
-        f"DELETE FROM {target} w WHERE {scope_pred} AND NOT EXISTS ("
+        f"{_delete_head(target, dialect)} WHERE {scope_pred} AND NOT EXISTS ("
         f"SELECT 1 FROM {staging} t WHERE {_key_eq('t', 'w', layout, dialect)})"
     )
     if dialect == "ansi":
         stmts.append(_merge_upsert_sql(target, staging, layout))
     else:
         stmts.append(_update_sql(target, staging, layout, dialect))
-        stmts.append(_insert_if_absent_sql(target, staging, layout))
+        stmts.append(_insert_if_absent_sql(target, staging, layout, dialect))
     return stmts
 
 
@@ -219,7 +245,7 @@ def generate_delta_sync_sql(
         if dialect == "mssql":
             stmts.append(
                 f"DELETE w FROM {target} w INNER JOIN {staging_deletes} t "
-                f"ON {_key_eq('t', 'w', layout)}"
+                f"ON {_key_eq('t', 'w', layout, dialect)}"
             )
         elif dialect == "ansi":
             stmts.append(
@@ -229,13 +255,13 @@ def generate_delta_sync_sql(
         else:
             stmts.append(
                 f"DELETE FROM {target} w USING {staging_deletes} t "
-                f"WHERE {_key_eq('t', 'w', layout)}"
+                f"WHERE {_key_eq('t', 'w', layout, dialect)}"
             )
     if dialect == "ansi":
         stmts.append(_merge_upsert_sql(target, staging_updates, layout))
     else:
         stmts.append(_update_sql(target, staging_updates, layout, dialect))
-        stmts.append(_insert_if_absent_sql(target, staging_updates, layout))
+        stmts.append(_insert_if_absent_sql(target, staging_updates, layout, dialect))
     return stmts
 
 
@@ -261,20 +287,14 @@ def generate_safe_delta_sql(
     delete silently removes NOTHING and stale rows survive a safe sync.
     NOT EXISTS has the mssql branch's (correct) semantics in all cases."""
     stmts: list[str] = []
+    scope_pred = _scope_pred(scope, dialect)
     if dialect == "ansi":
-        scope_pred = " AND ".join(
-            f'w."{c}" IS NULL' if v is None else f'w."{c}" = {_lit(v)}'
-            for c, v in scope.items()
-        ) or "1=1"
         stmts.append(_merge_upsert_sql(target, staging_updates, layout))
     else:
-        scope_pred = " AND ".join(
-            f"w.{c} IS NOT DISTINCT FROM {_lit(v)}" for c, v in scope.items()
-        ) or "TRUE"
         stmts.append(_update_sql(target, staging_updates, layout, dialect))
-        stmts.append(_insert_if_absent_sql(target, staging_updates, layout))
+        stmts.append(_insert_if_absent_sql(target, staging_updates, layout, dialect))
     stmts.append(
-        f"DELETE FROM {target} w WHERE {scope_pred} AND NOT EXISTS ("
+        f"{_delete_head(target, dialect)} WHERE {scope_pred} AND NOT EXISTS ("
         f"SELECT 1 FROM {staging_membership} t WHERE {_key_eq('t', 'w', layout, dialect)})"
     )
     return stmts
@@ -318,21 +338,23 @@ def _update_sql(target: str, staging: str, layout: TableLayout, dialect: str) ->
     if dialect == "mssql":
         return (
             f"UPDATE w SET {sets} FROM {target} w INNER JOIN {staging} t "
-            f"ON {_key_eq('t', 'w', layout)} WHERE {changed}"
+            f"ON {_key_eq('t', 'w', layout, dialect)} WHERE {changed}"
         )
     return (
         f"UPDATE {target} w SET {sets} FROM {staging} t "
-        f"WHERE {_key_eq('t', 'w', layout)} AND {changed}"
+        f"WHERE {_key_eq('t', 'w', layout, dialect)} AND {changed}"
     )
 
 
-def _insert_if_absent_sql(target: str, staging: str, layout: TableLayout) -> str:
+def _insert_if_absent_sql(
+    target: str, staging: str, layout: TableLayout, dialect: str = "postgresql"
+) -> str:
     """C1 dedup + C6 NOT-EXISTS guarded insert (client.js:1069-1111)."""
     dedup = dedup_subquery(staging, layout)
     return (
         f"INSERT INTO {target} ({_cols(layout)}) "
         f"SELECT {_cols(layout)} FROM ({dedup}) s WHERE NOT EXISTS ("
-        f"SELECT 1 FROM {target} w WHERE {_key_eq('s', 'w', layout)})"
+        f"SELECT 1 FROM {target} w WHERE {_key_eq('s', 'w', layout, dialect)})"
     )
 
 

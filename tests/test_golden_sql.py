@@ -126,6 +126,23 @@ def test_safe_delta_delete_rechecks_scope_and_uses_not_exists(dialect):
     assert "https://api.example.org" in delete
 
 
+def test_mssql_statements_parse_on_pre2022_sql_server():
+    """The reference's real SQL Server targets predate 2022, and its own
+    mssql SQL never uses IS [NOT] DISTINCT FROM, bare boolean literals, or
+    a bare-aliased DELETE (client.js:902,929,1130 use ``=`` joins and
+    ``DELETE w FROM … w``). Pin that every mssql statement stays inside
+    that portable surface: null-aware key equality is the ``(= OR
+    both-NULL)`` expansion, scope literals use ``=``/``IS NULL``, and
+    plain deletes open with ``DELETE w FROM``."""
+    for flavor in ("full_merge", "full_delete_all", "delta", "safe_delta"):
+        for layout_name, layout in LAYOUTS.items():
+            for s in _generate("mssql", flavor, layout):
+                assert "DISTINCT FROM" not in s, (flavor, layout_name, s)
+                assert "WHERE TRUE" not in s, (flavor, layout_name, s)
+                if s.startswith("DELETE") and "INNER JOIN" not in s:
+                    assert s.startswith("DELETE w FROM "), (flavor, layout_name, s)
+
+
 def test_delta_tombstone_delete_keeps_native_join_form():
     """mssql: DELETE w FROM … INNER JOIN (client.js:902); pg: DELETE …
     USING (client.js:1040)."""
