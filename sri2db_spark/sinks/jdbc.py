@@ -362,6 +362,45 @@ def _lit(v: str | None) -> str:
     return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
 
 
+def staging_ddl(
+    staging: str,
+    target: str,
+    dialect: str = "postgresql",
+    columns: Iterable[str] | None = None,
+    unlogged: bool = True,
+) -> list[str]:
+    """DDL creating the staging table FROM THE TARGET'S OWN SCHEMA, the
+    reference's design (mssql ``SELECT TOP 0 * INTO`` client.js:809-816;
+    pg ``CREATE TEMPORARY TABLE … AS SELECT * FROM target LIMIT 0``
+    client.js:839-843). Inheriting the target's column types is what makes
+    a ``jsonb``/``timestamptz`` target work: staged values compare and
+    assign without casts, exactly as in the reference, instead of Spark's
+    JDBC writer creating TEXT columns that pg refuses to compare against
+    jsonb.
+
+    Deviation, by necessity: the reference stages into session-temp tables
+    over its ONE connection; Spark executors bulk-insert over many
+    connections, so the staging table must be a regular (pg: UNLOGGED — no
+    WAL, dropped after the merge) table. ``columns`` restricts the
+    inherited schema (deletes/membership staging carries keys only)."""
+    cols = ", ".join(columns) if columns else "*"
+    if dialect == "mssql":
+        return [
+            f"IF OBJECT_ID(N'{staging}') IS NOT NULL DROP TABLE {staging}",
+            f"SELECT TOP 0 {cols} INTO {staging} FROM {target}",
+        ]
+    if dialect == "ansi":
+        qcols = ", ".join(f'"{c}"' for c in columns) if columns else "*"
+        return [
+            f"CREATE TABLE {staging} AS SELECT {qcols} FROM {target} WITH NO DATA"
+        ]
+    head = "CREATE UNLOGGED TABLE" if unlogged else "CREATE TABLE"
+    return [
+        f"DROP TABLE IF EXISTS {staging}",
+        f"{head} {staging} AS SELECT {cols} FROM {target} LIMIT 0",
+    ]
+
+
 @dataclass
 class JdbcResourceSink:
     """Executes the staged-write + merge flow against a live JDBC target."""
@@ -373,28 +412,79 @@ class JdbcResourceSink:
     properties: dict[str, str]
     max_bulk_size: int = DEFAULT_MAX_BULK
     dialect: str = "postgresql"
+    stage_like_target: bool = False
+
+    def _props(self) -> dict[str, str]:
+        """Connection properties; with like-target staging on postgresql,
+        default ``stringtype=unspecified`` so the pg JDBC driver binds
+        Spark's string parameters as untyped literals and the SERVER casts
+        them into the staging column's real type (jsonb, timestamptz) —
+        the same server-side coercion the reference gets from node-pg's
+        untyped parameterized inserts (client.js:338,:269)."""
+        if self.dialect == "postgresql" and self.stage_like_target:
+            return {"stringtype": "unspecified", **self.properties}
+        return self.properties
 
     def _connection(self):
         try:
             jvm = self.spark._sc._jvm  # noqa: SLF001
             props = jvm.java.util.Properties()
-            for k, v in self.properties.items():
+            for k, v in self._props().items():
                 props.setProperty(k, v)
             return jvm.java.sql.DriverManager.getConnection(self.url, props)
         except Exception as e:  # pragma: no cover - needs a live DB
             raise JdbcUnavailable(f"no JDBC connectivity: {e}") from e
 
+    def create_staging_like_target(
+        self, staging_table: str, columns: Iterable[str] | None = None
+    ) -> None:
+        """Create (replacing) the staging table from the target's own
+        schema — see ``staging_ddl``. The ansi path has no DROP IF EXISTS,
+        so a pre-drop is attempted and a missing table tolerated."""
+        conn = self._connection()
+        try:
+            st = conn.createStatement()
+            if self.dialect == "ansi":
+                try:
+                    st.executeUpdate(f"DROP TABLE {staging_table}")
+                except Exception:
+                    pass  # first run: staging doesn't exist yet
+            for sql in staging_ddl(
+                staging_table, self.target_table, self.dialect, columns
+            ):
+                st.executeUpdate(sql)
+            if not conn.getAutoCommit():
+                conn.commit()
+        finally:
+            conn.close()
+
     def write_staging(
-        self, df: DataFrame, staging_table: str, column_types: str | None = None
+        self,
+        df: DataFrame,
+        staging_table: str,
+        column_types: str | None = None,
+        like_target: bool | None = None,
     ) -> None:
         """A8 — executors bulk-insert the staged batch (batchsize =
         maxBulkSize). ``column_types`` optionally overrides the created
         table's column DDL (e.g. VARCHAR instead of a dialect's default CLOB,
-        which some engines refuse to compare in merge predicates)."""
+        which some engines refuse to compare in merge predicates). With
+        ``like_target`` (default: the sink's ``stage_like_target``), the
+        staging table is instead pre-created from the target's schema and
+        Spark APPENDS into it — required for pg jsonb/timestamptz targets,
+        whose types Spark's writer cannot create."""
+        if like_target is None:
+            like_target = self.stage_like_target
+        if like_target:
+            self.create_staging_like_target(staging_table, columns=df.columns)
+            df.write.mode("append").option("batchsize", self.max_bulk_size).jdbc(
+                self.url, staging_table, properties=self._props()
+            )
+            return
         w = df.write.mode("overwrite").option("batchsize", self.max_bulk_size)
         if column_types:
             w = w.option("createTableColumnTypes", column_types)
-        w.jdbc(self.url, staging_table, properties=self.properties)
+        w.jdbc(self.url, staging_table, properties=self._props())
 
     def merge(self, statements: list[str], dry_run: bool = False) -> None:
         """Run the generated statements in ONE transaction (D6); dry-run

@@ -143,6 +143,30 @@ def test_mssql_statements_parse_on_pre2022_sql_server():
                     assert s.startswith("DELETE w FROM "), (flavor, layout_name, s)
 
 
+def test_staging_ddl_inherits_target_schema_per_dialect():
+    """client.js:809-816 (mssql SELECT TOP 0 … INTO) / :839-843 (pg
+    CREATE … AS SELECT * LIMIT 0): staging is created from the target's
+    own schema so jsonb/timestamptz columns inherit without casts. The
+    pg table is UNLOGGED (regular-table deviation documented in
+    staging_ddl: Spark appends over many connections, session-temp tables
+    can't work); ansi uses the standard WITH NO DATA form Derby executes
+    (proven live in test_jdbc_live.py::test_stage_like_target_live)."""
+    from sri2db_spark.sinks.jdbc import staging_ddl
+
+    pg = staging_ddl("stg", "resources", "postgresql")
+    assert pg == [
+        "DROP TABLE IF EXISTS stg",
+        "CREATE UNLOGGED TABLE stg AS SELECT * FROM resources LIMIT 0",
+    ]
+    ms = staging_ddl("stg", "resources", "mssql")
+    assert ms == [
+        "IF OBJECT_ID(N'stg') IS NOT NULL DROP TABLE stg",
+        "SELECT TOP 0 * INTO stg FROM resources",
+    ]
+    ansi = staging_ddl("stg", "resources", "ansi", columns=("href", "key"))
+    assert ansi == ['CREATE TABLE stg AS SELECT "href", "key" FROM resources WITH NO DATA']
+
+
 def test_delta_tombstone_delete_keeps_native_join_form():
     """mssql: DELETE w FROM … INNER JOIN (client.js:902); pg: DELETE …
     USING (client.js:1040)."""

@@ -327,3 +327,32 @@ def test_live_merge_matrix(spark, layout, merge_mode, synctype):
         assert got["/a/2"]["modified"] == _ts(1)
     # layout columns round-tripped (the optional-column matrix point)
     assert set(got["/a/2"].asDict()) == set(layout.columns)
+
+
+def test_stage_like_target_live(spark, sink):
+    """Like-target staging end to end on a live engine: the staging tables
+    are created FROM THE TARGET'S SCHEMA server-side (client.js:809/:839
+    design) and Spark APPENDS into them — the flow a pg jsonb target needs,
+    here proven against Derby including re-staging (drop/recreate), a
+    key-only deletes table, and the one-transaction merge."""
+    sink.stage_like_target = True
+
+    staged = _staged(spark, [_row(1, 1, "one"), _row(2, 1, "two")])
+    sink.write_staging(staged, "stg")
+    sink.merge(generate_full_sync_sql("tgt", "stg", LAYOUT_LARGE, SCOPE, True, "ansi"))
+    assert {h: r["jsondata"] for h, r in _read_target(spark, sink).items()} == {
+        "/a/1": "one",
+        "/a/2": "two",
+    }
+
+    # second round re-stages (drop + recreate + append) and carries a
+    # key-only tombstone staging table, also inherited from the target
+    upd = _staged(spark, [_row(2, 2, "two-v2"), _row(3, 2, "three")])
+    sink.write_staging(upd, "stg")
+    dels = _staged(spark, [_row(1, 2, None)]).select(*LAYOUT_LARGE.key_columns)
+    sink.write_staging(dels, "stg_del")
+    sink.merge(generate_delta_sync_sql("tgt", "stg", "stg_del", LAYOUT_LARGE, "ansi"))
+    assert {h: r["jsondata"] for h, r in _read_target(spark, sink).items()} == {
+        "/a/2": "two-v2",
+        "/a/3": "three",
+    }

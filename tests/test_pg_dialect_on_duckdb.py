@@ -21,9 +21,12 @@ semantic edges the goldens pin:
   (client.js:1138) — a missing member's href in ANOTHER scope survives,
 - transaction scope: a ROLLBACK restores the pre-merge table (D6).
 
-What this does NOT cover (documented residue): Postgres' ``jsonb`` cast
-behavior and server-side temp-table lifetime — DuckDB stores jsondata as
-VARCHAR and these tests create plain tables.
+What this does NOT cover (documented residue): jsonb's key-order-
+normalizing equality (pg compares jsonb structurally; DuckDB's JSON
+compares as text) and server-side temp-table lifetime. The jsonb TYPE
+path itself — staging inherited from a JSON-typed target via the
+generator's like-target DDL, merge statements running castless against
+it — executes live in test_pg_staging_inherits_json_target_type.
 """
 
 from __future__ import annotations
@@ -241,3 +244,61 @@ def test_pg_transaction_rollback_restores_pre_merge_state():
         con.execute(s)
     con.execute("ROLLBACK")
     assert _target(con) == before
+
+
+def test_pg_staging_inherits_json_target_type():
+    """The jsonb story, executed: the target's jsondata is a JSON column
+    (the reference's own e2e DDL, client.js:1715 ``jsondata jsonb``), the
+    staging table is created from the target's schema via the generator's
+    pg DDL (client.js:839-843 design), and the full merge statement set
+    runs against the typed columns with no casts in the SQL — exactly why
+    like-target staging exists. DuckDB executes the same DDL shape
+    (``CREATE TABLE … AS SELECT * FROM … LIMIT 0``; UNLOGGED is a pg
+    storage attribute with no DuckDB spelling, so the generator is asked
+    for a plain table). Residue shrinks to: jsonb's KEY-ORDER-normalizing
+    equality — pg compares jsonb structurally, DuckDB's JSON falls back to
+    text comparison — and server-side temp-table lifetime."""
+    from sri2db_spark.sinks.jdbc import staging_ddl
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE resources (href VARCHAR, key VARCHAR, modified "
+        "TIMESTAMP, jsondata JSON, resourcetype VARCHAR, path VARCHAR, "
+        "baseurl VARCHAR)"
+    )
+    for sql in staging_ddl("stg", "resources", "postgresql", unlogged=False):
+        con.execute(sql)
+    # staging inherited the JSON type from the target
+    (stg_type,) = con.execute(
+        "SELECT data_type FROM information_schema.columns "
+        "WHERE table_name = 'stg' AND column_name = 'jsondata'"
+    ).fetchone()
+    assert stg_type == "JSON"
+
+    _ins(con, "resources", [_row("/a/1", '{"v": 1}'), _row("/a/2", '{"v": 2}')])
+    _ins(con, "stg", [_row("/a/2", '{"v": 22}', day=2), _row("/a/3", '{"v": 3}', day=2)])
+    for sql in generate_full_sync_sql(
+        "resources", "stg", LAYOUT_LARGE, SCOPE, True, "postgresql"
+    ):
+        con.execute(sql)
+    got = {
+        r[0]: r[1]
+        for r in con.execute("SELECT href, jsondata FROM resources").fetchall()
+    }
+    assert set(got) == {"/a/2", "/a/3"}  # /a/1 anti-join-deleted
+    assert '"v": 22' in got["/a/2"] or '"v":22' in got["/a/2"]
+
+    # key-only staging (deletes/membership) inherits the subset schema
+    for sql in staging_ddl(
+        "stg_del2", "resources", "postgresql",
+        columns=("baseurl", "path", "href"), unlogged=False,
+    ):
+        con.execute(sql)
+    cols = [
+        r[0]
+        for r in con.execute(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = 'stg_del2' ORDER BY column_name"
+        ).fetchall()
+    ]
+    assert cols == ["baseurl", "href", "path"]
