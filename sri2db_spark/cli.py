@@ -110,7 +110,7 @@ def build_sync(spark, cfg: dict, dry_run: bool = False):
             layout=layout,
             watermarks=wm,
             tablename=db.get("table", "resources"),
-            staging_table=db.get("stagingTable", "stg_sri2db"),
+            staging_table=db.get("stagingTable"),
             staging_column_types=db.get("stagingColumnTypes"),
             prefer_updates_over_inserts=bool(
                 cfg.get("preferUpdatesOverInserts", True)

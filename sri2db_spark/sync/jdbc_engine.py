@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime as dt
 import threading
+import zlib
 from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
@@ -56,12 +57,25 @@ class Sri2DbJdbcSync:
     layout: TableLayout = LAYOUT_LARGE
     watermarks: WatermarkStore | None = None
     tablename: str = "resources"
-    staging_table: str = "stg_sri2db"
+    staging_table: str | None = None
     staging_column_types: str | None = None
     prefer_updates_over_inserts: bool = True  # mssql default (client.js:113)
     deleted_not_implemented: bool = False
     dry_run: bool = False
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.staging_table is None:
+            # The reference's staging tables are SESSION-temp, so concurrent
+            # syncs into one database can never collide (client.js:806-843);
+            # ours are regular tables (Spark executors append over many
+            # connections), so the default name must be unique per sync
+            # scope — a second endpoint syncing into the same database would
+            # otherwise drop/overwrite the first one's staging mid-merge.
+            # Deterministic (not random) so re-runs reuse/replace their own
+            # staging and a crashed run's leftovers are identifiable.
+            scope = f"{self.sink.target_table}|{self.baseurl}|{self._clean_path()}"
+            self.staging_table = f"stg_sri2db_{zlib.crc32(scope.encode()):08x}"
 
     def full_sync(self) -> SyncResult:
         return self._sync(None, full=True)

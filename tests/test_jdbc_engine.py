@@ -167,3 +167,35 @@ def test_broadcast_triggered_delta_into_live_db(spark, db_sync):
     assert listener.syncs_run >= 1
     rows = _db_rows(spark, sync.sink)
     assert '"via-broadcast"' in rows["/a/2"]["jsondata"]
+
+
+def test_default_staging_table_is_unique_per_sync_scope():
+    """The reference's staging is SESSION-temp and cannot collide across
+    concurrent syncs into one database (client.js:806-843); ours are
+    regular tables, so the default name must differ per (target, baseurl,
+    path) or a second endpoint's sync would drop/overwrite the first's
+    staging mid-merge — and stay deterministic so re-runs replace their
+    own leftovers."""
+
+    def mk(path, baseurl="https://x", target="resources"):
+        sink = JdbcResourceSink(
+            spark=None, url="jdbc:none", target_table=target,
+            layout=LAYOUT_LARGE, properties={},
+        )
+        return Sri2DbJdbcSync(reader=None, sink=sink, path=path, baseurl=baseurl)
+
+    a, b = mk("/persons"), mk("/schools")
+    assert a.staging_table != b.staging_table
+    assert a.staging_table.startswith("stg_sri2db_")
+    assert mk("/persons").staging_table == a.staging_table  # deterministic
+    assert mk("/persons", baseurl="https://y").staging_table != a.staging_table
+    assert mk("/persons", target="other").staging_table != a.staging_table
+    # query strings don't fork the name (scope uses the clean path)
+    assert mk("/persons?limit=5").staging_table == a.staging_table
+    # explicit override still wins
+    sink = JdbcResourceSink(
+        spark=None, url="jdbc:none", target_table="resources",
+        layout=LAYOUT_LARGE, properties={},
+    )
+    s = Sri2DbJdbcSync(reader=None, sink=sink, path="/p", staging_table="my_stg")
+    assert s.staging_table == "my_stg"
