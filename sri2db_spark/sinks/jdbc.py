@@ -486,6 +486,25 @@ class JdbcResourceSink:
             w = w.option("createTableColumnTypes", column_types)
         w.jdbc(self.url, staging_table, properties=self._props())
 
+    def drop_tables(self, tables: Iterable[str]) -> None:
+        """Best-effort staging cleanup (the regular-table analog of the
+        reference's ON COMMIT DROP temp tables): each drop in its own
+        autocommit statement; a table another path already dropped — or a
+        connection hiccup — never masks the sync result being returned."""
+        try:
+            conn = self._connection()
+        except JdbcUnavailable:
+            return
+        try:
+            st = conn.createStatement()
+            for t in tables:
+                try:
+                    st.executeUpdate(f"DROP TABLE {t}")
+                except Exception:
+                    pass
+        finally:
+            conn.close()
+
     def merge(self, statements: list[str], dry_run: bool = False) -> None:
         """Run the generated statements in ONE transaction (D6); dry-run
         rolls back instead of committing (client.js:1808-1813)."""

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime as dt
 import threading
+import uuid
 import zlib
 from dataclasses import dataclass, field
 
@@ -72,8 +73,9 @@ class Sri2DbJdbcSync:
             # connections), so the default name must be unique per sync
             # scope — a second endpoint syncing into the same database would
             # otherwise drop/overwrite the first one's staging mid-merge.
-            # Deterministic (not random) so re-runs reuse/replace their own
-            # staging and a crashed run's leftovers are identifiable.
+            # Deterministic per scope so leftovers are identifiable; each
+            # RUN additionally suffixes a nonce (see _inner) so two drivers
+            # racing on the SAME scope stay isolated too.
             scope = f"{self.sink.target_table}|{self.baseurl}|{self._clean_path()}"
             self.staging_table = f"stg_sri2db_{zlib.crc32(scope.encode()):08x}"
 
@@ -150,6 +152,28 @@ class Sri2DbJdbcSync:
             self._lock.release()
 
     def _inner(self, modified_since: str | None, full: bool, safe: bool = False) -> SyncResult:
+        # Per-run staging names + guaranteed drop: the closest regular-table
+        # analog to the reference's session-temp tables (created per sync,
+        # gone when it ends, client.js:806-843 + ON COMMIT DROP). Two
+        # drivers syncing the same scope concurrently each stage into their
+        # own tables; only hard-killed runs leave stg_<scope>_<nonce>
+        # leftovers, identifiable by their scope prefix.
+        run_staging = f"{self.staging_table}_{uuid.uuid4().hex[:8]}"
+        staged_tables: list[str] = []
+        try:
+            return self._run(modified_since, full, safe, run_staging, staged_tables)
+        finally:
+            if staged_tables:
+                self.sink.drop_tables(staged_tables)
+
+    def _run(
+        self,
+        modified_since: str | None,
+        full: bool,
+        safe: bool,
+        run_staging: str,
+        staged_tables: list[str],
+    ) -> SyncResult:
         syncstart = _now_ms()
         synctype = "FULL" if full else ("SAFEDELTA" if safe else "DELTA")
         explicit_since = modified_since is not None
@@ -178,11 +202,12 @@ class Sri2DbJdbcSync:
             ddf = self._stage(raw_deletes, ingest).select(*self.layout.key_columns)
             n_deletes = ddf.count()
             if n_deletes:
-                deletes_table = self.staging_table + "_del"
+                deletes_table = run_staging + "_del"
                 key_types = ", ".join(
                     f"{c} VARCHAR(2048)" for c in self.layout.key_columns
                 )
                 self.sink.write_staging(ddf, deletes_table, key_types)
+                staged_tables.append(deletes_table)
 
         # Scan + stage + C1 dedup (Spark-side: one window — the ANSI merge
         # requires deduped staging and it's cheaper here anyway)
@@ -199,9 +224,10 @@ class Sri2DbJdbcSync:
             keys = list(self.layout.key_columns)
             membership_raw = self.reader.read_collection(self.path, expand="NONE")
             membership = self._stage(membership_raw, ingest).select(*keys).persist()
-            membership_table = self.staging_table + "_m"
+            membership_table = run_staging + "_m"
             key_types = ", ".join(f"{c} VARCHAR(2048)" for c in keys)
             self.sink.write_staging(membership, membership_table, key_types)
+            staged_tables.append(membership_table)
             known = self._target_keys().unionByName(staged.select(*keys))
             missing = anti_join_missing(membership, known, keys)  # C8
             if missing.limit(1).count():
@@ -218,13 +244,14 @@ class Sri2DbJdbcSync:
             F.count(F.lit(1)).alias("n"), F.unix_millis(F.max("modified")).alias("mx")
         ).first()
         n_staged, last_seen_ms = stats["n"], stats["mx"]
-        self.sink.write_staging(staged, self.staging_table, self.staging_column_types)
+        self.sink.write_staging(staged, run_staging, self.staging_column_types)
+        staged_tables.append(run_staging)
 
         # One-transaction server-side merge (C2-C9 / D6)
         if safe:
             stmts = generate_safe_delta_sql(
                 self.sink.target_table,
-                self.staging_table,
+                run_staging,
                 membership_table,
                 self.layout,
                 self._scope(),
@@ -233,7 +260,7 @@ class Sri2DbJdbcSync:
         elif full:
             stmts = generate_full_sync_sql(
                 self.sink.target_table,
-                self.staging_table,
+                run_staging,
                 self.layout,
                 self._scope(),
                 self.prefer_updates_over_inserts,
@@ -242,7 +269,7 @@ class Sri2DbJdbcSync:
         else:
             stmts = generate_delta_sync_sql(
                 self.sink.target_table,
-                self.staging_table,
+                run_staging,
                 deletes_table,
                 self.layout,
                 self.sink.dialect,

@@ -199,3 +199,54 @@ def test_default_staging_table_is_unique_per_sync_scope():
     )
     s = Sri2DbJdbcSync(reader=None, sink=sink, path="/p", staging_table="my_stg")
     assert s.staging_table == "my_stg"
+
+
+def test_staging_tables_are_per_run_and_dropped(spark):
+    """Session-temp analog: each run stages into nonce-suffixed tables and
+    drops them when it ends (success or failure), so concurrent drivers on
+    the same scope can't clobber each other and dry-runs leave nothing
+    behind (client.js:806-843 + ON COMMIT DROP)."""
+    api = FakeSriApi(path="/persons", n=7)
+    reader = SriApiReader(spark, "https://x", limit=5, fetch_json=api.fetch_json)
+    url = f"jdbc:derby:memory:stgrun{next(_dbseq)};create=true"
+    sink = JdbcResourceSink(
+        spark=spark, url=url, target_table="tgt", layout=LAYOUT_LARGE,
+        properties={}, dialect="ansi",
+    )
+    conn = sink._connection()
+    cols = ", ".join(
+        f'"{c}" VARCHAR(2000)' if c != "modified" else '"modified" TIMESTAMP'
+        for c in LAYOUT_LARGE.columns
+    )
+    conn.createStatement().executeUpdate(f"CREATE TABLE tgt ({cols})")
+    conn.close()
+
+    sync = Sri2DbJdbcSync(
+        reader=reader, sink=sink, path="/persons", baseurl="https://x",
+        staging_column_types=", ".join(
+            f"{c} VARCHAR(2000)" if c != "modified" else "modified TIMESTAMP"
+            for c in LAYOUT_LARGE.columns
+        ),
+    )
+    r = sync.full_sync()
+    assert r.rows_after == 7
+
+    def staging_leftovers():
+        c = sink._connection()
+        try:
+            rs = c.createStatement().executeQuery(
+                "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'"
+            )
+            names = []
+            while rs.next():
+                names.append(rs.getString(1))
+            return [n for n in names if n.upper().startswith("STG_SRI2DB")]
+        finally:
+            c.close()
+
+    assert staging_leftovers() == []  # dropped after the merge
+
+    api.update(2, modified="2025-06-01T00:00:00Z")
+    r2 = sync.delta_sync()
+    assert r2.rows_after == 7
+    assert staging_leftovers() == []  # delta run (incl. tombstone table) too
