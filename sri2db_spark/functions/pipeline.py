@@ -110,11 +110,17 @@ def init_curation_state(
             docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
         ),
     )
-    for sub, df in pieces:
+    for (sub, df), key in zip(pieces, ("h", "id", "id")):
         path = f"{state_dir}/{sub}"
         if committer is not None and committer.versioned:
+            fs = committer.fs
             tmp = committer.stage(path)
-            df.write.mode("overwrite").parquet(tmp)
+            df.write.mode("overwrite").parquet(fs.spark_path(tmp))
+            # bootstrap pruning stats with the data: the very first
+            # retraction already rewrites O(touched files), not O(store)
+            stats = _collect_version_stats(df.sparkSession, fs, tmp, key)
+            if stats is not None:
+                _write_prune_stats(fs, tmp, key, stats)
             committer.commit(tmp, path)
         else:
             df.write.mode("overwrite").parquet(path)
@@ -362,7 +368,11 @@ def compact_curation_state(
     import os  # noqa: PLC0415
     import uuid  # noqa: PLC0415
 
-    from .statestore import FOLDED_MARKER, list_store_files  # noqa: PLC0415
+    from .statestore import (  # noqa: PLC0415
+        FOLDED_MARKER,
+        list_store_files,
+        resolve_carried,
+    )
 
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
@@ -455,6 +465,10 @@ def compact_curation_state(
             files = list(flat)
             if base is not None:
                 files += fs.walk_files(base)
+                # files a pruned maintenance op published by reference
+                # (_CARRY) are part of the base — walking only the base
+                # dir would silently drop their rows from the compaction
+                files += resolve_carried(fs, path, base)
             folded_dirs = [
                 os.path.join(path, n)
                 for n, _ in batch_dirs
@@ -482,6 +496,12 @@ def compact_curation_state(
             df.coalesce(n_out).write.mode("overwrite").parquet(
                 fs.spark_path(tmp)
             )
+            # pruning stats for the fully-rewritten base (no _CARRY: a
+            # compaction folds everything, releasing the carried version
+            # dirs to GC): the next retraction rewrites O(touched files)
+            stats = _collect_version_stats(spark, fs, tmp, keys[0])
+            if stats is not None:
+                _write_prune_stats(fs, tmp, keys[0], stats)
             # stale entries carry forward: if OUR cleanup also crashes,
             # the new base still fences them off from reads
             still_flat = {os.path.basename(f) for f in stale_flat}
@@ -697,7 +717,173 @@ def _parse_fence(prior: set[str]):
     return by_dir, flat, legacy_dirs
 
 
-def _commit_state_rewrite(df: DataFrame, committer, path: str, basis) -> None:
+def _read_prune_stats(fs, base: str | None) -> dict | None:
+    """The base version's ``_PRUNE_STATS`` object, or ``None`` when the
+    store is not prunable (no committed base / stats never written /
+    unparseable — all of which mean: fall back to the full rewrite)."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from .statestore import PRUNE_STATS  # noqa: PLC0415
+
+    if base is None:
+        return None
+    p = os.path.join(base, PRUNE_STATS)
+    if not fs.exists(p):
+        return None
+    try:
+        obj = json.loads(fs.read(p))
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(obj, dict) or not isinstance(obj.get("files"), dict):
+        return None
+    return obj
+
+
+def _collect_version_stats(spark, fs, version_dir: str, key: str) -> dict | None:
+    """Per-file ``[min, max]`` of ``key`` over the files just staged in
+    ``version_dir`` — ONE tiny aggregation over data Spark just wrote (hot
+    in the page cache), keyed by store-relative path
+    (``v_<uuid>/part-….parquet``). Returns ``None`` when the key column is
+    absent (the store simply stays unprunable)."""
+    import os  # noqa: PLC0415
+    from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
+    files = fs.walk_files(version_dir)
+    if not files:
+        return {}
+    df = spark.read.parquet(*[fs.spark_path(f) for f in files])
+    if key not in df.columns:
+        return None
+    vname = os.path.basename(version_dir.rstrip("/"))
+    rows = (
+        df.groupBy(F.input_file_name().alias("_file"))
+        .agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+        .collect()
+    )
+    return {
+        f"{vname}/{os.path.basename(unquote(urlparse(r['_file']).path))}": [
+            r["_lo"],
+            r["_hi"],
+        ]
+        for r in rows
+    }
+
+
+def _write_prune_stats(fs, version_dir: str, key: str, files_stats) -> None:
+    """Publish the pruning stats INTO the staged version (so the pointer
+    commit publishes data + stats atomically). A key type JSON cannot
+    carry (timestamps, binary) skips the write — pruning degrades to the
+    full rewrite, never to a wrong one."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from .statestore import PRUNE_STATS  # noqa: PLC0415
+
+    if files_stats is None:
+        return
+    try:
+        payload = json.dumps({"key": key, "files": files_stats})
+    except (TypeError, ValueError):
+        return
+    fs.put(os.path.join(version_dir, PRUNE_STATS), payload)
+
+
+def _prune_plan(fs, path: str, base: str | None, files: list[str], values):
+    """Split a store's resolved file list into the O(touched) maintenance
+    plan: ``(rewrite_files, carry_rels, carried_stats)``.
+
+    ``files`` is the EXACT list the reader resolved (base + carried +
+    unfenced appends/flats — :func:`~.statestore.list_store_files`), so
+    fence semantics are inherited, not re-implemented. A base/carried
+    file whose ``_PRUNE_STATS`` range misses every retracted ``value``
+    cannot hold an affected row and is CARRIED by reference (its
+    store-relative path — always the ORIGINAL physical location, so carry
+    chains never deepen); everything else (range hit, missing stats
+    entry, null-range, appends, flats) is rewritten. Returns ``None``
+    when the base has no usable stats — the caller falls back to the
+    full rewrite, which is always correct."""
+    import bisect  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    stats = _read_prune_stats(fs, base)
+    if stats is None:
+        return None
+    fstats = stats["files"]
+    try:
+        values_sorted = sorted(set(values))
+    except TypeError:
+        return None
+    rewrite: list[str] = []
+    carry: list[str] = []
+    carried_stats: dict[str, list] = {}
+    for f in files:
+        rel = os.path.relpath(f, path)
+        if not rel.split("/", 1)[0].startswith("v_"):
+            rewrite.append(f)  # append/flat: always folded into the rewrite
+            continue
+        rng = fstats.get(rel)
+        touched = True
+        if rng is not None and rng[0] is not None and rng[1] is not None:
+            try:
+                i = bisect.bisect_left(values_sorted, rng[0])
+                touched = (
+                    i < len(values_sorted) and not rng[1] < values_sorted[i]
+                )
+            except TypeError:
+                touched = True  # mixed key types: conservative rewrite
+        if touched:
+            rewrite.append(f)
+        else:
+            carry.append(rel)
+            carried_stats[rel] = rng
+    return rewrite, carry, carried_stats
+
+
+def _sweep_fenced_garbage(fs, path: str, base: str | None) -> None:
+    """Delete on-disk files the base's ``_FOLDED`` marker already fences —
+    the cleanup a crashed maintenance op left behind. Needs no commit:
+    reads exclude these files by exact name already, so removal is pure
+    garbage collection and idempotent. A batch dir is removed only when
+    no parquet remains in it (a checkpoint-reset batch may have reused a
+    fenced dir NAME with fresh uuid-named files — those stay). Legacy
+    bare-dir entries (mtime-guarded) are left for compaction."""
+    import os  # noqa: PLC0415
+
+    from .statestore import FOLDED_MARKER  # noqa: PLC0415
+
+    if base is None:
+        return
+    marker = os.path.join(base, FOLDED_MARKER)
+    if not fs.exists(marker):
+        return
+    by_dir, flat, _legacy = _parse_fence(set(fs.read(marker).splitlines()))
+    for d, names in by_dir.items():
+        full = os.path.join(path, d)
+        if not fs.isdir(full):
+            continue
+        for f in fs.walk_files(full):
+            if os.path.basename(f) in names:
+                fs.remove(f)
+        if not fs.walk_files(full):
+            fs.rmtree(full)
+    for n in flat:
+        full = os.path.join(path, n)
+        if fs.exists(full):
+            fs.remove(full)
+
+
+def _commit_state_rewrite(
+    df: DataFrame,
+    committer,
+    path: str,
+    basis,
+    *,
+    spark=None,
+    key: str | None = None,
+    carry: list[str] | None = None,
+    carried_stats: dict | None = None,
+) -> None:
     """Publish a full rewrite of a committer-managed state store: stage a
     version dir, write, ONE atomic pointer commit, then remove the now-
     superseded appends (``batch_id=*`` dirs) and flat files — every row
@@ -713,7 +899,21 @@ def _commit_state_rewrite(df: DataFrame, committer, path: str, basis) -> None:
     cleanup leaves the stale appends on disk but READS already exclude
     them: rows a rewrite removed (retraction!) cannot transiently
     resurface from a superseded append. Re-running the op (idempotent) or
-    the next compaction removes the garbage directories."""
+    the next compaction removes the garbage directories.
+
+    **Pruned rewrites** (``carry``/``carried_stats`` from
+    :func:`_prune_plan`): ``df`` then holds only the TOUCHED files'
+    surviving rows, and the untouched files are published by reference —
+    a ``_CARRY`` marker in the staged version lists their store-relative
+    ORIGINAL locations, readers resolve base ∪ carried, and GC protects
+    every referenced version dir
+    (:meth:`...sinks.committer.ManifestCommitter._carry_refs`) — so a
+    retraction hitting 3 of 10⁵ files commits in O(touched), not
+    O(store). With ``spark`` + ``key`` set, the staged files' per-file
+    ``[min, max]`` pruning stats are computed (one tiny aggregation over
+    just-written, cache-hot data) and published atomically with the base
+    (carried files keep their prior entries), so the NEXT maintenance op
+    prunes from one small JSON object instead of 10⁵ parquet footers."""
     import os  # noqa: PLC0415
 
     fs = committer.fs
@@ -727,6 +927,15 @@ def _commit_state_rewrite(df: DataFrame, committer, path: str, basis) -> None:
         ]
     tmp = committer.stage(path)
     df.write.mode("overwrite").parquet(fs.spark_path(tmp))
+    if spark is not None and key is not None:
+        stats = _collect_version_stats(spark, fs, tmp, key)
+        if stats is not None:
+            stats.update(carried_stats or {})
+            _write_prune_stats(fs, tmp, key, stats)
+    if carry:
+        from .statestore import CARRY_MARKER  # noqa: PLC0415
+
+        fs.put(os.path.join(tmp, CARRY_MARKER), "\n".join(sorted(carry)))
     _write_folded_marker(fs, tmp, _fold_file_entries(fs, path, folded))
     committer.commit(tmp, path, expected_basis=basis)
     for n in folded:
@@ -744,12 +953,28 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     and the verification corpus, or the deleted text keeps influencing
     future dedup decisions.
 
-    Signatures and corpus rows are dropped by id (anti-join rewrite); the
-    hash store is REBUILT from the remaining corpus because content hashes
-    are shared — if a surviving doc carries the same text, its hash must
-    stay. Full rewrite per call: at 100 TB the stores would be partitioned
-    (e.g. by id range) so a retraction rewrites only the touched partitions;
-    the commit protocol is the same either way.
+    Signatures and corpus rows are dropped by id (anti-join rewrite).
+    Content hashes are SHARED — if a surviving doc carries the same text,
+    its hash must stay — so the hash store drops exactly the retracted
+    docs' hashes that no remaining doc still produces (computed before
+    the corpus rewrite, while the retracted text is still readable);
+    without pruning stats it is instead rebuilt from the remaining
+    corpus, which additionally repairs any drift.
+
+    **O(touched) at scale.** On the versioned backend, each store's
+    rewrite is PRUNED through the base version's ``_PRUNE_STATS``
+    (per-file ``[min, max]`` of the store key, published atomically with
+    every maintenance commit): files whose range misses every retracted
+    id are published by reference via a ``_CARRY`` marker instead of
+    being rewritten (see :func:`_prune_plan` /
+    :func:`_commit_state_rewrite`), so retracting 3 documents from a
+    10⁵-file store reads and writes 3 files plus the un-compacted
+    appends, not the whole store. A store without stats yet (bootstrap,
+    pre-stats versions) falls back to the full rewrite — which itself
+    publishes stats, making the next retraction pruned. The hash
+    liveness check still scans the remaining corpus once (read-only, no
+    shuffle beyond a broadcast-filtered distinct); only rewrites are
+    O(touched).
 
     Without a ``committer`` the rewrite swaps via two renames (quiesce
     readers first, see :func:`_swap_dir`). With a versioned ``committer``
@@ -761,10 +986,13 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     crash before the cleanup leaves garbage directories, never resurfaced
     retracted ids. Retraction must not run concurrently with ingest (it
     folds the replayable batch). On ANY failure re-run the retraction
-    (idempotent): stores are rewritten one at a time (corpus, sigs,
-    hashes), so a crash can leave later stores not yet retracted —
-    compaction only sweeps the fenced garbage of stores whose rewrite
-    committed, it does not retract the rest. Each store's pointer commit
+    (idempotent): stores are rewritten one at a time — HASHES first (the
+    drop-set needs the retracted docs' text, which only the pre-rewrite
+    corpus holds; once the corpus commit lands, a re-run can no longer
+    derive it), then corpus, then sigs — so a crash can leave later
+    stores not yet retracted; compaction only sweeps the fenced garbage
+    of stores whose rewrite committed, it does not retract the rest.
+    Each store's pointer commit
     is a compare-and-swap against the version this retraction read: a
     concurrent commit raises
     :class:`...sinks.committer.CommitConflict` — re-run against the new
@@ -774,16 +1002,37 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
 
     from pyspark.sql.types import StructType  # noqa: PLC0415
 
-    from .statestore import read_store  # noqa: PLC0415
+    from .statestore import list_store_files, read_store  # noqa: PLC0415
 
     versioned = committer is not None and committer.versioned
+    fs = committer.fs if versioned else None
+    corpus_path = f"{state_dir}/corpus"
+    sigs_path = f"{state_dir}/sigs"
+    hash_path = f"{state_dir}/hashes"
+
     # CAS bases, captured BEFORE each store is read: a concurrent commit
     # on any of them turns this retraction's commit into a CommitConflict
     # instead of a silent lost update
-    basis_c = committer.current_version(f"{state_dir}/corpus") if versioned else None
-    corpus_all = read_store(spark, f"{state_dir}/corpus", committer=committer)
-    if corpus_all is None:
-        return
+    basis_c = committer.current_version(corpus_path) if versioned else None
+    plan_c = None
+    if versioned:
+        corpus_files = list_store_files(spark, corpus_path, None, committer)
+        if not corpus_files:
+            return
+        corpus_all = spark.read.parquet(
+            *[fs.spark_path(f) for f in corpus_files]
+        )
+        plan_c = _prune_plan(
+            fs,
+            corpus_path,
+            committer.resolve(corpus_path, basis_c),
+            corpus_files,
+            ids,
+        )
+    else:
+        corpus_all = read_store(spark, corpus_path, committer=committer)
+        if corpus_all is None:
+            return
     # Schema of the id list follows the store's id column (bigint ids and
     # string ids both occur; a hardcoded type would silently anti-join
     # nothing on the other kind).
@@ -791,35 +1040,158 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     ids_df = spark.createDataFrame(
         [(i,) for i in ids], StructType([id_field])
     )
-    corpus = corpus_all.join(F.broadcast(ids_df), "id", "left_anti")
-    if versioned:
-        _commit_state_rewrite(corpus, committer, f"{state_dir}/corpus", basis_c)
-    else:
-        tmp_c = f"{state_dir}/corpus__tmp_{uuid.uuid4().hex}"
-        corpus.write.mode("overwrite").parquet(tmp_c)
-        _swap_dir(tmp_c, f"{state_dir}/corpus")
-    basis_s = committer.current_version(f"{state_dir}/sigs") if versioned else None
-    sigs_all = read_store(spark, f"{state_dir}/sigs", committer=committer)
-    if sigs_all is not None:
-        sigs = sigs_all.join(F.broadcast(ids_df), "id", "left_anti")
+
+    def _anti(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(ids_df), "id", "left_anti")
+
+    def _pruned_commit(path, basis, plan, key, transform) -> None:
+        """One store's pruned rewrite: read only the touched files, apply
+        the retraction ``transform``, publish with the untouched files
+        carried by reference. When NOTHING needs rewriting, skip the
+        commit entirely (no version churn) and just sweep any fenced
+        garbage a crashed prior run left behind."""
+        rewrite, carry, cstats = plan
+        if not rewrite:
+            _sweep_fenced_garbage(fs, path, committer.resolve(path, basis))
+            return
+        df = transform(
+            spark.read.parquet(*[fs.spark_path(f) for f in rewrite])
+        )
+        _commit_state_rewrite(
+            df,
+            committer,
+            path,
+            basis,
+            spark=spark,
+            key=key,
+            carry=carry,
+            carried_stats=cstats,
+        )
+
+    # ---- hash store FIRST: dropping a hash needs the retracted doc's
+    # TEXT, which only the pre-rewrite corpus holds. Hash-first makes
+    # every crash point re-runnable: if the corpus commit (or anything
+    # after it) fails, the hash store is already correct, and the re-run
+    # finds no corpus rows for the ids and leaves it alone; if the hash
+    # commit itself fails, nothing has changed and the re-run starts over.
+    basis_h = committer.current_version(hash_path) if versioned else None
+    pruned_h = versioned and (
+        _read_prune_stats(fs, committer.resolve(hash_path, basis_h))
+        is not None
+    )
+    if pruned_h:
+        # candidate dead hashes — the retracted docs' content hashes. The
+        # read is itself pruned: a retracted row can only live in a file
+        # whose id range hits the list (touched files + appends).
+        hr_src = corpus_all
+        if plan_c is not None:
+            hr_src = (
+                spark.read.parquet(*[fs.spark_path(f) for f in plan_c[0]])
+                if plan_c[0]
+                else None
+            )
+        doomed = (
+            []
+            if hr_src is None
+            else sorted(
+                r["h"]
+                for r in hr_src.join(F.broadcast(ids_df), "id", "left_semi")
+                .select(F.md5("text").alias("h"))
+                .distinct()
+                .collect()
+            )
+        )
+        if doomed:
+            # liveness probe: ONE read-only corpus scan filtered to the
+            # candidate set — a hash stays if any surviving doc produces it
+            still = {
+                r["h"]
+                for r in _anti(corpus_all)
+                .select(F.md5("text").alias("h"))
+                .filter(F.col("h").isin(doomed))
+                .distinct()
+                .collect()
+            }
+            drop = sorted(set(doomed) - still)
+            if drop:
+                hash_files = list_store_files(
+                    spark, hash_path, None, committer
+                )
+                plan_h = (
+                    _prune_plan(
+                        fs,
+                        hash_path,
+                        committer.resolve(hash_path, basis_h),
+                        hash_files,
+                        drop,
+                    )
+                    if hash_files
+                    else None
+                )
+                if plan_h is not None:
+                    _pruned_commit(
+                        hash_path,
+                        basis_h,
+                        plan_h,
+                        "h",
+                        lambda df: df.filter(~F.col("h").isin(drop)),
+                    )
+                else:
+                    # the stats raced away between the peek and the plan
+                    # (concurrent commit): full rebuild below, CAS-guarded
+                    pruned_h = False
+    if not pruned_h:
+        # full rebuild from the corpus-as-retracted: also repairs drift,
+        # and publishes stats so the NEXT retraction prunes
+        hashes = _anti(corpus_all).select(
+            F.md5(F.col("text")).alias("h")
+        ).distinct()
         if versioned:
-            _commit_state_rewrite(sigs, committer, f"{state_dir}/sigs", basis_s)
+            _commit_state_rewrite(
+                hashes, committer, hash_path, basis_h, spark=spark, key="h"
+            )
         else:
-            tmp_s = f"{state_dir}/sigs__tmp_{uuid.uuid4().hex}"
-            sigs.write.mode("overwrite").parquet(tmp_s)
-            _swap_dir(tmp_s, f"{state_dir}/sigs")
-    basis_h = committer.current_version(f"{state_dir}/hashes") if versioned else None
-    remaining = read_store(spark, f"{state_dir}/corpus", committer=committer)
-    if remaining is None:
-        # full retraction: Spark writes no part files for an all-empty
-        # result, so the rewritten corpus store reads as absent — the hash
-        # store must still be rebuilt (to empty), not left stale
-        hashes = spark.createDataFrame([], "h string")
+            tmp_h = f"{hash_path}__tmp_{uuid.uuid4().hex}"
+            hashes.write.mode("overwrite").parquet(tmp_h)
+            _swap_dir(tmp_h, hash_path)
+
+    # ---- corpus ----
+    if versioned and plan_c is not None:
+        _pruned_commit(corpus_path, basis_c, plan_c, "id", _anti)
+    elif versioned:
+        _commit_state_rewrite(
+            _anti(corpus_all), committer, corpus_path, basis_c,
+            spark=spark, key="id",
+        )
     else:
-        hashes = remaining.select(F.md5(F.col("text")).alias("h")).distinct()
+        tmp_c = f"{corpus_path}__tmp_{uuid.uuid4().hex}"
+        _anti(corpus_all).write.mode("overwrite").parquet(tmp_c)
+        _swap_dir(tmp_c, corpus_path)
+
+    # ---- sigs ----
+    basis_s = committer.current_version(sigs_path) if versioned else None
     if versioned:
-        _commit_state_rewrite(hashes, committer, f"{state_dir}/hashes", basis_h)
+        sig_files = list_store_files(spark, sigs_path, None, committer)
+        if sig_files:
+            plan_s = _prune_plan(
+                fs,
+                sigs_path,
+                committer.resolve(sigs_path, basis_s),
+                sig_files,
+                ids,
+            )
+            if plan_s is not None:
+                _pruned_commit(sigs_path, basis_s, plan_s, "id", _anti)
+            else:
+                sigs = _anti(
+                    spark.read.parquet(*[fs.spark_path(f) for f in sig_files])
+                )
+                _commit_state_rewrite(
+                    sigs, committer, sigs_path, basis_s, spark=spark, key="id"
+                )
     else:
-        tmp_h = f"{state_dir}/hashes__tmp_{uuid.uuid4().hex}"
-        hashes.write.mode("overwrite").parquet(tmp_h)
-        _swap_dir(tmp_h, f"{state_dir}/hashes")
+        sigs_all = read_store(spark, sigs_path, committer=committer)
+        if sigs_all is not None:
+            tmp_s = f"{sigs_path}__tmp_{uuid.uuid4().hex}"
+            _anti(sigs_all).write.mode("overwrite").parquet(tmp_s)
+            _swap_dir(tmp_s, sigs_path)

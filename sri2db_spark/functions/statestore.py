@@ -53,10 +53,56 @@ from pyspark.sql import DataFrame
 #: reader ignores it alongside the data files
 FOLDED_MARKER = "_FOLDED"
 
+#: marker file inside a committed state version listing STORE-RELATIVE
+#: parquet paths (``v_<older>/part-….parquet``) from PRIOR versions whose
+#: rows are part of this version's base without being rewritten — how a
+#: pruned maintenance op (retraction touching 3 of 10⁵ files) publishes a
+#: new base in O(touched files). Entries always name the file's original
+#: physical location, so chains never deepen: a version that carries a
+#: file another version already carried repeats the same entry. GC keeps
+#: any version directory a retained version's carry list references
+#: (:meth:`...sinks.committer.ManifestCommitter._gc`).
+CARRY_MARKER = "_CARRY"
+
+#: per-file pruning statistics inside a committed state version: JSON
+#: ``{"key": <column>, "files": {<store-relative path>: [min, max]}}``
+#: computed at write time (one tiny aggregation over the just-written
+#: files), so the NEXT maintenance op prunes by range intersection
+#: instead of opening 10⁵ parquet footers — same one-object-read design
+#: as the lake's Z-order stats (``functions.layout``).
+PRUNE_STATS = "_PRUNE_STATS"
+
 
 def store_batch_path(path: str, token) -> str:
     """The subdirectory a batch's state write is addressed to."""
     return f"{path}/batch_id={token}"
+
+
+def resolve_carried(fs, path: str, base: str) -> list[str]:
+    """Absolute paths of the files ``base``'s ``_CARRY`` marker pulls in
+    from prior version directories of the store at ``path``. EVERY base
+    consumer (reads AND maintenance folds) must include these — a
+    compaction that walked only the base directory would silently drop
+    the carried rows from the store. A missing carried file fails loudly:
+    GC retains referenced version dirs, so absence means the store is
+    corrupt, and silently reading on would drop rows from the exact-dedup
+    anti-join and let duplicates into the corpus."""
+    carry = os.path.join(base, CARRY_MARKER)
+    if not fs.exists(carry):
+        return []
+    out: list[str] = []
+    for rel in fs.read(carry).splitlines():
+        if not rel:
+            continue
+        carried = os.path.join(path, rel)
+        if not fs.exists(carried):
+            raise FileNotFoundError(
+                f"state store {path}: committed base {base} carries "
+                f"{rel}, which does not exist — the store is "
+                "corrupt (a carried version directory was removed)"
+            )
+        out.append(carried)
+    return out
 
 
 def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:
@@ -89,6 +135,7 @@ def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:
     base = committer.resolve(path)
     if base is not None:
         files += fs.walk_files(base)
+        files += resolve_carried(fs, path, base)
         marker = os.path.join(base, FOLDED_MARKER)
         if fs.exists(marker):
             folded = set(fs.read(marker).splitlines())

@@ -355,6 +355,36 @@ class ManifestCommitter:
         except FileNotFoundError:
             pass
 
+    def _carry_refs(self, dst_dir: str, versions) -> set[str]:
+        """Version dirs referenced by the ``_CARRY`` lists of ``versions``,
+        transitively: a retained version that carries files from an older
+        version keeps that older dir alive, and so on down the chain.
+        Writers flatten chains (carry entries always name a file's
+        ORIGINAL physical location, so a re-carry repeats the old entry
+        verbatim — see ``functions.statestore.CARRY_MARKER``), which makes
+        the fixpoint converge in one step normally; walking the closure
+        anyway means a non-flattened marker can never cause GC to delete
+        live data."""
+        from ..functions.statestore import CARRY_MARKER  # noqa: PLC0415
+
+        refs: set[str] = set()
+        seen: set[str] = set()
+        frontier = list(versions)
+        while frontier:
+            v = frontier.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            carry = os.path.join(dst_dir, v, CARRY_MARKER)
+            if not self.fs.exists(carry):
+                continue
+            for line in self.fs.read(carry).splitlines():
+                head = line.split("/", 1)[0]
+                if head.startswith("v_"):
+                    refs.add(head)
+                    frontier.append(head)
+        return refs
+
     def _gc(self, dst_dir: str, current: str) -> None:
         protected = set(self.pins(dst_dir).values()) | {current}
         versions = [
@@ -387,6 +417,14 @@ class ManifestCommitter:
             )
         )
         victims = versions[: max(0, len(versions) - self.keep_versions)]
+        # carry protection: a pruned maintenance commit publishes a base
+        # whose _CARRY lists files still living in OLDER version dirs
+        # (functions.statestore.CARRY_MARKER) — those dirs are live data
+        # containers, not superseded history. Protect every dir referenced
+        # by a version that survives this GC (current, pins, count-retained).
+        survivors = (protected | set(versions)) - set(victims)
+        referenced = self._carry_refs(dst_dir, survivors)
+        victims = [d for d in victims if d not in referenced]
         if victims:
             # re-read pins immediately before deleting: a pin_table()
             # racing this GC may have pinned a victim after the first
@@ -395,7 +433,7 @@ class ManifestCommitter:
             # (see LakeTable.pin_table).
             protected = set(self.pins(dst_dir).values()) | {current}
         for stale in victims:
-            if stale in protected:
+            if stale in protected or stale in referenced:
                 continue
             self.fs.rmtree(os.path.join(dst_dir, stale))
         # prune commit markers whose version is gone (one marker accrues per

@@ -1,0 +1,313 @@
+"""O(touched-files) state maintenance: _CARRY + _PRUNE_STATS.
+
+A retraction against a committer-managed curation store must not rewrite
+the whole store — at 100 TB a right-to-be-forgotten deletion of 3
+documents cannot cost a full-store rewrite. These tests pin the pruned
+protocol: per-file ``[min, max]`` key stats are published atomically with
+every maintenance commit (``_PRUNE_STATS``), a retraction rewrites only
+the files whose range can hold an affected row and publishes the rest BY
+REFERENCE (``_CARRY`` entries naming each file's original physical
+location), GC protects every version directory a retained version's
+carry list references (transitively), and every consumer of a base —
+reads AND compaction folds — resolves carried files, failing loudly when
+one is missing rather than silently dropping rows from the dedup
+anti-join.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sri2db_spark.functions import pipeline as P
+from sri2db_spark.functions.statestore import (
+    CARRY_MARKER,
+    PRUNE_STATS,
+    read_store,
+    write_store_batch,
+)
+from sri2db_spark.sinks.committer import ManifestCommitter
+from sri2db_spark.sinks.fs import LocalFS, ObjectStoreFS, S3FsspecFS
+
+from .fake_fsspec import FakeFsspecFileSystem
+
+SCHEMA = "doc_id long, text string, lang string"
+
+
+def _make_fs(kind: str):
+    return {
+        "local": LocalFS,
+        "objectstore": ObjectStoreFS,
+        "s3fsspec": lambda: S3FsspecFS(FakeFsspecFileSystem()),
+    }[kind]()
+
+
+def _docs(spark, n=40, parts=4):
+    """n docs with unique texts, range-partitioned by id so the bootstrap
+    corpus base lands as `parts` files with disjoint id ranges."""
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with its own unique words {i}", "en")
+         for i in range(n)],
+        SCHEMA,
+    )
+    return df.repartitionByRange(parts, "doc_id")
+
+
+def _base(mc, path):
+    b = mc.resolve(path)
+    assert b is not None
+    return b
+
+
+def _corpus_ids(spark, state, mc):
+    return {
+        r.id
+        for r in read_store(spark, f"{state}/corpus", committer=mc).collect()
+    }
+
+
+@pytest.mark.parametrize("fs_kind", ["local", "objectstore", "s3fsspec"])
+def test_retraction_rewrites_only_touched_files(spark, tmp_path, fs_kind):
+    """The headline property: retracting one id from a multi-file store
+    rewrites ONE file; every other file is carried by reference, its old
+    stats entry intact, and the result is row-identical to a full
+    rewrite."""
+    fs = _make_fs(fs_kind)
+    mc = ManifestCommitter(fs=fs)
+    state = str(tmp_path / "st")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+
+    corpus = f"{state}/corpus"
+    base0 = _base(mc, corpus)
+    files0 = fs.walk_files(base0)
+    assert len(files0) == 4  # range-partitioned bootstrap
+    assert fs.exists(os.path.join(base0, PRUNE_STATS))
+
+    P.retract_from_state(spark, state, [5], committer=mc)
+
+    base1 = _base(mc, corpus)
+    assert base1 != base0
+    own = fs.walk_files(base1)
+    carry = [
+        line
+        for line in fs.read(os.path.join(base1, CARRY_MARKER)).splitlines()
+        if line
+    ]
+    # disjoint ranges: exactly one file can hold id 5
+    assert len(own) == 1
+    assert len(carry) == 3
+    # carry entries name ORIGINAL physical locations inside the old base
+    assert all(e.startswith(os.path.basename(base0) + "/") for e in carry)
+    # the old base directory survives GC — its files are live data
+    assert fs.isdir(base0)
+    # rows: identical to a full retraction
+    assert _corpus_ids(spark, state, mc) == set(range(40)) - {5}
+    assert {
+        r.id
+        for r in read_store(spark, f"{state}/sigs", committer=mc).collect()
+    } == set(range(40)) - {5}
+    # hash store: doc 5's unique text died with it
+    hashes = {
+        r.h
+        for r in read_store(spark, f"{state}/hashes", committer=mc).collect()
+    }
+    assert len(hashes) == 39
+    # the new base's stats cover rewritten AND carried files, so the next
+    # retraction is pruned too
+    import json
+
+    stats = json.loads(fs.read(os.path.join(base1, PRUNE_STATS)))
+    assert set(stats["files"]) >= set(carry)
+    P.retract_from_state(spark, state, [25], committer=mc)
+    base2 = _base(mc, corpus)
+    carry2 = [
+        line
+        for line in fs.read(os.path.join(base2, CARRY_MARKER)).splitlines()
+        if line
+    ]
+    # flattened chains: re-carried files still name their ORIGINAL homes
+    # (v_base0/... and v_base1/...), never a chain through base1 only
+    assert len(fs.walk_files(base2)) == 1
+    assert len(carry2) == 3
+    heads = {e.split("/", 1)[0] for e in carry2}
+    assert os.path.basename(base0) in heads
+    assert _corpus_ids(spark, state, mc) == set(range(40)) - {5, 25}
+
+
+def test_gc_protects_carried_dirs_until_unreferenced(spark, tmp_path):
+    """keep_versions=0 — the harshest GC. A carried version dir must
+    survive every commit that still references it (directly or through a
+    retained version's chain) and be collected by the first commit that
+    does not (a compaction, which folds everything)."""
+    mc = ManifestCommitter(keep_versions=0)
+    fs = mc.fs
+    state = str(tmp_path / "gc")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    corpus = f"{state}/corpus"
+    base0 = _base(mc, corpus)
+
+    P.retract_from_state(spark, state, [5], committer=mc)
+    assert fs.isdir(base0)  # referenced by the new base's carry
+    P.retract_from_state(spark, state, [35], committer=mc)
+    assert fs.isdir(base0)  # still referenced (flattened entries)
+    assert _corpus_ids(spark, state, mc) == set(range(40)) - {5, 35}
+
+    # compaction folds carried files into a fresh full base (no _CARRY),
+    # releasing the old dirs to GC at its own commit
+    P.compact_curation_state(spark, state, committer=mc)
+    basec = _base(mc, corpus)
+    assert not fs.exists(os.path.join(basec, CARRY_MARKER))
+    assert not fs.isdir(base0)  # unreferenced → collected
+    assert _corpus_ids(spark, state, mc) == set(range(40)) - {5, 35}
+    # compaction refreshed the stats (the compacted base coalesces to few
+    # files, so the next retraction may legitimately touch all of them —
+    # what matters is that stats exist and the result stays correct)
+    assert fs.exists(os.path.join(basec, PRUNE_STATS))
+    P.retract_from_state(spark, state, [7], committer=mc)
+    assert _corpus_ids(spark, state, mc) == set(range(40)) - {5, 35, 7}
+
+
+def test_missing_carried_file_fails_loudly(spark, tmp_path):
+    """A carried file can never legitimately vanish (GC keeps referenced
+    dirs); if it does, reads must raise — silently dropping those rows
+    would let duplicates through the exact-dedup anti-join."""
+    mc = ManifestCommitter()
+    state = str(tmp_path / "corrupt")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    corpus = f"{state}/corpus"
+    base0 = _base(mc, corpus)
+    P.retract_from_state(spark, state, [5], committer=mc)
+    mc.fs.rmtree(base0)  # simulated external corruption
+    with pytest.raises(FileNotFoundError, match="carries"):
+        read_store(spark, corpus, committer=mc)
+    # compaction (which folds the base) must hit the same wall, not
+    # silently publish a store missing the carried rows
+    with pytest.raises(FileNotFoundError, match="carries"):
+        P.compact_curation_state(spark, state, committer=mc)
+
+
+def test_shared_hash_survives_until_last_reference(spark, tmp_path):
+    """Pruned hash maintenance: a content hash shared by two docs
+    survives retracting one of them — with NO hash-store commit at all —
+    and dies with the second."""
+    mc = ManifestCommitter()
+    state = str(tmp_path / "shared")
+    docs = spark.createDataFrame(
+        [(1, "same text twice", "en"), (2, "same text twice", "en"),
+         (3, "a different text", "en")],
+        SCHEMA,
+    )
+    P.init_curation_state(docs, state, committer=mc)
+    hpath = f"{state}/hashes"
+    v0 = mc.current_version(hpath)
+    assert read_store(spark, hpath, committer=mc).count() == 2
+
+    P.retract_from_state(spark, state, [1], committer=mc)
+    # doc 2 still produces the hash: store untouched, not even a commit
+    assert mc.current_version(hpath) == v0
+    assert read_store(spark, hpath, committer=mc).count() == 2
+
+    P.retract_from_state(spark, state, [2], committer=mc)
+    assert mc.current_version(hpath) != v0
+    assert read_store(spark, hpath, committer=mc).count() == 1
+    assert _corpus_ids(spark, state, mc) == {3}
+
+
+def test_retracting_absent_ids_commits_nothing(spark, tmp_path):
+    """Retracting ids no store holds is a complete no-op: every file's
+    range misses them, so no store commits a new version (no version
+    churn, no GC pressure) and the data is untouched."""
+    mc = ManifestCommitter()
+    state = str(tmp_path / "noop")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    before = {
+        sub: mc.current_version(f"{state}/{sub}")
+        for sub in ("hashes", "sigs", "corpus")
+    }
+    P.retract_from_state(spark, state, [10_000, 20_000], committer=mc)
+    after = {
+        sub: mc.current_version(f"{state}/{sub}")
+        for sub in ("hashes", "sigs", "corpus")
+    }
+    assert after == before
+    assert _corpus_ids(spark, state, mc) == set(range(40))
+
+
+def test_compaction_folds_carried_and_appended_rows(spark, tmp_path):
+    """Compaction over a carried base + live appends loses nothing: the
+    fold reads base ∪ carried ∪ appends (minus the replay-protected
+    batch, preserved as-is)."""
+    mc = ManifestCommitter()
+    state = str(tmp_path / "fold")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    P.retract_from_state(spark, state, [5], committer=mc)  # creates carry
+    # two appends so compaction folds one and preserves the newest
+    for token, i in ((0, 100), (1, 101)):
+        write_store_batch(
+            spark.createDataFrame(
+                [(i, f"appended doc {i}")], "id long, text string"
+            ),
+            f"{state}/corpus",
+            token=token,
+            fs=mc.fs,
+        )
+    P.compact_curation_state(spark, state, committer=mc)
+    assert _corpus_ids(spark, state, mc) == (
+        set(range(40)) - {5}
+    ) | {100, 101}
+
+
+def test_crash_between_hash_and_corpus_commit_rerun_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Hash-first ordering exists for crash recovery: the hash drop-set
+    needs the retracted TEXT, which only the pre-rewrite corpus holds.
+    Crash after the hash commit but before the corpus commit, re-run,
+    and every store converges — the hash does not get double-dropped or
+    resurrected."""
+    mc = ManifestCommitter()
+    state = str(tmp_path / "crash")
+    P.init_curation_state(_docs(spark, n=12, parts=2), state, committer=mc)
+
+    real_commit = mc.commit
+
+    def boom(tmp_dir, dst_dir, expected_basis=None, **kw):
+        if dst_dir.endswith("/corpus"):
+            raise OSError("simulated crash before the corpus commit")
+        return real_commit(tmp_dir, dst_dir, expected_basis=expected_basis)
+
+    monkeypatch.setattr(mc, "commit", boom)
+    with pytest.raises(OSError):
+        P.retract_from_state(spark, state, [3], committer=mc)
+    monkeypatch.undo()
+
+    # hash already dropped; corpus/sigs still hold doc 3
+    assert read_store(spark, f"{state}/hashes", committer=mc).count() == 11
+    assert 3 in _corpus_ids(spark, state, mc)
+
+    P.retract_from_state(spark, state, [3], committer=mc)
+    assert _corpus_ids(spark, state, mc) == set(range(12)) - {3}
+    assert {
+        r.id
+        for r in read_store(spark, f"{state}/sigs", committer=mc).collect()
+    } == set(range(12)) - {3}
+    assert read_store(spark, f"{state}/hashes", committer=mc).count() == 11
+
+
+def test_string_keys_prune_too(spark, tmp_path):
+    """Stats and pruning work for string ids (the sri resource-key case),
+    not just numeric ones — JSON round-trips both."""
+    mc = ManifestCommitter()
+    state = str(tmp_path / "strid")
+    docs = spark.createDataFrame(
+        [(f"/persons/{i:04d}", f"text body {i}", "en") for i in range(20)],
+        "doc_id string, text string, lang string",
+    ).repartitionByRange(3, "doc_id")
+    P.init_curation_state(docs, state, committer=mc)
+    P.retract_from_state(spark, state, ["/persons/0003"], committer=mc)
+    base = _base(mc, f"{state}/corpus")
+    assert mc.fs.exists(os.path.join(base, CARRY_MARKER))
+    got = _corpus_ids(spark, state, mc)
+    assert got == {f"/persons/{i:04d}" for i in range(20)} - {"/persons/0003"}

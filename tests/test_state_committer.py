@@ -249,7 +249,10 @@ def _state_with_crashed_retraction(spark, tmp_path, monkeypatch, name):
     real_rmtree = mc.fs.rmtree
 
     def boom(path):
-        if "batch_id=" in path:
+        # scoped to the corpus store: retraction rewrites hashes FIRST
+        # (see retract_from_state), and this helper's scenario is "corpus
+        # committed, its cleanup crashed"
+        if "/corpus/" in path and "batch_id=" in path:
             raise OSError("simulated crash during post-commit cleanup")
         return real_rmtree(path)
 
