@@ -275,7 +275,7 @@ def snapshot_main(argv: list[str]) -> int:
 def state_main(argv: list[str]) -> int:
     """Curation-state / streaming-output maintenance:
 
-    state-compact  --state DIR [--committer rename|manifest]
+    state-compact  --state DIR [--committer rename|manifest] [--incremental]
     state-retract  --state DIR --ids ID[,ID…] [--id-type long|string]
                    [--committer rename|manifest]
     output-compact --dir DIR [--keys col[,col…]]
@@ -294,6 +294,13 @@ def state_main(argv: list[str]) -> int:
         p.add_argument(
             "--committer", default="rename", choices=["rename", "manifest"]
         )
+    if cmd == "state-compact":
+        p.add_argument(
+            "--incremental",
+            action="store_true",
+            help="fold only the appends; carry the existing base by "
+            "reference (O(batch) write; manifest committer only)",
+        )
     if cmd == "state-retract":
         p.add_argument("--ids", required=True, help="comma-separated doc ids")
         p.add_argument("--id-type", default="long", choices=["long", "string"])
@@ -311,6 +318,7 @@ def state_main(argv: list[str]) -> int:
                 spark,
                 args.state,
                 committer=_committer_for({"committer": args.committer}),
+                incremental=args.incremental,
             )
         except CommitConflict as e:
             print(f"state-compact conflict: {e}")

@@ -319,7 +319,7 @@ def _replay_protected(batch_dirs) -> set[str]:
 
 
 def compact_curation_state(
-    spark, state_dir: str, committer=None
+    spark, state_dir: str, committer=None, incremental: bool = False
 ) -> dict[str, tuple[int, int]]:
     """Compact the append-only curation state: every ingest batch appends a
     file-set to each store, so after thousands of batches each store is
@@ -364,11 +364,28 @@ def compact_curation_state(
     commits the same store concurrently, this one raises
     :class:`...sinks.committer.CommitConflict` instead of silently
     overwriting it — re-run to compact the new state.
+
+    **Incremental mode** (``incremental=True``, versioned committer
+    only): the scheduled-compaction shape for large stores. Only the
+    appends and flats are rewritten; the ENTIRE existing base is carried
+    by reference (``_CARRY`` — see :func:`_commit_state_rewrite`), so the
+    write cost is O(appended batches), not O(store): folding a day's
+    batches into a 10⁵-file base stops costing a 10⁵-file rewrite.
+    Cross-duplicates (an append row already in the base — a crashed
+    pre-checkpoint batch replayed after ITS dir was folded) are dropped
+    with an anti-join whose base-side read is PRUNED by the fold's key
+    window against the base's ``_PRUNE_STATS`` — for monotonic ids the
+    probe touches a handful of files; worst case it is a read-only
+    base scan, never a rewrite. Run the full mode occasionally to
+    re-coalesce the base itself and release carried version dirs. A base
+    predating pruning stats keeps its carry but publishes no stats (the
+    store stays correct, just unprunable until a full compaction).
     """
     import os  # noqa: PLC0415
     import uuid  # noqa: PLC0415
 
     from .statestore import (  # noqa: PLC0415
+        CARRY_MARKER,
         FOLDED_MARKER,
         list_store_files,
         resolve_carried,
@@ -377,6 +394,13 @@ def compact_curation_state(
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
     versioned = committer is not None and committer.versioned
+    if incremental and not versioned:
+        raise ValueError(
+            "incremental compaction publishes the base by reference "
+            "(_CARRY), which needs the versioned ManifestCommitter — the "
+            "rename backend has no retained version directories to "
+            "reference"
+        )
 
     def _count_files(path: str) -> int:
         # route through the committer's fs when one manages the store —
@@ -463,12 +487,17 @@ def compact_curation_state(
             ]
             flat = [f for f in flat_all if f not in set(stale_flat)]
             files = list(flat)
+            base_files: list[str] = []
             if base is not None:
-                files += fs.walk_files(base)
                 # files a pruned maintenance op published by reference
                 # (_CARRY) are part of the base — walking only the base
                 # dir would silently drop their rows from the compaction
-                files += resolve_carried(fs, path, base)
+                base_files = fs.walk_files(base) + resolve_carried(
+                    fs, path, base
+                )
+            inc = incremental and base is not None
+            if not inc:
+                files += base_files
             folded_dirs = [
                 os.path.join(path, n)
                 for n, _ in batch_dirs
@@ -487,21 +516,67 @@ def compact_curation_state(
                 ]
             if not files:
                 continue
-            n_before = len(files) + n_preserved
+            n_before = len(files) + (len(base_files) if inc else 0) + n_preserved
             df = spark.read.parquet(
                 *[fs.spark_path(f) for f in files]
             ).dropDuplicates(keys)
+            carry_rels: list[str] = []
+            carried_stats = None
+            if inc:
+                rel_of = {f: os.path.relpath(f, path) for f in base_files}
+                carry_rels = sorted(rel_of.values())
+                base_stats = _read_prune_stats(fs, base)
+                probe = base_files
+                if base_stats is not None and all(
+                    r in base_stats["files"] for r in carry_rels
+                ):
+                    carried_stats = {
+                        r: base_stats["files"][r] for r in carry_rels
+                    }
+                    # prune the cross-dup probe by the fold's key window:
+                    # monotonic ids make this a handful of base files
+                    w = df.agg(
+                        F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+                    ).first()
+                    if w["lo"] is not None:
+                        probe = [
+                            f
+                            for f in base_files
+                            if _ranges_overlap(
+                                base_stats["files"][rel_of[f]],
+                                w["lo"],
+                                w["hi"],
+                            )
+                        ]
+                if probe:
+                    # rows already in the base must not re-enter through
+                    # the fold (a replayed batch whose dir was folded):
+                    # read-only anti-join, never a base rewrite
+                    df = df.join(
+                        spark.read.parquet(
+                            *[fs.spark_path(f) for f in probe]
+                        ),
+                        keys,
+                        "left_anti",
+                    )
             n_out = max(1, df.rdd.getNumPartitions() // 8)
             tmp = committer.stage(path)
             df.coalesce(n_out).write.mode("overwrite").parquet(
                 fs.spark_path(tmp)
             )
-            # pruning stats for the fully-rewritten base (no _CARRY: a
-            # compaction folds everything, releasing the carried version
-            # dirs to GC): the next retraction rewrites O(touched files)
+            # pruning stats (full mode: the whole rewritten base; inc
+            # mode: new files + the base's entries — skipped entirely if
+            # the base predates stats, so stats are never partial)
             stats = _collect_version_stats(spark, fs, tmp, keys[0])
-            if stats is not None:
+            if stats is not None and not (
+                inc and base_files and carried_stats is None
+            ):
+                stats.update(carried_stats or {})
                 _write_prune_stats(fs, tmp, keys[0], stats)
+            if carry_rels:
+                fs.put(
+                    os.path.join(tmp, CARRY_MARKER), "\n".join(carry_rels)
+                )
             # stale entries carry forward: if OUR cleanup also crashes,
             # the new base still fences them off from reads
             still_flat = {os.path.basename(f) for f in stale_flat}
@@ -535,7 +610,9 @@ def compact_curation_state(
             new_base = committer.resolve(path)
             report[sub] = (
                 n_before,
-                (len(fs.walk_files(new_base)) if new_base else 0) + n_preserved,
+                (len(fs.walk_files(new_base)) if new_base else 0)
+                + len(carry_rels)
+                + n_preserved,
             )
             continue
         files = list_store_files(spark, path)
@@ -787,6 +864,17 @@ def _write_prune_stats(fs, version_dir: str, key: str, files_stats) -> None:
     except (TypeError, ValueError):
         return
     fs.put(os.path.join(version_dir, PRUNE_STATS), payload)
+
+
+def _ranges_overlap(rng, lo, hi) -> bool:
+    """Whether a stats ``[min, max]`` range can intersect ``[lo, hi]`` —
+    conservative (True) on null endpoints or mixed key types."""
+    try:
+        if rng[0] is None or rng[1] is None:
+            return True
+        return not (rng[1] < lo or hi < rng[0])
+    except TypeError:
+        return True
 
 
 def _prune_plan(fs, path: str, base: str | None, files: list[str], values):

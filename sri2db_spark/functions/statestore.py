@@ -86,23 +86,25 @@ def resolve_carried(fs, path: str, base: str) -> list[str]:
     the carried rows from the store. A missing carried file fails loudly:
     GC retains referenced version dirs, so absence means the store is
     corrupt, and silently reading on would drop rows from the exact-dedup
-    anti-join and let duplicates into the corpus."""
+    anti-join and let duplicates into the corpus.
+
+    The existence probe is per referenced VERSION DIRECTORY, not per file
+    — O(versions) round-trips instead of O(carried files) per read (10⁵
+    carried entries must not mean 10⁵ object-store GETs at planning). A
+    single file missing from a still-present dir fails just as loudly,
+    at scan time, from Spark's own missing-input error."""
     carry = os.path.join(base, CARRY_MARKER)
     if not fs.exists(carry):
         return []
-    out: list[str] = []
-    for rel in fs.read(carry).splitlines():
-        if not rel:
-            continue
-        carried = os.path.join(path, rel)
-        if not fs.exists(carried):
+    rels = [rel for rel in fs.read(carry).splitlines() if rel]
+    for head in {r.split("/", 1)[0] for r in rels}:
+        if not fs.isdir(os.path.join(path, head)):
             raise FileNotFoundError(
-                f"state store {path}: committed base {base} carries "
-                f"{rel}, which does not exist — the store is "
+                f"state store {path}: committed base {base} carries files "
+                f"from {head}, which does not exist — the store is "
                 "corrupt (a carried version directory was removed)"
             )
-        out.append(carried)
-    return out
+    return [os.path.join(path, rel) for rel in rels]
 
 
 def _versioned_store_files(path: str, exclude_token, committer) -> list[str]:

@@ -296,6 +296,84 @@ def test_crash_between_hash_and_corpus_commit_rerun_converges(
     assert read_store(spark, f"{state}/hashes", committer=mc).count() == 11
 
 
+def test_incremental_compaction_carries_base_and_folds_appends(spark, tmp_path):
+    """Scheduled-compaction shape: folding the appends must not rewrite
+    the base — the new version's own files hold only the appended rows,
+    the whole base rides along as _CARRY, stats stay complete, and a
+    cross-duplicate (an append row already in the base, the replayed-
+    after-fold case) enters exactly once."""
+    mc = ManifestCommitter()
+    fs = mc.fs
+    state = str(tmp_path / "inc")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    corpus = f"{state}/corpus"
+    base0 = _base(mc, corpus)
+    n_base0 = len(fs.walk_files(base0))
+
+    # three appends: two foldable + the replay-protected newest; one row
+    # (id 3) duplicates a base row and must not re-enter
+    for token, rows in (
+        (0, [(100, "appended doc one hundred")]),
+        (1, [(101, "appended doc one oh one"),
+             (3, "the quick brown fox number 3 jumps over the lazy dog "
+                 "while the rain in spain falls mainly on plain 3")]),
+        (2, [(102, "appended doc one oh two")]),
+    ):
+        write_store_batch(
+            spark.createDataFrame(rows, "id long, text string"),
+            corpus,
+            token=token,
+            fs=fs,
+        )
+    # make the duplicate REAL: id 3's text must equal the bootstrap text
+    dup_text = [
+        r.text
+        for r in read_store(spark, corpus, committer=mc).collect()
+        if r.id == 3
+    ]
+    assert len(dup_text) == 2  # base row + append row, pre-compaction
+
+    rep = P.compact_curation_state(spark, state, committer=mc, incremental=True)
+    assert "corpus" in rep
+    base1 = _base(mc, corpus)
+    # base untouched: old dir intact, new version carries ALL its files
+    assert fs.isdir(base0)
+    carry = [
+        line
+        for line in fs.read(os.path.join(base1, CARRY_MARKER)).splitlines()
+        if line
+    ]
+    assert len(carry) == n_base0
+    # own files hold only the folded appends (tiny), not the base
+    assert len(fs.walk_files(base1)) < n_base0
+    # rows: everything exactly once (the id-3 cross-dup did not re-enter)
+    rows = read_store(spark, corpus, committer=mc).collect()
+    got = sorted(r.id for r in rows)
+    assert got == sorted(set(range(40)) | {100, 101, 102})
+    # stats stayed complete → a retraction right after is still pruned
+    import json
+
+    stats = json.loads(fs.read(os.path.join(base1, PRUNE_STATS)))
+    assert set(stats["files"]) >= set(carry)
+    P.retract_from_state(spark, state, [101], committer=mc)
+    assert _corpus_ids(spark, state, mc) == set(range(40)) | {100, 102}
+
+    # a second incremental pass with nothing to fold commits nothing
+    v = mc.current_version(corpus)
+    rep2 = P.compact_curation_state(
+        spark, state, committer=mc, incremental=True
+    )
+    assert "corpus" not in rep2
+    assert mc.current_version(corpus) == v
+
+
+def test_incremental_compaction_requires_versioned_committer(spark, tmp_path):
+    with pytest.raises(ValueError, match="incremental"):
+        P.compact_curation_state(
+            spark, str(tmp_path / "x"), incremental=True
+        )
+
+
 def test_string_keys_prune_too(spark, tmp_path):
     """Stats and pruning work for string ids (the sri resource-key case),
     not just numeric ones — JSON round-trips both."""
