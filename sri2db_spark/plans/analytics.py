@@ -1734,6 +1734,53 @@ def q_curate_incremental(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_state_pruned_retraction(spark, sf):
+    """Right-to-be-forgotten against the persisted curation state, PRUNED
+    (SURVEY §7.9): bootstrap the hash/signature/corpus stores from a
+    deterministic documents subset — range-partitioned by id so the base
+    is multi-file with disjoint ranges and per-file ``_PRUNE_STATS`` —
+    then retract a fixed id list through the manifest committer: the
+    rewrite touches only the files whose id range hits the list, the
+    rest ride along as ``_CARRY`` references. Returns the tagged union
+    of surviving corpus ids and the surviving hash set. SQL-expressible
+    because each store is a pure derivation of its input: corpus =
+    subset minus retracted; hashes = DISTINCT md5(text) of the
+    survivors (a hash shared with a retracted doc must survive — the
+    liveness rule the pruned drop-set implements)."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions import pipeline as P  # noqa: PLC0415
+    from ..functions.statestore import read_store  # noqa: PLC0415
+    from ..sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .repartitionByRange(4, "doc_id")
+    )
+    retract = [10, 45, 105, 10**9]  # the last id is absent: no-op path
+    mc = ManifestCommitter()
+    tmp = tempfile.mkdtemp(prefix="retract_state_")
+    try:
+        P.init_curation_state(docs, tmp, "doc_id", "text", committer=mc)
+        P.retract_from_state(spark, tmp, retract, committer=mc)
+        corpus = read_store(spark, f"{tmp}/corpus", committer=mc)
+        hashes = read_store(spark, f"{tmp}/hashes", committer=mc)
+        out = corpus.select(
+            F.lit("corpus").alias("store"),
+            F.col("id").cast("string").alias("k"),
+        ).unionByName(
+            hashes.select(
+                F.lit("hash").alias("store"), F.col("h").alias("k")
+            )
+        )
+        # materialize before the temp directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_asof_join_orders(spark, sf):
     """General as-of join operator (operators/asof.asof_join): each event
     picks up its user's most recent order at-or-before the event time —
@@ -1931,6 +1978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "lm_quality": q_lm_quality,
     "curate_incremental": q_curate_incremental,
+    "state_pruned_retraction": q_state_pruned_retraction,
     "asof_join_orders": q_asof_join_orders,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,

@@ -1729,6 +1729,20 @@ ORACLES: dict[str, str] = {
           SELECT id_b FROM pairs WHERE id_b % 7 = 0))
         SELECT doc_id, lang, len({_W}) AS n_tokens, quality FROM q5
     """,
+    # pruned right-to-be-forgotten over the curation state: the stores are
+    # pure derivations of the input subset, so the post-retraction state is
+    # exactly "subset minus retracted" (corpus) and "distinct md5 of the
+    # survivors" (hashes — a hash shared with a retracted doc survives)
+    "state_pruned_retraction": """
+        WITH subset AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        kept AS (
+          SELECT * FROM subset
+          WHERE doc_id NOT IN (10, 45, 105, 1000000000))
+        SELECT 'corpus' AS store, CAST(doc_id AS VARCHAR) AS k FROM kept
+        UNION ALL
+        SELECT DISTINCT 'hash' AS store, md5(text) AS k FROM kept
+    """,
     # general as-of join: nearest-earlier order per event, largest
     # (order_ms, o_orderkey) wins; LEFT JOIN keeps no-order events
     "asof_join_orders": """
