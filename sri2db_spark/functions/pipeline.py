@@ -1190,13 +1190,16 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
             )
         )
         if doomed:
-            # liveness probe: ONE read-only corpus scan filtered to the
-            # candidate set — a hash stays if any surviving doc produces it
+            # liveness probe: ONE read-only corpus scan semi-joined to the
+            # candidate set — a hash stays if any surviving doc produces
+            # it. Broadcast join, not isin(): a mass retraction's
+            # candidate list must not become a giant codegen expression.
+            doomed_df = spark.createDataFrame([(h,) for h in doomed], "h string")
             still = {
                 r["h"]
                 for r in _anti(corpus_all)
                 .select(F.md5("text").alias("h"))
-                .filter(F.col("h").isin(doomed))
+                .join(F.broadcast(doomed_df), "h", "left_semi")
                 .distinct()
                 .collect()
             }
@@ -1217,12 +1220,17 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
                     else None
                 )
                 if plan_h is not None:
+                    drop_df = spark.createDataFrame(
+                        [(h,) for h in drop], "h string"
+                    )
                     _pruned_commit(
                         hash_path,
                         basis_h,
                         plan_h,
                         "h",
-                        lambda df: df.filter(~F.col("h").isin(drop)),
+                        lambda df: df.join(
+                            F.broadcast(drop_df), "h", "left_anti"
+                        ),
                     )
                 else:
                     # the stats raced away between the peek and the plan

@@ -259,7 +259,10 @@ def test_registry_wide_no_python_in_plans(spark):
     # expensive rebuilds here; each has its own plan/behavior tests
     SKIP = {"ann_ivf_saved", "ann_ivf_upsert", "ann_ivfpq_topk",
             "ann_ivfpq_residual", "ann_ivfpq_rerank",
-            "neardup_incremental", "curate_incremental"}
+            "neardup_incremental", "curate_incremental",
+            "state_pruned_retraction"}  # runs a full maintenance cycle
+                                        # at plan-build; audited by
+                                        # tests/test_pruned_maintenance.py
     bad = []
     for name, fn in sorted(QUERIES.items()):
         if name in SKIP:
