@@ -263,6 +263,47 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_tmp, ignore_errors=True)
 
+    # Pruned right-to-be-forgotten (SURVEY §7.9): the curation state is
+    # built ONCE (64 range-partitioned base files with _PRUNE_STATS); each
+    # timed run retracts 3 fresh clustered ids — the commit rewrites the
+    # one file whose id range they hit and carries the other ~63 by
+    # reference, so this number tracks touched files, not store size.
+    from sri2db_spark.functions import pipeline as P  # noqa: PLC0415
+    from sri2db_spark.sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+    st_tmp = tempfile.mkdtemp(prefix="bench_state_")
+    try:
+        mc = ManifestCommitter()
+        state = os.path.join(st_tmp, "state")
+        docs = (
+            spark.range(32_000)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("benchmark document number "),
+                    F.col("id"),
+                    F.lit(" with deterministic unique filler words "),
+                    F.col("id"),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+            )
+            .repartitionByRange(64, "doc_id")
+        )
+        P.init_curation_state(docs, state, committer=mc)
+        P.retract_from_state(spark, state, [1, 2, 3], committer=mc)  # warmup
+        r_runs: list[float] = []
+        for i in range(repeat):
+            ids = [10 + 3 * i, 11 + 3 * i, 12 + 3 * i]
+            t0 = time.perf_counter()
+            P.retract_from_state(spark, state, ids, committer=mc)
+            r_runs.append(time.perf_counter() - t0)
+        r_runs.sort()
+        timings["state_retract_pruned"] = round(r_runs[len(r_runs) // 2], 3)
+        spreads["state_retract_pruned"] = _spread(r_runs)
+        mins["state_retract_pruned"] = round(r_runs[0], 3)
+    finally:
+        shutil.rmtree(st_tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
