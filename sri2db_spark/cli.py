@@ -278,7 +278,7 @@ def state_main(argv: list[str]) -> int:
     state-compact  --state DIR [--committer rename|manifest] [--incremental]
     state-retract  --state DIR --ids ID[,ID…] [--id-type long|string]
                    [--committer rename|manifest]
-    output-compact --dir DIR [--keys col[,col…]]
+    output-compact --dir DIR [--keys col[,col…]] [--incremental]
 
     ``--committer manifest`` routes the state rewrite through the
     object-store commit protocol (one atomic pointer publish — a reader
@@ -300,6 +300,13 @@ def state_main(argv: list[str]) -> int:
             action="store_true",
             help="fold only the appends; carry the existing base by "
             "reference (O(batch) write; manifest committer only)",
+        )
+    if cmd == "output-compact":
+        p.add_argument(
+            "--incremental",
+            action="store_true",
+            help="minor fold: only positive-token batch dirs collapse; "
+            "prior compacted bases are left in place (O(batch) write)",
         )
     if cmd == "state-retract":
         p.add_argument("--ids", required=True, help="comma-separated doc ids")
@@ -339,7 +346,9 @@ def state_main(argv: list[str]) -> int:
         print(f"state-retract ok: {len(ids)} ids removed from {args.state}")
     else:
         keys = args.keys.split(",") if args.keys else None
-        before, after = P.compact_batch_output(spark, args.dir, keys=keys)
+        before, after = P.compact_batch_output(
+            spark, args.dir, keys=keys, incremental=args.incremental
+        )
         print(f"output-compact: {before} -> {after} files")
     return 0
 

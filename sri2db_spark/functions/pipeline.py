@@ -642,7 +642,11 @@ def compact_curation_state(
 
 
 def compact_batch_output(
-    spark, out_dir: str, keys: list[str] | None = None, fs=None
+    spark,
+    out_dir: str,
+    keys: list[str] | None = None,
+    fs=None,
+    incremental: bool = False,
 ) -> tuple[int, int]:
     """Compact a batch-id-addressed OUTPUT directory (the curated-corpus
     ``out_dir`` / near-dup ``pairs_dir`` / signature ``store_dir`` a
@@ -675,6 +679,19 @@ def compact_batch_output(
     maintenance against s3/gcs; every listing, deletion, and Spark path
     goes through it.
 
+    ``incremental``: minor compaction for the scheduled case. The full
+    fold re-reads and re-writes every prior NEGATIVE-token base each
+    run, so compacting the curated-corpus output — the largest table the
+    pipeline produces — costs O(output) per schedule tick. Incremental
+    folds only the positive-token batch dirs and flats into the next
+    negative token and leaves prior bases untouched: write cost is
+    O(appended batches), and one extra base dir accrues per tick. With
+    ``keys``, cross-base duplicates are still dropped — the fold
+    anti-joins against a READ of the retained bases (read-only; at 100
+    TB this is the same read-don't-rewrite trade as the state layer's
+    hash liveness probe). Run the full fold occasionally to re-coalesce
+    the accumulated bases.
+
     Returns ``(files_before, files_after)``.
     """
     import os  # noqa: PLC0415
@@ -705,11 +722,20 @@ def compact_batch_output(
         except ValueError:
             return None
 
-    preserve = _replay_protected(batch_dirs)
+    # replay protection applies to LIVE stream batches only — negative
+    # tokens are this function's own fold outputs (streaming batch ids
+    # start at 0), can never be replayed, and must not soak up the
+    # newest-mtime slot (a just-written base would otherwise survive
+    # every subsequent full fold)
+    preserve = _replay_protected(
+        [(n, mt) for n, mt in batch_dirs if (_numeric(n) or 0) >= 0]
+    )
     foldable = [
         name
         for name, _ in batch_dirs
-        if name not in preserve and _numeric(name) is not None
+        if name not in preserve
+        and _numeric(name) is not None
+        and not (incremental and _numeric(name) < 0)
     ]
     n_total = len(_parquet_under(out_dir))
     if len(foldable) + len(flat) < 2:
@@ -726,6 +752,23 @@ def compact_batch_output(
     df = spark.read.parquet(*[fs.spark_path(f) for f in files])
     if keys:
         df = df.dropDuplicates(keys)
+        if incremental:
+            # minor fold: prior bases are not rewritten, so a replayed
+            # batch's duplicate of an already-folded row is dropped via a
+            # read-only anti-join against the retained bases
+            base_files: list[str] = []
+            for name, _ in batch_dirs:
+                t = _numeric(name)
+                if t is not None and t < 0:
+                    base_files += _parquet_under(os.path.join(out_dir, name))
+            if base_files:
+                df = df.join(
+                    spark.read.parquet(
+                        *[fs.spark_path(f) for f in base_files]
+                    ).select(*keys),
+                    keys,
+                    "left_anti",
+                )
     n_out = max(1, df.rdd.getNumPartitions() // 8)
     df.coalesce(n_out).write.mode("overwrite").parquet(
         fs.spark_path(f"{out_dir}/batch_id={new_token}")

@@ -367,6 +367,49 @@ def test_incremental_compaction_carries_base_and_folds_appends(spark, tmp_path):
     assert mc.current_version(corpus) == v
 
 
+def test_incremental_output_compaction_leaves_prior_bases(spark, tmp_path):
+    """Minor compaction of a batch-id-addressed OUTPUT dir: positive
+    tokens fold into the next negative token, prior compacted bases are
+    NOT rewritten, and with keys a cross-base duplicate (replayed batch
+    whose rows already reached a base) enters exactly once."""
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, text string")  # noqa: E731
+
+    # prior compacted base (as a full fold would have left it)
+    mk([(1, "one"), (2, "two")]).write.parquet(f"{out}/batch_id=-1")
+    # three stream batches; batch 5 duplicates id 2 from the base
+    mk([(3, "three")]).write.parquet(f"{out}/batch_id=4")
+    mk([(4, "four"), (2, "two")]).write.parquet(f"{out}/batch_id=5")
+    mk([(5, "five")]).write.parquet(f"{out}/batch_id=6")  # replay-protected
+    import time
+
+    now = time.time()
+    for i, n in enumerate(("batch_id=-1", "batch_id=4", "batch_id=5", "batch_id=6")):
+        os.utime(f"{out}/{n}", (now + i, now + i))
+
+    base_files_before = sorted(
+        os.listdir(f"{out}/batch_id=-1")
+    )
+    before, after = P.compact_batch_output(
+        spark, out, keys=["id"], incremental=True
+    )
+    assert after < before
+    # the prior base is byte-untouched and batches 4/5 folded into -2
+    assert sorted(os.listdir(f"{out}/batch_id=-1")) == base_files_before
+    assert os.path.isdir(f"{out}/batch_id=-2")
+    assert not os.path.isdir(f"{out}/batch_id=4")
+    assert not os.path.isdir(f"{out}/batch_id=5")
+    assert os.path.isdir(f"{out}/batch_id=6")  # replay-protected
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in rows) == [1, 2, 3, 4, 5]  # id 2 once
+
+    # a later FULL fold re-coalesces the accumulated bases
+    P.compact_batch_output(spark, out, keys=["id"])
+    assert not os.path.isdir(f"{out}/batch_id=-1")
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in rows) == [1, 2, 3, 4, 5]
+
+
 def test_incremental_compaction_requires_versioned_committer(spark, tmp_path):
     with pytest.raises(ValueError, match="incremental"):
         P.compact_curation_state(
