@@ -417,6 +417,78 @@ def test_incremental_compaction_requires_versioned_committer(spark, tmp_path):
         )
 
 
+def test_prune_plan_properties(tmp_path):
+    """Property test of the pure planning core (no Spark): for ANY stats
+    layout and retraction set, (a) soundness — a carried file's range
+    misses every retracted value, so no affected row can ride along;
+    (b) completeness — rewrite ∪ carry covers exactly the input files;
+    (c) stats completeness — every carried file keeps a stats entry;
+    (d) appends/flats and stats-less files are always rewritten."""
+    import os as _os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sri2db_spark.functions.pipeline import _prune_plan
+    from sri2db_spark.sinks.fs import LocalFS
+
+    fs = LocalFS()
+    store = str(tmp_path / "store")
+    base = _os.path.join(store, "v_base")
+    _os.makedirs(base, exist_ok=True)
+
+    rng = st.tuples(
+        st.integers(-50, 50), st.integers(-50, 50)
+    ).map(lambda t: [min(t), max(t)])
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        file_ranges=st.lists(rng, min_size=0, max_size=12),
+        missing_stats=st.sets(st.integers(0, 11)),
+        n_appends=st.integers(0, 3),
+        values=st.lists(st.integers(-60, 60), min_size=1, max_size=8),
+    )
+    def run(file_ranges, missing_stats, n_appends, values):
+        import json as _json
+
+        names = [f"v_base/f{i}.parquet" for i in range(len(file_ranges))]
+        stats = {
+            "key": "id",
+            "files": {
+                n: r
+                for i, (n, r) in enumerate(zip(names, file_ranges))
+                if i not in missing_stats
+            },
+        }
+        fs.put(_os.path.join(base, "_PRUNE_STATS"), _json.dumps(stats))
+        files = [_os.path.join(store, n) for n in names] + [
+            _os.path.join(store, f"batch_id={i}/p{i}.parquet")
+            for i in range(n_appends)
+        ]
+        plan = _prune_plan(fs, store, base, files, values)
+        assert plan is not None
+        rewrite, carry, cstats = plan
+        # completeness: a file is rewritten xor carried
+        assert sorted(rewrite + [_os.path.join(store, c) for c in carry]) == sorted(files)
+        # appends always rewritten
+        for f in files:
+            if "batch_id=" in f:
+                assert f in rewrite
+        vset = set(values)
+        for c in carry:
+            # stats completeness
+            assert c in cstats and cstats[c] == stats["files"][c]
+            lo, hi = stats["files"][c]
+            # soundness: the carried range misses every retracted value
+            assert not any(lo <= v <= hi for v in vset)
+        # stats-less base files always rewritten
+        for i in missing_stats:
+            if i < len(names):
+                assert _os.path.join(store, names[i]) in rewrite
+
+    run()
+
+
 def test_string_keys_prune_too(spark, tmp_path):
     """Stats and pruning work for string ids (the sri resource-key case),
     not just numeric ones — JSON round-trips both."""
