@@ -515,6 +515,15 @@ def compact_curation_state(
                     if os.path.basename(f) not in fence_by_dir.get(dn, set())
                 ]
             if not files:
+                # nothing to fold — still complete a crashed prior run's
+                # cleanup so re-running maintenance converges: the stale
+                # dirs and fenced files are read-excluded already, and
+                # removing them needs no commit
+                for n in stale:
+                    fs.rmtree(os.path.join(path, n))
+                for f in stale_flat:
+                    fs.remove(f)
+                _sweep_fenced_garbage(fs, path, base)
                 continue
             n_before = len(files) + (len(base_files) if inc else 0) + n_preserved
             df = spark.read.parquet(

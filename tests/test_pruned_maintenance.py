@@ -367,6 +367,55 @@ def test_incremental_compaction_carries_base_and_folds_appends(spark, tmp_path):
     assert mc.current_version(corpus) == v
 
 
+def test_nothing_to_fold_rerun_still_sweeps_crashed_cleanup(
+    spark, tmp_path, monkeypatch
+):
+    """An incremental compaction that commits and then crashes during its
+    cleanup leaves fenced stale dirs; re-running with nothing new to fold
+    must still remove them (re-run-converges contract), not skip out on
+    the empty fold set."""
+    mc = ManifestCommitter()
+    fs = mc.fs
+    state = str(tmp_path / "sweep")
+    P.init_curation_state(_docs(spark, n=10, parts=1), state, committer=mc)
+    corpus = f"{state}/corpus"
+    import time
+
+    for token, i in ((0, 50), (1, 51)):
+        write_store_batch(
+            spark.createDataFrame(
+                [(i, f"appended doc {i}")], "id long, text string"
+            ),
+            corpus,
+            token=token,
+            fs=fs,
+        )
+        os.utime(f"{corpus}/batch_id={token}", (time.time() - 100 + token,) * 2)
+
+    real_rmtree = fs.rmtree
+
+    def boom(p):
+        if "/corpus/" in p and "batch_id=" in p:
+            raise OSError("simulated crash during cleanup")
+        return real_rmtree(p)
+
+    monkeypatch.setattr(fs, "rmtree", boom)
+    with pytest.raises(OSError):
+        P.compact_curation_state(spark, state, committer=mc, incremental=True)
+    monkeypatch.undo()
+    assert os.path.isdir(f"{corpus}/batch_id=0")  # fenced garbage on disk
+    v = mc.current_version(corpus)
+    # re-run: nothing new to fold, but the garbage must go — and no
+    # version churn happens for it
+    P.compact_curation_state(spark, state, committer=mc, incremental=True)
+    assert not os.path.isdir(f"{corpus}/batch_id=0")
+    assert os.path.isdir(f"{corpus}/batch_id=1")  # replay-protected: kept
+    assert mc.current_version(corpus) == v
+    ids = {r.id for r in read_store(spark, corpus, committer=mc).collect()}
+    # folded batch (50) in the base, preserved replay batch (51) still live
+    assert ids == set(range(10)) | {50, 51}
+
+
 def test_incremental_output_compaction_leaves_prior_bases(spark, tmp_path):
     """Minor compaction of a batch-id-addressed OUTPUT dir: positive
     tokens fold into the next negative token, prior compacted bases are
