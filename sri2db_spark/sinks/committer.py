@@ -376,9 +376,14 @@ class ManifestCommitter:
                 continue
             seen.add(v)
             carry = os.path.join(dst_dir, v, CARRY_MARKER)
-            if not self.fs.exists(carry):
+            try:
+                content = self.fs.read(carry)
+            except FileNotFoundError:
+                # no carry list, or the dir vanished between listing and
+                # read — GC runs AFTER a successful commit, so it must
+                # never turn that success into a caller-visible failure
                 continue
-            for line in self.fs.read(carry).splitlines():
+            for line in content.splitlines():
                 head = line.split("/", 1)[0]
                 if head.startswith("v_"):
                     refs.add(head)
