@@ -12,7 +12,8 @@ Config shape (JSON; mirrors the reference's config module, README.md:28-110):
               "synctype": "deltaSync", "dryRun": false}
     jdbc:    same, but "db" carries {"jdbcUrl": "jdbc:...", "table": ...,
               "dialect": "postgresql|mssql|ansi", "stagingTable": ...,
-              "stagingColumnTypes": ...} — syncs into a live database via
+              "stagingColumnTypes": ..., "stageLikeTarget": true} — syncs
+              into a live database via
               staging + one-transaction server-side merge instead of the
               parquet lake
     multi:   {"baseConfig": {...}, "overwrites": [{...RFC-7386 patches...}],
@@ -101,6 +102,7 @@ def build_sync(spark, cfg: dict, dry_run: bool = False):
             layout=layout,
             properties=db.get("properties", {}),
             dialect=db.get("dialect", "postgresql"),
+            stage_like_target=bool(db.get("stageLikeTarget", False)),
         )
         return Sri2DbJdbcSync(
             reader=reader,
@@ -315,6 +317,16 @@ def state_main(argv: list[str]) -> int:
         p.add_argument("--dir", required=True, help="batch_id=* output dir")
         p.add_argument("--keys", default=None, help="dedup columns, comma-sep")
     args = p.parse_args(argv[1:])
+    if (
+        cmd == "state-compact"
+        and args.incremental
+        and args.committer != "manifest"
+    ):
+        p.error(
+            "--incremental requires --committer manifest: the fold carries "
+            "the existing base by reference, which only the manifest "
+            "pointer protocol can publish"
+        )
     spark = get_spark(app_name="sri2db_spark_state", master=args.master)
     from .functions import pipeline as P  # noqa: PLC0415
     from .sinks.committer import CommitConflict  # noqa: PLC0415

@@ -437,6 +437,13 @@ class ManifestCommitter:
             # the pinner's own post-publish verification closes the rest
             # (see LakeTable.pin_table).
             protected = set(self.pins(dst_dir).values()) | {current}
+            # a victim spared by that re-read is a survivor now — its
+            # _CARRY chain (computed above only for the pre-race survivor
+            # set) must survive with it, or we'd delete the carried base
+            # out from under the freshly pinned snapshot
+            spared = [d for d in victims if d in protected]
+            if spared:
+                referenced |= self._carry_refs(dst_dir, spared)
         for stale in victims:
             if stale in protected or stale in referenced:
                 continue

@@ -111,13 +111,24 @@ def discover_layout_jdbc(
     return layout_from_columns(names)
 
 
+# Column names that are reserved words in T-SQL: a bare ``key`` in a SELECT
+# list is a parse error on every SQL Server version, which is why the
+# reference brackets exactly this column (client.js:944, :949, :1157, :1162).
+_MSSQL_RESERVED = frozenset({"key"})
+
+
 def _q(c: str, dialect: str) -> str:
     """ANSI dialect double-quotes column identifiers: it targets engines
     (Derby, Oracle) that fold unquoted names to UPPERCASE, while Spark's JDBC
     writer creates staging columns quoted-lowercase — and ``key`` is a
-    reserved word on several of them. pg/mssql keep the reference's unquoted
-    style (client.js generates unquoted SQL)."""
-    return f'"{c}"' if dialect == "ansi" else c
+    reserved word on several of them. mssql brackets T-SQL reserved words
+    (``[key]``, matching the reference's own statements); pg keeps the
+    reference's unquoted style (client.js generates unquoted pg SQL)."""
+    if dialect == "ansi":
+        return f'"{c}"'
+    if dialect == "mssql" and c.lower() in _MSSQL_RESERVED:
+        return f"[{c}]"
+    return c
 
 
 def _key_eq(alias_a: str, alias_b: str, layout: TableLayout, dialect: str = "postgresql") -> str:
@@ -174,13 +185,15 @@ def _cols(layout: TableLayout, dialect: str = "postgresql") -> str:
     return ", ".join(_q(c, dialect) for c in layout.columns)
 
 
-def dedup_subquery(staging: str, layout: TableLayout) -> str:
+def dedup_subquery(
+    staging: str, layout: TableLayout, dialect: str = "postgresql"
+) -> str:
     """C1 as SQL: newest row per key from the staging table
     (mirrors client.js:1084-1091)."""
-    keys = ", ".join(layout.key_columns)
+    keys = ", ".join(_q(c, dialect) for c in layout.key_columns)
     return (
-        f"SELECT {_cols(layout)} FROM ("
-        f"SELECT {_cols(layout)}, ROW_NUMBER() OVER ("
+        f"SELECT {_cols(layout, dialect)} FROM ("
+        f"SELECT {_cols(layout, dialect)}, ROW_NUMBER() OVER ("
         f"PARTITION BY {keys} ORDER BY modified DESC) AS rn "
         f"FROM {staging}) d WHERE rn = 1"
     )
@@ -214,7 +227,8 @@ def generate_full_sync_sql(
             )
         else:
             stmts.append(
-                f"INSERT INTO {target} ({_cols(layout)}) {dedup_subquery(staging, layout)}"
+                f"INSERT INTO {target} ({_cols(layout, dialect)}) "
+                f"{dedup_subquery(staging, layout, dialect)}"
             )
         return stmts
     # merge mode
@@ -350,10 +364,10 @@ def _insert_if_absent_sql(
     target: str, staging: str, layout: TableLayout, dialect: str = "postgresql"
 ) -> str:
     """C1 dedup + C6 NOT-EXISTS guarded insert (client.js:1069-1111)."""
-    dedup = dedup_subquery(staging, layout)
+    dedup = dedup_subquery(staging, layout, dialect)
     return (
-        f"INSERT INTO {target} ({_cols(layout)}) "
-        f"SELECT {_cols(layout)} FROM ({dedup}) s WHERE NOT EXISTS ("
+        f"INSERT INTO {target} ({_cols(layout, dialect)}) "
+        f"SELECT {_cols(layout, dialect)} FROM ({dedup}) s WHERE NOT EXISTS ("
         f"SELECT 1 FROM {target} w WHERE {_key_eq('s', 'w', layout, dialect)})"
     )
 
@@ -385,9 +399,10 @@ def staging_ddl(
     inherited schema (deletes/membership staging carries keys only)."""
     cols = ", ".join(columns) if columns else "*"
     if dialect == "mssql":
+        bcols = ", ".join(_q(c, dialect) for c in columns) if columns else "*"
         return [
             f"IF OBJECT_ID(N'{staging}') IS NOT NULL DROP TABLE {staging}",
-            f"SELECT TOP 0 {cols} INTO {staging} FROM {target}",
+            f"SELECT TOP 0 {bcols} INTO {staging} FROM {target}",
         ]
     if dialect == "ansi":
         qcols = ", ".join(f'"{c}"' for c in columns) if columns else "*"

@@ -206,8 +206,11 @@ class Sri2DbJdbcSync:
                 key_types = ", ".join(
                     f"{c} VARCHAR(2048)" for c in self.layout.key_columns
                 )
-                self.sink.write_staging(ddf, deletes_table, key_types)
+                # register BEFORE writing: a bulk insert that dies after
+                # creating the table must still get its table dropped in the
+                # finally (drop_tables tolerates a never-created one)
                 staged_tables.append(deletes_table)
+                self.sink.write_staging(ddf, deletes_table, key_types)
 
         # Scan + stage + C1 dedup (Spark-side: one window — the ANSI merge
         # requires deduped staging and it's cheaper here anyway)
@@ -226,8 +229,8 @@ class Sri2DbJdbcSync:
             membership = self._stage(membership_raw, ingest).select(*keys).persist()
             membership_table = run_staging + "_m"
             key_types = ", ".join(f"{c} VARCHAR(2048)" for c in keys)
-            self.sink.write_staging(membership, membership_table, key_types)
             staged_tables.append(membership_table)
+            self.sink.write_staging(membership, membership_table, key_types)
             known = self._target_keys().unionByName(staged.select(*keys))
             missing = anti_join_missing(membership, known, keys)  # C8
             if missing.limit(1).count():
@@ -244,8 +247,8 @@ class Sri2DbJdbcSync:
             F.count(F.lit(1)).alias("n"), F.unix_millis(F.max("modified")).alias("mx")
         ).first()
         n_staged, last_seen_ms = stats["n"], stats["mx"]
-        self.sink.write_staging(staged, run_staging, self.staging_column_types)
         staged_tables.append(run_staging)
+        self.sink.write_staging(staged, run_staging, self.staging_column_types)
 
         # One-transaction server-side merge (C2-C9 / D6)
         if safe:

@@ -518,3 +518,39 @@ def test_cli_synctype_none_is_noop(spark, tmp_path, capsys):
     import os
 
     assert not os.path.exists(str(tmp_path / "t"))  # no sync ran
+
+
+def test_cli_state_compact_incremental_needs_manifest(capsys):
+    """--incremental carries the base by reference, which the rename
+    committer cannot publish — the CLI must reject the combination as a
+    usage error (argparse exit 2), not a raw ValueError traceback."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        cli.state_main(["state-compact", "--state", "/nowhere", "--incremental"])
+    assert exc.value.code == 2
+    assert "manifest" in capsys.readouterr().err
+
+
+def test_cli_config_wires_stage_like_target(spark, tmp_path):
+    """db.stageLikeTarget routes through build_sync to the sink — the
+    config escape hatch for jsonb targets (the failure like-target staging
+    exists to fix)."""
+    cfg = {
+        "api": {"baseUrl": "https://fake.api", "path": "/a"},
+        "db": {
+            "jdbcUrl": "jdbc:derby:memory:neverconnected",
+            "table": "resources",
+            "dialect": "postgresql",
+            "synctimes": str(tmp_path / "wm"),
+            "stageLikeTarget": True,
+        },
+    }
+    sync = cli.build_sync(spark, cfg)
+    assert sync.sink.stage_like_target is True
+    # and the pg connection defaults to server-side string casts in this
+    # mode (stringtype=unspecified, node-pg-style untyped binds)
+    assert sync.sink._props().get("stringtype") == "unspecified"
+    # default stays off
+    cfg["db"].pop("stageLikeTarget")
+    assert cli.build_sync(spark, cfg).sink.stage_like_target is False

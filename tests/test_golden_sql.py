@@ -133,7 +133,12 @@ def test_mssql_statements_parse_on_pre2022_sql_server():
     ``DELETE w FROM … w``). Pin that every mssql statement stays inside
     that portable surface: null-aware key equality is the ``(= OR
     both-NULL)`` expansion, scope literals use ``=``/``IS NULL``, and
-    plain deletes open with ``DELETE w FROM``."""
+    plain deletes open with ``DELETE w FROM``. ``key`` is a T-SQL
+    reserved word — the reference brackets it (client.js:944/:1157), so a
+    bare ``key`` anywhere in a column list is a parse error on a real
+    server."""
+    import re
+
     for flavor in ("full_merge", "full_delete_all", "delta", "safe_delta"):
         for layout_name, layout in LAYOUTS.items():
             for s in _generate("mssql", flavor, layout):
@@ -141,6 +146,9 @@ def test_mssql_statements_parse_on_pre2022_sql_server():
                 assert "WHERE TRUE" not in s, (flavor, layout_name, s)
                 if s.startswith("DELETE") and "INNER JOIN" not in s:
                     assert s.startswith("DELETE w FROM "), (flavor, layout_name, s)
+                assert not re.search(r"(?<!\[)\bkey\b(?!\])", s), (
+                    flavor, layout_name, s,
+                )
 
 
 def test_staging_ddl_inherits_target_schema_per_dialect():

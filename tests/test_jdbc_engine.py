@@ -250,3 +250,53 @@ def test_staging_tables_are_per_run_and_dropped(spark):
     r2 = sync.delta_sync()
     assert r2.rows_after == 7
     assert staging_leftovers() == []  # delta run (incl. tombstone table) too
+
+
+def test_failed_staging_write_leaves_no_orphan_table(spark):
+    """A bulk insert that dies AFTER creating its nonce-named staging
+    table must still get that table dropped by the run's cleanup — with
+    per-run nonce names no later run ever reuses the name, so an orphan
+    here would live forever (unlike the old fixed-name design)."""
+    api = FakeSriApi(path="/persons", n=5)
+    reader = SriApiReader(spark, "https://x", limit=5, fetch_json=api.fetch_json)
+    url = f"jdbc:derby:memory:stgfail{next(_dbseq)};create=true"
+    sink = JdbcResourceSink(
+        spark=spark, url=url, target_table="tgt", layout=LAYOUT_LARGE,
+        properties={}, dialect="ansi",
+    )
+    conn = sink._connection()
+    cols = ", ".join(
+        f'"{c}" VARCHAR(2000)' if c != "modified" else '"modified" TIMESTAMP'
+        for c in LAYOUT_LARGE.columns
+    )
+    conn.createStatement().executeUpdate(f"CREATE TABLE tgt ({cols})")
+    conn.close()
+
+    real_write = sink.write_staging
+
+    def dying_write(df, table, *a, **kw):
+        real_write(df.limit(0), table, *a, **kw)  # table exists, no rows
+        raise RuntimeError("connection lost mid bulk insert")
+
+    sink.write_staging = dying_write
+    sync = Sri2DbJdbcSync(
+        reader=reader, sink=sink, path="/persons", baseurl="https://x",
+        staging_column_types=", ".join(
+            f"{c} VARCHAR(2000)" if c != "modified" else "modified TIMESTAMP"
+            for c in LAYOUT_LARGE.columns
+        ),
+    )
+    with pytest.raises(RuntimeError, match="mid bulk insert"):
+        sync.full_sync()
+
+    c = sink._connection()
+    try:
+        rs = c.createStatement().executeQuery(
+            "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'"
+        )
+        names = []
+        while rs.next():
+            names.append(rs.getString(1))
+    finally:
+        c.close()
+    assert [n for n in names if n.upper().startswith("STG_SRI2DB")] == []

@@ -553,3 +553,55 @@ def test_string_keys_prune_too(spark, tmp_path):
     assert mc.fs.exists(os.path.join(base, CARRY_MARKER))
     got = _corpus_ids(spark, state, mc)
     assert got == {f"/persons/{i:04d}" for i in range(20)} - {"/persons/0003"}
+
+
+def test_gc_spared_pinned_victim_keeps_its_carry_chain(spark, tmp_path):
+    """pin_table racing GC: a victim pinned between GC's first pins() read
+    and its delete loop is spared by the re-read — and the version dirs its
+    _CARRY references must be spared WITH it, or the freshly pinned
+    snapshot resolves to a deleted base (corruption the re-read was added
+    to prevent)."""
+    from sri2db_spark.functions.statestore import resolve_carried
+
+    mc = ManifestCommitter(keep_versions=0)
+    fs = mc.fs
+    state = str(tmp_path / "race")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    corpus = f"{state}/corpus"
+    base0 = _base(mc, corpus)
+    P.retract_from_state(spark, state, [5], committer=mc)
+    base1 = _base(mc, corpus)  # carries files living in base0
+
+    # inject the racing pin exactly between GC's carry-ref computation and
+    # its delete loop: _carry_refs sits in that window
+    orig = mc._carry_refs
+    fired = []
+
+    def racing(dst_dir, versions):
+        res = orig(dst_dir, versions)
+        if dst_dir.rstrip("/").endswith("corpus") and not fired:
+            fired.append(True)
+            fs.put(
+                os.path.join(dst_dir, mc.PIN_PREFIX + "snap"),
+                os.path.basename(base1),
+            )
+        return res
+
+    mc._carry_refs = racing
+    try:
+        # full compaction publishes a carry-less base; with keep_versions=0
+        # both base0 and base1 are victims of its GC
+        P.compact_curation_state(spark, state, committer=mc)
+    finally:
+        del mc._carry_refs
+
+    # the pinned victim survived — and so did the dir its carry references
+    assert fs.isdir(base1)
+    assert fs.isdir(base0)
+    # the pinned snapshot still resolves end to end
+    files = resolve_carried(fs, corpus, base1)
+    assert files
+    # and a later commit's GC keeps honoring the pinned chain
+    P.retract_from_state(spark, state, [7], committer=mc)
+    assert fs.isdir(base1) and fs.isdir(base0)
+    assert resolve_carried(fs, corpus, base1)
