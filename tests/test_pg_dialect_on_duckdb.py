@@ -302,3 +302,70 @@ def test_pg_staging_inherits_json_target_type():
         ).fetchall()
     ]
     assert cols == ["baseurl", "href", "path"]
+
+
+def test_pg_null_scope_rows_match_themselves_live():
+    """An UNSCOPED store (NULL baseurl/path in a large layout) is exactly
+    where the reference's plain ``=`` key joins (client.js:1061-1063)
+    would silently match nothing — updates become inserts forever and
+    tombstones never delete. Our pg dialect strengthens the key equality
+    to ``IS NOT DISTINCT FROM``; execute that promise, don't just pin the
+    statement text."""
+    con = _conn()
+    _ins(
+        con,
+        "resources",
+        [
+            _row("/a/1", "old", path=None, baseurl=None),
+            _row("/a/2", "keep", path=None, baseurl=None),
+            _row("/a/3", "doomed", path=None, baseurl=None),
+            # a SCOPED row with the same href must be untouched by the
+            # null-scope sync's update and delete
+            _row("/a/1", "scoped", path="/a", baseurl=BASEURL),
+        ],
+    )
+    _ins(con, "stg_upd", [_row("/a/1", "new", day=2, path=None, baseurl=None)])
+    _ins(con, "stg_del", [_row("/a/3", None, path=None, baseurl=None)])
+    sqls = generate_delta_sync_sql(
+        "resources", "stg_upd", "stg_del", LAYOUT_LARGE, dialect="postgresql"
+    )
+    con.execute("BEGIN")
+    for s in sqls:
+        con.execute(s)
+    con.execute("COMMIT")
+    got = _target(con)
+    assert got == {
+        ("/a/1", None, None): "new",        # null-scope update matched
+        ("/a/2", None, None): "keep",
+        ("/a/1", "/a", BASEURL): "scoped",  # other scope untouched
+        # /a/3 deleted by the null-scope tombstone semi-join
+    }
+
+    # safe-delta set-difference: the NULL-scope predicate ("baseurl IS
+    # NOT DISTINCT FROM NULL") must select the null-scope rows — a plain
+    # "= NULL" would evaluate UNKNOWN and delete nothing
+    con2 = _conn()
+    _ins(
+        con2,
+        "resources",
+        [
+            _row("/a/1", "member", path=None, baseurl=None),
+            _row("/a/2", "no-longer-member", path=None, baseurl=None),
+            _row("/a/2", "scoped", path="/a", baseurl=BASEURL),
+        ],
+    )
+    _ins(con2, "stg_upd", [_row("/a/1", "member", path=None, baseurl=None)])
+    _ins(con2, "stg_members", [_row("/a/1", None, path=None, baseurl=None)])
+    sqls = generate_safe_delta_sql(
+        "resources", "stg_upd", "stg_members", LAYOUT_LARGE,
+        {"baseurl": None, "path": None}, dialect="postgresql",
+    )
+    con2.execute("BEGIN")
+    for s in sqls:
+        con2.execute(s)
+    con2.execute("COMMIT")
+    got2 = _target(con2)
+    assert got2 == {
+        ("/a/1", None, None): "member",
+        ("/a/2", "/a", BASEURL): "scoped",  # scope re-check spared it
+    }
