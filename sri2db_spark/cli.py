@@ -141,6 +141,7 @@ def index_main(argv: list[str]) -> int:
     index-build  --vectors P --out DIR [--kind ivf|ivfpq] [--nlist N]
                  [--m M] [--ksub K] [--id-col c] [--vec-col c]
     index-upsert --vectors P --index DIR [--id-col c] [--vec-col c]
+    index-delete --index DIR --ids ID[,ID…] [--id-type long|string]
     index-query  --index DIR --queries P --out DIR [--k N] [--nprobe N]
                  [--kind ivf|ivfpq] [--id-col c] [--vec-col c]
     """
@@ -161,6 +162,10 @@ def index_main(argv: list[str]) -> int:
     elif cmd == "index-upsert":
         p.add_argument("--vectors", required=True)
         p.add_argument("--index", required=True)
+    elif cmd == "index-delete":
+        p.add_argument("--index", required=True)
+        p.add_argument("--ids", required=True, help="comma-separated vector ids")
+        p.add_argument("--id-type", default="long", choices=["long", "string"])
     else:
         p.add_argument("--index", required=True)
         p.add_argument("--queries", required=True)
@@ -191,6 +196,11 @@ def index_main(argv: list[str]) -> int:
         else:
             S.ivf_index_upsert(spark, args.index, vecs, args.id_col, args.vec_col)
         print(f"index-upsert ok: kind={kind} index={args.index}")
+    elif cmd == "index-delete":
+        raw = [s for s in args.ids.split(",") if s]
+        ids = [int(s) for s in raw] if args.id_type == "long" else raw
+        n = S.ann_index_delete(spark, args.index, ids)
+        print(f"index-delete ok: {n} vectors removed from {args.index}")
     else:
         queries = spark.read.parquet(args.queries)
         fn = S.ivfpq_query_index if args.kind == "ivfpq" else S.ivf_query_index
@@ -368,7 +378,9 @@ def state_main(argv: list[str]) -> int:
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
-    if argv and argv[0] in ("index-build", "index-upsert", "index-query"):
+    if argv and argv[0] in (
+        "index-build", "index-upsert", "index-delete", "index-query"
+    ):
         return index_main(argv)
     if argv and argv[0] in (
         "snapshot-pin", "snapshot-list", "snapshot-unpin", "snapshot-read"

@@ -888,6 +888,104 @@ def ivfpq_index_upsert(
     )
 
 
+def ann_index_delete(
+    spark,
+    path: str,
+    ids,
+    fs=None,
+) -> int:
+    """Delete vectors from a saved IVF or IVF-PQ index by id —
+    right-to-be-forgotten for the embedding side, the symmetric operation
+    to :func:`~..functions.pipeline.retract_from_state` on the text side.
+    Returns the number of vectors removed.
+
+    O(touched cells), not O(index): one column-pruned scan finds the
+    ``(cell, batch_id)`` partitions holding victims (ids are not the
+    partition key, so membership cannot be known without looking — but
+    the probe reads only the id column and the partition values), then
+    ONLY those partitions are rewritten via dynamic partition overwrite;
+    every other cell directory is left byte-identical. A partition whose
+    every vector is deleted is removed outright (dynamic overwrite never
+    rewrites a partition absent from the written frame — leaving it would
+    resurrect the victims).
+
+    ``ids`` is a Python list (the typical RTBF request) or a
+    single-column DataFrame for mass deletions; either way the drop set
+    joins broadcast, never as a giant ``isin`` expression. The survivor
+    rows are localCheckpoint-ed before the overwrite (Spark refuses to
+    overwrite a path it is still reading from); they are touched-cells
+    sized, not index-sized, by construction.
+
+    Deletion is index maintenance like :func:`ivf_index_upsert` — plain
+    directory operations, no committer protocol (the index is a derived
+    artifact, rebuildable from the corpus; pin the CORPUS for
+    reproducibility). ``fs`` (default ``LocalFS``) removes emptied
+    partition directories."""
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    if fs is None:
+        fs = LocalFS()
+    kind = saved_index_kind(spark, path)
+    part_col = "cell" if kind == "ivfpq" else "cid"
+    cells = spark.read.parquet(f"{path}/cells")
+    if isinstance(ids, DataFrame):
+        drop = ids.select(F.col(ids.columns[0]).alias("__did")).distinct()
+    else:
+        drop = spark.createDataFrame(
+            [(i,) for i in ids], ["__did"]
+        ).distinct()
+    # one column-pruned probe: which partitions hold victims, and how many
+    hits = (
+        cells.join(
+            F.broadcast(drop), cells["id"] == F.col("__did"), "left_semi"
+        )
+        .groupBy(part_col, "batch_id")
+        .count()
+        .collect()
+    )
+    if not hits:
+        return 0
+    n_victims = sum(r["count"] for r in hits)
+    hit_pairs = [(r[part_col], r["batch_id"]) for r in hits]
+    from functools import reduce  # noqa: PLC0415
+
+    hit_pred = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col(part_col) == F.lit(c)) & (F.col("batch_id") == F.lit(b))
+            for c, b in hit_pairs
+        ],
+    )
+    survivors = (
+        cells.filter(hit_pred)
+        .join(F.broadcast(drop), cells["id"] == F.col("__did"), "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept_pairs = {
+        (r[part_col], r["batch_id"])
+        for r in survivors.select(part_col, "batch_id").distinct().collect()
+    }
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if kept_pairs:
+            survivors.write.mode("overwrite").partitionBy(
+                part_col, "batch_id"
+            ).parquet(f"{path}/cells")
+    finally:
+        if mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    for c, b in hit_pairs:
+        if (c, b) not in kept_pairs:
+            fs.rmtree(f"{path}/cells/{part_col}={c}/batch_id={b}")
+            parent = f"{path}/cells/{part_col}={c}"
+            if not fs.listdir(parent):
+                fs.rmtree(parent)
+    return n_victims
+
+
 def _read_meta_residual(spark, path: str) -> bool:
     """The index's residual flag; a MISSING meta file means a pre-meta
     index (raw-vector encoded) — but only a missing path may fall back.

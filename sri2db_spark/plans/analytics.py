@@ -499,6 +499,32 @@ def q_ann_ivf_saved(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_index_delete(spark, sf):
+    """Right-to-be-forgotten on the embedding index: build IVF over the
+    full corpus, delete every ``vec_id % 7 == 0`` vector from the SAVED
+    index (O(touched cells) partition rewrite — ``ann_index_delete``,
+    functions/similarity.py), then answer the standard top-k batch from
+    the pruned index. Deletion removes cell rows but keeps the trained
+    centroids, so the oracle replays full-corpus kmeans with the victims
+    filtered from the candidate set only."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    emb = _tp(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_del_")
+    try:
+        S.build_ivf_index(emb, tmp, nlist=16)
+        victims = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        S.ann_index_delete(spark, tmp, victims)
+        out = S.ivf_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 8), k=5, nprobe=4
+        )
+        # materialize before the index directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ann_pq_topk(spark, sf):
     """Product-quantization ADC top-k: 4 subspace codebooks (16 centroids,
     1 Lloyd round), corpus encoded as 4 codes/vector, queries answered from
@@ -1980,6 +2006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality": q_lm_quality,
     "curate_incremental": q_curate_incremental,
     "state_pruned_retraction": q_state_pruned_retraction,
+    "ann_index_delete": q_ann_index_delete,
     "asof_join_orders": q_asof_join_orders,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,

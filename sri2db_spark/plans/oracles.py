@@ -259,11 +259,16 @@ def _ivf_ann_oracle(
     iters: int = 2,
     k: int = 5,
     train_where: str | None = None,
+    cand_where: str | None = None,
 ) -> str:
     """Full IVF simulation (functions/similarity.py kmeans_lite+ivf_ann_topk,
     default "id" seeding): clustering replay (shared CTEs) + nprobe-pruned
     candidate scan + exact re-rank. ``train_where`` replays the
-    build-on-base/upsert-batch index (see _kmeans_ctes)."""
+    build-on-base/upsert-batch index (see _kmeans_ctes); ``cand_where``
+    (over ``a.vec_id``) restricts the CANDIDATE rows only — the replay of
+    ``ann_index_delete``, which removes cell rows but leaves the trained
+    centroids in place."""
+    cand_pred = "" if cand_where is None else f" AND ({cand_where})"
     return f"""
         WITH {_kmeans_ctes(nlist, iters, train_where)},
         probes AS (
@@ -276,7 +281,7 @@ def _ivf_ann_oracle(
         ),
         cand AS (
           SELECT p.query_id, a.vec_id AS neighbor_id
-          FROM probes p JOIN afin a ON a.cid = p.cid AND a.vec_id <> p.query_id
+          FROM probes p JOIN afin a ON a.cid = p.cid AND a.vec_id <> p.query_id{cand_pred}
         ),
         scored AS (
           SELECT c.query_id, c.neighbor_id, {_cosv('qv', 'nv')} AS cos_sim
@@ -1803,6 +1808,9 @@ ORACLES: dict[str, str] = {
     # same parameters, same output — the saved-index path round-trips floats
     # bit-exactly, so it shares the replayed-kmeans oracle
     "ann_ivf_saved": _ivf_ann_oracle(),
+    # index trained on ALL vectors, vec_id % 7 == 0 deleted from the cells
+    # afterwards: same replayed kmeans, victims filtered from candidates only
+    "ann_index_delete": _ivf_ann_oracle(cand_where="a.vec_id % 7 != 0"),
     "dedup_semantic": _semantic_dedup_oracle(),
     "ann_cosine_topk": f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

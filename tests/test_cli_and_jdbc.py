@@ -456,6 +456,24 @@ def test_cli_index_build_upsert_query_roundtrip(spark, tmp_path, capsys):
     text = capsys.readouterr().out
     assert "index-build ok" in text and "index-query ok: 12" in text
 
+    # index-delete: the RTBF path — deleted ids vanish from later queries
+    victims = [r.vec_id for r in res.select("neighbor_id")
+               .withColumnRenamed("neighbor_id", "vec_id").limit(2).collect()]
+    rc = cli.main([
+        "index-delete", "--index", idx,
+        "--ids", ",".join(str(v) for v in victims),
+    ])
+    assert rc == 0
+    assert f"index-delete ok: {len(set(victims))} vectors" in capsys.readouterr().out
+    out2 = str(tmp_path / "res2")
+    rc = cli.main([
+        "index-query", "--index", idx, "--queries", q_p, "--out", out2,
+        "--k", "3", "--nprobe", "8",
+    ])
+    assert rc == 0
+    got2 = {r.neighbor_id for r in spark.read.parquet(out2).collect()}
+    assert not got2 & set(victims)
+
 
 def test_fetch_json_sends_auth_and_headers(spark):
     """make_fetch_json: Basic auth + extra headers reach the server; retry

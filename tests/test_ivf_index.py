@@ -388,3 +388,138 @@ def test_bulk_shuffle_mode_matches_broadcast_mode(spark):
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _file_census(root):
+    """(relpath, mtime_ns, size) of every file under root."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_delete_removes_vectors_and_touches_only_their_cells(spark):
+    """ann_index_delete (RTBF for embeddings): victims disappear from
+    every later query, survivors are intact, and — the O(touched-cells)
+    claim — every cell partition without a victim is byte-untouched."""
+    import shutil
+
+    emb = _tp(spark, SF, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_del_")
+    try:
+        S.build_ivf_index(emb, tmp, nlist=16)
+        all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+        cells = os.path.join(tmp, "cells")
+        before = _file_census(cells)
+
+        victims = sorted(all_ids)[:3]
+        n = S.ann_index_delete(spark, tmp, victims)
+        assert n == 3
+
+        left = {
+            r["id"]
+            for r in spark.read.parquet(cells).select("id").collect()
+        }
+        assert left == all_ids - set(victims)
+
+        # untouched cells byte-identical; only victim cells rewritten
+        after = _file_census(cells)
+        victim_cells = {
+            rel.split(os.sep)[0]
+            for rel in set(before) - set(after)
+        } | {
+            rel.split(os.sep)[0]
+            for rel in set(after) - set(before)
+        }
+        for rel, sig in after.items():
+            if rel.split(os.sep)[0] not in victim_cells:
+                assert before[rel] == sig, rel
+        assert victim_cells, "victims lived somewhere"
+
+        # queries never return a deleted neighbor
+        res = S.ivf_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 8), k=5, nprobe=16
+        )
+        assert not {
+            r["neighbor_id"] for r in res.collect()
+        } & set(victims)
+
+        # deleting absent ids is a no-op: 0 removed, nothing touched
+        census2 = _file_census(cells)
+        assert S.ann_index_delete(spark, tmp, [10**9, 10**9 + 1]) == 0
+        assert _file_census(cells) == census2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_delete_whole_cell_drops_partition_dir(spark):
+    """A cell whose every vector is deleted must vanish from disk —
+    dynamic overwrite alone would leave the old files (and resurrect the
+    victims on the next read)."""
+    import shutil
+
+    emb = _tp(spark, SF, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_delall_")
+    try:
+        S.build_ivf_index(emb, tmp, nlist=16)
+        cells = os.path.join(tmp, "cells")
+        # pick one whole cell's membership as the victim set
+        rows = spark.read.parquet(cells).select("id", "cid").collect()
+        by_cell = {}
+        for r in rows:
+            by_cell.setdefault(r["cid"], []).append(r["id"])
+        cell, victims = min(by_cell.items(), key=lambda kv: len(kv[1]))
+        n = S.ann_index_delete(spark, tmp, victims)
+        assert n == len(victims)
+        assert not os.path.exists(os.path.join(cells, f"cid={cell}"))
+        left = {r["id"] for r in spark.read.parquet(cells).select("id").collect()}
+        assert left == {r["id"] for r in rows} - set(victims)
+        # index still answers queries
+        res = S.ivf_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 4), k=3, nprobe=16
+        )
+        assert res.count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_delete_from_ivfpq_and_upserted_batch(spark):
+    """IVF-PQ layout (cell/batch_id, code column preserved) and a victim
+    living in an UPSERTED batch partition (batch_id=-1): both delete
+    cleanly and later queries are code-scored without the victims."""
+    import shutil
+
+    emb = _tp(spark, SF, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivfpq_del_")
+    try:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        batch = emb.filter(F.col("vec_id") % 5 == 0)
+        S.build_ivfpq_index(base, tmp, nlist=8, m=4, ksub=16)
+        S.ivfpq_index_upsert(spark, tmp, batch)
+        cells = os.path.join(tmp, "cells")
+        all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+        batch_victim = [
+            r["vec_id"] for r in batch.select("vec_id").limit(2).collect()
+        ]
+        base_victim = [
+            r["vec_id"] for r in base.select("vec_id").limit(1).collect()
+        ]
+        victims = batch_victim + base_victim
+        n = S.ann_index_delete(spark, tmp, victims)
+        assert n == len(victims)
+
+        read_back = spark.read.parquet(cells)
+        assert "code" in read_back.columns  # layout intact
+        left = {r["id"] for r in read_back.select("id").collect()}
+        assert left == all_ids - set(victims)
+
+        res = S.ivfpq_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 8), k=5, nprobe=8
+        )
+        assert not {r["neighbor_id"] for r in res.collect()} & set(victims)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
