@@ -291,6 +291,8 @@ def state_main(argv: list[str]) -> int:
     state-retract  --state DIR --ids ID[,ID…] [--id-type long|string]
                    [--committer rename|manifest]
     output-compact --dir DIR [--keys col[,col…]] [--incremental]
+    output-retract --dir DIR --ids ID[,ID…] [--id-col doc_id]
+                   [--id-type long|string]
 
     ``--committer manifest`` routes the state rewrite through the
     object-store commit protocol (one atomic pointer publish — a reader
@@ -320,12 +322,15 @@ def state_main(argv: list[str]) -> int:
             help="minor fold: only positive-token batch dirs collapse; "
             "prior compacted bases are left in place (O(batch) write)",
         )
-    if cmd == "state-retract":
+    if cmd in ("state-retract", "output-retract"):
         p.add_argument("--ids", required=True, help="comma-separated doc ids")
         p.add_argument("--id-type", default="long", choices=["long", "string"])
-    if cmd == "output-compact":
+    if cmd in ("output-compact", "output-retract"):
         p.add_argument("--dir", required=True, help="batch_id=* output dir")
+    if cmd == "output-compact":
         p.add_argument("--keys", default=None, help="dedup columns, comma-sep")
+    if cmd == "output-retract":
+        p.add_argument("--id-col", default="doc_id")
     args = p.parse_args(argv[1:])
     if (
         cmd == "state-compact"
@@ -366,6 +371,13 @@ def state_main(argv: list[str]) -> int:
             print(f"state-retract conflict (re-run to retry): {e}")
             return 3
         print(f"state-retract ok: {len(ids)} ids removed from {args.state}")
+    elif cmd == "output-retract":
+        raw = [s for s in args.ids.split(",") if s]
+        ids = [int(s) for s in raw] if args.id_type == "long" else raw
+        n = P.retract_from_output(
+            spark, args.dir, ids, id_col=args.id_col
+        )
+        print(f"output-retract ok: {n} rows removed from {args.dir}")
     else:
         keys = args.keys.split(",") if args.keys else None
         before, after = P.compact_batch_output(
@@ -386,7 +398,9 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot-pin", "snapshot-list", "snapshot-unpin", "snapshot-read"
     ):
         return snapshot_main(argv)
-    if argv and argv[0] in ("state-compact", "state-retract", "output-compact"):
+    if argv and argv[0] in (
+        "state-compact", "state-retract", "output-compact", "output-retract"
+    ):
         return state_main(argv)
     p = argparse.ArgumentParser(prog="sri2db_spark")
     p.add_argument("config", help="path to JSON config (single or multi)")

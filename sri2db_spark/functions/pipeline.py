@@ -790,6 +790,131 @@ def compact_batch_output(
     return (n_total, len(_parquet_under(out_dir)))
 
 
+def retract_from_output(
+    spark,
+    out_dir: str,
+    ids,
+    id_col: str = "doc_id",
+    fs=None,
+) -> int:
+    """Right-to-be-forgotten for a batch-id-addressed OUTPUT directory —
+    the missing half of :func:`retract_from_state`: that function scrubs
+    the DERIVED stores (hashes/signatures/corpus) so the deleted text
+    stops influencing future dedup decisions, but the curated corpus the
+    pipeline already PUBLISHED still holds the documents. This removes
+    them from the output itself. Returns the number of rows removed.
+
+    **O(touched batches), not O(output).** One column-pruned probe (the
+    id column + the ``batch_id`` partition value) finds the dirs holding
+    victims; their SURVIVOR rows fold into one new negative-token base
+    dir (same addressing as :func:`compact_batch_output` — streaming
+    batch ids start at 0, so negative tokens never collide with a live
+    stream), and only then are the touched dirs removed. Every untouched
+    ``batch_id=N`` directory is byte-identical afterwards. Legacy flat
+    root files are probed too and fold the same way when hit.
+
+    Crash contract (same as compaction): the survivors' base is complete
+    BEFORE any source is removed — a crash in between leaves the victims
+    still visible plus transient survivor duplicates, never lost rows;
+    re-run to finish (idempotent). Quiesce the stream first, and retract
+    from the UPSTREAM source as well: a later replayed micro-batch
+    rewrites its own dir from source data, so a document not deleted
+    upstream would be re-published by the next replay.
+
+    ``ids`` is a Python list or a single-column DataFrame (broadcast
+    drop-set either way, never a giant ``isin``); ``fs`` (default local)
+    is the filesystem the output lives on — pass the committer's
+    object-store binding to run this against s3/gcs."""
+    import os  # noqa: PLC0415
+
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    fs = fs or LocalFS()
+    if not fs.isdir(out_dir):
+        return 0
+    if isinstance(ids, DataFrame):
+        drop = ids.select(F.col(ids.columns[0]).alias("__rid")).distinct()
+    else:
+        drop = spark.createDataFrame([(i,) for i in ids], ["__rid"]).distinct()
+
+    names = fs.listdir(out_dir)
+    flat = [
+        os.path.join(out_dir, n)
+        for n in names
+        if n.endswith(".parquet") and not fs.isdir(os.path.join(out_dir, n))
+    ]
+    batch_dirs = [
+        n
+        for n in names
+        if n.startswith("batch_id=") and fs.isdir(os.path.join(out_dir, n))
+    ]
+
+    def _numeric(name: str) -> int | None:
+        try:
+            return int(name.split("=", 1)[1])
+        except ValueError:
+            return None
+
+    n_victims = 0
+    touched: set[int] = set()
+    batch_files = [
+        f
+        for n in batch_dirs
+        for f in fs.walk_files(os.path.join(out_dir, n))
+    ]
+    if batch_files:
+        probe = spark.read.option("basePath", fs.spark_path(out_dir)).parquet(
+            *[fs.spark_path(f) for f in batch_files]
+        )
+        hits = (
+            probe.select(id_col, "batch_id")
+            .join(
+                F.broadcast(drop), F.col(id_col) == F.col("__rid"), "left_semi"
+            )
+            .groupBy("batch_id")
+            .count()
+            .collect()
+        )
+        touched = {r["batch_id"] for r in hits}
+        n_victims += sum(r["count"] for r in hits)
+    flat_hit = 0
+    if flat:
+        fdf = spark.read.parquet(*[fs.spark_path(f) for f in flat])
+        flat_hit = fdf.join(
+            F.broadcast(drop), F.col(id_col) == F.col("__rid"), "left_semi"
+        ).count()
+        n_victims += flat_hit
+    if not touched and not flat_hit:
+        return 0
+
+    src_files = [
+        f
+        for n in batch_dirs
+        if _numeric(n) in touched
+        for f in fs.walk_files(os.path.join(out_dir, n))
+    ]
+    if flat_hit:
+        src_files += flat
+    tokens = [t for t in (_numeric(n) for n in batch_dirs) if t is not None]
+    new_token = min([0, *tokens]) - 1
+    survivors = spark.read.parquet(
+        *[fs.spark_path(f) for f in src_files]
+    ).join(F.broadcast(drop), F.col(id_col) == F.col("__rid"), "left_anti")
+    if survivors.limit(1).count():
+        n_out = max(1, survivors.rdd.getNumPartitions() // 8)
+        survivors.coalesce(n_out).write.mode("overwrite").parquet(
+            fs.spark_path(f"{out_dir}/batch_id={new_token}")
+        )
+    # sources removed only after the survivors' base is complete
+    for n in batch_dirs:
+        if _numeric(n) in touched:
+            fs.rmtree(os.path.join(out_dir, n))
+    if flat_hit:
+        for f in flat:
+            fs.remove(f)
+    return n_victims
+
+
 def _write_folded_marker(fs, version_dir: str, folded: list[str]) -> None:
     """Record what this staged version folded. The marker is part of the
     immutable version directory, so the atomic pointer commit publishes the

@@ -1760,6 +1760,34 @@ def q_curate_incremental(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_output_retraction(spark, sf):
+    """Right-to-be-forgotten for the PUBLISHED corpus
+    (``retract_from_output``, functions/pipeline.py): write a documents
+    subset as three ``batch_id=N`` output dirs (the layout a streaming
+    curation run accumulates), retract a fixed id list — only the batch
+    dirs holding victims are rewritten, survivors fold into a
+    negative-token base — and return what a plain consumer then reads.
+    Oracle: the subset minus the retracted ids."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions import pipeline as P  # noqa: PLC0415
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="retract_out_")
+    try:
+        for b in range(3):
+            docs.filter((F.col("doc_id") / 3 % 3).cast("long") == b).select(
+                "doc_id", "lang"
+            ).write.parquet(f"{tmp}/batch_id={b}")
+        P.retract_from_output(spark, tmp, [0, 9, 33, 10**9])
+        out = spark.read.parquet(tmp).select("doc_id", "lang")
+        # materialize before the output directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_state_pruned_retraction(spark, sf):
     """Right-to-be-forgotten against the persisted curation state, PRUNED
     (SURVEY §7.9): bootstrap the hash/signature/corpus stores from a
@@ -2007,6 +2035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_incremental": q_curate_incremental,
     "state_pruned_retraction": q_state_pruned_retraction,
     "ann_index_delete": q_ann_index_delete,
+    "output_retraction": q_output_retraction,
     "asof_join_orders": q_asof_join_orders,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,

@@ -1748,6 +1748,12 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT DISTINCT 'hash' AS store, md5(text) AS k FROM kept
     """,
+    # right-to-be-forgotten over the PUBLISHED output: what a plain reader
+    # sees after retract_from_output is exactly the subset minus the ids
+    "output_retraction": """
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id NOT IN (0, 9, 33, 1000000000)
+    """,
     # general as-of join: nearest-earlier order per event, largest
     # (order_ms, o_orderkey) wins; LEFT JOIN keeps no-order events
     "asof_join_orders": """

@@ -141,6 +141,13 @@ def test_cli_state_maintenance_commands(spark, tmp_path, capsys):
     assert rc == 0
     assert "output-compact" in capsys.readouterr().out
     assert spark.read.parquet(out).count() == 3
+    # output-retract: RTBF on the published output
+    rc = cli.main(["output-retract", "--dir", out, "--ids", "1"])
+    assert rc == 0
+    assert "output-retract ok: 1 rows removed" in capsys.readouterr().out
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [0, 2]
 
 
 # ---- JDBC merge SQL generation ------------------------------------------

@@ -605,3 +605,78 @@ def test_gc_spared_pinned_victim_keeps_its_carry_chain(spark, tmp_path):
     P.retract_from_state(spark, state, [7], committer=mc)
     assert fs.isdir(base1) and fs.isdir(base0)
     assert resolve_carried(fs, corpus, base1)
+
+
+def _census(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            s = os.stat(p)
+            out[os.path.relpath(p, root)] = (s.st_mtime_ns, s.st_size)
+    return out
+
+
+def test_output_retraction_rewrites_only_touched_batches(spark, tmp_path):
+    """retract_from_output (RTBF for the PUBLISHED corpus): victims
+    disappear, survivors of touched dirs fold into a new negative-token
+    base, and every untouched batch_id dir is byte-identical."""
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    mk([(1, "one"), (2, "two")]).write.parquet(f"{out}/batch_id=0")
+    mk([(3, "three"), (4, "four")]).write.parquet(f"{out}/batch_id=1")
+    mk([(5, "five"), (6, "six")]).write.parquet(f"{out}/batch_id=2")
+    before = _census(out)
+
+    n = P.retract_from_output(spark, out, [3, 10**9])
+    assert n == 1
+    left = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert left == {1, 2, 4, 5, 6}
+    # batch 1 (victim's home) is gone; its survivor rides in batch_id=-1;
+    # batches 0 and 2 are byte-identical
+    assert not os.path.exists(f"{out}/batch_id=1")
+    assert os.path.isdir(f"{out}/batch_id=-1")
+    after = _census(out)
+    for rel, sig in before.items():
+        top = rel.split(os.sep)[0]
+        if top in ("batch_id=0", "batch_id=2"):
+            assert after[rel] == sig, rel
+
+    # no-op retraction: 0 removed, nothing touched at all
+    c2 = _census(out)
+    assert P.retract_from_output(spark, out, [10**9]) == 0
+    assert _census(out) == c2
+
+    # retracting every remaining row leaves a readable-but-empty layout
+    assert P.retract_from_output(spark, out, [1, 2, 4, 5, 6]) == 5
+    remaining = [
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    ]
+    assert remaining == []
+
+
+def test_output_retraction_handles_flats_and_string_ids(spark, tmp_path):
+    """Legacy flat root files are probed and folded too; string id
+    columns work (the sri resource-key case)."""
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id string, text string")  # noqa: E731
+    mk([("a", "1"), ("b", "2")]).write.parquet(f"{out}/batch_id=0")
+    # a legacy flat file at the root
+    flat_src = str(tmp_path / "flat")
+    mk([("c", "3"), ("d", "4")]).write.parquet(flat_src)
+    for f in os.listdir(flat_src):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(flat_src, f), os.path.join(out, f))
+
+    n = P.retract_from_output(spark, out, ["c"], id_col="doc_id")
+    assert n == 1
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-1", "batch_id=0"]
+    left = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert left == {"a", "b", "d"}
+    # no flats remain at the root
+    assert not [f for f in os.listdir(out) if f.endswith(".parquet")]
