@@ -253,6 +253,101 @@ def write_zordered(
     return stats
 
 
+def append_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    committer=None,
+) -> dict:
+    """O(batch) append to a :func:`write_zordered` table: the new batch is
+    Z-order-clustered and written as its OWN files; every prior file is
+    published BY REFERENCE (a ``_CARRY`` list naming its original physical
+    location, the §7.9 convention — so GC protects the old version dirs
+    for free) and the stats object is merged to cover both. At 100 TB an
+    ingest tick costs the batch, never a table rewrite; per-file ranges
+    stay tight within each generation (cross-generation overlap grows with
+    generations — run :func:`write_zordered` occasionally to re-cluster,
+    which drops the carries and releases the old dirs).
+
+    Requires the versioned committer (the carry needs the manifest
+    pointer); a path with nothing committed yet degrades to
+    :func:`write_zordered`. Read through :func:`read_skipping` (it
+    resolves carried files; a plain ``spark.read.parquet`` of the current
+    version dir would see only the newest batch).
+
+    Returns the merged ``{entry: {col: [min, max]}}`` stats.
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from .statestore import CARRY_MARKER  # noqa: PLC0415
+
+    if committer is None or not committer.versioned:
+        raise ValueError(
+            "append_zordered publishes prior files by reference, which "
+            "needs the ManifestCommitter; use write_zordered for full "
+            "rewrites"
+        )
+    old_base = committer.resolve(path)
+    if old_base is None:
+        return write_zordered(
+            df, path, cols, n_files, bits=bits, committer=committer
+        )
+    fs = committer.fs
+    old_meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    if old_meta["cols"] != cols:
+        raise ValueError(
+            f"append stats columns {cols} != table's {old_meta['cols']}"
+        )
+    allowed = {"byte", "short", "int", "bigint", "float", "double", "string"}
+    for c, t in df.select(cols).dtypes:
+        if t not in allowed:
+            raise TypeError(
+                f"append_zordered stats column {c!r} has type {t}; cast it "
+                "to a numeric/string first"
+            )
+    clustered = zorder_repartition(df, cols, n_files, bits=bits).drop("zkey")
+    target = committer.stage(path)
+    clustered.write.mode("overwrite").parquet(target)
+    spark = df.sparkSession
+    rows = (
+        spark.read.parquet(target)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            *[
+                f
+                for c in cols
+                for f in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
+            ]
+        )
+        .collect()
+    )
+    merged = {
+        _file_basename(r["file"]): {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols
+        }
+        for r in rows
+    }
+    old_version = os.path.basename(old_base)
+    carry = []
+    for name, st in old_meta["files"].items():
+        # chains never deepen: an already-carried entry keeps naming its
+        # ORIGINAL home verbatim; only the old base's own files gain its
+        # version prefix
+        entry = name if "/" in name else f"{old_version}/{name}"
+        carry.append(entry)
+        merged[entry] = st
+    fs.put(os.path.join(target, CARRY_MARKER), "\n".join(sorted(carry)))
+    fs.put(
+        os.path.join(target, FILE_STATS),
+        json.dumps({"cols": cols, "files": merged}, sort_keys=True),
+    )
+    committer.commit(target, path)
+    return merged
+
+
 def read_skipping(
     spark, path: str, ranges: dict, committer=None, version: str | None = None
 ) -> DataFrame:
@@ -316,12 +411,25 @@ def read_skipping(
     names = sorted(meta["files"])
     if not names:  # stats for an empty write: nothing to prune or read
         return spark.read.parquet(base).filter(residual)
+
+    def _resolve(n: str) -> str:
+        # append_zordered publishes prior generations by reference: a
+        # carried entry names its ORIGINAL home, "v_old/part-…", relative
+        # to the store root; the base's own files are bare basenames
+        return os.path.join(path, n) if "/" in n else os.path.join(base, n)
+
+    # carried generations must still exist — GC protects referenced dirs,
+    # so a missing one is corruption and silence would drop rows
+    heads = {n.split("/", 1)[0] for n in names if "/" in n}
+    for h in heads:
+        if not fs.isdir(os.path.join(path, h)):
+            raise FileNotFoundError(
+                f"zordered table {path}: committed stats carry files from "
+                f"{h}, which does not exist — the table is corrupt (a "
+                "carried version directory was removed)"
+            )
     keep = [n for n in names if _overlaps(meta["files"][n])]
     if not keep:
         # schema-preserving empty result: scan one file, match nothing
-        return spark.read.parquet(os.path.join(base, names[0])).filter(
-            F.lit(False)
-        )
-    return spark.read.parquet(
-        *[os.path.join(base, n) for n in keep]
-    ).filter(residual)
+        return spark.read.parquet(_resolve(names[0])).filter(F.lit(False))
+    return spark.read.parquet(*[_resolve(n) for n in keep]).filter(residual)

@@ -1977,6 +1977,53 @@ def q_zorder_events(spark, sf):
     return keyed.select("event_id", "zkey")
 
 
+def q_zorder_append_scan(spark, sf):
+    """O(batch) ingest for the data-skipping layer (``append_zordered``,
+    functions/layout.py): the events table lands as a Z-ordered base plus
+    an APPENDED generation — the batch writes only its own clustered
+    files, prior files are carried by reference with merged stats — and a
+    2-D range scan plans across both generations from ONE stats object.
+    Values are identical to a plain filtered scan of everything, which is
+    exactly what the oracle runs."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.layout import (  # noqa: PLC0415
+        append_zordered,
+        read_skipping,
+        write_zordered,
+    )
+    from ..sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", ns_to_ms().alias("ts_ms")
+    )
+    mc = ManifestCommitter()
+    tmp = tempfile.mkdtemp(prefix="zappend_")
+    try:
+        write_zordered(
+            ev.filter(F.col("event_id") % 4 != 0),
+            tmp, ["user_id", "ts_ms"], n_files=8, committer=mc,
+        )
+        append_zordered(
+            ev.filter(F.col("event_id") % 4 == 0),
+            tmp, ["user_id", "ts_ms"], n_files=2, committer=mc,
+        )
+        out = read_skipping(
+            spark,
+            tmp,
+            {
+                "user_id": (3, 7),
+                "ts_ms": (1704500000000, 1705500000000),
+            },
+            committer=mc,
+        ).select("event_id", "user_id", "ts_ms")
+        # materialize before the temp directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_zorder_pruned_scan(spark, sf):
     """File-level data skipping over a Z-ordered write: cluster events on
     (user_id, ts_ms), publish per-file min/max stats with the data, and
@@ -2036,6 +2083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "state_pruned_retraction": q_state_pruned_retraction,
     "ann_index_delete": q_ann_index_delete,
     "output_retraction": q_output_retraction,
+    "zorder_append_scan": q_zorder_append_scan,
     "asof_join_orders": q_asof_join_orders,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,

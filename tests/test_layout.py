@@ -367,3 +367,137 @@ def test_read_skipping_time_travel_reads_pinned_snapshot_stats(spark, tmp_path):
         spark, path, {"a": (30, 100)}, committer=mc, version=pinned
     )
     assert sorted(r.id for r in old.collect()) == list(range(30, 40))
+
+
+# ------------------------------------------------------- zorder appends
+
+
+def _zcensus(root):
+    out = {}
+    for dirpath, _d, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            s = os.stat(p)
+            out[os.path.relpath(p, root)] = (s.st_mtime_ns, s.st_size)
+    return out
+
+
+def test_append_zordered_is_o_batch_and_skips_across_generations(spark, tmp_path):
+    """O(batch) ingest for the data-skipping layer: an append writes ONLY
+    its own clustered files, carries every prior file by reference with
+    merged stats, leaves the old generation byte-identical, and
+    read_skipping prunes ACROSS generations (an old-range predicate scans
+    only old-generation files, a new-range one only the batch)."""
+    from sri2db_spark.functions.layout import (
+        append_zordered,
+        read_skipping,
+        write_zordered,
+    )
+    from sri2db_spark.functions.statestore import CARRY_MARKER
+    from sri2db_spark.sinks.committer import ManifestCommitter
+
+    mc = ManifestCommitter(keep_versions=0)
+    path = str(tmp_path / "zt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 97).cast("bigint").alias("v"),
+    )
+    write_zordered(mk(0, 100), path, ["id", "v"], n_files=4, committer=mc)
+    base0 = mc.resolve(path)
+    census0 = _zcensus(base0)
+
+    append_zordered(mk(100, 200), path, ["id", "v"], n_files=2, committer=mc)
+    base1 = mc.resolve(path)
+    assert base1 != base0
+    # old generation byte-identical; carried, not rewritten
+    assert _zcensus(base0) == census0
+    own = [f for f in os.listdir(base1) if f.endswith(".parquet")]
+    assert len(own) == 2
+    carry = [
+        line
+        for line in open(os.path.join(base1, CARRY_MARKER)).read().splitlines()
+        if line
+    ]
+    assert len(carry) == 4
+    assert all(c.startswith(os.path.basename(base0) + "/") for c in carry)
+
+    # reads resolve both generations, exactly
+    full = read_skipping(spark, path, {"id": (None, None)}, committer=mc)
+    assert full.count() == 200
+    old_only = read_skipping(spark, path, {"id": (0, 40)}, committer=mc)
+    assert sorted(r.id for r in old_only.collect()) == list(range(41))
+    assert all(os.path.basename(base0) in f for f in old_only.inputFiles())
+    new_only = read_skipping(spark, path, {"id": (150, 160)}, committer=mc)
+    assert sorted(r.id for r in new_only.collect()) == list(range(150, 161))
+    assert all(os.path.basename(base1) in f for f in new_only.inputFiles())
+
+    # second append: chains never deepen (entries keep their ORIGINAL
+    # homes) and the carried dirs survive keep_versions=0 GC
+    append_zordered(mk(200, 260), path, ["id", "v"], n_files=1, committer=mc)
+    base2 = mc.resolve(path)
+    carry2 = [
+        line
+        for line in open(os.path.join(base2, CARRY_MARKER)).read().splitlines()
+        if line
+    ]
+    heads = {c.split("/", 1)[0] for c in carry2}
+    assert heads == {os.path.basename(base0), os.path.basename(base1)}
+    assert os.path.isdir(base0) and os.path.isdir(base1)
+    assert (
+        read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
+        == 260
+    )
+
+    # a full re-cluster drops the carries and releases the old dirs
+    all_rows = read_skipping(
+        spark, path, {"id": (None, None)}, committer=mc
+    ).localCheckpoint()
+    write_zordered(all_rows, path, ["id", "v"], n_files=4, committer=mc)
+    basec = mc.resolve(path)
+    assert not os.path.exists(os.path.join(basec, CARRY_MARKER))
+    assert not os.path.isdir(base0) and not os.path.isdir(base1)
+    assert (
+        read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
+        == 260
+    )
+
+
+def test_append_zordered_guards(spark, tmp_path):
+    """Carried reads fail loudly on a removed generation; appends demand
+    the versioned committer and matching stats columns; an empty table
+    degrades to write_zordered."""
+    from sri2db_spark.functions.layout import (
+        append_zordered,
+        read_skipping,
+    )
+    from sri2db_spark.sinks.committer import ManifestCommitter, RenameCommitter
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "zg")
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("bigint").alias("id"),
+            (F.col("id") % 7).cast("bigint").alias("v"),
+        )
+
+    with pytest.raises(ValueError, match="ManifestCommitter"):
+        append_zordered(mk(0, 50), path, ["id", "v"], 2, committer=RenameCommitter())
+
+    # empty table: degrades to a plain first write
+    append_zordered(mk(0, 50), path, ["id", "v"], 2, committer=mc)
+    base0 = mc.resolve(path)
+    assert base0 is not None
+
+    with pytest.raises(ValueError, match="stats columns"):
+        append_zordered(
+            mk(0, 10).withColumn("w", F.lit(1).cast("bigint")),
+            path, ["id", "w"], 2, committer=mc,
+        )
+
+    append_zordered(mk(50, 80), path, ["id", "v"], 1, committer=mc)
+    import shutil
+
+    shutil.rmtree(base0)
+    with pytest.raises(FileNotFoundError, match="carr"):
+        read_skipping(spark, path, {"id": (0, 10)}, committer=mc).collect()
