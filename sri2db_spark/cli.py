@@ -387,9 +387,45 @@ def state_main(argv: list[str]) -> int:
     return 0
 
 
+def doctor_main(argv: list[str]) -> int:
+    """Read-only health check of an on-disk structure:
+
+    doctor --state DIR | --lake DIR | --output DIR | --store DIR
+           [--committer rename|manifest]
+
+    Prints one JSON report; exit 0 when healthy, 4 when invariant
+    violations were found (never repairs — each issue names the
+    maintenance command that does)."""
+    from .functions import doctor as D  # noqa: PLC0415
+
+    p = argparse.ArgumentParser(prog="sri2db_spark doctor")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--state", help="curation state dir")
+    g.add_argument("--lake", help="lake table location")
+    g.add_argument("--output", help="batch_id=* output dir")
+    g.add_argument("--store", help="one versioned store dir")
+    p.add_argument(
+        "--committer", default="manifest", choices=["rename", "manifest"]
+    )
+    args = p.parse_args(argv[1:])
+    mc = _committer_for({"committer": args.committer})
+    if args.state:
+        rep = D.check_curation_state(args.state, committer=mc)
+    elif args.lake:
+        rep = D.check_lake(args.lake, committer=mc)
+    elif args.output:
+        rep = D.check_batch_output(args.output)
+    else:
+        rep = D.check_versioned_store(args.store, committer=mc)
+    print(json.dumps(rep, indent=2, sort_keys=True))
+    return 0 if rep["healthy"] else 4
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    if argv and argv[0] == "doctor":
+        return doctor_main(argv)
     if argv and argv[0] in (
         "index-build", "index-upsert", "index-delete", "index-query"
     ):

@@ -1,0 +1,280 @@
+"""Read-only health checks for every on-disk structure the engine
+maintains — the operational "is my store sane?" probe an operator runs
+before/after maintenance, after a crash, or when a read errors.
+
+Each check walks ONE structure with the same filesystem binding the
+writers use (local or object-store), validates the commit-protocol
+invariants the writers promise, and returns a plain dict report:
+
+``{"path", "kind", "healthy", "issues": [...], "info": {...}}``
+
+Issues are invariant VIOLATIONS (corruption, dangling references);
+``info`` carries benign observations (reclaimable crashed stages, fenced
+garbage awaiting sweep, pinned snapshots). Everything here is read-only:
+the doctor never repairs, it points at the maintenance command that
+does.
+
+Mirrors the reference's startup catalog probe
+(``/root/reference/src/lib/client.js:361-410``, which aborts on an
+incompatible table) extended to the engine's own artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .statestore import CARRY_MARKER, FOLDED_MARKER, PRUNE_STATS
+from .layout import FILE_STATS
+
+
+def _committer_fs(committer):
+    from ..sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+    mc = committer or ManifestCommitter()
+    return mc, mc.fs
+
+
+def check_versioned_store(path: str, committer=None) -> dict:
+    """Validate one manifest-committed store directory (a curation state
+    sub-store, a zordered table, a lake partition): the pointer resolves
+    to an existing version, every carried reference exists (transitively),
+    stats parse and cover the version's own + carried files, and pins
+    point at live dirs. Crashed stages and fenced garbage are reported as
+    reclaimable info, not issues — the next successful commit sweeps
+    them."""
+    mc, fs = _committer_fs(committer)
+    issues: list[str] = []
+    info: dict = {}
+    report = {"path": path, "kind": "versioned_store", "issues": issues, "info": info}
+
+    current = mc.resolve(path)
+    if current is None:
+        issues.append("no committed version (missing or unreadable manifest)")
+        report["healthy"] = False
+        return report
+    info["current_version"] = os.path.basename(current)
+    if not fs.isdir(current):
+        issues.append(
+            f"manifest points at {os.path.basename(current)}, which does not exist"
+        )
+        report["healthy"] = False
+        return report
+
+    # pins must reference existing version dirs
+    pins = mc.pins(path)
+    info["pins"] = dict(pins)
+    for name, version in pins.items():
+        if not fs.isdir(os.path.join(path, version)):
+            issues.append(f"pin {name!r} references missing version {version}")
+
+    # carried references (from the current version, pinned versions, and
+    # retained history) must exist — GC promises to keep them
+    live = {os.path.basename(current), *pins.values()}
+    refs = mc._carry_refs(path, live)  # noqa: SLF001
+    for ref in sorted(refs):
+        if not fs.isdir(os.path.join(path, ref)):
+            issues.append(
+                f"carried version {ref} is referenced but does not exist "
+                "(the store would fail loudly on read; restore from a "
+                "snapshot or re-initialize)"
+            )
+    # per-file carried entries of the current version
+    carry_path = os.path.join(current, CARRY_MARKER)
+    carried: list[str] = []
+    if fs.exists(carry_path):
+        carried = [ln for ln in fs.read(carry_path).splitlines() if ln]
+        for entry in carried:
+            if not fs.exists(os.path.join(path, entry)):
+                issues.append(f"carried file {entry} is missing")
+    info["carried_files"] = len(carried)
+
+    # stats (state-store or zordered flavor) should cover own + carried
+    own = [
+        os.path.basename(f)
+        for f in fs.walk_files(current)
+        if f.endswith(".parquet")
+    ]
+    info["own_files"] = len(own)
+    for stats_name in (PRUNE_STATS, FILE_STATS):
+        sp = os.path.join(current, stats_name)
+        if not fs.exists(sp):
+            continue
+        try:
+            meta = json.loads(fs.read(sp))
+        except ValueError:
+            issues.append(f"{stats_name} is not valid JSON")
+            continue
+        covered = set(meta["files"])
+        # two stats flavors share the shape: the state stores key every
+        # entry store-root-relative (v_current/part-…), the zordered
+        # layout keys the version's own files by bare basename
+        cur_name = os.path.basename(current)
+        own_keys = set(own) | {f"{cur_name}/{n}" for n in own}
+        expected = own_keys | set(carried)
+        missing = {
+            n for n in own if n not in covered and f"{cur_name}/{n}" not in covered
+        } | (set(carried) - covered)
+        info[stats_name] = {"entries": len(covered)}
+        if missing:
+            # NOT an issue: the prune planner treats stats-less files
+            # conservatively (always rewritten / always scanned), and an
+            # empty part file legitimately has no stats row. It only
+            # costs pruning efficiency, so report it as info.
+            info[stats_name]["uncovered_files"] = len(missing)
+        dangling = covered - expected
+        if dangling:
+            issues.append(
+                f"{stats_name} lists {len(dangling)} file(s) that are not "
+                f"committed (e.g. {sorted(dangling)[0]}); reads planned "
+                "from these stats would fail"
+            )
+
+    # benign leftovers: version dirs that are neither current, pinned,
+    # carried, nor retained history — crashed stages or swept-later garbage
+    markers = {v for _s, v in mc._markers(path)}  # noqa: SLF001
+    versions = {
+        d
+        for d in fs.listdir(path)
+        if d.startswith("v_") and fs.isdir(os.path.join(path, d))
+    }
+    keep = {os.path.basename(current)} | set(pins.values()) | refs
+    retained = {v for v in versions & markers if v not in keep}
+    orphans = versions - keep - markers
+    info["retained_history"] = len(retained)
+    if orphans:
+        info["reclaimable_stage_dirs"] = sorted(orphans)
+    folded = os.path.join(current, FOLDED_MARKER)
+    if fs.exists(folded):
+        fenced = [ln for ln in fs.read(folded).splitlines() if ln]
+        still_there = [e for e in fenced if fs.exists(os.path.join(path, e))]
+        if still_there:
+            info["fenced_garbage_files"] = len(still_there)
+
+    report["healthy"] = not issues
+    return report
+
+
+def check_curation_state(state_dir: str, committer=None) -> dict:
+    """Doctor a whole curation state: each sub-store (hashes/sigs/corpus)
+    checked individually; versioned layout required for the per-store
+    checks, a flat (rename-committer) layout reports only existence."""
+    mc, fs = _committer_fs(committer)
+    subs = [
+        s
+        for s in ("hashes", "sigs", "corpus")
+        if fs.isdir(os.path.join(state_dir, s))
+    ]
+    stores = {}
+    issues: list[str] = []
+    if not subs:
+        issues.append("no curation sub-stores found (hashes/sigs/corpus)")
+    for s in subs:
+        sub_path = os.path.join(state_dir, s)
+        if mc.resolve(sub_path) is None and not mc.versioned:
+            stores[s] = {"path": sub_path, "kind": "flat", "healthy": True}
+            continue
+        stores[s] = check_versioned_store(sub_path, committer=mc)
+        issues += [f"{s}: {i}" for i in stores[s]["issues"]]
+    return {
+        "path": state_dir,
+        "kind": "curation_state",
+        "healthy": not issues,
+        "issues": issues,
+        "info": {"stores": stores},
+    }
+
+
+def check_lake(location: str, committer=None) -> dict:
+    """Doctor a lake table: every partition directory decodes (legacy
+    UTF-8 escapes are an issue with a named migration), and on the
+    versioned backend every partition store passes
+    :func:`check_versioned_store`."""
+    from ..sinks.lake import _is_legacy_segment  # noqa: PLC0415
+
+    mc, fs = _committer_fs(committer)
+    issues: list[str] = []
+    info: dict = {"partitions": 0}
+    report = {"path": location, "kind": "lake", "issues": issues, "info": info}
+    if not fs.isdir(location):
+        issues.append("location does not exist")
+        report["healthy"] = False
+        return report
+
+    def _walk(d: str, depth: int) -> None:
+        for name in fs.listdir(d):
+            sub = os.path.join(d, name)
+            if "=" in name and fs.isdir(sub):
+                if _is_legacy_segment(name):
+                    issues.append(
+                        f"legacy UTF-8-escaped partition segment {name!r}; "
+                        "run sinks.lake.migrate_legacy_partition_dirs once"
+                    )
+                    continue
+                _walk(sub, depth + 1)
+            elif name.startswith("v_") or name == "_MANIFEST":
+                # reached a partition store dir: check it once
+                if d not in checked:
+                    checked.add(d)
+                    info["partitions"] += 1
+                    rep = check_versioned_store(d, committer=mc)
+                    issues.extend(f"{os.path.relpath(d, location)}: {i}"
+                                  for i in rep["issues"])
+
+    checked: set[str] = set()
+    if mc.versioned:
+        _walk(location, 0)
+    else:
+        info["partitions"] = sum(
+            1 for _ in fs.walk_files(location) if _.endswith(".parquet")
+        )
+    report["healthy"] = not issues
+    return report
+
+
+def check_batch_output(out_dir: str, fs=None) -> dict:
+    """Doctor a batch-id-addressed output dir: every subdirectory must be
+    a parseable ``batch_id=N``; flats and the negative-token bases are
+    reported; an unparseable token is an issue (partition discovery would
+    fail for every consumer)."""
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    fs = fs or LocalFS()
+    issues: list[str] = []
+    info: dict = {}
+    report = {"path": out_dir, "kind": "batch_output", "issues": issues, "info": info}
+    if not fs.isdir(out_dir):
+        issues.append("output dir does not exist")
+        report["healthy"] = False
+        return report
+    names = fs.listdir(out_dir)
+    batches, bases, flats = 0, 0, 0
+    for n in names:
+        full = os.path.join(out_dir, n)
+        if fs.isdir(full):
+            if not n.startswith("batch_id="):
+                issues.append(
+                    f"unexpected subdirectory {n!r} (breaks batch_id "
+                    "partition discovery)"
+                )
+                continue
+            try:
+                token = int(n.split("=", 1)[1])
+            except ValueError:
+                issues.append(f"unparseable batch token {n!r}")
+                continue
+            if token < 0:
+                bases += 1
+            else:
+                batches += 1
+        elif n.endswith(".parquet"):
+            flats += 1
+    info.update(
+        {"live_batches": batches, "compacted_bases": bases, "legacy_flats": flats}
+    )
+    if flats:
+        info["hint"] = (
+            "legacy flat files fold into a base via output-compact"
+        )
+    report["healthy"] = not issues
+    return report

@@ -1,0 +1,159 @@
+"""Read-only doctor checks (functions/doctor.py + the doctor CLI): a
+healthy structure reports healthy, every seeded corruption is named, and
+the CLI exit code distinguishes the two (0 vs 4)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from sri2db_spark import cli
+from sri2db_spark.functions import doctor as D
+from sri2db_spark.functions import pipeline as P
+from sri2db_spark.sinks.committer import ManifestCommitter
+
+
+def _docs(spark, n=30):
+    return spark.createDataFrame(
+        [(i, f"unique document text number {i}", "en") for i in range(n)],
+        "doc_id long, text string, lang string",
+    ).repartitionByRange(3, "doc_id")
+
+
+def test_healthy_state_and_cli_exit_codes(spark, tmp_path, capsys):
+    mc = ManifestCommitter()
+    state = str(tmp_path / "state")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    P.retract_from_state(spark, state, [5], committer=mc)
+
+    rep = D.check_curation_state(state, committer=mc)
+    assert rep["healthy"], rep["issues"]
+    stores = rep["info"]["stores"]
+    assert set(stores) == {"hashes", "sigs", "corpus"}
+    # the retraction carried files: doctor sees and validates them
+    assert stores["corpus"]["info"]["carried_files"] > 0
+    assert "_PRUNE_STATS" in stores["corpus"]["info"]
+
+    assert cli.main(["doctor", "--state", state]) == 0
+    out = capsys.readouterr().out
+    assert '"healthy": true' in out
+
+    # corruption: remove the carried base out from under the store
+    corpus = f"{state}/corpus"
+    current = mc.resolve(corpus)
+    carried = mc._carry_refs(corpus, [os.path.basename(current)])  # noqa: SLF001
+    assert carried
+    shutil.rmtree(os.path.join(corpus, sorted(carried)[0]))
+    rep2 = D.check_curation_state(state, committer=mc)
+    assert not rep2["healthy"]
+    assert any("carried" in i for i in rep2["issues"])
+    assert cli.main(["doctor", "--state", state]) == 4
+
+
+def test_doctor_versioned_store_reports_orphans_and_stats(spark, tmp_path):
+    """Crashed-stage leftovers are reclaimable INFO, not issues; a stats
+    file that misses a committed file IS an issue."""
+    import json
+
+    from sri2db_spark.functions.statestore import PRUNE_STATS
+
+    mc = ManifestCommitter()
+    state = str(tmp_path / "state")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    corpus = f"{state}/corpus"
+
+    # a crashed stage: version dir without a commit marker
+    os.makedirs(mc.stage(corpus), exist_ok=True)
+    rep = D.check_versioned_store(corpus, committer=mc)
+    assert rep["healthy"], rep["issues"]
+    assert rep["info"].get("reclaimable_stage_dirs")
+
+    # stats coverage gaps are efficiency INFO (the prune planner treats
+    # stats-less files conservatively), but a stats entry naming a file
+    # that is NOT committed is an issue — reads planned from it would fail
+    current = mc.resolve(corpus)
+    sp = os.path.join(current, PRUNE_STATS)
+    meta = json.loads(mc.fs.read(sp))
+    victim = sorted(meta["files"])[0]
+    del meta["files"][victim]
+    meta["files"]["part-never-written.parquet"] = meta["files"][
+        sorted(meta["files"])[0]
+    ]
+    mc.fs.put(sp, json.dumps(meta))
+    rep2 = D.check_versioned_store(corpus, committer=mc)
+    assert rep2["info"][PRUNE_STATS]["uncovered_files"] >= 1
+    assert not rep2["healthy"]
+    assert any("not committed" in i for i in rep2["issues"])
+
+
+def test_doctor_lake_flags_legacy_segments(spark, tmp_path):
+    from sri2db_spark.model.schema import LAYOUT_LARGE
+    from sri2db_spark.sinks.lake import LakeTable
+
+    mc = ManifestCommitter()
+    loc = str(tmp_path / "lake")
+    table = LakeTable(spark, loc, LAYOUT_LARGE, committer=mc)
+    df = spark.createDataFrame(
+        [("/a/1", "1", None, "{}", "_A", "/a", "https://x")],
+        "href string, key string, modified timestamp, jsondata string, "
+        "resourcetype string, path string, baseurl string",
+    )
+    table.replace_partition(df, "https://x", "/a")
+    rep = D.check_lake(loc, committer=mc)
+    assert rep["healthy"], rep["issues"]
+    assert rep["info"]["partitions"] == 1
+
+    # a pre-r6 UTF-8-byte-escaped partition name
+    os.makedirs(os.path.join(loc, "baseurl=%C3%A9legacy"))
+    rep2 = D.check_lake(loc, committer=mc)
+    assert not rep2["healthy"]
+    assert any("legacy" in i for i in rep2["issues"])
+    assert cli.main(["doctor", "--lake", loc]) == 4
+
+
+def test_doctor_output_dir(spark, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    mk([(1, "a")]).write.parquet(f"{out}/batch_id=0")
+    mk([(2, "b")]).write.parquet(f"{out}/batch_id=-1")
+    rep = D.check_batch_output(out)
+    assert rep["healthy"]
+    assert rep["info"] == {"live_batches": 1, "compacted_bases": 1, "legacy_flats": 0}
+    assert cli.main(["doctor", "--output", out]) == 0
+    capsys.readouterr()
+
+    os.makedirs(f"{out}/not_a_batch")
+    rep2 = D.check_batch_output(out)
+    assert not rep2["healthy"]
+    assert any("unexpected subdirectory" in i for i in rep2["issues"])
+
+
+def test_doctor_zordered_store_with_appends(spark, tmp_path):
+    """The zordered flavor (bare-basename stats + carried generations)
+    checks healthy after an append and flags a removed generation."""
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.functions.layout import append_zordered, write_zordered
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "zt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 5).cast("bigint").alias("v"),
+    )
+    write_zordered(mk(0, 100), path, ["id", "v"], n_files=3, committer=mc)
+    base0 = mc.resolve(path)
+    append_zordered(mk(100, 150), path, ["id", "v"], n_files=1, committer=mc)
+
+    rep = D.check_versioned_store(path, committer=mc)
+    assert rep["healthy"], rep["issues"]
+    assert rep["info"]["carried_files"] == 3
+    assert "_FILE_STATS.json" in rep["info"]
+    assert cli.main(["doctor", "--store", path]) == 0
+
+    shutil.rmtree(base0)
+    rep2 = D.check_versioned_store(path, committer=mc)
+    assert not rep2["healthy"]
+    assert any("carried" in i for i in rep2["issues"])
