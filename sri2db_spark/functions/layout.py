@@ -296,7 +296,14 @@ def append_zordered(
             df, path, cols, n_files, bits=bits, committer=committer
         )
     fs = committer.fs
-    old_meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    try:
+        old_meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    except FileNotFoundError:
+        raise ValueError(
+            f"{path} has no {FILE_STATS} in its committed version — not a "
+            "write_zordered table (stats-less data cannot be carried; "
+            "re-cluster it once with write_zordered)"
+        ) from None
     if old_meta["cols"] != cols:
         raise ValueError(
             f"append stats columns {cols} != table's {old_meta['cols']}"

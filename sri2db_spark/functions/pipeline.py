@@ -832,6 +832,8 @@ def retract_from_output(
     fs = fs or LocalFS()
     if not fs.isdir(out_dir):
         return 0
+    if not isinstance(ids, DataFrame) and not ids:
+        return 0
     if isinstance(ids, DataFrame):
         drop = ids.select(F.col(ids.columns[0]).alias("__rid")).distinct()
     else:

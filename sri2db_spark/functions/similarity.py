@@ -925,6 +925,8 @@ def ann_index_delete(
 
     if fs is None:
         fs = LocalFS()
+    if not isinstance(ids, DataFrame) and not ids:
+        return 0
     kind = saved_index_kind(spark, path)
     part_col = "cell" if kind == "ivfpq" else "cid"
     cells = spark.read.parquet(f"{path}/cells")

@@ -157,3 +157,40 @@ def test_doctor_zordered_store_with_appends(spark, tmp_path):
     rep2 = D.check_versioned_store(path, committer=mc)
     assert not rep2["healthy"]
     assert any("carried" in i for i in rep2["issues"])
+
+
+def test_empty_id_lists_are_noops(spark, tmp_path):
+    """Retracting/deleting an EMPTY id list must return 0, not crash on
+    schema inference from an empty dataset."""
+    from pyspark.sql import functions as F
+
+    import sri2db_spark.functions.similarity as S
+    from sri2db_spark.functions.layout import write_zordered
+
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, text string"
+    ).write.parquet(f"{out}/batch_id=0")
+    assert P.retract_from_output(spark, out, []) == 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    S.build_ivf_index(emb, idx, nlist=8)
+    assert S.ann_index_delete(spark, idx, []) == 0
+
+
+def test_append_zordered_rejects_statsless_base(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.functions.layout import FILE_STATS, append_zordered, write_zordered
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "zs")
+    df = spark.range(0, 20).select(
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 3).cast("bigint").alias("v"),
+    )
+    write_zordered(df, path, ["id", "v"], n_files=2, committer=mc)
+    mc.fs.remove(os.path.join(mc.resolve(path), FILE_STATS))
+    with pytest.raises(ValueError, match="not a .*write_zordered"):
+        append_zordered(df, path, ["id", "v"], 1, committer=mc)
