@@ -414,7 +414,7 @@ def doctor_main(argv: list[str]) -> int:
     elif args.lake:
         rep = D.check_lake(args.lake, committer=mc)
     elif args.output:
-        rep = D.check_batch_output(args.output)
+        rep = D.check_batch_output(args.output, fs=mc.fs)
     else:
         rep = D.check_versioned_store(args.store, committer=mc)
     print(json.dumps(rep, indent=2, sort_keys=True))

@@ -47,6 +47,18 @@ def check_versioned_store(path: str, committer=None) -> dict:
     issues: list[str] = []
     info: dict = {}
     report = {"path": path, "kind": "versioned_store", "issues": issues, "info": info}
+    if not mc.versioned:
+        # rename-committer layout: a plain directory, no versions/pins/
+        # carries to validate — existence and readability are the checks
+        report["kind"] = "flat_store"
+        if not fs.isdir(path):
+            issues.append("store does not exist")
+        else:
+            info["files"] = sum(
+                1 for f in fs.walk_files(path) if f.endswith(".parquet")
+            )
+        report["healthy"] = not issues
+        return report
 
     current = mc.resolve(path)
     if current is None:
@@ -104,6 +116,12 @@ def check_versioned_store(path: str, committer=None) -> dict:
             meta = json.loads(fs.read(sp))
         except ValueError:
             issues.append(f"{stats_name} is not valid JSON")
+            continue
+        if not isinstance(meta, dict) or not isinstance(meta.get("files"), dict):
+            issues.append(
+                f"{stats_name} is malformed (no 'files' mapping); "
+                "maintenance would fall back to unpruned rewrites"
+            )
             continue
         covered = set(meta["files"])
         # two stats flavors share the shape: the state stores key every
@@ -171,9 +189,6 @@ def check_curation_state(state_dir: str, committer=None) -> dict:
         issues.append("no curation sub-stores found (hashes/sigs/corpus)")
     for s in subs:
         sub_path = os.path.join(state_dir, s)
-        if mc.resolve(sub_path) is None and not mc.versioned:
-            stores[s] = {"path": sub_path, "kind": "flat", "healthy": True}
-            continue
         stores[s] = check_versioned_store(sub_path, committer=mc)
         issues += [f"{s}: {i}" for i in stores[s]["issues"]]
     return {
@@ -258,9 +273,10 @@ def check_batch_output(out_dir: str, fs=None) -> dict:
                     "partition discovery)"
                 )
                 continue
-            try:
-                token = int(n.split("=", 1)[1])
-            except ValueError:
+            from .pipeline import _batch_token  # noqa: PLC0415
+
+            token = _batch_token(n)
+            if token is None:
                 issues.append(f"unparseable batch token {n!r}")
                 continue
             if token < 0:

@@ -207,24 +207,41 @@ def write_zordered(
 
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
-    # validate BEFORE the (destructive, mode=overwrite) write: stats
-    # min/max must be JSON-serializable and comparable to the plain
-    # numbers/strings read_skipping's ranges carry — timestamp/date/
-    # decimal/binary columns would either crash json.dumps after the data
-    # was already replaced or compare inconsistently at read time
-    allowed = {"byte", "short", "int", "bigint", "float", "double", "string"}
-    for c, t in df.select(cols).dtypes:
-        if t not in allowed:
-            raise TypeError(
-                f"write_zordered stats column {c!r} has type {t}; cast it "
-                "to a numeric/string first (e.g. a timestamp to epoch ms: "
-                f"F.expr('{c} div 1000000'))"
-            )
+    _check_stats_cols(df, cols, "write_zordered")
     clustered = zorder_repartition(df, cols, n_files, bits=bits).drop("zkey")
     versioned = committer is not None and committer.versioned
     target = committer.stage(path) if versioned else path
     clustered.write.mode("overwrite").parquet(target)
-    spark = df.sparkSession
+    stats = _collect_file_stats(df.sparkSession, target, cols)
+    fs = committer.fs if committer is not None else LocalFS()
+    fs.put(
+        os.path.join(target, FILE_STATS),
+        json.dumps({"cols": cols, "files": stats}, sort_keys=True),
+    )
+    if versioned:
+        committer.commit(target, path)
+    return stats
+
+
+def _check_stats_cols(df: DataFrame, cols: list[str], fname: str) -> None:
+    """Validate BEFORE any destructive write: stats min/max must be
+    JSON-serializable and comparable to the plain numbers/strings
+    read_skipping's ranges carry — timestamp/date/decimal/binary columns
+    would either crash json.dumps after the data was already replaced or
+    compare inconsistently at read time."""
+    allowed = {"byte", "short", "int", "bigint", "float", "double", "string"}
+    for c, t in df.select(cols).dtypes:
+        if t not in allowed:
+            raise TypeError(
+                f"{fname} stats column {c!r} has type {t}; cast it "
+                "to a numeric/string first (e.g. a timestamp to epoch ms: "
+                f"F.expr('{c} div 1000000'))"
+            )
+
+
+def _collect_file_stats(spark, target: str, cols: list[str]) -> dict:
+    """Per-file min/max over the just-written directory: one row per FILE
+    (n_files-scale), driver-safe at any data size."""
     rows = (
         spark.read.parquet(target)
         .groupBy(F.input_file_name().alias("file"))
@@ -236,21 +253,13 @@ def write_zordered(
             ]
         )
         .collect()
-    )  # one row per FILE (n_files-scale), driver-safe at any data size
-    stats = {
+    )
+    return {
         _file_basename(r["file"]): {
             c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols
         }
         for r in rows
     }
-    fs = committer.fs if committer is not None else LocalFS()
-    fs.put(
-        os.path.join(target, FILE_STATS),
-        json.dumps({"cols": cols, "files": stats}, sort_keys=True),
-    )
-    if versioned:
-        committer.commit(target, path)
-    return stats
 
 
 def append_zordered(
@@ -308,35 +317,11 @@ def append_zordered(
         raise ValueError(
             f"append stats columns {cols} != table's {old_meta['cols']}"
         )
-    allowed = {"byte", "short", "int", "bigint", "float", "double", "string"}
-    for c, t in df.select(cols).dtypes:
-        if t not in allowed:
-            raise TypeError(
-                f"append_zordered stats column {c!r} has type {t}; cast it "
-                "to a numeric/string first"
-            )
+    _check_stats_cols(df, cols, "append_zordered")
     clustered = zorder_repartition(df, cols, n_files, bits=bits).drop("zkey")
     target = committer.stage(path)
     clustered.write.mode("overwrite").parquet(target)
-    spark = df.sparkSession
-    rows = (
-        spark.read.parquet(target)
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(
-            *[
-                f
-                for c in cols
-                for f in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
-            ]
-        )
-        .collect()
-    )
-    merged = {
-        _file_basename(r["file"]): {
-            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols
-        }
-        for r in rows
-    }
+    merged = _collect_file_stats(df.sparkSession, target, cols)
     old_version = os.path.basename(old_base)
     carry = []
     for name, st in old_meta["files"].items():
@@ -351,7 +336,11 @@ def append_zordered(
         os.path.join(target, FILE_STATS),
         json.dumps({"cols": cols, "files": merged}, sort_keys=True),
     )
-    committer.commit(target, path)
+    # read-modify-write: this commit is built on old_base's stats/files,
+    # so the pointer write must be a compare-and-swap — a concurrent
+    # append/rewrite landing in between would otherwise be silently
+    # overwritten and ITS batch would vanish from every scan
+    committer.commit(target, path, expected_basis=old_version)
     return merged
 
 

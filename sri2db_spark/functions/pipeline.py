@@ -650,6 +650,16 @@ def compact_curation_state(
     return report
 
 
+def _batch_token(name: str) -> int | None:
+    """The integer token of a ``batch_id=N`` directory name, or ``None``
+    for an unparseable one — THE parser for the batch-addressing scheme,
+    shared by compaction, retraction, and the doctor."""
+    try:
+        return int(name.split("=", 1)[1])
+    except ValueError:
+        return None
+
+
 def compact_batch_output(
     spark,
     out_dir: str,
@@ -724,13 +734,7 @@ def compact_batch_output(
         for n in names
         if n.startswith("batch_id=") and fs.isdir(os.path.join(out_dir, n))
     ]
-
-    def _numeric(name: str) -> int | None:
-        try:
-            return int(name.split("=", 1)[1])
-        except ValueError:
-            return None
-
+    _numeric = _batch_token
     # replay protection applies to LIVE stream batches only — negative
     # tokens are this function's own fold outputs (streaming batch ids
     # start at 0), can never be replayed, and must not soak up the
@@ -851,12 +855,7 @@ def retract_from_output(
         if n.startswith("batch_id=") and fs.isdir(os.path.join(out_dir, n))
     ]
 
-    def _numeric(name: str) -> int | None:
-        try:
-            return int(name.split("=", 1)[1])
-        except ValueError:
-            return None
-
+    _numeric = _batch_token
     n_victims = 0
     touched: set[int] = set()
     batch_files = [
@@ -902,6 +901,27 @@ def retract_from_output(
     survivors = spark.read.parquet(
         *[fs.spark_path(f) for f in src_files]
     ).join(F.broadcast(drop), F.col(id_col) == F.col("__rid"), "left_anti")
+    # crash idempotence: a prior run may have written these survivors to
+    # its own negative-token base and died before removing the sources —
+    # re-folding them verbatim would duplicate every survivor row
+    # permanently. Anti-join by id against the RETAINED (untouched)
+    # negative bases, the same read-only probe incremental compaction
+    # uses; id_col is the document identity, so a row whose id already
+    # lives in a base is that crashed fold's output.
+    base_files = [
+        f
+        for n in batch_dirs
+        if (_numeric(n) or 0) < 0 and _numeric(n) not in touched
+        for f in fs.walk_files(os.path.join(out_dir, n))
+    ]
+    if base_files:
+        survivors = survivors.join(
+            spark.read.parquet(
+                *[fs.spark_path(f) for f in base_files]
+            ).select(id_col),
+            id_col,
+            "left_anti",
+        )
     if survivors.limit(1).count():
         n_out = max(1, survivors.rdd.getNumPartitions() // 8)
         survivors.coalesce(n_out).write.mode("overwrite").parquet(

@@ -194,3 +194,34 @@ def test_append_zordered_rejects_statsless_base(spark, tmp_path):
     mc.fs.remove(os.path.join(mc.resolve(path), FILE_STATS))
     with pytest.raises(ValueError, match="not a .*write_zordered"):
         append_zordered(df, path, ["id", "v"], 1, committer=mc)
+
+
+def test_doctor_with_rename_committer_reports_flat_layout(spark, tmp_path):
+    """--committer rename must report, not crash: flat stores have no
+    versions/pins/carries to validate."""
+    from sri2db_spark.sinks.committer import RenameCommitter
+
+    rc = RenameCommitter()
+    state = str(tmp_path / "flat")
+    P.init_curation_state(_docs(spark), state, committer=rc)
+    rep = D.check_curation_state(state, committer=rc)
+    assert rep["healthy"], rep["issues"]
+    assert all(
+        s["kind"] == "flat_store" for s in rep["info"]["stores"].values()
+    )
+    assert (
+        cli.main(["doctor", "--state", state, "--committer", "rename"]) == 0
+    )
+
+
+def test_doctor_flags_malformed_stats_shape(spark, tmp_path):
+    from sri2db_spark.functions.statestore import PRUNE_STATS
+
+    mc = ManifestCommitter()
+    state = str(tmp_path / "ms")
+    P.init_curation_state(_docs(spark), state, committer=mc)
+    corpus = f"{state}/corpus"
+    mc.fs.put(os.path.join(mc.resolve(corpus), PRUNE_STATS), "[]")
+    rep = D.check_versioned_store(corpus, committer=mc)
+    assert not rep["healthy"]
+    assert any("malformed" in i for i in rep["issues"])

@@ -501,3 +501,58 @@ def test_append_zordered_guards(spark, tmp_path):
     shutil.rmtree(base0)
     with pytest.raises(FileNotFoundError, match="carr"):
         read_skipping(spark, path, {"id": (0, 10)}, committer=mc).collect()
+
+
+def test_append_zordered_conflicts_instead_of_losing_a_concurrent_commit(
+    spark, tmp_path
+):
+    """append is read-modify-write: two appends built on the same base
+    must not both publish (the second would carry a stats/file view that
+    never saw the first's batch — its rows would silently vanish). The
+    loser gets CommitConflict; retrying from the NEW base keeps both."""
+    from sri2db_spark.functions.layout import (
+        append_zordered,
+        read_skipping,
+        write_zordered,
+    )
+    from sri2db_spark.sinks.committer import CommitConflict, ManifestCommitter
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "zc")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 7).cast("bigint").alias("v"),
+    )
+    write_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+
+    # a racing append lands between this append's stats read and commit:
+    # simulate by hooking the loser's stage() to publish the winner first
+    orig_stage = mc.stage
+    raced = []
+
+    def racing_stage(dst):
+        if not raced:
+            raced.append(True)
+            staged = orig_stage(dst)
+            mc2 = ManifestCommitter()
+            append_zordered(mk(100, 150), path, ["id", "v"], 1, committer=mc2)
+            return staged
+        return orig_stage(dst)
+
+    mc.stage = racing_stage
+    try:
+        with pytest.raises(CommitConflict):
+            append_zordered(mk(150, 200), path, ["id", "v"], 1, committer=mc)
+    finally:
+        mc.stage = orig_stage
+
+    # the winner's batch is intact; retrying the loser lands on top
+    assert (
+        read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
+        == 150
+    )
+    append_zordered(mk(150, 200), path, ["id", "v"], 1, committer=mc)
+    assert (
+        read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
+        == 200
+    )

@@ -680,3 +680,27 @@ def test_output_retraction_handles_flats_and_string_ids(spark, tmp_path):
     assert left == {"a", "b", "d"}
     # no flats remain at the root
     assert not [f for f in os.listdir(out) if f.endswith(".parquet")]
+
+
+def test_output_retraction_rerun_after_crash_leaves_no_duplicates(spark, tmp_path):
+    """The documented crash contract, executed: die between the survivors
+    write and the source removal, re-run — the survivors must appear
+    exactly once (the re-run's fold anti-joins the retained bases by id)."""
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    mk([(1, "one"), (2, "two")]).write.parquet(f"{out}/batch_id=0")
+    mk([(3, "three"), (4, "four")]).write.parquet(f"{out}/batch_id=1")
+
+    # crash injection: the first run dies right after writing its base
+    # (before any source dir is removed) — simulated by hand-writing the
+    # base a crash-free run would have produced
+    mk([(4, "four")]).write.parquet(f"{out}/batch_id=-1")
+
+    n = P.retract_from_output(spark, out, [3])
+    assert n == 1
+    rows = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, "one"), (2, "two"), (4, "four")]  # no duplicate 4
+    assert not os.path.exists(f"{out}/batch_id=1")
