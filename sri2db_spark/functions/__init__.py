@@ -1,5 +1,6 @@
 from . import (
     dedup,
+    doctor,
     layout,
     multimodal,
     pipeline,
@@ -11,6 +12,7 @@ from . import (
 
 __all__ = [
     "dedup",
+    "doctor",
     "layout",
     "multimodal",
     "pipeline",
