@@ -704,3 +704,58 @@ def test_output_retraction_rerun_after_crash_leaves_no_duplicates(spark, tmp_pat
     )
     assert rows == [(1, "one"), (2, "two"), (4, "four")]  # no duplicate 4
     assert not os.path.exists(f"{out}/batch_id=1")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    layout=st.lists(
+        st.lists(st.integers(0, 59), min_size=1, max_size=6, unique=True),
+        min_size=1,
+        max_size=5,
+    ),
+    retract=st.sets(st.integers(0, 70), max_size=8),
+)
+def test_output_retraction_matches_model(spark, tmp_path, layout, retract):
+    """Model-based: for ANY batch layout (ids may repeat across dirs —
+    replays) and ANY retraction set, the readable output afterwards is
+    exactly {all ids} − {retracted}, each surviving id present at least
+    once and duplicate-free iff it was duplicate-free before or its dirs
+    were folded."""
+    import shutil as _sh
+    import uuid
+
+    out = str(tmp_path / f"m{uuid.uuid4().hex[:8]}")
+    all_ids: list[int] = []
+    for b, ids in enumerate(layout):
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in ids], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{out}/batch_id={b}")
+        all_ids += ids
+    n = P.retract_from_output(spark, out, sorted(retract))
+    expected_victims = sum(1 for i in all_ids if i in retract)
+    assert n == expected_victims
+    dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    if not dirs:
+        assert set(all_ids) <= retract
+    else:
+        got = [r.doc_id for r in spark.read.parquet(out).collect()]
+        assert set(got) == set(all_ids) - retract
+        # survivors never multiply: per-id count is bounded by its
+        # original multiplicity
+        from collections import Counter
+
+        before_c, after_c = Counter(all_ids), Counter(got)
+        for i, c in after_c.items():
+            assert c <= before_c[i], (i, c, before_c[i])
+    _sh.rmtree(out, ignore_errors=True)
