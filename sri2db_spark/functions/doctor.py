@@ -247,6 +247,69 @@ def check_lake(location: str, committer=None) -> dict:
     return report
 
 
+def check_ann_index(path: str, fs=None) -> dict:
+    """Doctor a saved ANN index directory (see
+    :func:`~.similarity.build_ivf_index` / ``build_ivfpq_index``):
+    centroids must exist; the ``cells`` partition layout must be
+    consistent with the detected kind (``cid=`` for IVF, ``cell=`` for
+    IVF-PQ — a MIX corrupts partition discovery for every query, the
+    exact failure ``saved_index_kind`` routing exists to prevent); every
+    cell holds only ``batch_id=`` subdirs. All filesystem-level — no
+    Spark session needed."""
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    fs = fs or LocalFS()
+    issues: list[str] = []
+    info: dict = {}
+    report = {"path": path, "kind": "ann_index", "issues": issues, "info": info}
+    if not fs.isdir(path):
+        issues.append("index dir does not exist")
+        report["healthy"] = False
+        return report
+    if not fs.isdir(os.path.join(path, "centroids")):
+        issues.append("no centroids directory — not a saved ANN index")
+        report["healthy"] = False
+        return report
+    has_codebooks = fs.isdir(os.path.join(path, "codebooks"))
+    kind = "ivfpq" if has_codebooks else "ivf"
+    info["index_kind"] = kind
+    cells = os.path.join(path, "cells")
+    if not fs.isdir(cells):
+        info["cells"] = 0
+        report["healthy"] = not issues
+        return report
+    expect = "cell=" if kind == "ivfpq" else "cid="
+    other = "cid=" if kind == "ivfpq" else "cell="
+    n_cells = 0
+    for n in fs.listdir(cells):
+        full = os.path.join(cells, n)
+        if not fs.isdir(full):
+            # _SUCCESS and .…crc are Spark's own write artifacts
+            if not n.startswith(("_", ".")):
+                issues.append(f"stray file {n!r} at the cells root")
+            continue
+        if n.startswith(other):
+            issues.append(
+                f"cell dir {n!r} uses the {other[:-1]!r} convention inside "
+                f"a {kind} index — mixed layouts break partition discovery "
+                "for every query (was an upsert routed by a user flag "
+                "instead of saved_index_kind?)"
+            )
+            continue
+        if not n.startswith(expect):
+            issues.append(f"unexpected cells subdirectory {n!r}")
+            continue
+        n_cells += 1
+        for b in fs.listdir(full):
+            if fs.isdir(os.path.join(full, b)) and not b.startswith(
+                "batch_id="
+            ):
+                issues.append(f"cell {n}: non-batch subdirectory {b!r}")
+    info["cells"] = n_cells
+    report["healthy"] = not issues
+    return report
+
+
 def check_batch_output(out_dir: str, fs=None) -> dict:
     """Doctor a batch-id-addressed output dir: every subdirectory must be
     a parseable ``batch_id=N``; flats and the negative-token bases are

@@ -225,3 +225,33 @@ def test_doctor_flags_malformed_stats_shape(spark, tmp_path):
     rep = D.check_versioned_store(corpus, committer=mc)
     assert not rep["healthy"]
     assert any("malformed" in i for i in rep["issues"])
+
+
+def test_doctor_ann_index(spark, tmp_path, capsys):
+    """Index layout checks: healthy IVF and IVF-PQ, stray files, and the
+    mixed cid=/cell= corruption saved_index_kind routing prevents."""
+    from pyspark.sql import functions as F
+
+    import sri2db_spark.functions.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, nlist=8)
+    rep = D.check_ann_index(idx)
+    assert rep["healthy"], rep["issues"]
+    assert rep["info"]["index_kind"] == "ivf" and rep["info"]["cells"] > 0
+    assert cli.main(["doctor", "--index", idx]) == 0
+    capsys.readouterr()
+
+    idx2 = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, idx2, nlist=4, m=4, ksub=16)
+    rep2 = D.check_ann_index(idx2)
+    assert rep2["healthy"], rep2["issues"]
+    assert rep2["info"]["index_kind"] == "ivfpq"
+
+    # corruption: an IVF-style cid= dir appended into the IVF-PQ index
+    os.makedirs(os.path.join(idx2, "cells", "cid=0", "batch_id=-1"))
+    rep3 = D.check_ann_index(idx2)
+    assert not rep3["healthy"]
+    assert any("mixed" in i for i in rep3["issues"])
+    assert cli.main(["doctor", "--index", idx2]) == 4
