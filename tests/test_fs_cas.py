@@ -352,3 +352,48 @@ def test_unrecognized_conditional_put_error_reraises(tmp_path):
     fake.pipe_file = explode
     with pytest.raises(RuntimeError, match="throttled"):
         fs.put_if(str(tmp_path / "k"), "B", "A")
+
+
+def test_cross_process_cas_counter_loses_no_update(tmp_path):
+    """Machine proof of the flock CAS across real OS PROCESSES (the
+    in-repo thread tests share a Python process; two DRIVERS on one
+    host do not): 4 processes each land 25 compare-and-swap increments
+    on one pointer — the final value equals the total iff no successful
+    CAS was ever overwritten and no two writers shared the critical
+    section."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ptr = str(tmp_path / "_COUNTER")
+    worker = r"""
+import sys
+sys.path.insert(0, %r)
+from sri2db_spark.sinks.fs import LocalFS
+fs = LocalFS()
+ptr = %r
+landed = 0
+while landed < 25:
+    try:
+        cur = fs.read(ptr)
+    except FileNotFoundError:
+        cur = None
+    nxt = str((int(cur) if cur is not None else 0) + 1)
+    if fs.put_if(ptr, nxt, cur):
+        landed += 1
+print("landed", landed)
+""" % (repo, ptr)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(4)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err[-500:]
+        assert "landed 25" in out
+    assert LocalFS().read(ptr) == "100"
