@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "append_zordered",
     "corpus_shuffle",
     "read_skipping",
     "shard_assign",
@@ -211,9 +212,9 @@ def write_zordered(
     clustered = zorder_repartition(df, cols, n_files, bits=bits).drop("zkey")
     versioned = committer is not None and committer.versioned
     target = committer.stage(path) if versioned else path
-    clustered.write.mode("overwrite").parquet(target)
-    stats = _collect_file_stats(df.sparkSession, target, cols)
     fs = committer.fs if committer is not None else LocalFS()
+    clustered.write.mode("overwrite").parquet(fs.spark_path(target))
+    stats = _collect_file_stats(df.sparkSession, fs.spark_path(target), cols)
     fs.put(
         os.path.join(target, FILE_STATS),
         json.dumps({"cols": cols, "files": stats}, sort_keys=True),
@@ -320,8 +321,8 @@ def append_zordered(
     _check_stats_cols(df, cols, "append_zordered")
     clustered = zorder_repartition(df, cols, n_files, bits=bits).drop("zkey")
     target = committer.stage(path)
-    clustered.write.mode("overwrite").parquet(target)
-    merged = _collect_file_stats(df.sparkSession, target, cols)
+    clustered.write.mode("overwrite").parquet(fs.spark_path(target))
+    merged = _collect_file_stats(df.sparkSession, fs.spark_path(target), cols)
     old_version = os.path.basename(old_base)
     carry = []
     for name, st in old_meta["files"].items():
@@ -386,7 +387,7 @@ def read_skipping(
     try:
         meta = json.loads(fs.read(os.path.join(base, FILE_STATS)))
     except FileNotFoundError:
-        return spark.read.parquet(base).filter(residual)
+        return spark.read.parquet(fs.spark_path(base)).filter(residual)
 
     def _overlaps(st: dict) -> bool:
         for c, (lo, hi) in ranges.items():
@@ -406,13 +407,15 @@ def read_skipping(
 
     names = sorted(meta["files"])
     if not names:  # stats for an empty write: nothing to prune or read
-        return spark.read.parquet(base).filter(residual)
+        return spark.read.parquet(fs.spark_path(base)).filter(residual)
 
     def _resolve(n: str) -> str:
         # append_zordered publishes prior generations by reference: a
         # carried entry names its ORIGINAL home, "v_old/part-…", relative
         # to the store root; the base's own files are bare basenames
-        return os.path.join(path, n) if "/" in n else os.path.join(base, n)
+        return fs.spark_path(
+            os.path.join(path, n) if "/" in n else os.path.join(base, n)
+        )
 
     # carried generations must still exist — GC protects referenced dirs,
     # so a missing one is corruption and silence would drop rows
