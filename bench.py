@@ -305,6 +305,22 @@ def main() -> None:
         shutil.rmtree(st_tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # diagnostics first (spreads/mins/repeats can grow unboundedly as entries
+    # are added), THEN the compact headline object as the very last stdout
+    # line: the driver tail-captures a bounded window and BENCH_r07 arrived
+    # truncated mid-object ("parsed": null) when everything was one line.
+    print(
+        json.dumps(
+            {
+                "detail": "bench_diagnostics",
+                "spreads": spreads,
+                "mins": mins,
+                "repeat": repeat,
+                "repeats": repeats_used,
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
@@ -312,13 +328,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spreads": spreads,
-                "mins": mins,
-                "repeat": repeat,
-                "repeats": repeats_used,
                 "sf": sf,
                 "cpus": int(cpus),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -888,6 +888,45 @@ def ivfpq_index_upsert(
     )
 
 
+# above this many touched (cell, batch_id) partitions the delete's
+# membership predicate switches from literal equalities (statically pruned)
+# to a broadcast pairs join (bounded codegen) — see ann_index_delete
+_HIT_PAIR_LITERAL_MAX = 64
+
+
+def _touched_partitions(spark, cells: DataFrame, part_col: str, hit_pairs):
+    """Restrict ``cells`` to the (part_col, batch_id) partitions in
+    ``hit_pairs`` — two regimes. RTBF-sized requests (a few touched
+    partitions): literal equalities, statically pruned at the scan, no
+    join. Mass deletions (~10^3-10^4 touched partitions): an OR-chain of
+    literals explodes the codegen expression tree — the same
+    giant-expression anti-pattern the drop set itself avoids (the
+    reference batches large IN-lists for the same reason,
+    /root/reference/src/lib/client.js:1538) — so membership becomes a
+    broadcast semi-join on a pairs frame, symmetric with the drop-set
+    handling."""
+    if len(hit_pairs) <= _HIT_PAIR_LITERAL_MAX:
+        from functools import reduce  # noqa: PLC0415
+
+        hit_pred = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col(part_col) == F.lit(c)) & (F.col("batch_id") == F.lit(b))
+                for c, b in hit_pairs
+            ],
+        )
+        return cells.filter(hit_pred)
+    hit_df = spark.createDataFrame(
+        list(hit_pairs), [f"__hp_{part_col}", "__hp_batch"]
+    )
+    return cells.join(
+        F.broadcast(hit_df),
+        (F.col(part_col) == F.col(f"__hp_{part_col}"))
+        & (F.col("batch_id") == F.col("__hp_batch")),
+        "left_semi",
+    )
+
+
 def ann_index_delete(
     spark,
     path: str,
@@ -920,16 +959,18 @@ def ann_index_delete(
     directory operations, no committer protocol (the index is a derived
     artifact, rebuildable from the corpus; pin the CORPUS for
     reproducibility). ``fs`` (default ``LocalFS``) removes emptied
-    partition directories."""
+    partition directories; every Spark read/write is qualified through
+    ``fs.spark_path`` so object-store bindings see the same tree the
+    driver-side deletes operate on."""
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
     if fs is None:
         fs = LocalFS()
     if not isinstance(ids, DataFrame) and not ids:
         return 0
-    kind = saved_index_kind(spark, path)
+    kind = saved_index_kind(spark, fs.spark_path(path))
     part_col = "cell" if kind == "ivfpq" else "cid"
-    cells = spark.read.parquet(f"{path}/cells")
+    cells = spark.read.parquet(fs.spark_path(f"{path}/cells"))
     if isinstance(ids, DataFrame):
         drop = ids.select(F.col(ids.columns[0]).alias("__did")).distinct()
     else:
@@ -949,17 +990,8 @@ def ann_index_delete(
         return 0
     n_victims = sum(r["count"] for r in hits)
     hit_pairs = [(r[part_col], r["batch_id"]) for r in hits]
-    from functools import reduce  # noqa: PLC0415
-
-    hit_pred = reduce(
-        lambda a, b: a | b,
-        [
-            (F.col(part_col) == F.lit(c)) & (F.col("batch_id") == F.lit(b))
-            for c, b in hit_pairs
-        ],
-    )
     survivors = (
-        cells.filter(hit_pred)
+        _touched_partitions(spark, cells, part_col, hit_pairs)
         .join(F.broadcast(drop), cells["id"] == F.col("__did"), "left_anti")
         .localCheckpoint(eager=True)
     )
@@ -973,7 +1005,7 @@ def ann_index_delete(
         if kept_pairs:
             survivors.write.mode("overwrite").partitionBy(
                 part_col, "batch_id"
-            ).parquet(f"{path}/cells")
+            ).parquet(fs.spark_path(f"{path}/cells"))
     finally:
         if mode is None:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -113,22 +113,37 @@ def winsorize(
 
 
 def exact_corr(
-    df: DataFrame, group_col: str, x_col: str, y_col: str
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 0,
+    y_scale: int = 0,
 ) -> DataFrame:
-    """Pearson correlation from exact decimal moment sums.
+    """Pearson correlation from exact integer moment sums.
 
     Spark's ``corr`` (like DuckDB's) folds doubles in partition order —
     non-deterministic under repartitioning. Here n, Σx, Σy, Σxy, Σx², Σy²
-    are accumulated as decimals (exact, order-independent), and the final
-    formula runs once per group in double. One shuffle (map-side combined).
+    are accumulated exactly (order-independent), and the final formula runs
+    once per group in double. One shuffle (map-side combined).
+
+    ``x_scale``/``y_scale`` rescale each input to an integer before the
+    moments: a column with ≤k true decimal places is multiplied by 10^k and
+    rounded, so every operand is an exact integer. Correlation is invariant
+    under positive affine rescaling, so the result is unchanged — but the
+    moment arithmetic is now plain integer decimals whose widths sit well
+    below every engine's 38-digit cap. The previous DECIMAL(19,4) operands
+    put the product at exactly width 38: DuckDB 1.0 keeps p1+p2=38 and stays
+    exact, while engines with the p1+p2+1 product rule overflow the cap and
+    re-round, flipping cross-engine value hashes (the one red row in
+    CORRECTNESS_r07). Width-18 integer operands give products of width 36/37
+    under either rule — exact everywhere.
     """
-    # decimal(19,4) operands: width ≥19 forces DuckDB onto int128 storage
-    # (int64 DECIMAL(18) products overflow), and 19+19 stays inside its hard
-    # 38-width product cap; Spark adjusts the product to decimal(38,7) —
-    # still exact for ≤4-decimal true scales — so both engines compute the
-    # identical exact value before the double cast.
-    x = F.col(x_col).cast("decimal(19,4)")
-    y = F.col(y_col).cast("decimal(19,4)")
+    # round() before the cast: the inputs are doubles carrying ~1e-9
+    # representation noise around exact integers; never near .5, so the
+    # rounding mode is irrelevant.
+    x = F.round(F.col(x_col) * F.lit(float(10**x_scale)), 0).cast("decimal(18,0)")
+    y = F.round(F.col(y_col) * F.lit(float(10**y_scale)), 0).cast("decimal(18,0)")
     moments = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),

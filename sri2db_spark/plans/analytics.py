@@ -1919,7 +1919,11 @@ def q_numeric_corr(spark, sf):
     li = _t(spark, sf, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    return exact_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    # quantity is integral, extendedprice has 2 true decimals: integer-cents
+    # moments keep both engines' decimal arithmetic far from the 38-width cap
+    return exact_corr(
+        li, "l_returnflag", "l_quantity", "l_extendedprice", x_scale=0, y_scale=2
+    )
 
 
 def q_quality_expectations(spark, sf):

@@ -1946,22 +1946,25 @@ ORACLES: dict[str, str] = {
         GROUP BY e.event_type
     """,
     "numeric_corr": """
-        WITH m AS (
+        -- integer moments: quantity is integral, extendedprice is 2-decimal;
+        -- width-18 integer operands give product widths 36/37 under either
+        -- the p1+p2 or p1+p2+1 decimal product rule — below every engine's
+        -- 38-digit cap, so no version-dependent re-round (corr is invariant
+        -- under the 100x rescale of y)
+        WITH i AS (
+          SELECT l_returnflag,
+                 CAST(ROUND(l_quantity, 0) AS DECIMAL(18,0)) AS xi,
+                 CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(18,0)) AS yi
+          FROM lineitem),
+        m AS (
           SELECT l_returnflag,
                  CAST(COUNT(*) AS DOUBLE) AS n,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
-                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
-                   AS sy,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-                          * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
-                   AS sxy,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-                          * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
-                   AS sx2,
-                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
-                          * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
-                   AS sy2
-          FROM lineitem GROUP BY l_returnflag)
+                 CAST(SUM(xi) AS DOUBLE) AS sx,
+                 CAST(SUM(yi) AS DOUBLE) AS sy,
+                 CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
+                 CAST(SUM(xi * xi) AS DOUBLE) AS sx2,
+                 CAST(SUM(yi * yi) AS DOUBLE) AS sy2
+          FROM i GROUP BY l_returnflag)
         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
                CAST((sxy * n - sx * sy)
                  / (sqrt(sx2 * n - sx * sx) * sqrt(sy2 * n - sy * sy))

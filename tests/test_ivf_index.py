@@ -523,3 +523,60 @@ def test_delete_from_ivfpq_and_upserted_batch(spark):
         assert not {r["neighbor_id"] for r in res.collect()} & set(victims)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_mass_delete_membership_is_join_not_literal_chain(spark, index):
+    """Above _HIT_PAIR_LITERAL_MAX touched partitions the delete's
+    membership predicate must be a broadcast semi-join on a pairs frame,
+    never an OR-chain of literal equalities (a ~10^4-term codegen
+    expression at mass-deletion scale — the giant-IN anti-pattern the
+    drop set itself avoids)."""
+    _, tmp = index
+    cells = spark.read.parquet(os.path.join(tmp, "cells"))
+    pairs = [(c, -1) for c in range(S._HIT_PAIR_LITERAL_MAX + 10)]
+    touched = S._touched_partitions(spark, cells, "cid", pairs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        touched.explain(True)
+    plan = buf.getvalue()
+    physical = plan[plan.index("== Physical Plan ==") :]
+    assert "Join LeftSemi" in plan or "BroadcastHashJoin" in physical
+    # no literal-equality chain survives anywhere in the plan tree
+    assert physical.count("cid = ") <= 1
+    # small requests keep the statically-pruned literal path
+    small = S._touched_partitions(spark, cells, "cid", [(0, -1), (1, -1)])
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        small.explain(True)
+    assert "Join" not in buf2.getvalue()[buf2.getvalue().index("== Physical") :]
+
+
+def test_mass_delete_join_path_end_to_end(spark, monkeypatch):
+    """Force the join regime (threshold lowered to 1) through a real
+    multi-partition delete: victims spanning several cells vanish,
+    survivors and untouched cells are intact — byte-identical to what the
+    literal path produces."""
+    import shutil
+
+    monkeypatch.setattr(S, "_HIT_PAIR_LITERAL_MAX", 1)
+    emb = _tp(spark, SF, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_massdel_")
+    try:
+        S.build_ivf_index(emb, tmp, nlist=16)
+        all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+        victims = sorted(all_ids)[::7]  # spread across many cells
+        n = S.ann_index_delete(spark, tmp, victims)
+        assert n == len(victims)
+        left = {
+            r["id"]
+            for r in spark.read.parquet(
+                os.path.join(tmp, "cells")
+            ).select("id").collect()
+        }
+        assert left == all_ids - set(victims)
+        res = S.ivf_query_index(
+            spark, tmp, emb.filter(F.col("vec_id") < 8), k=5, nprobe=16
+        )
+        assert not {r["neighbor_id"] for r in res.collect()} & set(victims)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
