@@ -817,13 +817,20 @@ def retract_from_output(
     ``batch_id=N`` directory is byte-identical afterwards. Legacy flat
     root files are probed too and fold the same way when hit.
 
-    Crash contract (same as compaction): the survivors' base is complete
-    BEFORE any source is removed — a crash in between leaves the victims
-    still visible plus transient survivor duplicates, never lost rows;
-    re-run to finish (idempotent). Quiesce the stream first, and retract
-    from the UPSTREAM source as well: a later replayed micro-batch
-    rewrites its own dir from source data, so a document not deleted
-    upstream would be re-published by the next replay.
+    Crash contract: the fold is two-phase via a ``_RETRACT_SOURCES``
+    marker written into the new base BEFORE the survivors (listing the
+    source units it replaces) — every later run first sweeps prior
+    folds: a marked base without ``_SUCCESS`` died mid-write (sources
+    all intact) and is discarded; a marked base WITH ``_SUCCESS`` is a
+    committed fold whose interrupted source removal is finished. Between
+    fold-complete and removal, readers transiently see the victims plus
+    survivor duplicates — never lost rows. Identity is NEVER used for
+    recovery, so an output that legitimately holds duplicate ids across
+    batches (``compact_batch_output`` with ``keys=None`` folds verbatim)
+    keeps every duplicate of a non-victim row. Quiesce the stream first,
+    and retract from the UPSTREAM source as well: a later replayed
+    micro-batch rewrites its own dir from source data, so a document not
+    deleted upstream would be re-published by the next replay.
 
     ``ids`` is a Python list or a single-column DataFrame (broadcast
     drop-set either way, never a giant ``isin``); ``fs`` (default local)
@@ -838,6 +845,7 @@ def retract_from_output(
         return 0
     if not isinstance(ids, DataFrame) and not ids:
         return 0
+    _sweep_retraction_folds(out_dir, fs)
     if isinstance(ids, DataFrame):
         drop = ids.select(F.col(ids.columns[0]).alias("__rid")).distinct()
     else:
@@ -888,53 +896,103 @@ def retract_from_output(
     if not touched and not flat_hit:
         return 0
 
+    touched_dirs = [n for n in batch_dirs if _numeric(n) in touched]
     src_files = [
         f
-        for n in batch_dirs
-        if _numeric(n) in touched
+        for n in touched_dirs
         for f in fs.walk_files(os.path.join(out_dir, n))
     ]
     if flat_hit:
         src_files += flat
+    # marker entries are exact data-FILE paths relative to out_dir, never
+    # bare dir names: Spark part-file names carry a per-job UUID, so a
+    # checkpoint-reset replay that reuses a batch_id DIRECTORY name writes
+    # different file names and a later sweep cannot delete its rows (same
+    # fencing rationale as _write_folded_marker)
+    src_units = [os.path.relpath(f, out_dir) for f in src_files]
     tokens = [t for t in (_numeric(n) for n in batch_dirs) if t is not None]
     new_token = min([0, *tokens]) - 1
     survivors = spark.read.parquet(
         *[fs.spark_path(f) for f in src_files]
     ).join(F.broadcast(drop), F.col(id_col) == F.col("__rid"), "left_anti")
-    # crash idempotence: a prior run may have written these survivors to
-    # its own negative-token base and died before removing the sources —
-    # re-folding them verbatim would duplicate every survivor row
-    # permanently. Anti-join by id against the RETAINED (untouched)
-    # negative bases, the same read-only probe incremental compaction
-    # uses; id_col is the document identity, so a row whose id already
-    # lives in a base is that crashed fold's output.
-    base_files = [
-        f
-        for n in batch_dirs
-        if (_numeric(n) or 0) < 0 and _numeric(n) not in touched
-        for f in fs.walk_files(os.path.join(out_dir, n))
-    ]
-    if base_files:
-        survivors = survivors.join(
-            spark.read.parquet(
-                *[fs.spark_path(f) for f in base_files]
-            ).select(id_col),
-            id_col,
-            "left_anti",
-        )
     if survivors.limit(1).count():
-        n_out = max(1, survivors.rdd.getNumPartitions() // 8)
-        survivors.coalesce(n_out).write.mode("overwrite").parquet(
-            fs.spark_path(f"{out_dir}/batch_id={new_token}")
+        # two-phase fold: marker FIRST (names the source units this base
+        # replaces), survivors APPENDED around it (append preserves the
+        # marker; Spark writes _SUCCESS last, so marker-without-_SUCCESS
+        # unambiguously means "died mid-write, sources intact" — see
+        # _sweep_retraction_folds). Recovery never consults row identity,
+        # so legitimately duplicated ids in the output survive intact.
+        base_dir = f"{out_dir}/batch_id={new_token}"
+        fs.makedirs(base_dir)
+        fs.put(
+            os.path.join(base_dir, RETRACT_MARKER),
+            "\n".join(sorted(src_units)),
         )
-    # sources removed only after the survivors' base is complete
-    for n in batch_dirs:
-        if _numeric(n) in touched:
-            fs.rmtree(os.path.join(out_dir, n))
+        n_out = max(1, survivors.rdd.getNumPartitions() // 8)
+        survivors.coalesce(n_out).write.mode("append").parquet(
+            fs.spark_path(base_dir)
+        )
+    # sources removed only after the survivors' base is complete; a
+    # victims-only fold (no survivors) writes no base — removal itself is
+    # the committed state, and a partial removal re-probes as touched
+    for n in touched_dirs:
+        fs.rmtree(os.path.join(out_dir, n))
     if flat_hit:
         for f in flat:
             fs.remove(f)
     return n_victims
+
+
+#: marker file inside a retraction fold's negative-token base naming the
+#: source units (top-level ``batch_id=N`` dirs / flat files) it replaces —
+#: underscore-prefixed, so Spark's parquet reader ignores it as metadata
+RETRACT_MARKER = "_RETRACT_SOURCES"
+
+
+def _sweep_retraction_folds(out_dir: str, fs) -> None:
+    """Finish or discard :func:`retract_from_output` folds that died
+    mid-run. A negative-token base carrying :data:`RETRACT_MARKER`:
+
+    - WITH ``_SUCCESS``: a committed fold whose source removal was
+      interrupted — remove any listed source FILES still on disk (their
+      surviving rows already live in this base; their victim rows were
+      the retraction's target), then drop batch dirs the removal emptied.
+      Entries are exact part-file paths: a replayed micro-batch that
+      reused a directory name wrote differently-named files, so its rows
+      are untouchable by the sweep.
+    - WITHOUT ``_SUCCESS``: died mid-write. The marker precedes the data
+      and removal only starts after ``_SUCCESS``, so every listed source
+      is still intact — the partial base is pure garbage; discard it.
+
+    Identity-free by construction: recovery reasons about source FILES,
+    never row ids, so outputs holding legitimate duplicate ids are never
+    deduplicated as a retraction side effect."""
+    import os  # noqa: PLC0415
+
+    for n in fs.listdir(out_dir):
+        full = os.path.join(out_dir, n)
+        if not (n.startswith("batch_id=") and fs.isdir(full)):
+            continue
+        t = _batch_token(n)
+        if t is None or t >= 0:
+            continue
+        marker = os.path.join(full, RETRACT_MARKER)
+        if not fs.exists(marker):
+            continue
+        if fs.exists(os.path.join(full, "_SUCCESS")):
+            parents: set[str] = set()
+            for entry in fs.read(marker).splitlines():
+                src = os.path.join(out_dir, entry)
+                if fs.exists(src) and not fs.isdir(src):
+                    fs.remove(src)
+                head = entry.split("/", 1)[0]
+                if head.startswith("batch_id=") and head != n:
+                    parents.add(os.path.join(out_dir, head))
+            for p in parents:
+                if fs.isdir(p) and not fs.walk_files(p):
+                    fs.rmtree(p)
+        else:
+            fs.rmtree(full)
 
 
 def _write_folded_marker(fs, version_dir: str, folded: list[str]) -> None:

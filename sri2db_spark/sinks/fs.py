@@ -366,9 +366,14 @@ def _is_precondition_failure(exc: BaseException) -> bool:
     ``ResponseMetadata.HTTPStatusCode``) — never a substring scan of the
     repr, where a request id or byte count containing "412" would turn a
     throttling failure into a silent "lost the race" (masking real
-    infrastructure errors as benign). Walks ``__cause__``/``__context__``
-    because s3fs wraps botocore errors when translating them. Anything
-    unrecognized re-raises at the call site."""
+    infrastructure errors as benign). Walks ``__cause__`` ONLY — the
+    explicit ``raise … from`` chain s3fs/gcsfs use when translating
+    botocore errors. Implicit ``__context__`` is deliberately excluded:
+    an unrelated exception raised while HANDLING a genuine 412 (a
+    cleanup or retry failure) carries the 412 in its ``__context__``,
+    and classifying it as a benign lost race would silently swallow the
+    real infrastructure error. Anything unrecognized re-raises at the
+    call site."""
     seen: set[int] = set()
     e: BaseException | None = exc
     while e is not None and id(e) not in seen:
@@ -389,7 +394,7 @@ def _is_precondition_failure(exc: BaseException) -> bool:
             code = err.get("Code", "") if isinstance(err, dict) else ""
             if str(code).strip().lower() in _PRECONDITION_CODES | {"412"}:
                 return True
-        e = e.__cause__ or e.__context__
+        e = e.__cause__
     return False
 
 

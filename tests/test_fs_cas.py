@@ -337,6 +337,31 @@ def test_precondition_detection_is_structured_not_substring():
         OSError("wrote 412 bytes before connection reset")
     )
 
+    # implicit __context__ must NOT classify: an unrelated error raised
+    # while HANDLING a genuine 412 (cleanup/retry failure) carries the 412
+    # in __context__; treating it as a benign lost race would swallow the
+    # real infrastructure error
+    try:
+        try:
+            raise ClientError("PreconditionFailed", 412)
+        except ClientError:
+            raise OSError("cleanup failed: disk full")  # noqa: B904
+    except OSError as e:
+        implicit = e
+    assert implicit.__context__ is not None and implicit.__cause__ is None
+    assert not _is_precondition_failure(implicit)
+
+    # ...while the same shape chained EXPLICITLY (raise ... from, the
+    # s3fs/gcsfs translation idiom) still classifies
+    try:
+        try:
+            raise ClientError("PreconditionFailed", 412)
+        except ClientError as ce:
+            raise OSError("conditional write failed") from ce
+    except OSError as e:
+        explicit = e
+    assert _is_precondition_failure(explicit)
+
 
 def test_unrecognized_conditional_put_error_reraises(tmp_path):
     """S3FsspecFS.put_if must RE-RAISE an error that is not a

@@ -683,27 +683,78 @@ def test_output_retraction_handles_flats_and_string_ids(spark, tmp_path):
 
 
 def test_output_retraction_rerun_after_crash_leaves_no_duplicates(spark, tmp_path):
-    """The documented crash contract, executed: die between the survivors
-    write and the source removal, re-run — the survivors must appear
-    exactly once (the re-run's fold anti-joins the retained bases by id)."""
+    """The crash contract, executed at both windows of the two-phase fold:
+    (a) die between the committed survivors base and the source removal —
+    the re-run's sweep finishes the removal (survivors exactly once);
+    (b) die mid-write (marker without _SUCCESS) — the sweep discards the
+    partial base and the retraction redoes cleanly."""
+    from sri2db_spark.sinks.fs import LocalFS
+
     out = str(tmp_path / "out")
     mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
     mk([(1, "one"), (2, "two")]).write.parquet(f"{out}/batch_id=0")
     mk([(3, "three"), (4, "four")]).write.parquet(f"{out}/batch_id=1")
 
-    # crash injection: the first run dies right after writing its base
-    # (before any source dir is removed) — simulated by hand-writing the
-    # base a crash-free run would have produced
-    mk([(4, "four")]).write.parquet(f"{out}/batch_id=-1")
+    # (a) crash before removal: run the real fold with removal disabled
+    class _DiesBeforeRemoval(LocalFS):
+        def rmtree(self, path):
+            raise RuntimeError("crash injected before source removal")
+
+    with pytest.raises(RuntimeError, match="crash injected"):
+        P.retract_from_output(spark, out, [3], fs=_DiesBeforeRemoval())
+    # victims still visible + transient survivor duplicate — the documented
+    # in-between state
+    assert os.path.exists(f"{out}/batch_id=1")
+    assert os.path.exists(f"{out}/batch_id=-1/{P.RETRACT_MARKER}")
+
+    n = P.retract_from_output(spark, out, [3])  # re-run finishes
+    rows = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, "one"), (2, "two"), (4, "four")]  # no duplicate 4
+    assert not os.path.exists(f"{out}/batch_id=1")
+
+    # (b) crash mid-write: marker present, _SUCCESS missing
+    mk([(5, "five"), (6, "six")]).write.parquet(f"{out}/batch_id=2")
+    partial = f"{out}/batch_id=-9"
+    os.makedirs(partial)
+    with open(f"{partial}/{P.RETRACT_MARKER}", "w") as f:
+        f.write("batch_id=2/part-nonexistent.parquet")
+    mk([(6, "six")]).coalesce(1).write.mode("append").parquet(partial)
+    os.remove(f"{partial}/_SUCCESS")
+
+    n = P.retract_from_output(spark, out, [5])
+    assert n == 1
+    assert not os.path.exists(partial)  # partial base discarded
+    rows = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, "one"), (2, "two"), (4, "four"), (6, "six")]
+
+
+def test_output_retraction_preserves_legitimate_duplicate_ids(spark, tmp_path):
+    """Recovery is identity-free: an output that legitimately holds the
+    same id in several places (compact_batch_output with keys=None folds
+    verbatim; replays) must keep EVERY copy of a non-victim row — the old
+    id-based idempotence anti-join silently dropped a touched-dir survivor
+    whose id also lived in a retained negative base."""
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    # a prior compaction base (no marker) holding id 4...
+    mk([(4, "four@base"), (7, "seven")]).write.parquet(f"{out}/batch_id=-1")
+    # ...and a live batch holding a victim plus ANOTHER copy of id 4
+    mk([(3, "three"), (4, "four@batch")]).write.parquet(f"{out}/batch_id=1")
 
     n = P.retract_from_output(spark, out, [3])
     assert n == 1
     rows = sorted(
-        (r.doc_id, r.text)
-        for r in spark.read.parquet(out).collect()
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
     )
-    assert rows == [(1, "one"), (2, "two"), (4, "four")]  # no duplicate 4
-    assert not os.path.exists(f"{out}/batch_id=1")
+    assert rows == [
+        (4, "four@base"),
+        (4, "four@batch"),  # the duplicate the anti-join used to eat
+        (7, "seven"),
+    ]
 
 
 from hypothesis import HealthCheck, given, settings
