@@ -142,3 +142,37 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_registry_rotation_derives_from_recorded_history():
+    """The QUERIES order is a pure function of the recorded sample history
+    (plans/sample_history.py), not a hand-rotated block: reds from the
+    latest graded round lead, never-sampled and latest-round additions sit
+    inside the runner's first-50 window, and the window favors entries
+    whose external evidence is stalest."""
+    from sri2db_spark.plans.analytics import _REGISTRY, _rotation_order
+    from sri2db_spark.plans.sample_history import ADDED, SAMPLED
+
+    names = _rotation_order(list(_REGISTRY))
+    assert sorted(names) == sorted(_REGISTRY)  # permutation, nothing lost
+
+    latest = max(SAMPLED)
+    reds = {n for n, g in SAMPLED[latest].items() if not g and n in _REGISTRY}
+    window = set(names[: min(50, len(names))])
+    # every red from the latest round re-enters the graded window, at the front
+    assert reds <= set(names[: len(reds)])
+    # entries added in the latest graded round stay in the window until
+    # green twice
+    greens = {n: 0 for n in _REGISTRY}
+    for rows in SAMPLED.values():
+        for n, g in rows.items():
+            if n in greens and g:
+                greens[n] += 1
+    for n in _REGISTRY:
+        if ADDED.get(n, 0) >= latest and greens[n] < 2:
+            assert n in window, n
+    # freshness: the bulk of the window was NOT in the latest round's sample
+    stale_in_window = sum(1 for n in window if n not in SAMPLED[latest])
+    assert stale_in_window >= 40, stale_in_window
+    # determinism
+    assert _rotation_order(list(_REGISTRY)) == names
