@@ -147,6 +147,10 @@ def check_versioned_store(path: str, committer=None) -> dict:
                 f"committed (e.g. {sorted(dangling)[0]}); reads planned "
                 "from these stats would fail"
             )
+        if stats_name == FILE_STATS:
+            info[stats_name].update(
+                _zorder_generation_metrics(meta, carried, cur_name)
+            )
 
     # benign leftovers: version dirs that are neither current, pinned,
     # carried, nor retained history — crashed stages or swept-later garbage
@@ -171,6 +175,64 @@ def check_versioned_store(path: str, committer=None) -> dict:
 
     report["healthy"] = not issues
     return report
+
+
+#: carried-generation count above which the doctor advises a full
+#: write_zordered re-cluster: each append_zordered tick carries one more
+#: generation by design, per-file ranges stay tight only WITHIN a
+#: generation, and read_skipping's pruning decays as cross-generation
+#: ranges overlap — at ~8 generations a typical ingest's files-per-point
+#: has multiplied enough that the O(table) rewrite pays for itself
+RECLUSTER_GENERATIONS = 8
+
+
+def _zorder_generation_metrics(meta: dict, carried: list[str], cur_name: str) -> dict:
+    """Carry-chain observability for an append_zordered table (verdict r7
+    item 7): how many prior generations the current version carries, and
+    how much their per-file stat ranges overlap — the two numbers an
+    operator needs to decide WHEN to run the full :func:`write_zordered`
+    re-cluster that drops the carries.
+
+    ``generations_carried`` counts distinct version prefixes among the
+    carried entries (append chains never deepen, so each prefix is one
+    prior append/rewrite generation). ``files_per_point`` is, per stats
+    column, Σ(file range length) / (union range length) over all
+    committed files — the expected number of files a point predicate
+    must scan. A freshly re-clustered table sits near 1.0; it grows
+    toward the generation count as generations overlap. Numeric columns
+    only (string ranges have no length); all driver-side over the
+    n_files-scale stats object, no data read."""
+    gens = {e.split("/", 1)[0] for e in carried if "/" in e}
+    out: dict = {"generations_carried": len(gens)}
+    files = meta.get("files", {})
+    cols = meta.get("cols", [])
+    fpp: dict[str, float] = {}
+    for c in cols:
+        spans = [
+            (st[c][0], st[c][1])
+            for st in files.values()
+            if isinstance(st.get(c), list)
+            and len(st[c]) == 2
+            and all(isinstance(b, (int, float)) for b in st[c])
+        ]
+        if not spans:
+            continue
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        union = hi - lo
+        if union <= 0:
+            fpp[c] = float(len(spans))  # all files cover one point
+            continue
+        fpp[c] = round(sum(s[1] - s[0] for s in spans) / union, 2)
+    if fpp:
+        out["files_per_point"] = fpp
+    if len(gens) >= RECLUSTER_GENERATIONS:
+        out["hint"] = (
+            f"{len(gens)} generations carried (>= {RECLUSTER_GENERATIONS}); "
+            "run write_zordered to re-cluster, drop the carries, and "
+            "restore skipping selectivity"
+        )
+    return out
 
 
 def check_curation_state(state_dir: str, committer=None) -> dict:

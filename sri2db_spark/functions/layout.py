@@ -279,7 +279,10 @@ def append_zordered(
     ingest tick costs the batch, never a table rewrite; per-file ranges
     stay tight within each generation (cross-generation overlap grows with
     generations — run :func:`write_zordered` occasionally to re-cluster,
-    which drops the carries and releases the old dirs).
+    which drops the carries and releases the old dirs). ``doctor --store``
+    reports ``generations_carried`` and ``files_per_point`` (expected
+    files a point predicate scans) and hints at a re-cluster once
+    :data:`~.doctor.RECLUSTER_GENERATIONS` generations accumulate.
 
     Requires the versioned committer (the carry needs the manifest
     pointer); a path with nothing committed yet degrades to

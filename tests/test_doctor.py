@@ -144,7 +144,6 @@ def test_doctor_zordered_store_with_appends(spark, tmp_path):
         (F.col("id") % 5).cast("bigint").alias("v"),
     )
     write_zordered(mk(0, 100), path, ["id", "v"], n_files=3, committer=mc)
-    base0 = mc.resolve(path)
     append_zordered(mk(100, 150), path, ["id", "v"], n_files=1, committer=mc)
 
     rep = D.check_versioned_store(path, committer=mc)
@@ -153,8 +152,47 @@ def test_doctor_zordered_store_with_appends(spark, tmp_path):
     assert "_FILE_STATS.json" in rep["info"]
     assert cli.main(["doctor", "--store", path]) == 0
 
+    # carry-chain observability: one prior generation carried; after a
+    # second append, two; every full write_zordered drops back to zero
+    stats_info = rep["info"]["_FILE_STATS.json"]
+    assert stats_info["generations_carried"] == 1
+    assert "files_per_point" in stats_info and "id" in stats_info["files_per_point"]
+    # a second append whose ids OVERLAP the base range — the realistic
+    # ingest shape whose cross-generation overlap decays skipping
+    append_zordered(mk(0, 150), path, ["id", "v"], n_files=2, committer=mc)
+    rep_b = D.check_versioned_store(path, committer=mc)
+    assert rep_b["info"]["_FILE_STATS.json"]["generations_carried"] == 2
+    fpp_before = rep_b["info"]["_FILE_STATS.json"]["files_per_point"]["id"]
+    write_zordered(mk(0, 200), path, ["id", "v"], n_files=3, committer=mc)
+    rep_c = D.check_versioned_store(path, committer=mc)
+    ci = rep_c["info"]["_FILE_STATS.json"]
+    assert ci["generations_carried"] == 0
+    # re-clustering restores skipping selectivity: a point predicate now
+    # scans fewer files than the 3-generation chain needed (z-order
+    # interleaves both dims, so per-column overlap never reaches 1.0
+    # exactly — the metric is for the TREND an operator watches)
+    assert ci["files_per_point"]["id"] < fpp_before
+    assert "hint" not in ci
+
+    # the re-cluster hint appears once enough generations accumulate
+    import sri2db_spark.functions.doctor as DD
+
+    orig = DD.RECLUSTER_GENERATIONS
+    DD.RECLUSTER_GENERATIONS = 1
+    try:
+        append_zordered(mk(200, 210), path, ["id", "v"], n_files=1, committer=mc)
+        rep_d = D.check_versioned_store(path, committer=mc)
+        assert "re-cluster" in rep_d["info"]["_FILE_STATS.json"]["hint"]
+    finally:
+        DD.RECLUSTER_GENERATIONS = orig
+
+    # a removed carried generation must flag (fresh table, fresh chain)
+    path2 = str(tmp_path / "zt_broken")
+    write_zordered(mk(0, 100), path2, ["id", "v"], n_files=3, committer=mc)
+    base0 = mc.resolve(path2)
+    append_zordered(mk(100, 150), path2, ["id", "v"], n_files=1, committer=mc)
     shutil.rmtree(base0)
-    rep2 = D.check_versioned_store(path, committer=mc)
+    rep2 = D.check_versioned_store(path2, committer=mc)
     assert not rep2["healthy"]
     assert any("carried" in i for i in rep2["issues"])
 
