@@ -387,6 +387,50 @@ def state_main(argv: list[str]) -> int:
     return 0
 
 
+def layout_main(argv: list[str]) -> int:
+    """Z-ordered-table maintenance:
+
+    zorder-compact --table DIR [--min-depth N] [--n-files N]
+
+    Incremental re-cluster (LSM minor compaction) of an append_zordered
+    table: merges only connected components of ``--min-depth`` or more
+    generations whose stat rectangles overlap on every z-column; disjoint
+    generations are carried untouched. Run when ``doctor --store`` hints a
+    re-cluster; exit 3 on a CAS conflict with a concurrent append (re-run
+    to retry on the new basis).
+    """
+    p = argparse.ArgumentParser(prog="sri2db_spark zorder-compact")
+    p.add_argument("--table", required=True, help="zordered table dir")
+    p.add_argument("--min-depth", type=int, default=3)
+    p.add_argument("--n-files", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv[1:])
+    spark = get_spark(app_name="sri2db_spark_layout", master=args.master)
+    from .functions.layout import compact_zordered  # noqa: PLC0415
+    from .sinks.committer import CommitConflict, ManifestCommitter  # noqa: PLC0415
+
+    try:
+        rep = compact_zordered(
+            spark,
+            args.table,
+            committer=ManifestCommitter(),
+            min_depth=args.min_depth,
+            n_files=args.n_files,
+        )
+    except CommitConflict as e:
+        print(f"zorder-compact conflict (re-run to retry): {e}")
+        return 3
+    if rep["committed"]:
+        print(
+            f"zorder-compact ok: {rep['generations_merged']} generations "
+            f"({rep['merged_files']} files) merged, "
+            f"{rep['carried_files']} files carried"
+        )
+    else:
+        print("zorder-compact: no overlapping generation group; nothing to do")
+    return 0
+
+
 def doctor_main(argv: list[str]) -> int:
     """Read-only health check of an on-disk structure:
 
@@ -441,6 +485,8 @@ def main(argv: list[str] | None = None) -> int:
         "state-compact", "state-retract", "output-compact", "output-retract"
     ):
         return state_main(argv)
+    if argv and argv[0] == "zorder-compact":
+        return layout_main(argv)
     p = argparse.ArgumentParser(prog="sri2db_spark")
     p.add_argument("config", help="path to JSON config (single or multi)")
     p.add_argument("--synctype", default=None, help="override configured synctype")

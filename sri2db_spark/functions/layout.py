@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "append_zordered",
+    "compact_zordered",
     "corpus_shuffle",
     "read_skipping",
     "shard_assign",
@@ -346,6 +347,184 @@ def append_zordered(
     # overwritten and ITS batch would vanish from every scan
     committer.commit(target, path, expected_basis=old_version)
     return merged
+
+
+def _generation_rectangles(files: dict, cols: list[str], own_gen: str) -> dict:
+    """Per-generation bounding rectangle in stats space: generation =
+    version-prefix of carried entries / ``own_gen`` for the current
+    version's own files; rectangle = per-column [min of file mins, max of
+    file maxes]. A column whose stats are missing or mixed-type for any
+    file of a generation becomes a wildcard (``None`` — treated as
+    overlapping everything: unknown ranges can't prune, so they can't
+    justify skipping a merge)."""
+    rects: dict[str, dict] = {}
+    members: dict[str, list[str]] = {}
+    for entry, st in files.items():
+        gen = entry.split("/", 1)[0] if "/" in entry else own_gen
+        members.setdefault(gen, []).append(entry)
+        rect = rects.setdefault(gen, {})
+        for c in cols:
+            if c in rect and rect[c] is None:
+                continue
+            b = st.get(c)
+            ok = (
+                isinstance(b, list)
+                and len(b) == 2
+                and all(isinstance(x, (int, float)) for x in b)
+            )
+            if not ok:
+                rect[c] = None  # wildcard
+                continue
+            if c in rect:
+                rect[c] = [min(rect[c][0], b[0]), max(rect[c][1], b[1])]
+            else:
+                rect[c] = [b[0], b[1]]
+    return {g: {"rect": rects[g], "entries": members[g]} for g in rects}
+
+
+def _rects_overlap(a: dict, b: dict, cols: list[str]) -> bool:
+    """Two generation rectangles overlap iff their ranges intersect on
+    EVERY stats column (z-space rectangles); wildcards intersect all."""
+    for c in cols:
+        ra, rb = a.get(c), b.get(c)
+        if ra is None or rb is None:
+            continue
+        if ra[1] < rb[0] or rb[1] < ra[0]:
+            return False
+    return True
+
+
+def _generation_components(gens: dict, cols: list[str]) -> list[list[str]]:
+    """Connected components of generations under pairwise rectangle
+    overlap (union-find over the handful of live generations — doctor
+    hints a re-cluster near 8, so n is small by construction)."""
+    names = sorted(gens)
+    parent = {g: g for g in names}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if _rects_overlap(gens[a]["rect"], gens[b]["rect"], cols):
+                parent[find(a)] = find(b)
+    comps: dict[str, list[str]] = {}
+    for g in names:
+        comps.setdefault(find(g), []).append(g)
+    return list(comps.values())
+
+
+def compact_zordered(
+    spark,
+    path: str,
+    committer,
+    min_depth: int = 3,
+    bits: int = 16,
+    n_files: int | None = None,
+) -> dict:
+    """Incremental re-cluster of an :func:`append_zordered` table — the
+    O(overlap) answer to the doctor's re-cluster hint, so the O(table)
+    :func:`write_zordered` full rewrite is needed only as a last resort.
+
+    Each append tick adds one generation whose per-file ranges are tight
+    internally but overlap prior generations, so
+    :func:`read_skipping`'s files-per-point grows with the generation
+    count. This merges ONLY overlapping GENERATIONS (the LSM minor-
+    compaction shape — generations are the runs): from the published
+    stats it computes each generation's bounding rectangle in z-column
+    space, connects generations whose rectangles intersect on every
+    column, and re-Z-orders the files of every connected component of
+    ``min_depth``-or-more generations into the new version's own files.
+    Every file of an untouched generation is carried BY REFERENCE to its
+    original home (chains never deepen — same convention as
+    :func:`append_zordered`, so GC keeps protecting referenced dirs).
+    Intra-generation per-column overlap — the benign √n artifact of the
+    z-interleave itself — never triggers a merge, and a table of
+    range-disjoint generations (time-partitioned ingest) is a NO-OP:
+    nothing staged, nothing committed. Write cost is O(merged bytes).
+
+    The pointer write is a compare-and-swap on the basis version: a
+    concurrent append landing mid-compaction surfaces as
+    ``CommitConflict`` instead of its batch silently vanishing.
+
+    Returns a report: ``{"merged_files", "carried_files",
+    "generations_merged", "committed"}``.
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from .statestore import CARRY_MARKER  # noqa: PLC0415
+
+    if committer is None or not committer.versioned:
+        raise ValueError(
+            "compact_zordered rewrites committed generations in place, "
+            "which needs the ManifestCommitter"
+        )
+    fs = committer.fs
+    old_base = committer.resolve(path)
+    if old_base is None:
+        raise FileNotFoundError(f"nothing committed at {path}")
+    meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    cols, files = meta["cols"], meta["files"]
+    old_version = os.path.basename(old_base)
+
+    gens = _generation_rectangles(files, cols, old_version)
+    comps = [
+        c for c in _generation_components(gens, cols) if len(c) >= min_depth
+    ]
+    if not comps:
+        return {
+            "merged_files": 0,
+            "carried_files": len(files),
+            "generations_merged": 0,
+            "committed": False,
+        }
+    merge_gens = {g for comp in comps for g in comp}
+    merge_entries = {
+        e for g in merge_gens for e in gens[g]["entries"]
+    }
+    carry_entries = [e for e in files if e not in merge_entries]
+
+    def _home(entry: str) -> str:
+        # same resolution rule as read_skipping: carried entries name
+        # their original home relative to the table root, own files are
+        # bare basenames inside the current version
+        return (
+            os.path.join(path, entry)
+            if "/" in entry
+            else os.path.join(old_base, entry)
+        )
+
+    df = spark.read.parquet(*[fs.spark_path(_home(e)) for e in merge_entries])
+    clustered = zorder_repartition(
+        df, cols, n_files or len(merge_entries), bits=bits
+    ).drop("zkey")
+    target = committer.stage(path)
+    clustered.write.mode("overwrite").parquet(fs.spark_path(target))
+    merged_stats = _collect_file_stats(spark, fs.spark_path(target), cols)
+
+    carry = []
+    for entry in carry_entries:
+        # chains never deepen: already-carried entries keep their original
+        # homes verbatim; the old base's own files gain its version prefix
+        ref = entry if "/" in entry else f"{old_version}/{entry}"
+        carry.append(ref)
+        merged_stats[ref] = files[entry]
+    fs.put(os.path.join(target, CARRY_MARKER), "\n".join(sorted(carry)))
+    fs.put(
+        os.path.join(target, FILE_STATS),
+        json.dumps({"cols": cols, "files": merged_stats}, sort_keys=True),
+    )
+    committer.commit(target, path, expected_basis=old_version)
+    return {
+        "merged_files": len(merge_entries),
+        "carried_files": len(carry_entries),
+        "generations_merged": len(merge_gens),
+        "committed": True,
+    }
 
 
 def read_skipping(

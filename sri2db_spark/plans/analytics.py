@@ -2028,6 +2028,56 @@ def q_zorder_append_scan(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_zorder_compact_scan(spark, sf):
+    """LSM minor compaction for the skipping layer (``compact_zordered``,
+    functions/layout.py): three overlapping Z-ordered generations (a base
+    plus two appends over the same key space) merge into one re-clustered
+    generation — O(merged bytes), CAS-committed — and the post-compaction
+    range scan returns exactly what a plain filtered scan of everything
+    returns, which is what the oracle runs."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.layout import (  # noqa: PLC0415
+        append_zordered,
+        compact_zordered,
+        read_skipping,
+        write_zordered,
+    )
+    from ..sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", ns_to_ms().alias("ts_ms")
+    )
+    mc = ManifestCommitter()
+    tmp = tempfile.mkdtemp(prefix="zcompact_")
+    try:
+        write_zordered(
+            ev.filter(F.col("event_id") % 3 == 0),
+            tmp, ["user_id", "ts_ms"], n_files=4, committer=mc,
+        )
+        for rem in (1, 2):
+            append_zordered(
+                ev.filter(F.col("event_id") % 3 == rem),
+                tmp, ["user_id", "ts_ms"], n_files=2, committer=mc,
+            )
+        rep = compact_zordered(spark, tmp, committer=mc, min_depth=3)
+        assert rep["committed"] and rep["generations_merged"] == 3, rep
+        out = read_skipping(
+            spark,
+            tmp,
+            {
+                "user_id": (2, 6),
+                "ts_ms": (1704600000000, 1705400000000),
+            },
+            committer=mc,
+        ).select("event_id", "user_id", "ts_ms")
+        # materialize before the temp directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_zorder_pruned_scan(spark, sf):
     """File-level data skipping over a Z-ordered write: cluster events on
     (user_id, ts_ms), publish per-file min/max stats with the data, and
@@ -2080,6 +2130,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_delete": q_ann_index_delete,
     "output_retraction": q_output_retraction,
     "zorder_append_scan": q_zorder_append_scan,
+    "zorder_compact_scan": q_zorder_compact_scan,
     "asof_join_orders": q_asof_join_orders,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,

@@ -2036,6 +2036,14 @@ ORACLES: dict[str, str] = {
         WHERE user_id BETWEEN 3 AND 7
           AND epoch_ns(ts) // 1000000 BETWEEN 1704500000000 AND 1705500000000
     """,
+    # compaction must be read-invisible: the post-merge skipping scan equals
+    # the plain filtered scan of every generation's rows
+    "zorder_compact_scan": """
+        SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms
+        FROM events
+        WHERE user_id BETWEEN 2 AND 6
+          AND epoch_ns(ts) // 1000000 BETWEEN 1704600000000 AND 1705400000000
+    """,
     # Bit-for-bit replay of the Morton interleave: the same integer-exact
     # bucketing ((x - min) // width, width = span // 2^16 + 1) then bit j of
     # user_id to position 2j+1 and of ts_ms to 2j.

@@ -556,3 +556,161 @@ def test_append_zordered_conflicts_instead_of_losing_a_concurrent_commit(
         read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
         == 200
     )
+
+
+def test_generation_rectangle_components():
+    """Unit: generation bounding rectangles + connected components under
+    all-column overlap. Chains connect (A∩B, B∩C); a generation disjoint
+    on ANY column stays out; missing stats are wildcards."""
+    from sri2db_spark.functions.layout import (
+        _generation_components,
+        _generation_rectangles,
+    )
+
+    cols = ["x", "y"]
+    files = {
+        # own generation (bare names) spans x[0,10] y[0,5]
+        "p1.parquet": {"x": [0, 5], "y": [0, 5]},
+        "p2.parquet": {"x": [6, 10], "y": [0, 5]},
+        # gen a overlaps own on both cols
+        "v_a/p.parquet": {"x": [8, 20], "y": [3, 9]},
+        # gen b overlaps a but not own (chain)
+        "v_b/p.parquet": {"x": [15, 30], "y": [8, 12]},
+        # gen c overlaps own on x but NOT on y -> separate
+        "v_c/p.parquet": {"x": [0, 10], "y": [50, 60]},
+        # gen d: missing y stats -> wildcard y (overlaps anything there),
+        # but x-disjoint from every other generation -> isolated
+        "v_d/p.parquet": {"x": [55, 58]},
+    }
+    gens = _generation_rectangles(files, cols, "v_own")
+    assert gens["v_own"]["rect"] == {"x": [0, 10], "y": [0, 5]}
+    assert gens["v_d"]["rect"]["y"] is None
+    comps = {tuple(sorted(c)) for c in _generation_components(gens, cols)}
+    assert comps == {
+        ("v_a", "v_b", "v_own"),
+        ("v_c",),
+        ("v_d",),
+    }
+
+
+def test_compact_zordered_merges_only_overlapping_groups(spark, tmp_path):
+    """LSM minor compaction for the skipping layer: overlapping
+    generations merge into the new version's own files, disjoint files
+    are carried by reference untouched, reads are unchanged, and
+    files-per-point improves. Disjoint-generation tables are a committed
+    NO-OP."""
+    from sri2db_spark.functions.doctor import check_versioned_store
+    from sri2db_spark.functions.layout import (
+        append_zordered,
+        compact_zordered,
+        read_skipping,
+        write_zordered,
+    )
+    from sri2db_spark.functions.statestore import CARRY_MARKER
+    from sri2db_spark.sinks.committer import ManifestCommitter
+
+    mc = ManifestCommitter(keep_versions=0)
+    path = str(tmp_path / "zt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 97).cast("bigint").alias("v"),
+    )
+    # three generations over the SAME id range (overlap depth 3) plus one
+    # disjoint generation far away
+    write_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+    append_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+    append_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+    append_zordered(mk(10_000, 10_050), path, ["id", "v"], n_files=1, committer=mc)
+    disjoint_home = None
+    fpp_before = check_versioned_store(path, committer=mc)["info"][
+        "_FILE_STATS.json"
+    ]["files_per_point"]["id"]
+
+    rep = compact_zordered(spark, path, committer=mc, min_depth=3)
+    assert rep["committed"] and rep["generations_merged"] == 3
+    assert rep["merged_files"] == 6  # the three overlapping generations
+    assert rep["carried_files"] == 1  # the disjoint far batch
+    base = mc.resolve(path)
+    carry = [
+        ln
+        for ln in open(os.path.join(base, CARRY_MARKER)).read().splitlines()
+        if ln
+    ]
+    assert len(carry) == 1 and "/" in carry[0]
+    disjoint_home = carry[0].split("/", 1)[0]
+    assert os.path.isdir(os.path.join(path, disjoint_home))  # GC kept it
+
+    # reads identical: same rows, and the far-range scan touches only the
+    # carried file while a mid-range scan stays within the merged files
+    total = read_skipping(spark, path, {"id": (None, None)}, committer=mc)
+    assert total.count() == 350
+    far = read_skipping(spark, path, {"id": (10_000, 10_010)}, committer=mc)
+    assert far.count() == 11
+    assert all(disjoint_home in f for f in far.inputFiles())
+    mid = read_skipping(spark, path, {"id": (40, 45)}, committer=mc)
+    assert sorted(r.id for r in mid.collect()) == sorted(
+        [40, 41, 42, 43, 44, 45] * 3
+    )
+
+    info = check_versioned_store(path, committer=mc)["info"]["_FILE_STATS.json"]
+    assert info["files_per_point"]["id"] < fpp_before
+    assert info["generations_carried"] == 1
+
+    # already-compact table: nothing merges, nothing commits
+    before = mc.resolve(path)
+    rep2 = compact_zordered(spark, path, committer=mc, min_depth=3)
+    assert not rep2["committed"] and rep2["merged_files"] == 0
+    assert mc.resolve(path) == before
+
+
+def test_compact_zordered_concurrent_append_is_cas_conflict(spark, tmp_path):
+    """A batch landing between the compaction's stats read and its commit
+    must surface as CommitConflict — silently overwriting the pointer
+    would drop that batch from every scan."""
+    from sri2db_spark.functions.layout import (
+        append_zordered,
+        compact_zordered,
+        read_skipping,
+        write_zordered,
+    )
+    from sri2db_spark.sinks.committer import CommitConflict, ManifestCommitter
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "zc2")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 7).cast("bigint").alias("v"),
+    )
+    write_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+    append_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+    append_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+
+    orig_stage = mc.stage
+    raced = []
+
+    def racing_stage(dst):
+        staged = orig_stage(dst)
+        if not raced:
+            raced.append(True)
+            mc2 = ManifestCommitter()
+            append_zordered(mk(200, 250), path, ["id", "v"], 1, committer=mc2)
+        return staged
+
+    mc.stage = racing_stage
+    try:
+        with pytest.raises(CommitConflict):
+            compact_zordered(spark, path, committer=mc, min_depth=3)
+    finally:
+        mc.stage = orig_stage
+
+    # the racing batch is intact; the retried compaction lands on top
+    assert (
+        read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
+        == 350
+    )
+    rep = compact_zordered(spark, path, committer=mc, min_depth=3)
+    assert rep["committed"]
+    assert (
+        read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
+        == 350
+    )
