@@ -185,6 +185,7 @@ def write_zordered(
     n_files: int,
     bits: int = 16,
     committer=None,
+    markers: dict[str, str] | None = None,
 ) -> dict:
     """Z-order-cluster ``df`` on ``cols``, write it, and publish per-file
     min/max stats (``_FILE_STATS.json``) alongside the data — the
@@ -220,6 +221,11 @@ def write_zordered(
         os.path.join(target, FILE_STATS),
         json.dumps({"cols": cols, "files": stats}, sort_keys=True),
     )
+    # extra sidecars (e.g. the streaming high-water mark) publish
+    # atomically WITH the data: same pointer write, or same directory on
+    # the unversioned path
+    for name, data in (markers or {}).items():
+        fs.put(os.path.join(target, name), data)
     if versioned:
         committer.commit(target, path)
     return stats
@@ -271,6 +277,7 @@ def append_zordered(
     n_files: int,
     bits: int = 16,
     committer=None,
+    markers: dict[str, str] | None = None,
 ) -> dict:
     """O(batch) append to a :func:`write_zordered` table: the new batch is
     Z-order-clustered and written as its OWN files; every prior file is
@@ -307,7 +314,8 @@ def append_zordered(
     old_base = committer.resolve(path)
     if old_base is None:
         return write_zordered(
-            df, path, cols, n_files, bits=bits, committer=committer
+            df, path, cols, n_files, bits=bits, committer=committer,
+            markers=markers,
         )
     fs = committer.fs
     try:
@@ -341,6 +349,8 @@ def append_zordered(
         os.path.join(target, FILE_STATS),
         json.dumps({"cols": cols, "files": merged}, sort_keys=True),
     )
+    for name, data in (markers or {}).items():
+        fs.put(os.path.join(target, name), data)
     # read-modify-write: this commit is built on old_base's stats/files,
     # so the pointer write must be a compare-and-swap — a concurrent
     # append/rewrite landing in between would otherwise be silently
@@ -518,6 +528,13 @@ def compact_zordered(
         os.path.join(target, FILE_STATS),
         json.dumps({"cols": cols, "files": merged_stats}, sort_keys=True),
     )
+    # compaction is read-invisible to every OTHER protocol living on the
+    # table: _STREAM_* sidecars (the streaming ingest's replay high-water
+    # mark) ride forward into the new version — dropping one would make a
+    # checkpoint-reset replay double-apply its batch after a compaction
+    for name in fs.listdir(old_base):
+        if name.startswith("_STREAM_"):
+            fs.put(os.path.join(target, name), fs.read(os.path.join(old_base, name)))
     committer.commit(target, path, expected_basis=old_version)
     return {
         "merged_files": len(merge_entries),

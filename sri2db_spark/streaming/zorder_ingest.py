@@ -1,0 +1,114 @@
+"""Streaming ingest into a Z-ordered data-skipping table.
+
+``readStream`` micro-batches land as :func:`~..functions.layout.append_zordered`
+generations: each tick costs O(batch), prior generations are carried by
+reference, and :func:`~..functions.layout.read_skipping` serves range scans
+across everything the stream has ever committed. The doctor's
+``generations_carried`` / ``files_per_point`` counters and
+``zorder-compact`` (LSM minor compaction) keep the accumulating
+generations in check WITHOUT stopping the stream — compaction CASes
+against a concurrent append and the loser retries.
+
+Exactly-once under foreachBatch replay: the committed version carries a
+``_STREAM_BATCH`` high-water-mark sidecar published by the SAME atomic
+pointer write as the data, so "was this batch applied?" and "is this data
+visible?" can never disagree:
+
+- crash before the pointer write → the staged version is unreferenced
+  garbage (GC sweeps it), the mark is unchanged, the replay re-appends;
+- crash after the pointer write but before the checkpoint advances → the
+  replay reads its own batch id at-or-under the mark and SKIPS;
+- a checkpoint reset (fresh checkpoint dir restarts batch ids at 0) is the
+  one case the mark cannot distinguish from replay — documented: reset the
+  TABLE with the checkpoint, or point the stream at a fresh table.
+
+:func:`~..functions.layout.compact_zordered` carries ``_STREAM_*``
+sidecars into its merged version, so compaction never resets the mark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: sidecar in the committed version holding the last applied streaming
+#: batch id — `_`-prefixed so Spark's parquet reader ignores it
+STREAM_HWM = "_STREAM_BATCH"
+
+
+def stream_zordered_ingest(
+    stream: DataFrame,
+    path: str,
+    cols: list[str],
+    checkpoint_dir: str,
+    committer,
+    n_files: int = 2,
+    bits: int = 16,
+    trigger_available_now: bool = True,
+    max_commit_retries: int = 5,
+):
+    """Start a stream writing ``stream``'s micro-batches into the
+    Z-ordered table at ``path`` (see module docstring for the
+    exactly-once contract). ``committer`` must be the versioned
+    ManifestCommitter — the high-water mark rides the atomic pointer
+    write. ``n_files`` is per-batch; size it so batch files match the
+    base generation's (the doctor's ``files_per_point`` flags drift).
+
+    A ``CommitConflict`` mid-append (a concurrent ``zorder-compact``
+    landed first) re-resolves and retries on the new basis up to
+    ``max_commit_retries`` times — appends and compactions are
+    commutative (the append's generation is carried by whatever version
+    won), so the retry is safe, and an exhausted retry budget raises into
+    the stream (at-least-once would silently become at-most-once if we
+    swallowed it)."""
+    import os  # noqa: PLC0415
+
+    from ..functions.layout import append_zordered  # noqa: PLC0415
+    from ..sinks.committer import CommitConflict  # noqa: PLC0415
+
+    if committer is None or not committer.versioned:
+        raise ValueError(
+            "stream_zordered_ingest needs the versioned ManifestCommitter: "
+            "the replay high-water mark must publish atomically with the "
+            "data (one pointer write)"
+        )
+    fs = committer.fs
+
+    def _applied_hwm() -> int | None:
+        base = committer.resolve(path)
+        if base is None:
+            return None
+        mark = os.path.join(base, STREAM_HWM)
+        if not fs.exists(mark):
+            return None
+        return int(fs.read(mark).strip())
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        hwm = _applied_hwm()
+        if hwm is not None and batch_id <= hwm:
+            return  # replayed batch: its data is already committed
+        last_err: Exception | None = None
+        for _ in range(max_commit_retries):
+            try:
+                append_zordered(
+                    batch_df,
+                    path,
+                    cols,
+                    n_files,
+                    bits=bits,
+                    committer=committer,
+                    markers={STREAM_HWM: str(batch_id)},
+                )
+                return
+            except CommitConflict as e:  # a compaction won the CAS
+                last_err = e
+                hwm = _applied_hwm()
+                if hwm is not None and batch_id <= hwm:
+                    return  # our own earlier attempt actually landed
+        raise last_err  # exhausted: surface to the stream, replay retries
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

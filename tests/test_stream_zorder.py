@@ -1,0 +1,147 @@
+"""Streaming ingest into the Z-ordered skipping layer
+(streaming/zorder_ingest.stream_zordered_ingest): micro-batches append as
+generations, scans prune across them, replay never duplicates, and
+compaction mid-stream preserves the replay mark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from sri2db_spark.functions.layout import (
+    compact_zordered,
+    read_skipping,
+)
+from sri2db_spark.sinks.committer import ManifestCommitter
+from sri2db_spark.streaming.zorder_ingest import STREAM_HWM, stream_zordered_ingest
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+
+def _write_feed(feed_dir, name, rows, mtime):
+    p = feed_dir / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    os.utime(p, (mtime, mtime))
+
+
+def _rows(lo, hi):
+    return [
+        {"event_id": i, "user_id": i % 50, "ts_ms": 1_700_000_000_000 + i}
+        for i in range(lo, hi)
+    ]
+
+
+def test_stream_zordered_ingest_appends_prunes_and_survives_replay(
+    spark, tmp_path
+):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_feed(feed, "b0.json", _rows(0, 100), 1_000)
+    _write_feed(feed, "b1.json", _rows(100, 200), 2_000)
+    table = str(tmp_path / "zt")
+    mc = ManifestCommitter()
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        q = stream_zordered_ingest(
+            stream, table, ["event_id", "ts_ms"], str(tmp_path / ckpt), mc,
+            n_files=2,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    total = read_skipping(spark, table, {"event_id": (None, None)}, committer=mc)
+    assert total.count() == 200
+    # the mark is the last applied batch id, committed with the data
+    base = mc.resolve(table)
+    assert open(os.path.join(base, STREAM_HWM)).read() == "1"
+    # generation-pruned scan: an early range reads only batch-0 files
+    early = read_skipping(spark, table, {"event_id": (10, 20)}, committer=mc)
+    assert sorted(r.event_id for r in early.collect()) == list(range(10, 21))
+    assert len(early.inputFiles()) <= 2
+
+    # replay from a FRESH checkpoint (batch ids restart at 0): the
+    # high-water mark skips both batches — no duplicates
+    run("ck2")
+    assert (
+        read_skipping(
+            spark, table, {"event_id": (None, None)}, committer=mc
+        ).count()
+        == 200
+    )
+
+    # a NEW file continues the stream on the original checkpoint
+    _write_feed(feed, "b2.json", _rows(200, 250), 3_000)
+    run("ck1")
+    assert (
+        read_skipping(
+            spark, table, {"event_id": (None, None)}, committer=mc
+        ).count()
+        == 250
+    )
+    assert open(os.path.join(mc.resolve(table), STREAM_HWM)).read() == "2"
+
+
+def test_compaction_preserves_stream_mark(spark, tmp_path):
+    """zorder-compact mid-stream must carry the _STREAM_BATCH sidecar into
+    its merged version: dropping it would make a checkpoint-reset replay
+    double-apply every batch after the compaction."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # overlapping event_id ranges so the generations actually merge
+    _write_feed(feed, "b0.json", _rows(0, 100), 1_000)
+    _write_feed(feed, "b1.json", _rows(0, 100), 2_000)
+    _write_feed(feed, "b2.json", _rows(0, 100), 3_000)
+    table = str(tmp_path / "zt")
+    mc = ManifestCommitter()
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = stream_zordered_ingest(
+        stream, table, ["event_id", "ts_ms"], str(tmp_path / "ck"), mc,
+        n_files=2,
+    )
+    q.awaitTermination(120)
+    assert (
+        read_skipping(
+            spark, table, {"event_id": (None, None)}, committer=mc
+        ).count()
+        == 300
+    )
+
+    rep = compact_zordered(spark, table, committer=mc, min_depth=3)
+    assert rep["committed"]
+    base = mc.resolve(table)
+    assert open(os.path.join(base, STREAM_HWM)).read() == "2"
+    # reads unchanged; a fresh-checkpoint replay after compaction still
+    # skips every already-applied batch
+    stream2 = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q2 = stream_zordered_ingest(
+        stream2, table, ["event_id", "ts_ms"], str(tmp_path / "ck_fresh"), mc,
+        n_files=2,
+    )
+    q2.awaitTermination(120)
+    assert (
+        read_skipping(
+            spark, table, {"event_id": (None, None)}, committer=mc
+        ).count()
+        == 300
+    )
