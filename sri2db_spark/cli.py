@@ -387,6 +387,56 @@ def state_main(argv: list[str]) -> int:
     return 0
 
 
+def rtbf_main(argv: list[str]) -> int:
+    """One right-to-be-forgotten request across every persisted artifact,
+    with a crash-resumable audit record:
+
+    rtbf --ids ID[,ID…] --log DIR [--state DIR] [--output DIR]
+         [--index DIR] [--id-col doc_id] [--id-type long|string]
+         [--committer rename|manifest]
+
+    Re-running the same id list resumes a crashed request (artifacts
+    already recorded are skipped) or no-ops a completed one. Exit 3 on a
+    CAS conflict with concurrent maintenance — re-run to retry.
+    """
+    p = argparse.ArgumentParser(prog="sri2db_spark rtbf")
+    p.add_argument("--ids", required=True, help="comma-separated doc ids")
+    p.add_argument("--id-type", default="long", choices=["long", "string"])
+    p.add_argument("--log", required=True, help="audit log dir")
+    p.add_argument("--state", default=None, help="curation state dir")
+    p.add_argument("--output", default=None, help="batch_id=* output dir")
+    p.add_argument("--index", default=None, help="saved ANN index dir")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--committer", default="rename", choices=["rename", "manifest"]
+    )
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv[1:])
+    if not (args.state or args.output or args.index):
+        p.error("name at least one artifact: --state / --output / --index")
+    raw = [s for s in args.ids.split(",") if s]
+    ids = [int(s) for s in raw] if args.id_type == "long" else raw
+    spark = get_spark(app_name="sri2db_spark_rtbf", master=args.master)
+    from .functions.rtbf import rtbf_delete  # noqa: PLC0415
+    from .sinks.committer import CommitConflict  # noqa: PLC0415
+
+    try:
+        rec = rtbf_delete(
+            spark, ids, args.log,
+            state_dir=args.state, output_dir=args.output,
+            index_path=args.index, id_col=args.id_col,
+            committer=_committer_for({"committer": args.committer}),
+        )
+    except CommitConflict as e:
+        print(f"rtbf conflict (re-run to resume): {e}")
+        return 3
+    parts = ", ".join(
+        f"{a}={info['removed']}" for a, info in sorted(rec["artifacts"].items())
+    )
+    print(f"rtbf ok: request {rec['request_id']} ({rec['n_ids']} ids): {parts}")
+    return 0
+
+
 def layout_main(argv: list[str]) -> int:
     """Z-ordered-table maintenance:
 
@@ -487,6 +537,8 @@ def main(argv: list[str] | None = None) -> int:
         return state_main(argv)
     if argv and argv[0] == "zorder-compact":
         return layout_main(argv)
+    if argv and argv[0] == "rtbf":
+        return rtbf_main(argv)
     p = argparse.ArgumentParser(prog="sri2db_spark")
     p.add_argument("config", help="path to JSON config (single or multi)")
     p.add_argument("--synctype", default=None, help="override configured synctype")

@@ -1,0 +1,145 @@
+"""One-call right-to-be-forgotten across every persisted artifact, with a
+crash-resumable audit log.
+
+Round 7 built the per-artifact deletion paths — curation state
+(:func:`~.pipeline.retract_from_state`), published output
+(:func:`~.pipeline.retract_from_output`), ANN index
+(:func:`~.similarity.ann_index_delete`) — each O(touched), each
+individually re-runnable. A real deletion request, though, is ONE request
+against ALL of them, and a compliance review asks one question: "was
+request X completed, and what did it touch?" This module is that layer:
+
+- :func:`rtbf_delete` fans one id list out to every artifact the caller
+  names, in a fixed order (state first — its hash-liveness probe needs
+  the corpus text BEFORE the output loses it is already handled inside
+  retract_from_state; the order here is for deterministic resumes).
+- The audit record is a single JSON object per request, addressed by the
+  request id (md5 of the sorted ids), updated after EVERY artifact
+  completes: a crash mid-request leaves a partial record whose re-run
+  SKIPS the artifacts already recorded and finishes the rest — per-artifact
+  removal counts are from the run that completed that artifact, never
+  double-counted, and re-running a completed request is a no-op that
+  returns the recorded result.
+- :func:`read_rtbf_log` reads the log directory back as a DataFrame for
+  reporting ("all requests completed?" is one filter).
+
+The log is evidence, not a lock: concurrent duplicate submissions of the
+same request may both run (the artifact deletions are idempotent, so the
+outcome is correct; counts land from whichever run records first).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+__all__ = ["read_rtbf_log", "request_id", "rtbf_delete"]
+
+
+def request_id(ids: list) -> str:
+    """Deterministic id of a deletion request: md5 over the sorted,
+    comma-joined string forms — stable across runs, engines, and id
+    ordering, so resubmitting the same request resumes its record."""
+    joined = ",".join(str(i) for i in sorted(ids, key=str))
+    return hashlib.md5(joined.encode("utf-8")).hexdigest()
+
+
+def rtbf_delete(
+    spark,
+    ids: list,
+    log_dir: str,
+    state_dir: str | None = None,
+    output_dir: str | None = None,
+    index_path: str | None = None,
+    committer=None,
+    id_col: str = "doc_id",
+    vec_ids: list | None = None,
+    fs=None,
+) -> dict:
+    """Execute one right-to-be-forgotten request against every named
+    artifact and record it in ``log_dir`` (see module docstring for the
+    resume/idempotence contract). ``vec_ids`` overrides the id list for
+    the ANN index when embedding ids differ from document ids. Returns
+    the completed audit record."""
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    fs = fs or (committer.fs if committer is not None else LocalFS())
+    if not ids:
+        raise ValueError("rtbf_delete with no ids: nothing to forget")
+    rid = request_id(ids)
+    fs.makedirs(log_dir)
+    rec_path = os.path.join(log_dir, f"{rid}.json")
+    if fs.exists(rec_path):
+        rec = json.loads(fs.read(rec_path))
+    else:
+        rec = {
+            "request_id": rid,
+            "n_ids": len(ids),
+            "artifacts": {},
+            "completed": False,
+        }
+    if rec["completed"]:
+        return rec
+
+    def _record(name: str, removed) -> None:
+        rec["artifacts"][name] = {"removed": removed}
+        fs.put(rec_path, json.dumps(rec, sort_keys=True))
+
+    # fixed order for deterministic resumes; each step skipped if already
+    # recorded by a prior (crashed) run of this request
+    if state_dir is not None and "state" not in rec["artifacts"]:
+        from .pipeline import retract_from_state  # noqa: PLC0415
+
+        retract_from_state(spark, state_dir, ids, committer=committer)
+        # retract_from_state returns None (multi-store); record the request
+        # size — the per-store counts live in the state's own history
+        _record("state", len(ids))
+    if output_dir is not None and "output" not in rec["artifacts"]:
+        from .pipeline import retract_from_output  # noqa: PLC0415
+
+        n = retract_from_output(
+            spark, output_dir, ids, id_col=id_col, fs=fs
+        )
+        _record("output", n)
+    if index_path is not None and "index" not in rec["artifacts"]:
+        from .similarity import ann_index_delete  # noqa: PLC0415
+
+        n = ann_index_delete(spark, index_path, vec_ids or ids, fs=fs)
+        _record("index", n)
+
+    rec["completed"] = True
+    fs.put(rec_path, json.dumps(rec, sort_keys=True))
+    return rec
+
+
+def read_rtbf_log(spark, log_dir: str, fs=None) -> DataFrame:
+    """The audit log as a DataFrame: one row per (request, artifact) —
+    ``request_id, n_ids, completed, artifact, removed``. Driver reads the
+    records (requests-scale, not data-scale) and parallelizes; an empty
+    or missing log is an empty frame with the right schema."""
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    fs = fs or LocalFS()
+    rows = []
+    if fs.isdir(log_dir):
+        for name in sorted(fs.listdir(log_dir)):
+            if not name.endswith(".json"):
+                continue
+            rec = json.loads(fs.read(os.path.join(log_dir, name)))
+            for artifact, info in sorted(rec.get("artifacts", {}).items()):
+                rows.append(
+                    (
+                        rec["request_id"],
+                        int(rec["n_ids"]),
+                        bool(rec["completed"]),
+                        artifact,
+                        int(info["removed"]),
+                    )
+                )
+    return spark.createDataFrame(
+        rows, "request_id string, n_ids bigint, completed boolean, "
+        "artifact string, removed bigint"
+    )

@@ -1788,6 +1788,45 @@ def q_output_retraction(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_rtbf_audit(spark, sf):
+    """One deletion request fanned across every persisted artifact with a
+    crash-resumable audit record (``rtbf_delete``, functions/rtbf.py):
+    curation state + published output + ANN index are built from the test
+    tables, one fixed id list is forgotten everywhere, and the returned
+    rows are the audit log a compliance review reads. SQL-expressible
+    because every per-artifact count is a pure derivation of the base
+    tables and the request id is md5 over the sorted id list."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions import pipeline as P  # noqa: PLC0415
+    from ..functions import similarity as S  # noqa: PLC0415
+    from ..functions.rtbf import read_rtbf_log, rtbf_delete  # noqa: PLC0415
+    from ..sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    emb = _tp(spark, sf, "embeddings")
+    ids = [0, 9, 33]
+    mc = ManifestCommitter()
+    root = tempfile.mkdtemp(prefix="rtbf_")
+    try:
+        state, out, idx, log = (f"{root}/{d}" for d in ("st", "out", "idx", "log"))
+        P.init_curation_state(docs, state, "doc_id", "text", committer=mc)
+        for b in range(3):
+            docs.filter((F.col("doc_id") / 3 % 3).cast("long") == b).select(
+                "doc_id", "lang"
+            ).write.parquet(f"{out}/batch_id={b}")
+        S.build_ivf_index(emb, idx, nlist=8)
+        rtbf_delete(
+            spark, ids, log,
+            state_dir=state, output_dir=out, index_path=idx, committer=mc,
+        )
+        res = read_rtbf_log(spark, log)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_state_pruned_retraction(spark, sf):
     """Right-to-be-forgotten against the persisted curation state, PRUNED
     (SURVEY §7.9): bootstrap the hash/signature/corpus stores from a
@@ -2127,6 +2166,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality": q_lm_quality,
     "curate_incremental": q_curate_incremental,
     "state_pruned_retraction": q_state_pruned_retraction,
+    "rtbf_audit": q_rtbf_audit,
     "ann_index_delete": q_ann_index_delete,
     "output_retraction": q_output_retraction,
     "zorder_append_scan": q_zorder_append_scan,

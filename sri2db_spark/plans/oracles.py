@@ -1738,6 +1738,27 @@ ORACLES: dict[str, str] = {
     # pure derivations of the input subset, so the post-retraction state is
     # exactly "subset minus retracted" (corpus) and "distinct md5 of the
     # survivors" (hashes — a hash shared with a retracted doc survives)
+    # one deletion request across state/output/index with an audit record:
+    # the request id is md5 over the sorted id list ('0,33,9' — string
+    # sort), per-artifact removal counts derive from the base tables
+    # (state records the request size; output/index count matching rows)
+    "rtbf_audit": """
+        WITH req AS (SELECT md5('0,33,9') AS request_id, 3 AS n_ids)
+        SELECT request_id, CAST(n_ids AS BIGINT) AS n_ids, TRUE AS completed,
+               'index' AS artifact,
+               (SELECT COUNT(*) FROM embeddings WHERE vec_id IN (0, 9, 33))
+                 AS removed
+        FROM req
+        UNION ALL
+        SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'output',
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id % 3 = 0 AND doc_id IN (0, 9, 33))
+        FROM req
+        UNION ALL
+        SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'state',
+               CAST(3 AS BIGINT)
+        FROM req
+    """,
     "state_pruned_retraction": """
         WITH subset AS (
           SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

@@ -1,0 +1,136 @@
+"""One-call RTBF across state + output + index with a crash-resumable
+audit log (functions/rtbf.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import sri2db_spark.functions.similarity as S
+from sri2db_spark.functions import pipeline as P
+from sri2db_spark.functions import rtbf as R
+from sri2db_spark.functions.statestore import read_store
+from sri2db_spark.plans.analytics import _t, _tp
+from sri2db_spark.sinks.committer import ManifestCommitter
+
+SF = "/root/testdata/sf0.001"
+
+
+def _setup(spark, tmp_path):
+    docs = _t(spark, SF, "documents").filter(F.col("doc_id") % 3 == 0)
+    emb = _tp(spark, SF, "embeddings")
+    mc = ManifestCommitter()
+    state, out, idx, log = (
+        str(tmp_path / d) for d in ("st", "out", "idx", "log")
+    )
+    P.init_curation_state(docs, state, "doc_id", "text", committer=mc)
+    for b in range(3):
+        docs.filter((F.col("doc_id") / 3 % 3).cast("long") == b).select(
+            "doc_id", "lang"
+        ).write.parquet(f"{out}/batch_id={b}")
+    S.build_ivf_index(emb, idx, nlist=8)
+    return docs, mc, state, out, idx, log
+
+
+def test_rtbf_reaches_every_artifact_and_is_idempotent(spark, tmp_path):
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+    ids = [0, 9, 33]
+    rec = R.rtbf_delete(
+        spark, ids, log,
+        state_dir=state, output_dir=out, index_path=idx, committer=mc,
+    )
+    assert rec["completed"]
+    assert rec["request_id"] == R.request_id(ids)
+    assert rec["artifacts"]["output"]["removed"] == 3
+    assert rec["artifacts"]["index"]["removed"] == 3
+
+    # the ids are gone from every artifact
+    corpus_ids = {r["id"] for r in read_store(spark, f"{state}/corpus", committer=mc).collect()}
+    assert not corpus_ids & set(ids)
+    out_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert not out_ids & set(ids)
+    idx_ids = {r.id for r in spark.read.parquet(f"{idx}/cells").collect()}
+    assert not idx_ids & set(ids)
+
+    # resubmitting the same request is a recorded no-op
+    rec2 = R.rtbf_delete(
+        spark, [33, 9, 0], log,  # order-independent request identity
+        state_dir=state, output_dir=out, index_path=idx, committer=mc,
+    )
+    assert rec2 == rec
+
+    # the log reads back as a table
+    rows = {
+        (r.artifact, r.removed)
+        for r in R.read_rtbf_log(spark, log).collect()
+    }
+    assert rows == {("state", 3), ("output", 3), ("index", 3)}
+
+
+def test_rtbf_crash_mid_request_resumes_without_rerunning(spark, tmp_path):
+    """Die after the state artifact: the partial record names it, the
+    re-run skips straight to output+index, and the final record carries
+    the FIRST run's state entry (never double-counted)."""
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+    ids = [0, 9]
+
+    calls = []
+    orig = P.retract_from_output
+
+    def boom(*a, **kw):
+        calls.append(True)
+        raise RuntimeError("crash injected after state retraction")
+
+    P.retract_from_output = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash injected"):
+            R.rtbf_delete(
+                spark, ids, log,
+                state_dir=state, output_dir=out, index_path=idx, committer=mc,
+            )
+    finally:
+        P.retract_from_output = orig
+    rid = R.request_id(ids)
+    partial = json.loads(open(os.path.join(log, f"{rid}.json")).read())
+    assert not partial["completed"]
+    assert set(partial["artifacts"]) == {"state"}
+
+    # resume: state must NOT re-run (its ids are already gone; a second
+    # retraction would be a wasted O(touched) rewrite)
+    state_version_before = mc.resolve(f"{state}/corpus")
+    rec = R.rtbf_delete(
+        spark, ids, log,
+        state_dir=state, output_dir=out, index_path=idx, committer=mc,
+    )
+    assert rec["completed"]
+    assert set(rec["artifacts"]) == {"state", "output", "index"}
+    assert mc.resolve(f"{state}/corpus") == state_version_before
+    out_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert not out_ids & set(ids)
+
+
+def test_rtbf_cli_roundtrip(spark, tmp_path, capsys):
+    from sri2db_spark import cli
+
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+    # the CLI builds its own rename/manifest committer; state was
+    # committed with the manifest protocol above
+    code = cli.main(
+        [
+            "rtbf", "--ids", "0,9", "--log", log,
+            "--output", out, "--index", idx,
+        ]
+    )
+    assert code == 0
+    msg = capsys.readouterr().out
+    assert "rtbf ok" in msg and "output=2" in msg and "index=2" in msg
+    assert R.read_rtbf_log(spark, log).count() == 2
+
+    with pytest.raises(SystemExit):
+        cli.main(["rtbf", "--ids", "1", "--log", log])  # no artifact named
+
+    with pytest.raises(ValueError, match="nothing to forget"):
+        R.rtbf_delete(spark, [], log, output_dir=out)
