@@ -148,9 +148,7 @@ def check_versioned_store(path: str, committer=None) -> dict:
                 "from these stats would fail"
             )
         if stats_name == FILE_STATS:
-            info[stats_name].update(
-                _zorder_generation_metrics(meta, carried, cur_name)
-            )
+            info[stats_name].update(_zorder_generation_metrics(meta, carried))
 
     # benign leftovers: version dirs that are neither current, pinned,
     # carried, nor retained history — crashed stages or swept-later garbage
@@ -186,7 +184,7 @@ def check_versioned_store(path: str, committer=None) -> dict:
 RECLUSTER_GENERATIONS = 8
 
 
-def _zorder_generation_metrics(meta: dict, carried: list[str], cur_name: str) -> dict:
+def _zorder_generation_metrics(meta: dict, carried: list[str]) -> dict:
     """Carry-chain observability for an append_zordered table (verdict r7
     item 7): how many prior generations the current version carries, and
     how much their per-file stat ranges overlap — the two numbers an
@@ -229,8 +227,10 @@ def _zorder_generation_metrics(meta: dict, carried: list[str], cur_name: str) ->
     if len(gens) >= RECLUSTER_GENERATIONS:
         out["hint"] = (
             f"{len(gens)} generations carried (>= {RECLUSTER_GENERATIONS}); "
-            "run write_zordered to re-cluster, drop the carries, and "
-            "restore skipping selectivity"
+            "run zorder-compact (compact_zordered — O(overlap), merges "
+            "only overlapping generations, preserves _STREAM_* sidecars) "
+            "or a full write_zordered rewrite to restore skipping "
+            "selectivity"
         )
     return out
 

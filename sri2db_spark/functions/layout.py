@@ -178,6 +178,25 @@ def _file_basename(uri: str) -> str:
     return unquote(urlparse(uri).path).rsplit("/", 1)[-1]
 
 
+def _carry_protocol_sidecars(fs, old_base: str, target: str, markers) -> None:
+    """Every new committed version of a zordered table carries the
+    ``_STREAM_*`` sidecars of the version it replaces (the streaming
+    ingest's replay high-water mark), unless this commit itself rewrites
+    the sidecar via ``markers``. Without this, ANY non-stream writer —
+    a batch ``append_zordered``, a full ``write_zordered`` re-cluster, a
+    ``compact_zordered`` — would publish a version with no mark, and the
+    next checkpoint-reset/restart replay would double-apply its batches."""
+    import os  # noqa: PLC0415
+
+    override = set(markers or {})
+    for name in fs.listdir(old_base):
+        if name.startswith("_STREAM_") and name not in override:
+            fs.put(
+                os.path.join(target, name),
+                fs.read(os.path.join(old_base, name)),
+            )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -227,6 +246,9 @@ def write_zordered(
     for name, data in (markers or {}).items():
         fs.put(os.path.join(target, name), data)
     if versioned:
+        prev = committer.resolve(path)
+        if prev is not None:
+            _carry_protocol_sidecars(fs, prev, target, markers)
         committer.commit(target, path)
     return stats
 
@@ -351,6 +373,7 @@ def append_zordered(
     )
     for name, data in (markers or {}).items():
         fs.put(os.path.join(target, name), data)
+    _carry_protocol_sidecars(fs, old_base, target, markers)
     # read-modify-write: this commit is built on old_base's stats/files,
     # so the pointer write must be a compare-and-swap — a concurrent
     # append/rewrite landing in between would otherwise be silently
@@ -532,9 +555,7 @@ def compact_zordered(
     # table: _STREAM_* sidecars (the streaming ingest's replay high-water
     # mark) ride forward into the new version — dropping one would make a
     # checkpoint-reset replay double-apply its batch after a compaction
-    for name in fs.listdir(old_base):
-        if name.startswith("_STREAM_"):
-            fs.put(os.path.join(target, name), fs.read(os.path.join(old_base, name)))
+    _carry_protocol_sidecars(fs, old_base, target, None)
     committer.commit(target, path, expected_basis=old_version)
     return {
         "merged_files": len(merge_entries),

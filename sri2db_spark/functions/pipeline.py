@@ -819,10 +819,11 @@ def retract_from_output(
 
     Crash contract: the fold is two-phase via a ``_RETRACT_SOURCES``
     marker written into the new base BEFORE the survivors (listing the
-    source units it replaces) — every later run first sweeps prior
-    folds: a marked base without ``_SUCCESS`` died mid-write (sources
-    all intact) and is discarded; a marked base WITH ``_SUCCESS`` is a
-    committed fold whose interrupted source removal is finished. Between
+    source units it replaces) and a ``_RETRACT_COMMITTED`` sentinel
+    written AFTER them — every later run first sweeps prior folds: a
+    marked base without the sentinel died mid-write (sources all intact)
+    and is discarded; a marked base WITH it is a committed fold whose
+    interrupted source removal is finished. Between
     fold-complete and removal, readers transiently see the victims plus
     survivor duplicates — never lost rows. Identity is NEVER used for
     recovery, so an output that legitimately holds duplicate ids across
@@ -918,9 +919,13 @@ def retract_from_output(
     if survivors.limit(1).count():
         # two-phase fold: marker FIRST (names the source units this base
         # replaces), survivors APPENDED around it (append preserves the
-        # marker; Spark writes _SUCCESS last, so marker-without-_SUCCESS
+        # marker), then OUR OWN commit sentinel — never Spark's _SUCCESS,
+        # which disappears entirely under
+        # mapreduce.fileoutputcommitter.marksuccessfuljobs=false (a common
+        # object-store tuning) and would make every committed fold look
+        # like mid-write garbage to the sweep. Marker-without-sentinel
         # unambiguously means "died mid-write, sources intact" — see
-        # _sweep_retraction_folds). Recovery never consults row identity,
+        # _sweep_retraction_folds. Recovery never consults row identity,
         # so legitimately duplicated ids in the output survive intact.
         base_dir = f"{out_dir}/batch_id={new_token}"
         fs.makedirs(base_dir)
@@ -932,6 +937,7 @@ def retract_from_output(
         survivors.coalesce(n_out).write.mode("append").parquet(
             fs.spark_path(base_dir)
         )
+        fs.put(os.path.join(base_dir, RETRACT_COMMITTED), "")
     # sources removed only after the survivors' base is complete; a
     # victims-only fold (no survivors) writes no base — removal itself is
     # the committed state, and a partial removal re-probes as touched
@@ -948,21 +954,28 @@ def retract_from_output(
 #: underscore-prefixed, so Spark's parquet reader ignores it as metadata
 RETRACT_MARKER = "_RETRACT_SOURCES"
 
+#: the fold's own commit sentinel, written by fs.put AFTER the survivors'
+#: parquet write returns — deliberately not Spark's ``_SUCCESS``, which a
+#: deployment can disable (marksuccessfuljobs=false) and whose absence
+#: would then misclassify every committed fold as mid-write garbage
+RETRACT_COMMITTED = "_RETRACT_COMMITTED"
+
 
 def _sweep_retraction_folds(out_dir: str, fs) -> None:
     """Finish or discard :func:`retract_from_output` folds that died
     mid-run. A negative-token base carrying :data:`RETRACT_MARKER`:
 
-    - WITH ``_SUCCESS``: a committed fold whose source removal was
-      interrupted — remove any listed source FILES still on disk (their
-      surviving rows already live in this base; their victim rows were
-      the retraction's target), then drop batch dirs the removal emptied.
-      Entries are exact part-file paths: a replayed micro-batch that
-      reused a directory name wrote differently-named files, so its rows
-      are untouchable by the sweep.
-    - WITHOUT ``_SUCCESS``: died mid-write. The marker precedes the data
-      and removal only starts after ``_SUCCESS``, so every listed source
-      is still intact — the partial base is pure garbage; discard it.
+    - WITH :data:`RETRACT_COMMITTED`: a committed fold whose source
+      removal was interrupted — remove any listed source FILES still on
+      disk (their surviving rows already live in this base; their victim
+      rows were the retraction's target), then drop batch dirs the
+      removal emptied. Entries are exact part-file paths: a replayed
+      micro-batch that reused a directory name wrote differently-named
+      files, so its rows are untouchable by the sweep.
+    - WITHOUT it: died mid-write. The marker precedes the data, the
+      sentinel follows the write, and removal only starts after the
+      sentinel, so every listed source is still intact — the partial
+      base is pure garbage; discard it.
 
     Identity-free by construction: recovery reasons about source FILES,
     never row ids, so outputs holding legitimate duplicate ids are never
@@ -979,7 +992,7 @@ def _sweep_retraction_folds(out_dir: str, fs) -> None:
         marker = os.path.join(full, RETRACT_MARKER)
         if not fs.exists(marker):
             continue
-        if fs.exists(os.path.join(full, "_SUCCESS")):
+        if fs.exists(os.path.join(full, RETRACT_COMMITTED)):
             parents: set[str] = set()
             for entry in fs.read(marker).splitlines():
                 src = os.path.join(out_dir, entry)

@@ -14,12 +14,16 @@ request X completed, and what did it touch?" This module is that layer:
   the corpus text BEFORE the output loses it is already handled inside
   retract_from_state; the order here is for deterministic resumes).
 - The audit record is a single JSON object per request, addressed by the
-  request id (md5 of the sorted ids), updated after EVERY artifact
-  completes: a crash mid-request leaves a partial record whose re-run
-  SKIPS the artifacts already recorded and finishes the rest — per-artifact
-  removal counts are from the run that completed that artifact, never
-  double-counted, and re-running a completed request is a no-op that
-  returns the recorded result.
+  request id (md5 of the sorted-id JSON array), updated after EVERY
+  artifact completes: a crash mid-request leaves a partial record whose
+  re-run SKIPS the artifacts already recorded and finishes the rest.
+  Per-artifact counts are never double-counted; an artifact recorded by a
+  RESUME run carries ``"resumed": true`` because its count is a floor —
+  the prior run may have died between that artifact's (idempotent)
+  deletion and its record, making the re-executed deletion count 0.
+  Re-running a completed request naming the same-or-fewer artifacts is a
+  no-op returning the recorded result; naming an artifact the record
+  doesn't cover runs against exactly that artifact and extends the record.
 - :func:`read_rtbf_log` reads the log directory back as a DataFrame for
   reporting ("all requests completed?" is one filter).
 
@@ -40,10 +44,14 @@ __all__ = ["read_rtbf_log", "request_id", "rtbf_delete"]
 
 
 def request_id(ids: list) -> str:
-    """Deterministic id of a deletion request: md5 over the sorted,
-    comma-joined string forms — stable across runs, engines, and id
-    ordering, so resubmitting the same request resumes its record."""
-    joined = ",".join(str(i) for i in sorted(ids, key=str))
+    """Deterministic id of a deletion request: md5 over the JSON array of
+    the sorted ids — stable across runs, engines, and id ordering, so
+    resubmitting the same request resumes its record. JSON (not
+    comma-joining) keeps distinct requests distinct: ``['a,b']`` vs
+    ``['a', 'b']`` and ``[1, 2]`` vs ``['1', '2']`` would collide under a
+    plain join and a later genuine request would silently no-op against
+    the earlier record."""
+    joined = json.dumps(sorted(ids, key=str), separators=(",", ":"))
     return hashlib.md5(joined.encode("utf-8")).hexdigest()
 
 
@@ -72,7 +80,8 @@ def rtbf_delete(
     rid = request_id(ids)
     fs.makedirs(log_dir)
     rec_path = os.path.join(log_dir, f"{rid}.json")
-    if fs.exists(rec_path):
+    resuming = fs.exists(rec_path)
+    if resuming:
         rec = json.loads(fs.read(rec_path))
     else:
         rec = {
@@ -81,11 +90,30 @@ def rtbf_delete(
             "artifacts": {},
             "completed": False,
         }
-    if rec["completed"]:
+    # "completed" is per ARTIFACT SET, not per id list: resubmitting the
+    # same ids naming an artifact the earlier run didn't touch must run
+    # against that artifact — short-circuiting on the old record would
+    # report success for a deletion that never happened there
+    requested = {
+        name
+        for name, target in (
+            ("state", state_dir), ("output", output_dir), ("index", index_path)
+        )
+        if target is not None
+    }
+    if rec["completed"] and requested <= set(rec["artifacts"]):
         return rec
+    rec["completed"] = False
 
     def _record(name: str, removed) -> None:
-        rec["artifacts"][name] = {"removed": removed}
+        entry: dict = {"removed": removed}
+        if resuming:
+            # a crash may have landed BETWEEN this artifact's deletion and
+            # its record on the prior run; the re-executed (idempotent)
+            # deletion then counts 0, so resumed counts are a floor, not
+            # an exact tally — flag them for the audit reader
+            entry["resumed"] = True
+        rec["artifacts"][name] = entry
         fs.put(rec_path, json.dumps(rec, sort_keys=True))
 
     # fixed order for deterministic resumes; each step skipped if already

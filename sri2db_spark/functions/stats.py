@@ -117,8 +117,8 @@ def exact_corr(
     group_col: str,
     x_col: str,
     y_col: str,
-    x_scale: int = 0,
-    y_scale: int = 0,
+    x_scale: int,
+    y_scale: int,
 ) -> DataFrame:
     """Pearson correlation from exact integer moment sums.
 
@@ -127,9 +127,12 @@ def exact_corr(
     are accumulated exactly (order-independent), and the final formula runs
     once per group in double. One shuffle (map-side combined).
 
-    ``x_scale``/``y_scale`` rescale each input to an integer before the
-    moments: a column with ≤k true decimal places is multiplied by 10^k and
-    rounded, so every operand is an exact integer. Correlation is invariant
+    ``x_scale``/``y_scale`` are REQUIRED — the caller must state each
+    column's true decimal places (k): the column is multiplied by 10^k
+    and ROUNDED, so every operand is an exact integer. An understated
+    scale silently quantizes the data (e.g. values in [0, 1) with scale 0
+    collapse to {0, 1} and the correlation is garbage) — there is no safe
+    default, which is why none is offered. Correlation is invariant
     under positive affine rescaling, so the result is unchanged — but the
     moment arithmetic is now plain integer decimals whose widths sit well
     below every engine's 38-digit cap. The previous DECIMAL(19,4) operands

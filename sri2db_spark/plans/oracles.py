@@ -1739,11 +1739,12 @@ ORACLES: dict[str, str] = {
     # exactly "subset minus retracted" (corpus) and "distinct md5 of the
     # survivors" (hashes — a hash shared with a retracted doc survives)
     # one deletion request across state/output/index with an audit record:
-    # the request id is md5 over the sorted id list ('0,33,9' — string
-    # sort), per-artifact removal counts derive from the base tables
-    # (state records the request size; output/index count matching rows)
+    # the request id is md5 over the JSON array of the sorted ids
+    # ('[0,33,9]' — string sort), per-artifact removal counts derive from
+    # the base tables (state records the request size; output/index count
+    # matching rows)
     "rtbf_audit": """
-        WITH req AS (SELECT md5('0,33,9') AS request_id, 3 AS n_ids)
+        WITH req AS (SELECT md5('[0,33,9]') AS request_id, 3 AS n_ids)
         SELECT request_id, CAST(n_ids AS BIGINT) AS n_ids, TRUE AS completed,
                'index' AS artifact,
                (SELECT COUNT(*) FROM embeddings WHERE vec_id IN (0, 9, 33))

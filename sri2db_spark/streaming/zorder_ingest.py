@@ -71,6 +71,11 @@ def stream_zordered_ingest(
             "the replay high-water mark must publish atomically with the "
             "data (one pointer write)"
         )
+    if max_commit_retries < 1:
+        raise ValueError(
+            "max_commit_retries must be >= 1: the first append IS the "
+            "first try (0 would silently apply no batch at all)"
+        )
     fs = committer.fs
 
     def _applied_hwm() -> int | None:

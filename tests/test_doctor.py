@@ -182,7 +182,9 @@ def test_doctor_zordered_store_with_appends(spark, tmp_path):
     try:
         append_zordered(mk(200, 210), path, ["id", "v"], n_files=1, committer=mc)
         rep_d = D.check_versioned_store(path, committer=mc)
-        assert "re-cluster" in rep_d["info"]["_FILE_STATS.json"]["hint"]
+        hint = rep_d["info"]["_FILE_STATS.json"]["hint"]
+        # the cheap O(overlap) path leads; the full rewrite is the fallback
+        assert "zorder-compact" in hint and "write_zordered" in hint
     finally:
         DD.RECLUSTER_GENERATIONS = orig
 

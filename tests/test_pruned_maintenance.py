@@ -706,6 +706,11 @@ def test_output_retraction_rerun_after_crash_leaves_no_duplicates(spark, tmp_pat
     # in-between state
     assert os.path.exists(f"{out}/batch_id=1")
     assert os.path.exists(f"{out}/batch_id=-1/{P.RETRACT_MARKER}")
+    assert os.path.exists(f"{out}/batch_id=-1/{P.RETRACT_COMMITTED}")
+    # the protocol must not lean on Spark's _SUCCESS (deployments disable
+    # it via marksuccessfuljobs=false): recovery is identical without it
+    if os.path.exists(f"{out}/batch_id=-1/_SUCCESS"):
+        os.remove(f"{out}/batch_id=-1/_SUCCESS")
 
     n = P.retract_from_output(spark, out, [3])  # re-run finishes
     rows = sorted(
@@ -714,14 +719,16 @@ def test_output_retraction_rerun_after_crash_leaves_no_duplicates(spark, tmp_pat
     assert rows == [(1, "one"), (2, "two"), (4, "four")]  # no duplicate 4
     assert not os.path.exists(f"{out}/batch_id=1")
 
-    # (b) crash mid-write: marker present, _SUCCESS missing
+    # (b) crash mid-write: marker present, the fold's own commit sentinel
+    # missing (the sentinel is fs.put by retract_from_output AFTER the
+    # survivors' write — deliberately not Spark's disableable _SUCCESS)
     mk([(5, "five"), (6, "six")]).write.parquet(f"{out}/batch_id=2")
     partial = f"{out}/batch_id=-9"
     os.makedirs(partial)
     with open(f"{partial}/{P.RETRACT_MARKER}", "w") as f:
         f.write("batch_id=2/part-nonexistent.parquet")
     mk([(6, "six")]).coalesce(1).write.mode("append").parquet(partial)
-    os.remove(f"{partial}/_SUCCESS")
+    assert not os.path.exists(f"{partial}/{P.RETRACT_COMMITTED}")
 
     n = P.retract_from_output(spark, out, [5])
     assert n == 1

@@ -134,3 +134,36 @@ def test_rtbf_cli_roundtrip(spark, tmp_path, capsys):
 
     with pytest.raises(ValueError, match="nothing to forget"):
         R.rtbf_delete(spark, [], log, output_dir=out)
+
+
+def test_request_id_encoding_is_unambiguous():
+    """Distinct requests must never collide to one record: a collision
+    means a later genuine deletion silently no-ops against the earlier
+    completed record."""
+    assert R.request_id(["a,b"]) != R.request_id(["a", "b"])
+    assert R.request_id([1, 2]) != R.request_id(["1", "2"])
+    assert R.request_id([0, 9, 33]) == R.request_id([33, 0, 9])
+
+
+def test_rtbf_completed_record_extends_to_new_artifacts(spark, tmp_path):
+    """'completed' is per artifact SET: resubmitting the same ids naming
+    an artifact the first run didn't touch must delete from it (and
+    extend the record), not short-circuit to a false success."""
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+    ids = [0, 9]
+    rec1 = R.rtbf_delete(spark, ids, log, output_dir=out)
+    assert rec1["completed"] and set(rec1["artifacts"]) == {"output"}
+    # index still holds the ids
+    assert {r.id for r in spark.read.parquet(f"{idx}/cells").collect()} >= set(ids)
+
+    rec2 = R.rtbf_delete(spark, ids, log, output_dir=out, index_path=idx)
+    assert rec2["completed"]
+    assert set(rec2["artifacts"]) == {"output", "index"}
+    # the extension actually deleted; output's original count untouched
+    assert not (
+        {r.id for r in spark.read.parquet(f"{idx}/cells").collect()} & set(ids)
+    )
+    assert rec2["artifacts"]["output"] == rec1["artifacts"]["output"]
+    # counts recorded by the extension run are flagged as resume-floor
+    assert rec2["artifacts"]["index"].get("resumed") is True
+    assert rec2["artifacts"]["index"]["removed"] == 2

@@ -145,3 +145,75 @@ def test_compaction_preserves_stream_mark(spark, tmp_path):
         ).count()
         == 300
     )
+
+
+def test_every_writer_carries_the_stream_mark(spark, tmp_path):
+    """Not just compaction: a plain batch append_zordered (no markers) and
+    a full write_zordered re-cluster must carry _STREAM_* sidecars into
+    their new versions — a version without the mark would make the next
+    checkpoint-reset replay double-apply every batch."""
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.functions.layout import append_zordered, write_zordered
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_feed(feed, "b0.json", _rows(0, 100), 1_000)
+    table = str(tmp_path / "zt")
+    mc = ManifestCommitter()
+    stream = spark.readStream.schema(SCHEMA).json(str(feed))
+    q = stream_zordered_ingest(
+        stream, table, ["event_id", "ts_ms"], str(tmp_path / "ck"), mc,
+    )
+    q.awaitTermination(120)
+    assert open(os.path.join(mc.resolve(table), STREAM_HWM)).read() == "0"
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("event_id"),
+        (F.col("id") % 50).alias("user_id"),
+        (F.lit(1_700_000_000_000) + F.col("id")).alias("ts_ms"),
+    ).select("event_id", "ts_ms")
+
+    # batch append without markers: mark carried
+    append_zordered(
+        mk(1000, 1100), table, ["event_id", "ts_ms"], 1, committer=mc
+    )
+    assert open(os.path.join(mc.resolve(table), STREAM_HWM)).read() == "0"
+
+    # full re-cluster: mark carried
+    allrows = read_skipping(
+        spark, table, {"event_id": (None, None)}, committer=mc
+    ).localCheckpoint()
+    write_zordered(allrows, table, ["event_id", "ts_ms"], 2, committer=mc)
+    assert open(os.path.join(mc.resolve(table), STREAM_HWM)).read() == "0"
+
+    # a fresh-checkpoint replay after both writers still skips batch 0
+    stream2 = spark.readStream.schema(SCHEMA).json(str(feed))
+    q2 = stream_zordered_ingest(
+        stream2, table, ["event_id", "ts_ms"], str(tmp_path / "ck2"), mc,
+    )
+    q2.awaitTermination(120)
+    assert (
+        read_skipping(
+            spark, table, {"event_id": (None, None)}, committer=mc
+        ).count()
+        == 200
+    )
+
+
+def test_ingest_rejects_zero_retries(spark, tmp_path):
+    import pytest
+
+    from sri2db_spark.sinks.committer import RenameCommitter
+
+    stream = spark.readStream.schema(SCHEMA).json(str(tmp_path))
+    with pytest.raises(ValueError, match="max_commit_retries"):
+        stream_zordered_ingest(
+            stream, str(tmp_path / "t"), ["event_id"], str(tmp_path / "c"),
+            ManifestCommitter(), max_commit_retries=0,
+        )
+    with pytest.raises(ValueError, match="ManifestCommitter"):
+        stream_zordered_ingest(
+            stream, str(tmp_path / "t"), ["event_id"], str(tmp_path / "c"),
+            RenameCommitter(),
+        )
