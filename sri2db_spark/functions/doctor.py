@@ -389,6 +389,7 @@ def check_batch_output(out_dir: str, fs=None) -> dict:
         return report
     names = fs.listdir(out_dir)
     batches, bases, flats = 0, 0, 0
+    pending_sweeps, crashed_folds = 0, 0
     for n in names:
         full = os.path.join(out_dir, n)
         if fs.isdir(full):
@@ -398,7 +399,11 @@ def check_batch_output(out_dir: str, fs=None) -> dict:
                     "partition discovery)"
                 )
                 continue
-            from .pipeline import _batch_token  # noqa: PLC0415
+            from .pipeline import (  # noqa: PLC0415
+                RETRACT_COMMITTED,
+                RETRACT_MARKER,
+                _batch_token,
+            )
 
             token = _batch_token(n)
             if token is None:
@@ -406,6 +411,19 @@ def check_batch_output(out_dir: str, fs=None) -> dict:
                 continue
             if token < 0:
                 bases += 1
+                # a retraction fold's recovery state (benign: the next
+                # retract_from_output sweeps it; reported so an operator
+                # knows victims/duplicates are still transiently visible)
+                marker = os.path.join(full, RETRACT_MARKER)
+                if fs.exists(marker):
+                    if not fs.exists(os.path.join(full, RETRACT_COMMITTED)):
+                        crashed_folds += 1
+                    elif any(
+                        fs.exists(os.path.join(out_dir, e))
+                        for e in fs.read(marker).splitlines()
+                        if e
+                    ):
+                        pending_sweeps += 1
             else:
                 batches += 1
         elif n.endswith(".parquet"):
@@ -413,9 +431,23 @@ def check_batch_output(out_dir: str, fs=None) -> dict:
     info.update(
         {"live_batches": batches, "compacted_bases": bases, "legacy_flats": flats}
     )
+    hints = []
     if flats:
-        info["hint"] = (
-            "legacy flat files fold into a base via output-compact"
+        hints.append("legacy flat files fold into a base via output-compact")
+    if crashed_folds:
+        info["crashed_retraction_folds"] = crashed_folds
+        hints.append(
+            "a retraction died mid-write (its victims are still visible); "
+            "re-run output-retract to discard the partial base and finish"
         )
+    if pending_sweeps:
+        info["pending_retraction_sweeps"] = pending_sweeps
+        hints.append(
+            "a committed retraction's source removal was interrupted "
+            "(victims + survivor duplicates transiently visible); re-run "
+            "output-retract to finish the sweep"
+        )
+    if hints:
+        info["hint"] = "; ".join(hints)
     report["healthy"] = not issues
     return report

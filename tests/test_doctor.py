@@ -130,6 +130,47 @@ def test_doctor_output_dir(spark, tmp_path, capsys):
     assert any("unexpected subdirectory" in i for i in rep2["issues"])
 
 
+def test_doctor_reports_retraction_recovery_states(spark, tmp_path):
+    """The two crash windows of retract_from_output's two-phase fold are
+    benign-but-visible states (victims/duplicates transiently readable);
+    the doctor must surface both as info + a re-run hint, never as
+    corruption."""
+    from sri2db_spark.functions import pipeline as P
+
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    mk([(1, "a"), (2, "b")]).write.parquet(f"{out}/batch_id=0")
+
+    # committed fold whose source removal was interrupted: marker +
+    # sentinel present, a listed source file still on disk
+    committed = f"{out}/batch_id=-1"
+    src_file = next(
+        f for f in os.listdir(f"{out}/batch_id=0") if f.endswith(".parquet")
+    )
+    mk([(2, "b")]).coalesce(1).write.parquet(committed)
+    with open(f"{committed}/{P.RETRACT_MARKER}", "w") as f:
+        f.write(f"batch_id=0/{src_file}")
+    open(f"{committed}/{P.RETRACT_COMMITTED}", "w").close()
+
+    # mid-write partial: marker without sentinel
+    crashed = f"{out}/batch_id=-2"
+    os.makedirs(crashed)
+    with open(f"{crashed}/{P.RETRACT_MARKER}", "w") as f:
+        f.write("batch_id=0/part-nonexistent.parquet")
+
+    rep = D.check_batch_output(out)
+    assert rep["healthy"], rep["issues"]  # recoverable, not corruption
+    assert rep["info"]["pending_retraction_sweeps"] == 1
+    assert rep["info"]["crashed_retraction_folds"] == 1
+    assert "output-retract" in rep["info"]["hint"]
+
+    # the next retraction run actually clears both states
+    P.retract_from_output(spark, out, [10**9])
+    rep2 = D.check_batch_output(out)
+    assert "pending_retraction_sweeps" not in rep2["info"]
+    assert "crashed_retraction_folds" not in rep2["info"]
+
+
 def test_doctor_zordered_store_with_appends(spark, tmp_path):
     """The zordered flavor (bare-basename stats + carried generations)
     checks healthy after an append and flags a removed generation."""
