@@ -720,6 +720,14 @@ def compact_batch_output(
     fs = fs or LocalFS()
     if not fs.isdir(out_dir):
         return (0, 0)
+    # finish/discard interrupted retraction folds BEFORE planning the
+    # fold: a committed retraction whose source removal was interrupted
+    # still has its sources on disk, and folding them together with the
+    # survivors' base would RESURRECT the retracted victims permanently
+    # (and duplicate the survivors); a mid-write partial base would fold
+    # its fragment rows in as duplicates. The sweep is the same one every
+    # retraction run performs.
+    _sweep_retraction_folds(out_dir, fs)
 
     _parquet_under = fs.walk_files
 

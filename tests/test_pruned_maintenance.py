@@ -817,3 +817,50 @@ def test_output_retraction_matches_model(spark, tmp_path, layout, retract):
         for i, c in after_c.items():
             assert c <= before_c[i], (i, c, before_c[i])
     _sh.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_never_resurrects_retracted_victims(spark, tmp_path):
+    """compact_batch_output must sweep interrupted retraction folds before
+    planning: a committed retraction whose source removal was interrupted
+    still has victim rows in the old sources, and folding those together
+    with the survivors' base would bring the retracted documents BACK into
+    the published output — a permanent RTBF violation."""
+    from sri2db_spark.sinks.fs import LocalFS
+
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    mk([(1, "one"), (2, "two")]).write.parquet(f"{out}/batch_id=0")
+    mk([(3, "victim"), (4, "four")]).write.parquet(f"{out}/batch_id=1")
+
+    # retraction of id 3 commits its fold but dies before source removal
+    class _DiesBeforeRemoval(LocalFS):
+        def rmtree(self, path):
+            raise RuntimeError("crash injected before source removal")
+
+    with pytest.raises(RuntimeError, match="crash injected"):
+        P.retract_from_output(spark, out, [3], fs=_DiesBeforeRemoval())
+    assert os.path.exists(f"{out}/batch_id=1")  # victim still on disk
+
+    # compaction (keys=None — verbatim fold) must NOT fold the stale
+    # sources back in
+    P.compact_batch_output(spark, out)
+    rows = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, "one"), (2, "two"), (4, "four")]  # 3 never returns
+
+    # mid-write partial base: its fragment rows must not fold in either
+    mk([(5, "five"), (6, "six")]).write.parquet(f"{out}/batch_id=7")
+    partial = f"{out}/batch_id=-9"
+    os.makedirs(partial)
+    with open(f"{partial}/{P.RETRACT_MARKER}", "w") as f:
+        f.write("batch_id=7/part-nonexistent.parquet")
+    mk([(6, "six")]).coalesce(1).write.mode("append").parquet(partial)
+
+    P.compact_batch_output(spark, out)
+    rows = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (1, "one"), (2, "two"), (4, "four"), (5, "five"), (6, "six")
+    ]  # no duplicate 6 from the discarded fragment
