@@ -45,6 +45,7 @@ def stream_zordered_ingest(
     bits: int = 16,
     trigger_available_now: bool = True,
     max_commit_retries: int = 5,
+    stream_id: str | None = None,
 ):
     """Start a stream writing ``stream``'s micro-batches into the
     Z-ordered table at ``path`` (see module docstring for the
@@ -52,6 +53,15 @@ def stream_zordered_ingest(
     ManifestCommitter — the high-water mark rides the atomic pointer
     write. ``n_files`` is per-batch; size it so batch files match the
     base generation's (the doctor's ``files_per_point`` flags drift).
+
+    ``stream_id`` namespaces the high-water mark
+    (``_STREAM_BATCH.<id>``): REQUIRED when more than one stream feeds
+    the same table — their foreachBatch ids are independent counters, so
+    sharing one mark would make stream A's batch N look already-applied
+    to stream B and silently drop B's data. The CAS append already
+    serializes concurrent writers; distinct marks make their replay
+    bookkeeping independent too (every writer carries all ``_STREAM_*``
+    sidecars forward).
 
     A ``CommitConflict`` mid-append (a concurrent ``zorder-compact``
     landed first) re-resolves and retries on the new basis up to
@@ -77,12 +87,13 @@ def stream_zordered_ingest(
             "first try (0 would silently apply no batch at all)"
         )
     fs = committer.fs
+    mark_name = STREAM_HWM if stream_id is None else f"{STREAM_HWM}.{stream_id}"
 
     def _applied_hwm() -> int | None:
         base = committer.resolve(path)
         if base is None:
             return None
-        mark = os.path.join(base, STREAM_HWM)
+        mark = os.path.join(base, mark_name)
         if not fs.exists(mark):
             return None
         return int(fs.read(mark).strip())
@@ -101,7 +112,7 @@ def stream_zordered_ingest(
                     n_files,
                     bits=bits,
                     committer=committer,
-                    markers={STREAM_HWM: str(batch_id)},
+                    markers={mark_name: str(batch_id)},
                 )
                 return
             except CommitConflict as e:  # a compaction won the CAS

@@ -217,3 +217,47 @@ def test_ingest_rejects_zero_retries(spark, tmp_path):
             stream, str(tmp_path / "t"), ["event_id"], str(tmp_path / "c"),
             RenameCommitter(),
         )
+
+
+def test_two_streams_one_table_with_distinct_stream_ids(spark, tmp_path):
+    """Two independent streams feeding one table must keep independent
+    replay marks (stream_id namespaces _STREAM_BATCH.<id>): both streams'
+    data lands, both marks survive each other's commits, and a fresh-
+    checkpoint replay of EITHER stream skips its own batches only."""
+    feed_a, feed_b = tmp_path / "fa", tmp_path / "fb"
+    feed_a.mkdir()
+    feed_b.mkdir()
+    _write_feed(feed_a, "a0.json", _rows(0, 100), 1_000)
+    _write_feed(feed_b, "b0.json", _rows(1000, 1100), 1_000)
+    table = str(tmp_path / "zt")
+    mc = ManifestCommitter()
+
+    def run(feed, ckpt, sid):
+        stream = spark.readStream.schema(SCHEMA).json(str(feed))
+        q = stream_zordered_ingest(
+            stream, table, ["event_id", "ts_ms"], str(tmp_path / ckpt), mc,
+            stream_id=sid,
+        )
+        q.awaitTermination(120)
+
+    run(feed_a, "cka", "a")
+    run(feed_b, "ckb", "b")
+    base = mc.resolve(table)
+    assert open(os.path.join(base, f"{STREAM_HWM}.a")).read() == "0"
+    assert open(os.path.join(base, f"{STREAM_HWM}.b")).read() == "0"
+    assert (
+        read_skipping(
+            spark, table, {"event_id": (None, None)}, committer=mc
+        ).count()
+        == 200
+    )
+
+    # fresh-checkpoint replays: each stream skips only its own batch 0
+    run(feed_a, "cka2", "a")
+    run(feed_b, "ckb2", "b")
+    assert (
+        read_skipping(
+            spark, table, {"event_id": (None, None)}, committer=mc
+        ).count()
+        == 200
+    )
