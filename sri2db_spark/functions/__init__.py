@@ -4,6 +4,7 @@ from . import (
     layout,
     multimodal,
     pipeline,
+    rtbf,
     similarity,
     statestore,
     stats,
@@ -16,6 +17,7 @@ __all__ = [
     "layout",
     "multimodal",
     "pipeline",
+    "rtbf",
     "similarity",
     "statestore",
     "stats",

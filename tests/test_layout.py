@@ -714,3 +714,27 @@ def test_compact_zordered_concurrent_append_is_cas_conflict(spark, tmp_path):
         read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
         == 350
     )
+
+
+def test_zorder_compact_cli(spark, tmp_path, capsys):
+    from sri2db_spark import cli
+    from sri2db_spark.functions.layout import append_zordered, write_zordered
+    from sri2db_spark.sinks.committer import ManifestCommitter
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "zcli")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 7).cast("bigint").alias("v"),
+    )
+    write_zordered(mk(0, 50), path, ["id", "v"], n_files=1, committer=mc)
+    append_zordered(mk(0, 50), path, ["id", "v"], n_files=1, committer=mc)
+    append_zordered(mk(0, 50), path, ["id", "v"], n_files=1, committer=mc)
+
+    assert cli.main(["zorder-compact", "--table", path]) == 0
+    out = capsys.readouterr().out
+    assert "zorder-compact ok: 3 generations" in out
+
+    assert cli.main(["zorder-compact", "--table", path]) == 0
+    out = capsys.readouterr().out
+    assert "nothing to do" in out
