@@ -485,7 +485,7 @@ def doctor_main(argv: list[str]) -> int:
     """Read-only health check of an on-disk structure:
 
     doctor --state DIR | --lake DIR | --output DIR | --store DIR |
-           --index DIR   [--committer rename|manifest]
+           --index DIR | --rtbf-log DIR   [--committer rename|manifest]
 
     Prints one JSON report; exit 0 when healthy, 4 when invariant
     violations were found (never repairs — each issue names the
@@ -499,6 +499,7 @@ def doctor_main(argv: list[str]) -> int:
     g.add_argument("--output", help="batch_id=* output dir")
     g.add_argument("--store", help="one versioned store dir")
     g.add_argument("--index", help="saved ANN index dir")
+    g.add_argument("--rtbf-log", dest="rtbf_log", help="rtbf audit log dir")
     p.add_argument(
         "--committer", default="manifest", choices=["rename", "manifest"]
     )
@@ -512,6 +513,8 @@ def doctor_main(argv: list[str]) -> int:
         rep = D.check_batch_output(args.output, fs=mc.fs)
     elif args.index:
         rep = D.check_ann_index(args.index, fs=mc.fs)
+    elif args.rtbf_log:
+        rep = D.check_rtbf_log(args.rtbf_log, fs=mc.fs)
     else:
         rep = D.check_versioned_store(args.store, committer=mc)
     print(json.dumps(rep, indent=2, sort_keys=True))

@@ -372,6 +372,57 @@ def check_ann_index(path: str, fs=None) -> dict:
     return report
 
 
+def check_rtbf_log(log_dir: str, fs=None) -> dict:
+    """Doctor the right-to-be-forgotten audit log
+    (:func:`~.rtbf.rtbf_delete`): every record must parse and carry the
+    request fields; an INCOMPLETE request (a crashed run that never
+    resumed) is the one state a compliance review must not miss — it
+    means some artifacts may still hold the documents. Incomplete
+    requests are issues (the log's whole purpose is proving completion);
+    resumed-count floors are info."""
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    fs = fs or LocalFS()
+    issues: list[str] = []
+    info: dict = {}
+    report = {"path": log_dir, "kind": "rtbf_log", "issues": issues, "info": info}
+    if not fs.isdir(log_dir):
+        issues.append("log dir does not exist")
+        report["healthy"] = False
+        return report
+    total, incomplete, resumed = 0, [], 0
+    for name in sorted(fs.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        total += 1
+        try:
+            rec = json.loads(fs.read(os.path.join(log_dir, name)))
+        except ValueError:
+            issues.append(f"record {name} is not valid JSON")
+            continue
+        missing = {"request_id", "n_ids", "artifacts", "completed"} - set(rec)
+        if missing:
+            issues.append(f"record {name} lacks fields {sorted(missing)}")
+            continue
+        if not rec["completed"]:
+            incomplete.append(rec["request_id"])
+        resumed += sum(
+            1 for a in rec["artifacts"].values() if a.get("resumed")
+        )
+    info["requests"] = total
+    if resumed:
+        info["resumed_artifact_counts"] = resumed
+    if incomplete:
+        info["incomplete_requests"] = incomplete
+        issues.append(
+            f"{len(incomplete)} request(s) never completed — some "
+            "artifacts may still hold the documents; re-run rtbf with the "
+            "same ids to resume"
+        )
+    report["healthy"] = not issues
+    return report
+
+
 def check_batch_output(out_dir: str, fs=None) -> dict:
     """Doctor a batch-id-addressed output dir: every subdirectory must be
     a parseable ``batch_id=N``; flats and the negative-token bases are

@@ -167,3 +167,45 @@ def test_rtbf_completed_record_extends_to_new_artifacts(spark, tmp_path):
     # counts recorded by the extension run are flagged as resume-floor
     assert rec2["artifacts"]["index"].get("resumed") is True
     assert rec2["artifacts"]["index"]["removed"] == 2
+
+
+def test_doctor_rtbf_log(spark, tmp_path, capsys):
+    """doctor --rtbf-log: complete logs are healthy; an incomplete request
+    (crashed, never resumed) is an ISSUE — exactly the state a compliance
+    review must not miss; resumed-count floors are info."""
+    from sri2db_spark import cli
+    from sri2db_spark.functions import doctor as D
+
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+    R.rtbf_delete(spark, [0, 9], log, output_dir=out)
+    rep = D.check_rtbf_log(log)
+    assert rep["healthy"] and rep["info"]["requests"] == 1
+    assert cli.main(["doctor", "--rtbf-log", log]) == 0
+    capsys.readouterr()
+
+    # crash a second request after its first artifact
+    orig = P.retract_from_output
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash")
+
+    import sri2db_spark.functions.similarity as S_
+
+    orig_idx = S_.ann_index_delete
+    S_.ann_index_delete = boom
+    try:
+        with pytest.raises(RuntimeError):
+            R.rtbf_delete(spark, [33], log, output_dir=out, index_path=idx)
+    finally:
+        S_.ann_index_delete = orig_idx
+    rep2 = D.check_rtbf_log(log)
+    assert not rep2["healthy"]
+    assert rep2["info"]["incomplete_requests"] == [R.request_id([33])]
+    assert cli.main(["doctor", "--rtbf-log", log]) == 4
+    capsys.readouterr()
+
+    # resuming clears it (and flags the resumed floor as info)
+    R.rtbf_delete(spark, [33], log, output_dir=out, index_path=idx)
+    rep3 = D.check_rtbf_log(log)
+    assert rep3["healthy"]
+    assert rep3["info"]["resumed_artifact_counts"] >= 1
