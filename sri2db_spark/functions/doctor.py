@@ -400,14 +400,25 @@ def check_rtbf_log(log_dir: str, fs=None) -> dict:
         except ValueError:
             issues.append(f"record {name} is not valid JSON")
             continue
+        # shape violations are ISSUES, never crashes: a diagnostic tool
+        # for damaged logs must report the damage (a record of 'null' or
+        # with artifacts=null is valid JSON but not a request record)
+        if not isinstance(rec, dict):
+            issues.append(f"record {name} is not a JSON object")
+            continue
         missing = {"request_id", "n_ids", "artifacts", "completed"} - set(rec)
         if missing:
             issues.append(f"record {name} lacks fields {sorted(missing)}")
             continue
+        if not isinstance(rec["artifacts"], dict):
+            issues.append(f"record {name} has a non-object artifacts field")
+            continue
         if not rec["completed"]:
             incomplete.append(rec["request_id"])
         resumed += sum(
-            1 for a in rec["artifacts"].values() if a.get("resumed")
+            1
+            for a in rec["artifacts"].values()
+            if isinstance(a, dict) and a.get("resumed")
         )
     info["requests"] = total
     if resumed:

@@ -720,14 +720,18 @@ def compact_batch_output(
     fs = fs or LocalFS()
     if not fs.isdir(out_dir):
         return (0, 0)
-    # finish/discard interrupted retraction folds BEFORE planning the
-    # fold: a committed retraction whose source removal was interrupted
-    # still has its sources on disk, and folding them together with the
-    # survivors' base would RESURRECT the retracted victims permanently
-    # (and duplicate the survivors); a mid-write partial base would fold
-    # its fragment rows in as duplicates. The sweep is the same one every
-    # retraction run performs.
-    _sweep_retraction_folds(out_dir, fs)
+    # finish interrupted retraction folds BEFORE planning the fold: a
+    # committed retraction whose source removal was interrupted still has
+    # its sources on disk, and folding them together with the survivors'
+    # base would RESURRECT the retracted victims permanently (and
+    # duplicate the survivors). Marker-without-sentinel bases are NOT
+    # discarded here — from this (possibly scheduled, possibly concurrent
+    # with a live retraction) path they are indistinguishable from a fold
+    # currently mid-write, so they are excluded from the fold instead:
+    # always safe, and the next retraction run discards true corpses.
+    _retraction_partials = set(
+        _sweep_retraction_folds(out_dir, fs, discard_partial=False)
+    )
 
     _parquet_under = fs.walk_files
 
@@ -755,6 +759,7 @@ def compact_batch_output(
         name
         for name, _ in batch_dirs
         if name not in preserve
+        and name not in _retraction_partials
         and _numeric(name) is not None
         and not (incremental and _numeric(name) < 0)
     ]
@@ -969,7 +974,9 @@ RETRACT_MARKER = "_RETRACT_SOURCES"
 RETRACT_COMMITTED = "_RETRACT_COMMITTED"
 
 
-def _sweep_retraction_folds(out_dir: str, fs) -> None:
+def _sweep_retraction_folds(
+    out_dir: str, fs, discard_partial: bool = True
+) -> list[str]:
     """Finish or discard :func:`retract_from_output` folds that died
     mid-run. A negative-token base carrying :data:`RETRACT_MARKER`:
 
@@ -979,17 +986,31 @@ def _sweep_retraction_folds(out_dir: str, fs) -> None:
       rows were the retraction's target), then drop batch dirs the
       removal emptied. Entries are exact part-file paths: a replayed
       micro-batch that reused a directory name wrote differently-named
-      files, so its rows are untouchable by the sweep.
-    - WITHOUT it: died mid-write. The marker precedes the data, the
-      sentinel follows the write, and removal only starts after the
-      sentinel, so every listed source is still intact — the partial
-      base is pure garbage; discard it.
+      files, so its rows are untouchable by the sweep. Once every listed
+      entry is confirmed gone the marker (and sentinel) are removed —
+      otherwise every later maintenance tick re-probes the historical
+      entry list with per-entry existence calls forever. Removal races
+      with a concurrent finisher are tolerated (both remove the same
+      stale files; already-gone is success).
+    - WITHOUT it: died mid-write — the marker precedes the data, the
+      sentinel follows it, and removal only starts after the sentinel,
+      so every listed source is still intact and the partial base is
+      pure garbage. Discarded only when ``discard_partial`` (the
+      retraction path, operationally serialized per request):
+      marker-without-sentinel is indistinguishable from a retraction
+      CURRENTLY mid-write, so the scheduled-compaction path passes
+      ``discard_partial=False`` and instead receives these base names
+      back to EXCLUDE from its fold (deleting a live fold's dir would
+      lose its survivors; excluding it is always safe).
 
     Identity-free by construction: recovery reasons about source FILES,
     never row ids, so outputs holding legitimate duplicate ids are never
-    deduplicated as a retraction side effect."""
+    deduplicated as a retraction side effect. Returns the
+    marker-without-sentinel base names still on disk (empty when
+    ``discard_partial``)."""
     import os  # noqa: PLC0415
 
+    partial: list[str] = []
     for n in fs.listdir(out_dir):
         full = os.path.join(out_dir, n)
         if not (n.startswith("batch_id=") and fs.isdir(full)):
@@ -1002,18 +1023,39 @@ def _sweep_retraction_folds(out_dir: str, fs) -> None:
             continue
         if fs.exists(os.path.join(full, RETRACT_COMMITTED)):
             parents: set[str] = set()
-            for entry in fs.read(marker).splitlines():
+            entries = [e for e in fs.read(marker).splitlines() if e]
+            for entry in entries:
                 src = os.path.join(out_dir, entry)
                 if fs.exists(src) and not fs.isdir(src):
-                    fs.remove(src)
+                    try:
+                        fs.remove(src)
+                    except FileNotFoundError:
+                        pass  # a concurrent finisher won; same outcome
                 head = entry.split("/", 1)[0]
                 if head.startswith("batch_id=") and head != n:
                     parents.add(os.path.join(out_dir, head))
             for p in parents:
                 if fs.isdir(p) and not fs.walk_files(p):
                     fs.rmtree(p)
-        else:
+            if not any(
+                fs.exists(os.path.join(out_dir, e)) for e in entries
+            ):
+                # fully swept: retire the marker so later ticks stop
+                # re-probing the historical entry list. MARKER FIRST —
+                # dropping the sentinel first would leave a
+                # marker-without-sentinel window a concurrent/next run
+                # classifies as a mid-write partial and DISCARDS (data
+                # loss); a markerless orphan sentinel is inert
+                try:
+                    fs.remove(marker)
+                    fs.remove(os.path.join(full, RETRACT_COMMITTED))
+                except FileNotFoundError:
+                    pass
+        elif discard_partial:
             fs.rmtree(full)
+        else:
+            partial.append(n)
+    return partial
 
 
 def _write_folded_marker(fs, version_dir: str, folded: list[str]) -> None:

@@ -104,6 +104,11 @@ def rtbf_delete(
     if rec["completed"] and requested <= set(rec["artifacts"]):
         return rec
     rec["completed"] = False
+    # persist BEFORE the first artifact runs: a crash inside the first
+    # deletion must leave a completed=false record on disk, or
+    # doctor --rtbf-log would report a log with no trace of the request —
+    # the exact never-resumed state it exists to surface
+    fs.put(rec_path, json.dumps(rec, sort_keys=True))
 
     def _record(name: str, removed) -> None:
         entry: dict = {"removed": removed}

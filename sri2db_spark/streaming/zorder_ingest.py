@@ -61,7 +61,12 @@ def stream_zordered_ingest(
     to stream B and silently drop B's data. The CAS append already
     serializes concurrent writers; distinct marks make their replay
     bookkeeping independent too (every writer carries all ``_STREAM_*``
-    sidecars forward).
+    sidecars forward). Migration: when the suffixed mark is absent but
+    the legacy unsuffixed ``_STREAM_BATCH`` exists, it is read as this
+    stream's mark — the single-stream-gains-an-id path stays
+    exactly-once across the rename; running marked and UNmarked streams
+    against one table simultaneously is unsupported (the unmarked one
+    would read the stale legacy mark and skip live batches).
 
     A ``CommitConflict`` mid-append (a concurrent ``zorder-compact``
     landed first) re-resolves and retries on the new basis up to
@@ -86,6 +91,16 @@ def stream_zordered_ingest(
             "max_commit_retries must be >= 1: the first append IS the "
             "first try (0 would silently apply no batch at all)"
         )
+    if stream_id is not None and (
+        not stream_id or not all(c.isalnum() or c in "._-" for c in stream_id)
+    ):
+        # a '/' would nest the sidecar under a subpath that listdir-based
+        # sidecar carry never sees — the mark silently vanishes at the
+        # next commit and replay duplicates; reject loudly instead
+        raise ValueError(
+            f"stream_id {stream_id!r} must be non-empty [A-Za-z0-9._-]: the "
+            "mark is a top-level sidecar file name in the version dir"
+        )
     fs = committer.fs
     mark_name = STREAM_HWM if stream_id is None else f"{STREAM_HWM}.{stream_id}"
 
@@ -93,10 +108,24 @@ def stream_zordered_ingest(
         base = committer.resolve(path)
         if base is None:
             return None
-        mark = os.path.join(base, mark_name)
-        if not fs.exists(mark):
-            return None
-        return int(fs.read(mark).strip())
+        for name in (mark_name, STREAM_HWM):  # suffixed, then legacy
+            mark = os.path.join(base, name)
+            if fs.exists(mark):
+                return int(fs.read(mark).strip())
+        return None
+
+    def _markers(batch_id: int) -> dict[str, str]:
+        out = {mark_name: str(batch_id)}
+        if stream_id is not None:
+            # tombstone the legacy unsuffixed mark ("-1" never skips a
+            # batch): once any suffixed stream has committed, a LATER
+            # suffixed stream's legacy fallback must not mistake the
+            # migrated stream's old mark for its own and skip its first
+            # batches. (Migrating two new stream_ids onto a legacy table
+            # SIMULTANEOUSLY is unsupported — the second may read the
+            # first's pre-migration mark; migrate one, then add others.)
+            out[STREAM_HWM] = "-1"
+        return out
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         hwm = _applied_hwm()
@@ -112,7 +141,7 @@ def stream_zordered_ingest(
                     n_files,
                     bits=bits,
                     committer=committer,
-                    markers={mark_name: str(batch_id)},
+                    markers=_markers(batch_id),
                 )
                 return
             except CommitConflict as e:  # a compaction won the CAS

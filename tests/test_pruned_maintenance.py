@@ -644,10 +644,25 @@ def test_output_retraction_rewrites_only_touched_batches(spark, tmp_path):
         if top in ("batch_id=0", "batch_id=2"):
             assert after[rel] == sig, rel
 
-    # no-op retraction: 0 removed, nothing touched at all
+    # no-op retraction: 0 removed; the only disk change allowed is the
+    # sweep retiring the PRIOR fold's fully-swept marker+sentinel (so
+    # later maintenance ticks stop re-probing its entry list) — data
+    # files are untouched
     c2 = _census(out)
     assert P.retract_from_output(spark, out, [10**9]) == 0
-    assert _census(out) == c2
+    c3 = _census(out)
+    retired = {
+        rel
+        for rel in set(c2) - set(c3)
+        if rel.endswith((P.RETRACT_MARKER, P.RETRACT_COMMITTED))
+    }
+    assert set(c2) - set(c3) == retired
+    assert {k: v for k, v in c3.items()} == {
+        k: v for k, v in c2.items() if k not in retired
+    }
+    c2 = c3
+    assert P.retract_from_output(spark, out, [10**9]) == 0
+    assert _census(out) == c2  # second no-op: truly nothing
 
     # retracting every remaining row leaves a readable-but-empty layout
     assert P.retract_from_output(spark, out, [1, 2, 4, 5, 6]) == 5
@@ -849,7 +864,11 @@ def test_compaction_never_resurrects_retracted_victims(spark, tmp_path):
     )
     assert rows == [(1, "one"), (2, "two"), (4, "four")]  # 3 never returns
 
-    # mid-write partial base: its fragment rows must not fold in either
+    # mid-write partial base (marker without the commit sentinel): from
+    # the compaction path this is indistinguishable from a retraction
+    # CURRENTLY mid-fold, so compaction must neither fold its fragment
+    # rows in nor delete it — it is EXCLUDED and left for the next
+    # retraction run (which may safely discard a true corpse)
     mk([(5, "five"), (6, "six")]).write.parquet(f"{out}/batch_id=7")
     partial = f"{out}/batch_id=-9"
     os.makedirs(partial)
@@ -858,9 +877,17 @@ def test_compaction_never_resurrects_retracted_victims(spark, tmp_path):
     mk([(6, "six")]).coalesce(1).write.mode("append").parquet(partial)
 
     P.compact_batch_output(spark, out)
+    assert os.path.isdir(partial)  # excluded, not destroyed (live-fold safe)
+    folded = sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    assert partial.rsplit("/", 1)[-1] in folded
+    # the next retraction run discards the corpse; no duplicate 6 remains
+    P.retract_from_output(spark, out, [10**9])
+    assert not os.path.exists(partial)
     rows = sorted(
         (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
     )
     assert rows == [
         (1, "one"), (2, "two"), (4, "four"), (5, "five"), (6, "six")
-    ]  # no duplicate 6 from the discarded fragment
+    ]

@@ -183,21 +183,19 @@ def test_doctor_rtbf_log(spark, tmp_path, capsys):
     assert cli.main(["doctor", "--rtbf-log", log]) == 0
     capsys.readouterr()
 
-    # crash a second request after its first artifact
-    orig = P.retract_from_output
-
+    # crash a second request inside its FIRST artifact: the record must
+    # already exist on disk (persisted before the artifact loop) or the
+    # doctor would see no trace of the never-resumed request at all
     def boom(*a, **kw):
         raise RuntimeError("crash")
 
-    import sri2db_spark.functions.similarity as S_
-
-    orig_idx = S_.ann_index_delete
-    S_.ann_index_delete = boom
+    orig_out = P.retract_from_output
+    P.retract_from_output = boom
     try:
         with pytest.raises(RuntimeError):
             R.rtbf_delete(spark, [33], log, output_dir=out, index_path=idx)
     finally:
-        S_.ann_index_delete = orig_idx
+        P.retract_from_output = orig_out
     rep2 = D.check_rtbf_log(log)
     assert not rep2["healthy"]
     assert rep2["info"]["incomplete_requests"] == [R.request_id([33])]
@@ -209,3 +207,22 @@ def test_doctor_rtbf_log(spark, tmp_path, capsys):
     rep3 = D.check_rtbf_log(log)
     assert rep3["healthy"]
     assert rep3["info"]["resumed_artifact_counts"] >= 1
+
+
+def test_doctor_rtbf_log_tolerates_damaged_records(tmp_path):
+    """Shape violations are issues, never crashes: a diagnostic tool for
+    damaged logs must report the damage."""
+    from sri2db_spark.functions import doctor as D
+
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    open(f"{log}/a.json", "w").write("null")
+    open(f"{log}/b.json", "w").write("{not json")
+    open(f"{log}/c.json", "w").write(
+        '{"request_id": "x", "n_ids": 1, "artifacts": null, "completed": false}'
+    )
+    rep = D.check_rtbf_log(log)
+    assert not rep["healthy"]
+    assert any("not a JSON object" in i for i in rep["issues"])
+    assert any("not valid JSON" in i for i in rep["issues"])
+    assert any("non-object artifacts" in i for i in rep["issues"])

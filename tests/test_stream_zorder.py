@@ -217,6 +217,14 @@ def test_ingest_rejects_zero_retries(spark, tmp_path):
             stream, str(tmp_path / "t"), ["event_id"], str(tmp_path / "c"),
             RenameCommitter(),
         )
+    # a '/' would nest the sidecar where the listdir-based carry never
+    # sees it — the mark silently vanishes at the next commit
+    for bad in ("tenant/a", "", "a b"):
+        with pytest.raises(ValueError, match="stream_id"):
+            stream_zordered_ingest(
+                stream, str(tmp_path / "t"), ["event_id"],
+                str(tmp_path / "c"), ManifestCommitter(), stream_id=bad,
+            )
 
 
 def test_two_streams_one_table_with_distinct_stream_ids(spark, tmp_path):
