@@ -203,24 +203,62 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def pack_sequences(
-    df: DataFrame, id_col: str, text_col: str, target_tokens: int = 512
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_tokens: int = 512,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: assign docs (in id order) to training
     sequences of ~target_tokens by cumulative token count — the deterministic,
     shuffle-light form of context-window packing (greedy bin packing needs a
     sequential pass; contiguous packing is its scalable approximation).
-    Returns (doc_id, n_tokens, seq_id)."""
+    Returns (doc_id, n_tokens, seq_id).
+
+    The global running sum is a DISTRIBUTED two-pass prefix sum, never a
+    single unpartitioned window (``Window.orderBy`` with no partition
+    funnels the whole table through ONE task — the exact shape Spark
+    itself warns about, fatal at 100 TB): range-repartition on the id so
+    partition index order IS id order, take the running sum WITHIN each
+    partition, then shift each partition by the cumulative total of its
+    predecessors (n_parts driver-side scalars, broadcast back). The
+    partitioned data is localCheckpoint-ed so the totals pass and the
+    output pass see the identical partitioning."""
     from pyspark.sql import Window  # noqa: PLC0415
 
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(2, spark.sparkContext.defaultParallelism)
     n_tok = token_count_ws(F.col(text_col))
-    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+    parted = (
+        df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("__pid").orderBy(F.col("doc_id").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum(n_tok).over(w)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_tok.alias("n_tokens"),
-        F.floor((cum - n_tok) / F.lit(target_tokens)).cast("long").alias("seq_id"),
+    # per-partition totals: n_parts rows to the driver, prefix-summed
+    # in partition-index order (range partitioning assigns ascending id
+    # ranges to ascending partition ids — pinned by tests)
+    totals = parted.groupBy("__pid").agg(F.sum("n_tokens").alias("__tot")).collect()
+    run = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], run))
+        run += r["__tot"]
+    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off bigint")
+    cum = F.sum("n_tokens").over(w_local) + F.col("__off")
+    return (
+        parted.join(F.broadcast(off), "__pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / F.lit(target_tokens))
+            .cast("long")
+            .alias("seq_id"),
+        )
     )
 
 

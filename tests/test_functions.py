@@ -804,3 +804,31 @@ def test_incremental_neardup_replay_idempotent_store(spark, docs, tmp_path):
 
     sig_ids = [r.id for r in read_store(spark, store).select("id").collect()]
     assert len(sig_ids) == len(set(sig_ids)) == docs.count()
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """pack_sequences must equal the sequential reference (global
+    cumulative token count in id order) WITHOUT a single-partition
+    window — the distributed two-pass prefix sum relies on
+    repartitionByRange assigning ascending id ranges to ascending
+    partition ids, so both properties are pinned here."""
+    import contextlib
+    import io
+
+    rows = [(i, " ".join(["w"] * ((i * 37) % 90 + 1))) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    out = X.pack_sequences(df, "doc_id", "text", target_tokens=128, n_parts=8)
+    got = {r.doc_id: (r.n_tokens, r.seq_id) for r in out.collect()}
+
+    # sequential reference
+    cum = 0
+    for i, text in rows:
+        n = len(text.split())
+        assert got[i] == (n, (cum) // 128), i
+        cum += n
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        X.pack_sequences(df, "doc_id", "text", n_parts=8).explain(True)
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan  # never the one-task window
