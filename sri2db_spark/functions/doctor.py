@@ -171,6 +171,17 @@ def check_versioned_store(path: str, committer=None) -> dict:
         if still_there:
             info["fenced_garbage_files"] = len(still_there)
 
+    # streaming replay marks ride the committed version (zorder_ingest):
+    # surface them so an operator can see which streams feed this table
+    # and how far each has applied
+    marks = {
+        n: fs.read(os.path.join(current, n)).strip()
+        for n in fs.listdir(current)
+        if n.startswith("_STREAM_")
+    }
+    if marks:
+        info["stream_marks"] = marks
+
     report["healthy"] = not issues
     return report
 

@@ -269,3 +269,25 @@ def test_two_streams_one_table_with_distinct_stream_ids(spark, tmp_path):
         ).count()
         == 200
     )
+
+
+def test_doctor_reports_stream_marks(spark, tmp_path):
+    from sri2db_spark.functions import doctor as D
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_feed(feed, "b0.json", _rows(0, 50), 1_000)
+    table = str(tmp_path / "zt")
+    mc = ManifestCommitter()
+    stream = spark.readStream.schema(SCHEMA).json(str(feed))
+    q = stream_zordered_ingest(
+        stream, table, ["event_id", "ts_ms"], str(tmp_path / "ck"), mc,
+        stream_id="ingest-a",
+    )
+    q.awaitTermination(120)
+    rep = D.check_versioned_store(table, committer=mc)
+    assert rep["healthy"], rep["issues"]
+    assert rep["info"]["stream_marks"] == {
+        f"{STREAM_HWM}.ingest-a": "0",
+        STREAM_HWM: "-1",  # tombstoned legacy mark
+    }
