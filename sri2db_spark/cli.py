@@ -392,8 +392,8 @@ def rtbf_main(argv: list[str]) -> int:
     with a crash-resumable audit record:
 
     rtbf --ids ID[,ID…] --log DIR [--state DIR] [--output DIR]
-         [--index DIR] [--id-col doc_id] [--id-type long|string]
-         [--committer rename|manifest]
+         [--index DIR] [--zordered DIR] [--id-col doc_id]
+         [--id-type long|string] [--committer rename|manifest]
 
     Re-running the same id list resumes a crashed request (artifacts
     already recorded are skipped) or no-ops a completed one. Exit 3 on a
@@ -406,14 +406,23 @@ def rtbf_main(argv: list[str]) -> int:
     p.add_argument("--state", default=None, help="curation state dir")
     p.add_argument("--output", default=None, help="batch_id=* output dir")
     p.add_argument("--index", default=None, help="saved ANN index dir")
+    p.add_argument(
+        "--zordered", default=None,
+        help="zordered skipping table dir (needs --committer manifest)",
+    )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument(
         "--committer", default="rename", choices=["rename", "manifest"]
     )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv[1:])
-    if not (args.state or args.output or args.index):
-        p.error("name at least one artifact: --state / --output / --index")
+    if not (args.state or args.output or args.index or args.zordered):
+        p.error(
+            "name at least one artifact: --state / --output / --index / "
+            "--zordered"
+        )
+    if args.zordered and args.committer != "manifest":
+        p.error("--zordered requires --committer manifest (versioned table)")
     raw = [s for s in args.ids.split(",") if s]
     ids = [int(s) for s in raw] if args.id_type == "long" else raw
     spark = get_spark(app_name="sri2db_spark_rtbf", master=args.master)
@@ -424,7 +433,8 @@ def rtbf_main(argv: list[str]) -> int:
         rec = rtbf_delete(
             spark, ids, args.log,
             state_dir=args.state, output_dir=args.output,
-            index_path=args.index, id_col=args.id_col,
+            index_path=args.index, zordered_path=args.zordered,
+            id_col=args.id_col,
             committer=_committer_for({"committer": args.committer}),
         )
     except CommitConflict as e:

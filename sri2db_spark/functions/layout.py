@@ -33,6 +33,7 @@ __all__ = [
     "compact_zordered",
     "corpus_shuffle",
     "read_skipping",
+    "retract_from_zordered",
     "shard_assign",
     "shard_manifest",
     "write_zordered",
@@ -563,6 +564,136 @@ def compact_zordered(
         "generations_merged": len(merge_gens),
         "committed": True,
     }
+
+
+def retract_from_zordered(
+    spark,
+    path: str,
+    ids,
+    id_col: str,
+    committer,
+    n_files: int | None = None,
+) -> int:
+    """Right-to-be-forgotten for a Z-ordered skipping table — the fourth
+    persisted artifact a deletion request must reach (after the curation
+    state, the published output, and the ANN index). Returns the number
+    of rows removed.
+
+    **O(touched files), not O(table)**, when ``id_col`` is one of the
+    table's stats columns: the published per-file min/max ranges select
+    the files that CAN hold a victim (driver-side, stats-object-scale —
+    no data read for the pruning decision), only those are rewritten as
+    the new version's own files (victims anti-joined out against the
+    broadcast drop set, never a giant ``isin``), and every other file is
+    carried by reference to its original home — the same `_CARRY`
+    convention as :func:`append_zordered`, so untouched generations stay
+    byte-identical and GC keeps protecting their dirs. When ``id_col``
+    is not a stats column every file is a candidate (correct, just
+    unpruned — the doctor's stats metrics tell you which columns prune).
+
+    The commit is a CAS on the basis version (a concurrent append or
+    compaction surfaces as ``CommitConflict``; re-run to retry on the
+    new basis) and carries ``_STREAM_*`` sidecars forward like every
+    other writer. Retract from the UPSTREAM source too: a stream replay
+    or re-ingest would otherwise re-publish the documents.
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import DataFrame  # noqa: PLC0415
+
+    from .statestore import CARRY_MARKER  # noqa: PLC0415
+
+    if committer is None or not committer.versioned:
+        raise ValueError(
+            "retract_from_zordered rewrites committed files in place, "
+            "which needs the ManifestCommitter"
+        )
+    if not isinstance(ids, DataFrame) and not ids:
+        return 0
+    fs = committer.fs
+    old_base = committer.resolve(path)
+    if old_base is None:
+        raise FileNotFoundError(f"nothing committed at {path}")
+    meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    cols, files = meta["cols"], meta["files"]
+    old_version = os.path.basename(old_base)
+
+    if isinstance(ids, DataFrame):
+        drop = ids.select(F.col(ids.columns[0]).alias("__rid")).distinct()
+        id_values = [r["__rid"] for r in drop.collect()]  # RTBF-sized
+    else:
+        id_values = list(dict.fromkeys(ids))
+        drop = spark.createDataFrame([(i,) for i in id_values], ["__rid"])
+
+    def _can_hold(st: dict) -> bool:
+        b = st.get(id_col)
+        if isinstance(b, list) and len(b) == 2:
+            if all(isinstance(x, (int, float)) for x in b):
+                return any(
+                    b[0] <= v <= b[1]
+                    for v in id_values
+                    if isinstance(v, (int, float))
+                )
+            if all(isinstance(x, str) for x in b):
+                return any(
+                    b[0] <= v <= b[1] for v in id_values if isinstance(v, str)
+                )
+        return True  # no usable range: must look
+
+    touched = (
+        {e for e, st in files.items() if _can_hold(st)}
+        if id_col in cols
+        else set(files)
+    )
+    if not touched:
+        return 0
+
+    def _home(entry: str) -> str:
+        return (
+            os.path.join(path, entry)
+            if "/" in entry
+            else os.path.join(old_base, entry)
+        )
+
+    candidates = spark.read.parquet(
+        *[fs.spark_path(_home(e)) for e in touched]
+    )
+    n_victims = candidates.join(
+        F.broadcast(drop), candidates[id_col] == F.col("__rid"), "left_semi"
+    ).count()
+    if n_victims == 0:
+        return 0  # ranges matched but no victim rows: touch nothing
+    survivors = candidates.join(
+        F.broadcast(drop), candidates[id_col] == F.col("__rid"), "left_anti"
+    )
+    target = committer.stage(path)
+    if survivors.limit(1).count():
+        clustered = zorder_repartition(
+            survivors, cols, n_files or len(touched), bits=16
+        ).drop("zkey")
+        clustered.write.mode("overwrite").parquet(fs.spark_path(target))
+        merged = _collect_file_stats(spark, fs.spark_path(target), cols)
+    else:
+        # every row of every touched file was a victim: the new version
+        # holds only the carried files (zorder_key cannot bucket an empty
+        # frame — its bounds are null)
+        merged = {}
+    carry = []
+    for entry, st in files.items():
+        if entry in touched:
+            continue
+        ref = entry if "/" in entry else f"{old_version}/{entry}"
+        carry.append(ref)
+        merged[ref] = st
+    fs.put(os.path.join(target, CARRY_MARKER), "\n".join(sorted(carry)))
+    fs.put(
+        os.path.join(target, FILE_STATS),
+        json.dumps({"cols": cols, "files": merged}, sort_keys=True),
+    )
+    _carry_protocol_sidecars(fs, old_base, target, None)
+    committer.commit(target, path, expected_basis=old_version)
+    return n_victims
 
 
 def read_skipping(

@@ -62,6 +62,7 @@ def rtbf_delete(
     state_dir: str | None = None,
     output_dir: str | None = None,
     index_path: str | None = None,
+    zordered_path: str | None = None,
     committer=None,
     id_col: str = "doc_id",
     vec_ids: list | None = None,
@@ -70,8 +71,10 @@ def rtbf_delete(
     """Execute one right-to-be-forgotten request against every named
     artifact and record it in ``log_dir`` (see module docstring for the
     resume/idempotence contract). ``vec_ids`` overrides the id list for
-    the ANN index when embedding ids differ from document ids. Returns
-    the completed audit record."""
+    the ANN index when embedding ids differ from document ids;
+    ``zordered_path`` adds a Z-ordered skipping table (training-export
+    layout) as a fourth artifact — it needs the versioned ``committer``.
+    Returns the completed audit record."""
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
     fs = fs or (committer.fs if committer is not None else LocalFS())
@@ -97,7 +100,10 @@ def rtbf_delete(
     requested = {
         name
         for name, target in (
-            ("state", state_dir), ("output", output_dir), ("index", index_path)
+            ("state", state_dir),
+            ("output", output_dir),
+            ("index", index_path),
+            ("zordered", zordered_path),
         )
         if target is not None
     }
@@ -142,6 +148,13 @@ def rtbf_delete(
 
         n = ann_index_delete(spark, index_path, vec_ids or ids, fs=fs)
         _record("index", n)
+    if zordered_path is not None and "zordered" not in rec["artifacts"]:
+        from .layout import retract_from_zordered  # noqa: PLC0415
+
+        n = retract_from_zordered(
+            spark, zordered_path, ids, id_col, committer=committer
+        )
+        _record("zordered", n)
 
     rec["completed"] = True
     fs.put(rec_path, json.dumps(rec, sort_keys=True))

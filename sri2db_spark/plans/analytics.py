@@ -1827,6 +1827,50 @@ def q_rtbf_audit(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_zorder_retraction(spark, sf):
+    """Right-to-be-forgotten for the Z-ordered skipping table
+    (``retract_from_zordered``, functions/layout.py): events land as a
+    base plus an appended generation, a fixed event-id list is retracted
+    — only the files whose published id range can hold a victim are
+    rewritten, everything else rides as carry references — and the full
+    skipping scan afterwards equals the plain table minus the ids."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.layout import (  # noqa: PLC0415
+        append_zordered,
+        read_skipping,
+        retract_from_zordered,
+        write_zordered,
+    )
+    from ..sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", ns_to_ms().alias("ts_ms")
+    )
+    mc = ManifestCommitter()
+    tmp = tempfile.mkdtemp(prefix="zretract_")
+    try:
+        write_zordered(
+            ev.filter(F.col("event_id") % 2 == 0),
+            tmp, ["event_id", "ts_ms"], n_files=4, committer=mc,
+        )
+        append_zordered(
+            ev.filter(F.col("event_id") % 2 == 1),
+            tmp, ["event_id", "ts_ms"], n_files=2, committer=mc,
+        )
+        retract_from_zordered(
+            spark, tmp, [1, 2, 3, 40, 41, 10**9], "event_id", committer=mc
+        )
+        out = read_skipping(
+            spark, tmp, {"event_id": (None, None)}, committer=mc
+        ).select("event_id", "user_id", "ts_ms")
+        # materialize before the temp directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_state_pruned_retraction(spark, sf):
     """Right-to-be-forgotten against the persisted curation state, PRUNED
     (SURVEY §7.9): bootstrap the hash/signature/corpus stores from a
@@ -2171,6 +2215,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "output_retraction": q_output_retraction,
     "zorder_append_scan": q_zorder_append_scan,
     "zorder_compact_scan": q_zorder_compact_scan,
+    "zorder_retraction": q_zorder_retraction,
     "asof_join_orders": q_asof_join_orders,
     "decontaminate_overlap": q_decontaminate_overlap,
     "crosscorpus_neardup": q_crosscorpus_neardup,

@@ -2058,6 +2058,13 @@ ORACLES: dict[str, str] = {
         WHERE user_id BETWEEN 3 AND 7
           AND epoch_ns(ts) // 1000000 BETWEEN 1704500000000 AND 1705500000000
     """,
+    # retraction from the skipping table: the post-retraction full scan is
+    # the plain table minus the retracted ids (absent ids are no-ops)
+    "zorder_retraction": """
+        SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms
+        FROM events
+        WHERE event_id NOT IN (1, 2, 3, 40, 41)
+    """,
     # compaction must be read-invisible: the post-merge skipping scan equals
     # the plain filtered scan of every generation's rows
     "zorder_compact_scan": """

@@ -738,3 +738,111 @@ def test_zorder_compact_cli(spark, tmp_path, capsys):
     assert cli.main(["zorder-compact", "--table", path]) == 0
     out = capsys.readouterr().out
     assert "nothing to do" in out
+
+
+def test_retract_from_zordered_touches_only_pruned_files(spark, tmp_path):
+    """RTBF for the skipping table: the published per-file id ranges
+    select the rewrite set — victims vanish, untouched generations stay
+    byte-identical as carry references, scans are exact, and absent ids
+    are committed no-ops."""
+    import json
+
+    from sri2db_spark.functions.layout import (
+        FILE_STATS,
+        append_zordered,
+        read_skipping,
+        retract_from_zordered,
+        write_zordered,
+    )
+    from sri2db_spark.sinks.committer import ManifestCommitter
+
+    mc = ManifestCommitter(keep_versions=0)
+    path = str(tmp_path / "zr")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 13).cast("bigint").alias("v"),
+    )
+    # base 0..400 over 4 files (disjoint id ranges) + far append
+    write_zordered(
+        mk(0, 400).repartitionByRange(4, "id"), path, ["id", "v"],
+        n_files=4, committer=mc,
+    )
+    base0 = mc.resolve(path)
+    append_zordered(mk(10_000, 10_100), path, ["id", "v"], 1, committer=mc)
+    base1 = mc.resolve(path)
+    census_far = _zcensus(base1)
+
+    # victims clustered in one id range: only that file rewrites
+    n = retract_from_zordered(spark, path, [5, 7, 9], "id", committer=mc)
+    assert n == 3
+    base2 = mc.resolve(path)
+    meta = json.loads(open(os.path.join(base2, FILE_STATS)).read())
+    own = [e for e in meta["files"] if "/" not in e]
+    carried = [e for e in meta["files"] if "/" in e]
+    # pruned rewrite: the z-interleave may spread 3 clustered ids over a
+    # couple of base files, but never the whole table — and the far
+    # generation (id range 10k+) must ride as an untouched carry
+    assert len(own) <= 2
+    assert len(carried) >= 3
+    assert any(e.startswith(os.path.basename(base1)) for e in carried)
+    assert _zcensus(base1) == census_far  # old version byte-identical
+    assert os.path.isdir(base0) and os.path.isdir(base1)  # GC-protected
+
+    total = read_skipping(spark, path, {"id": (None, None)}, committer=mc)
+    assert total.count() == 400 + 100 - 3
+    assert not {5, 7, 9} & {r.id for r in total.collect()}
+
+    # absent ids whose values fall inside ranges: probe runs, no commit
+    before = mc.resolve(path)
+    assert retract_from_zordered(spark, path, [6_000], "id", committer=mc) == 0
+    assert mc.resolve(path) == before
+
+    # non-stats id column: correct, just unpruned (all files candidates)
+    n2 = retract_from_zordered(spark, path, [10], "v", committer=mc)
+    assert n2 == (400 + 100 - 3 + 12) // 13 or n2 > 0  # rows with v == 10
+    left = read_skipping(spark, path, {"id": (None, None)}, committer=mc)
+    assert not any(r.v == 10 for r in left.collect())
+
+
+def test_retract_from_zordered_concurrent_append_is_cas_conflict(
+    spark, tmp_path
+):
+    from sri2db_spark.functions.layout import (
+        append_zordered,
+        read_skipping,
+        retract_from_zordered,
+        write_zordered,
+    )
+    from sri2db_spark.sinks.committer import CommitConflict, ManifestCommitter
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "zrc")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 7).cast("bigint").alias("v"),
+    )
+    write_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+
+    orig_stage = mc.stage
+    raced = []
+
+    def racing_stage(dst):
+        staged = orig_stage(dst)
+        if not raced:
+            raced.append(True)
+            mc2 = ManifestCommitter()
+            append_zordered(mk(200, 250), path, ["id", "v"], 1, committer=mc2)
+        return staged
+
+    mc.stage = racing_stage
+    try:
+        with pytest.raises(CommitConflict):
+            retract_from_zordered(spark, path, [3], "id", committer=mc)
+    finally:
+        mc.stage = orig_stage
+    # racer intact; retry lands
+    assert retract_from_zordered(spark, path, [3], "id", committer=mc) == 1
+    assert (
+        read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
+        == 149
+    )

@@ -226,3 +226,39 @@ def test_doctor_rtbf_log_tolerates_damaged_records(tmp_path):
     assert any("not a JSON object" in i for i in rep["issues"])
     assert any("not valid JSON" in i for i in rep["issues"])
     assert any("non-object artifacts" in i for i in rep["issues"])
+
+
+def test_rtbf_covers_the_zordered_artifact(spark, tmp_path, capsys):
+    """The fourth artifact: one request also scrubs a Z-ordered skipping
+    table (training-export layout), recorded in the same audit record."""
+    from sri2db_spark import cli
+    from sri2db_spark.functions.layout import read_skipping, write_zordered
+
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+    zt = str(tmp_path / "zt")
+    write_zordered(
+        docs.select("doc_id", "n_chars"), zt, ["doc_id", "n_chars"],
+        n_files=4, committer=mc,
+    )
+    rec = R.rtbf_delete(
+        spark, [0, 9, 33], log,
+        output_dir=out, zordered_path=zt, committer=mc,
+    )
+    assert rec["completed"]
+    assert rec["artifacts"]["zordered"]["removed"] == 3
+    left = read_skipping(spark, zt, {"doc_id": (None, None)}, committer=mc)
+    assert not {0, 9, 33} & {r.doc_id for r in left.collect()}
+
+    # CLI: zordered requires the manifest committer
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["rtbf", "--ids", "1", "--log", log, "--zordered", zt])
+    code = cli.main(
+        [
+            "rtbf", "--ids", "42", "--log", log, "--zordered", zt,
+            "--committer", "manifest",
+        ]
+    )
+    assert code == 0
+    assert "zordered=1" in capsys.readouterr().out
