@@ -179,6 +179,37 @@ def _file_basename(uri: str) -> str:
     return unquote(urlparse(uri).path).rsplit("/", 1)[-1]
 
 
+def _entry_home(path: str, old_base: str, entry: str) -> str:
+    """Physical location of a committed stats entry: carried entries name
+    their ORIGINAL home relative to the table root ("v_old/part-…"); the
+    current version's own files are bare basenames inside its dir. The
+    single resolution rule every reader and rewriter shares."""
+    import os  # noqa: PLC0415
+
+    return (
+        os.path.join(path, entry)
+        if "/" in entry
+        else os.path.join(old_base, entry)
+    )
+
+
+def _carry_by_reference(
+    src: dict, old_version: str, merged: dict
+) -> list[str]:
+    """Build the ``_CARRY`` entry list for the files in ``src``
+    (entry → stats) and merge their stats into ``merged``. Chains never
+    deepen: an already-carried entry keeps naming its ORIGINAL home
+    verbatim; only the old base's own files gain its version prefix. The
+    one convention every zordered writer (append/compact/retract) must
+    agree on — shared so it cannot silently diverge."""
+    carry = []
+    for entry, st in src.items():
+        ref = entry if "/" in entry else f"{old_version}/{entry}"
+        carry.append(ref)
+        merged[ref] = st
+    return carry
+
+
 def _carry_protocol_sidecars(fs, old_base: str, target: str, markers) -> None:
     """Every new committed version of a zordered table carries the
     ``_STREAM_*`` sidecars of the version it replaces (the streaming
@@ -359,14 +390,7 @@ def append_zordered(
     clustered.write.mode("overwrite").parquet(fs.spark_path(target))
     merged = _collect_file_stats(df.sparkSession, fs.spark_path(target), cols)
     old_version = os.path.basename(old_base)
-    carry = []
-    for name, st in old_meta["files"].items():
-        # chains never deepen: an already-carried entry keeps naming its
-        # ORIGINAL home verbatim; only the old base's own files gain its
-        # version prefix
-        entry = name if "/" in name else f"{old_version}/{name}"
-        carry.append(entry)
-        merged[entry] = st
+    carry = _carry_by_reference(old_meta["files"], old_version, merged)
     fs.put(os.path.join(target, CARRY_MARKER), "\n".join(sorted(carry)))
     fs.put(
         os.path.join(target, FILE_STATS),
@@ -520,19 +544,11 @@ def compact_zordered(
     merge_entries = {
         e for g in merge_gens for e in gens[g]["entries"]
     }
-    carry_entries = [e for e in files if e not in merge_entries]
+    carry_src = {e: files[e] for e in files if e not in merge_entries}
 
-    def _home(entry: str) -> str:
-        # same resolution rule as read_skipping: carried entries name
-        # their original home relative to the table root, own files are
-        # bare basenames inside the current version
-        return (
-            os.path.join(path, entry)
-            if "/" in entry
-            else os.path.join(old_base, entry)
-        )
-
-    df = spark.read.parquet(*[fs.spark_path(_home(e)) for e in merge_entries])
+    df = spark.read.parquet(
+        *[fs.spark_path(_entry_home(path, old_base, e)) for e in merge_entries]
+    )
     clustered = zorder_repartition(
         df, cols, n_files or len(merge_entries), bits=bits
     ).drop("zkey")
@@ -540,13 +556,7 @@ def compact_zordered(
     clustered.write.mode("overwrite").parquet(fs.spark_path(target))
     merged_stats = _collect_file_stats(spark, fs.spark_path(target), cols)
 
-    carry = []
-    for entry in carry_entries:
-        # chains never deepen: already-carried entries keep their original
-        # homes verbatim; the old base's own files gain its version prefix
-        ref = entry if "/" in entry else f"{old_version}/{entry}"
-        carry.append(ref)
-        merged_stats[ref] = files[entry]
+    carry = _carry_by_reference(carry_src, old_version, merged_stats)
     fs.put(os.path.join(target, CARRY_MARKER), "\n".join(sorted(carry)))
     fs.put(
         os.path.join(target, FILE_STATS),
@@ -560,7 +570,7 @@ def compact_zordered(
     committer.commit(target, path, expected_basis=old_version)
     return {
         "merged_files": len(merge_entries),
-        "carried_files": len(carry_entries),
+        "carried_files": len(carry_src),
         "generations_merged": len(merge_gens),
         "committed": True,
     }
@@ -626,6 +636,37 @@ def retract_from_zordered(
         id_values = list(dict.fromkeys(ids))
         drop = spark.createDataFrame([(i,) for i in id_values], ["__rid"])
 
+    if id_col in cols:
+        # the prune compares Python-typed stat bounds to the caller's id
+        # values — a TYPE mismatch (string ids against a numeric column,
+        # e.g. CLI --id-type string on a bigint table) would prune every
+        # file while Spark's coercing join WOULD have matched victims: a
+        # silent removed=0 "success" in the RTBF audit log. Fail loudly.
+        bounds = next(
+            (
+                st[id_col]
+                for st in files.values()
+                if isinstance(st.get(id_col), list) and len(st[id_col]) == 2
+                and st[id_col][0] is not None
+            ),
+            None,
+        )
+        if bounds is not None:
+            numeric_col = all(isinstance(x, (int, float)) for x in bounds)
+            bad = [
+                v
+                for v in id_values
+                if isinstance(v, (int, float)) is not numeric_col
+            ]
+            if bad:
+                raise TypeError(
+                    f"retract_from_zordered: id values {bad[:3]!r}... do not "
+                    f"match {id_col!r}'s "
+                    f"{'numeric' if numeric_col else 'string'} stats — a "
+                    "type-coerced retraction would prune wrongly; pass ids "
+                    "of the column's type"
+                )
+
     def _can_hold(st: dict) -> bool:
         b = st.get(id_col)
         if isinstance(b, list) and len(b) == 2:
@@ -649,26 +690,28 @@ def retract_from_zordered(
     if not touched:
         return 0
 
-    def _home(entry: str) -> str:
-        return (
-            os.path.join(path, entry)
-            if "/" in entry
-            else os.path.join(old_base, entry)
-        )
-
+    # ONE materialization of the touched files (they are read for the
+    # victim count, the survivor probe, AND the rewrite — without the
+    # checkpoint that is three full scans of the touched set)
     candidates = spark.read.parquet(
-        *[fs.spark_path(_home(e)) for e in touched]
-    )
-    n_victims = candidates.join(
-        F.broadcast(drop), candidates[id_col] == F.col("__rid"), "left_semi"
-    ).count()
-    if n_victims == 0:
-        return 0  # ranges matched but no victim rows: touch nothing
+        *[fs.spark_path(_entry_home(path, old_base, e)) for e in touched]
+    ).localCheckpoint(eager=True)
     survivors = candidates.join(
         F.broadcast(drop), candidates[id_col] == F.col("__rid"), "left_anti"
     )
+    n_victims = candidates.count() - survivors.count()
+    if n_victims == 0:
+        return 0  # ranges matched but no victim rows: touch nothing
+    carry_src = {e: st for e, st in files.items() if e not in touched}
+    has_survivors = bool(survivors.limit(1).count())
+    if not has_survivors and not carry_src:
+        raise ValueError(
+            f"retracting these ids empties the whole table {path}; a "
+            "committed empty version would be unreadable (no schema) — "
+            "delete the table instead"
+        )
     target = committer.stage(path)
-    if survivors.limit(1).count():
+    if has_survivors:
         clustered = zorder_repartition(
             survivors, cols, n_files or len(touched), bits=16
         ).drop("zkey")
@@ -677,15 +720,11 @@ def retract_from_zordered(
     else:
         # every row of every touched file was a victim: the new version
         # holds only the carried files (zorder_key cannot bucket an empty
-        # frame — its bounds are null)
+        # frame — its bounds are null); the stage dir must still exist
+        # for the sidecar writes below
+        fs.makedirs(target)
         merged = {}
-    carry = []
-    for entry, st in files.items():
-        if entry in touched:
-            continue
-        ref = entry if "/" in entry else f"{old_version}/{entry}"
-        carry.append(ref)
-        merged[ref] = st
+    carry = _carry_by_reference(carry_src, old_version, merged)
     fs.put(os.path.join(target, CARRY_MARKER), "\n".join(sorted(carry)))
     fs.put(
         os.path.join(target, FILE_STATS),

@@ -223,7 +223,11 @@ def pack_sequences(
     partition, then shift each partition by the cumulative total of its
     predecessors (n_parts driver-side scalars, broadcast back). The
     partitioned data is localCheckpoint-ed so the totals pass and the
-    output pass see the identical partitioning."""
+    output pass see the identical partitioning — which also means this
+    function EXECUTES at call time (two jobs) and keeps the checkpointed
+    (doc_id, n_tokens) projection pinned for the returned frame's
+    lifetime: the unavoidable cost of a prefix sum's barrier, paid on a
+    two-column projection, never the full table."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     spark = df.sparkSession
@@ -247,7 +251,9 @@ def pack_sequences(
     offsets = []
     for r in sorted(totals, key=lambda r: r["__pid"]):
         offsets.append((r["__pid"], run))
-        run += r["__tot"]
+        # an all-null-text partition sums to None (F.sum skips nulls):
+        # contributes nothing, exactly like the old window behavior
+        run += r["__tot"] or 0
     off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off bigint")
     cum = F.sum("n_tokens").over(w_local) + F.col("__off")
     return (

@@ -798,10 +798,30 @@ def test_retract_from_zordered_touches_only_pruned_files(spark, tmp_path):
     assert mc.resolve(path) == before
 
     # non-stats id column: correct, just unpruned (all files candidates)
+    remaining_ids = [
+        i
+        for i in list(range(400)) + list(range(10_000, 10_100))
+        if i not in (5, 7, 9)
+    ]
+    expected_v10 = sum(1 for i in remaining_ids if i % 13 == 10)
     n2 = retract_from_zordered(spark, path, [10], "v", committer=mc)
-    assert n2 == (400 + 100 - 3 + 12) // 13 or n2 > 0  # rows with v == 10
+    assert n2 == expected_v10
     left = read_skipping(spark, path, {"id": (None, None)}, committer=mc)
     assert not any(r.v == 10 for r in left.collect())
+
+    # type-mismatched ids against the numeric stats column must FAIL,
+    # not silently prune everything and record removed=0
+    with pytest.raises(TypeError, match="numeric"):
+        retract_from_zordered(spark, path, ["5", "7"], "id", committer=mc)
+
+    # retracting EVERYTHING is refused (a committed empty version would
+    # be unreadable); partial full-file retractions still work
+    with pytest.raises(ValueError, match="empties the whole table"):
+        retract_from_zordered(
+            spark, path,
+            [i for i in remaining_ids if i % 13 != 10],
+            "id", committer=mc,
+        )
 
 
 def test_retract_from_zordered_concurrent_append_is_cas_conflict(
