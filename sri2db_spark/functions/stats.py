@@ -135,39 +135,91 @@ def exact_corr(
     default, which is why none is offered. Correlation is invariant
     under positive affine rescaling, so the result is unchanged — but the
     moment arithmetic is now plain integer decimals whose widths sit well
-    below every engine's 38-digit cap. The previous DECIMAL(19,4) operands
-    put the product at exactly width 38: DuckDB 1.0 keeps p1+p2=38 and stays
-    exact, while engines with the p1+p2+1 product rule overflow the cap and
-    re-round, flipping cross-engine value hashes (the one red row in
-    CORRECTNESS_r07). Width-18 integer operands give products of width 36/37
-    under either rule — exact everywhere.
+    below every engine's 38-digit cap (products are width 36/37 under
+    either the p1+p2 or p1+p2+1 decimal product rule).
+
+    Output schema is ALL-INTEGER — no decimal or double column crosses an
+    engine boundary, because a double→decimal cast's rounding mode
+    (HALF_UP vs HALF_EVEN at the final digit) is engine-version-dependent
+    and flipped cross-engine value hashes twice (CORRECTNESS_r07/r08):
+
+    - ``n`` BIGINT — group row count.
+    - ``corr_e8`` BIGINT — the Pearson coefficient quantized to 8 decimal
+      places via FLOOR(corr*1e8 + 0.5) (round-half-up, engine-invariant
+      pure-double arithmetic; NULL on zero variance). 1e-8 quantization is
+      ~7 orders of magnitude above the decimal→double cast noise floor of
+      the moment sums.
+    - ``sx_m sy_m sxy_m sx2_m sy2_m`` BIGINT — each exact moment sum
+      modulo 1e18 (the sums themselves can exceed int64). Exact integer
+      arithmetic both sides; a future mismatch self-localizes to one
+      moment column instead of one opaque hash.
+
+    Overflow fails LOUDLY (never a silently skewed statistic): operands
+    whose scaled magnitude exceeds decimal(18,0) would be nulled by the
+    non-ANSI cast and skipped by SUM, and a moment sum past decimal(38,0)
+    would null out — both are counted/detected in the same aggregation and
+    raised via ``assert_true`` at execution time.
     """
     # round() before the cast: the inputs are doubles carrying ~1e-9
     # representation noise around exact integers; never near .5, so the
     # rounding mode is irrelevant.
     x = F.round(F.col(x_col) * F.lit(float(10**x_scale)), 0).cast("decimal(18,0)")
     y = F.round(F.col(y_col) * F.lit(float(10**y_scale)), 0).cast("decimal(18,0)")
+    mod = F.lit(10**18)
     moments = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(x * x).cast("double").alias("sx2"),
-        F.sum(y * y).cast("double").alias("sy2"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).alias("sx_d"),
+        F.sum(y).alias("sy_d"),
+        F.sum(x * y).alias("sxy_d"),
+        F.sum(x * x).alias("sx2_d"),
+        F.sum(y * y).alias("sy2_d"),
+        # rows where the decimal(18,0) cast nulled a non-null input —
+        # i.e. |v * 10^scale| >= 1e18 operand overflow
+        F.sum(
+            F.when(x.isNull() & F.col(x_col).isNotNull(), 1).otherwise(0)
+        ).alias("x_ovf"),
+        F.sum(
+            F.when(y.isNull() & F.col(y_col).isNotNull(), 1).otherwise(0)
+        ).alias("y_ovf"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    cov = F.col("sxy") * n - sx * sy
-    vx = F.col("sx2") * n - sx * sx
-    vy = F.col("sy2") * n - sy * sy
-    # quantize the statistic to 8 decimal places: the moment sums exceed
-    # 2^53 in unscaled-int form, and DuckDB's decimal→double cast rounds a
-    # different way than the JVM's at that magnitude (1-ulp noise); 8
-    # decimals is far above the noise floor and well below any analytical
-    # use of a correlation coefficient.
+    # a moment sum that is NULL despite contributing rows = the decimal(38,0)
+    # accumulator overflowed (Spark's non-ANSI SUM nulls out instead of
+    # raising); either overflow class raises at execution time
+    has_rows = F.col("n_rows") > F.lit(0)
+    ok = (
+        (F.col("x_ovf") == 0)
+        & (F.col("y_ovf") == 0)
+        & (~has_rows | F.col("sxy_d").isNotNull())
+        & (~has_rows | F.col("sx2_d").isNotNull())
+        & (~has_rows | F.col("sy2_d").isNotNull())
+    )
+    guard = F.assert_true(
+        ok,
+        F.lit(
+            "exact_corr: decimal overflow — an operand exceeded 10^18 after "
+            "scaling, or a moment sum exceeded decimal(38,0); the statistic "
+            "would be silently wrong. Reduce x_scale/y_scale or pre-filter."
+        ),
+    ).isNull()
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("sx_d").cast("double"), F.col("sy_d").cast("double")
+    cov = F.col("sxy_d").cast("double") * n - sx * sy
+    vx = F.col("sx2_d").cast("double") * n - sx * sx
+    vy = F.col("sy2_d").cast("double") * n - sy * sy
+    corr = cov / (F.sqrt(vx) * F.sqrt(vy))
     return moments.select(
         group_col,
-        n.cast("bigint").alias("n"),
-        (cov / (F.sqrt(vx) * F.sqrt(vy))).cast("decimal(12,8)").alias("corr_xy"),
+        F.col("n_rows").cast("bigint").alias("n"),
+        # guard is True when the assert passes (assert_true -> NULL);
+        # referencing it in the projection stops Catalyst pruning it away
+        F.when(guard, F.floor(corr * F.lit(1e8) + F.lit(0.5)))
+        .cast("bigint")
+        .alias("corr_e8"),
+        (F.col("sx_d") % mod).cast("bigint").alias("sx_m"),
+        (F.col("sy_d") % mod).cast("bigint").alias("sy_m"),
+        (F.col("sxy_d") % mod).cast("bigint").alias("sxy_m"),
+        (F.col("sx2_d") % mod).cast("bigint").alias("sx2_m"),
+        (F.col("sy2_d") % mod).cast("bigint").alias("sy2_m"),
     )
 
 

@@ -1971,8 +1971,12 @@ ORACLES: dict[str, str] = {
         -- integer moments: quantity is integral, extendedprice is 2-decimal;
         -- width-18 integer operands give product widths 36/37 under either
         -- the p1+p2 or p1+p2+1 decimal product rule — below every engine's
-        -- 38-digit cap, so no version-dependent re-round (corr is invariant
-        -- under the 100x rescale of y)
+        -- 38-digit cap (corr is invariant under the 100x rescale of y).
+        -- ALL-INTEGER output: corr_e8 = FLOOR(corr*1e8 + 0.5) in pure double
+        -- arithmetic (no double->DECIMAL cast whose HALF_UP/HALF_EVEN mode
+        -- is engine-version-dependent — that flipped the r07/r08 hashes);
+        -- the exact moment sums ship mod 1e18 so any future mismatch
+        -- localizes to one column.
         WITH i AS (
           SELECT l_returnflag,
                  CAST(ROUND(l_quantity, 0) AS DECIMAL(18,0)) AS xi,
@@ -1980,18 +1984,31 @@ ORACLES: dict[str, str] = {
           FROM lineitem),
         m AS (
           SELECT l_returnflag,
-                 CAST(COUNT(*) AS DOUBLE) AS n,
-                 CAST(SUM(xi) AS DOUBLE) AS sx,
-                 CAST(SUM(yi) AS DOUBLE) AS sy,
-                 CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
-                 CAST(SUM(xi * xi) AS DOUBLE) AS sx2,
-                 CAST(SUM(yi * yi) AS DOUBLE) AS sy2
-          FROM i GROUP BY l_returnflag)
-        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-               CAST((sxy * n - sx * sy)
+                 COUNT(*) AS n_rows,
+                 SUM(xi) AS sx_d,
+                 SUM(yi) AS sy_d,
+                 SUM(xi * yi) AS sxy_d,
+                 SUM(xi * xi) AS sx2_d,
+                 SUM(yi * yi) AS sy2_d
+          FROM i GROUP BY l_returnflag),
+        d AS (
+          SELECT l_returnflag, n_rows,
+                 CAST(n_rows AS DOUBLE) AS n,
+                 CAST(sx_d AS DOUBLE) AS sx, CAST(sy_d AS DOUBLE) AS sy,
+                 CAST(sxy_d AS DOUBLE) AS sxy,
+                 CAST(sx2_d AS DOUBLE) AS sx2, CAST(sy2_d AS DOUBLE) AS sy2,
+                 sx_d, sy_d, sxy_d, sx2_d, sy2_d
+          FROM m)
+        SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n,
+               CAST(FLOOR((sxy * n - sx * sy)
                  / (sqrt(sx2 * n - sx * sx) * sqrt(sy2 * n - sy * sy))
-                 AS DECIMAL(12,8)) AS corr_xy
-        FROM m
+                 * 1e8 + 0.5) AS BIGINT) AS corr_e8,
+               CAST(sx_d % 1000000000000000000 AS BIGINT) AS sx_m,
+               CAST(sy_d % 1000000000000000000 AS BIGINT) AS sy_m,
+               CAST(sxy_d % 1000000000000000000 AS BIGINT) AS sxy_m,
+               CAST(sx2_d % 1000000000000000000 AS BIGINT) AS sx2_m,
+               CAST(sy2_d % 1000000000000000000 AS BIGINT) AS sy2_m
+        FROM d
     """,
     "quality_expectations": """
         WITH agg AS (

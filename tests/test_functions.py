@@ -832,3 +832,47 @@ def test_pack_sequences_distributed_prefix_sum(spark):
         X.pack_sequences(df, "doc_id", "text", n_parts=8).explain(True)
     plan = buf.getvalue()
     assert "SinglePartition" not in plan  # never the one-task window
+
+
+def test_exact_corr_all_integer_schema_and_value(spark):
+    """exact_corr emits an ALL-INTEGER schema (no decimal/double column
+    crosses an engine boundary — CORRECTNESS_r07/r08 lesson) and corr_e8
+    reproduces numpy's coefficient to the 1e-8 quantum."""
+    import math
+
+    from sri2db_spark.functions.stats import exact_corr
+
+    rows = [("g", float(i % 13), float((i * 7) % 31) + 0.25 * (i % 4))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = exact_corr(df, "g", "x", "y", x_scale=0, y_scale=2)
+    assert [f.dataType.simpleString() for f in out.schema.fields[1:]] == (
+        ["bigint"] * 7
+    )
+    got = out.first()
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sx2, sy2 = sum(a * a for a in xs), sum(b * b for b in ys)
+    ref = (sxy * n - sx * sy) / (
+        math.sqrt(sx2 * n - sx * sx) * math.sqrt(sy2 * n - sy * sy)
+    )
+    assert got["n"] == n
+    assert abs(got["corr_e8"] - math.floor(ref * 1e8 + 0.5)) <= 1
+
+
+def test_exact_corr_overflow_is_loud(spark):
+    """An operand whose scaled magnitude exceeds decimal(18,0) must raise
+    (ANSI cast error or the assert_true guard), never silently skew the
+    statistic by dropping rows (ADVICE r8)."""
+    from sri2db_spark.functions.stats import exact_corr
+
+    df = spark.range(10).select(
+        F.lit("g").alias("g"),
+        (F.col("id").cast("double") * 1e12).alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    with pytest.raises(Exception, match="(?i)decimal|numeric_value_out_of_range|overflow"):
+        exact_corr(df, "g", "x", "y", x_scale=9, y_scale=0).collect()
