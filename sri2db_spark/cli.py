@@ -423,8 +423,20 @@ def rtbf_main(argv: list[str]) -> int:
         )
     if args.zordered and args.committer != "manifest":
         p.error("--zordered requires --committer manifest (versioned table)")
-    raw = [s for s in args.ids.split(",") if s]
-    ids = [int(s) for s in raw] if args.id_type == "long" else raw
+    raw = [s.strip() for s in args.ids.split(",") if s.strip()]
+    if not raw:
+        # '--ids ,' or all-whitespace would otherwise surface as
+        # rtbf_delete's uncaught ValueError traceback
+        p.error("--ids: no ids given (expected comma-separated values)")
+    if args.id_type == "long":
+        try:
+            ids = [int(s) for s in raw]
+        except ValueError as e:
+            p.error(
+                f"--ids: {e}; pass --id-type string for string-keyed tables"
+            )
+    else:
+        ids = raw
     spark = get_spark(app_name="sri2db_spark_rtbf", master=args.master)
     from .functions.rtbf import rtbf_delete  # noqa: PLC0415
     from .sinks.committer import CommitConflict  # noqa: PLC0415

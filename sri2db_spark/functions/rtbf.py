@@ -109,6 +109,19 @@ def rtbf_delete(
     }
     if rec["completed"] and requested <= set(rec["artifacts"]):
         return rec
+    # only an artifact the CRASHED run was already working toward can have
+    # its idempotent re-execution under-count (deletion landed, record
+    # didn't) — an artifact first named by THIS submission runs fresh and
+    # its count is exact, even when extending an older record. Records
+    # from before "requested" was stored can't localize the mid-flight
+    # artifact, so a crashed legacy resume conservatively floors them all.
+    if resuming and not rec["completed"]:
+        crash_floor = set(
+            rec["requested"] if "requested" in rec else requested
+        ) - set(rec["artifacts"])
+    else:
+        crash_floor = set()
+    rec["requested"] = sorted(requested | set(rec.get("requested", [])))
     rec["completed"] = False
     # persist BEFORE the first artifact runs: a crash inside the first
     # deletion must leave a completed=false record on disk, or
@@ -118,7 +131,7 @@ def rtbf_delete(
 
     def _record(name: str, removed) -> None:
         entry: dict = {"removed": removed}
-        if resuming:
+        if name in crash_floor:
             # a crash may have landed BETWEEN this artifact's deletion and
             # its record on the prior run; the re-executed (idempotent)
             # deletion then counts 0, so resumed counts are a floor, not

@@ -46,6 +46,7 @@ def stream_zordered_ingest(
     trigger_available_now: bool = True,
     max_commit_retries: int = 5,
     stream_id: str | None = None,
+    inherit_legacy_mark: bool = False,
 ):
     """Start a stream writing ``stream``'s micro-batches into the
     Z-ordered table at ``path`` (see module docstring for the
@@ -61,12 +62,21 @@ def stream_zordered_ingest(
     to stream B and silently drop B's data. The CAS append already
     serializes concurrent writers; distinct marks make their replay
     bookkeeping independent too (every writer carries all ``_STREAM_*``
-    sidecars forward). Migration: when the suffixed mark is absent but
-    the legacy unsuffixed ``_STREAM_BATCH`` exists, it is read as this
-    stream's mark — the single-stream-gains-an-id path stays
-    exactly-once across the rename; running marked and UNmarked streams
-    against one table simultaneously is unsupported (the unmarked one
-    would read the stale legacy mark and skip live batches).
+    sidecars forward).
+
+    Migration (``inherit_legacy_mark``): a pre-existing table written by
+    an UNsuffixed stream holds a legacy ``_STREAM_BATCH`` mark. Whether a
+    suffixed stream may read it as its own high-water mark is ambiguous —
+    for the single-stream-gains-an-id rename it is exactly the right
+    continuation, but for a BRAND-NEW stream pointed at that table it
+    would silently skip the new stream's first N batches (data loss). So
+    inheritance is opt-in: pass ``inherit_legacy_mark=True`` only when
+    this suffixed stream IS the renamed legacy stream (and keep its
+    checkpoint dir). With the default ``False``, finding a live
+    (non-tombstone) legacy mark and no suffixed one raises instead of
+    guessing. Running marked and UNmarked streams against one table
+    simultaneously remains unsupported (the unmarked one would read the
+    stale legacy mark and skip live batches).
 
     A ``CommitConflict`` mid-append (a concurrent ``zorder-compact``
     landed first) re-resolves and retries on the new basis up to
@@ -101,6 +111,12 @@ def stream_zordered_ingest(
             f"stream_id {stream_id!r} must be non-empty [A-Za-z0-9._-]: the "
             "mark is a top-level sidecar file name in the version dir"
         )
+    if inherit_legacy_mark and stream_id is None:
+        raise ValueError(
+            "inherit_legacy_mark only applies to a suffixed stream "
+            "(stream_id=...): an unsuffixed stream reads the legacy mark "
+            "as its own already"
+        )
     fs = committer.fs
     mark_name = STREAM_HWM if stream_id is None else f"{STREAM_HWM}.{stream_id}"
 
@@ -108,10 +124,29 @@ def stream_zordered_ingest(
         base = committer.resolve(path)
         if base is None:
             return None
-        for name in (mark_name, STREAM_HWM):  # suffixed, then legacy
-            mark = os.path.join(base, name)
-            if fs.exists(mark):
-                return int(fs.read(mark).strip())
+        mark = os.path.join(base, mark_name)
+        if fs.exists(mark):
+            return int(fs.read(mark).strip())
+        if stream_id is None:
+            return None
+        # suffixed mark absent but a legacy unsuffixed one exists: only the
+        # renamed-legacy-stream may inherit it (opt-in). A brand-new
+        # suffixed stream inheriting it would silently skip its first N
+        # batches — raise instead of guessing (ADVICE r8).
+        legacy = os.path.join(base, STREAM_HWM)
+        if fs.exists(legacy):
+            val = fs.read(legacy).strip()
+            if val == "-1":
+                return None  # tombstone left by a completed migration
+            if inherit_legacy_mark:
+                return int(val)
+            raise ValueError(
+                f"table {path!r} carries a live legacy _STREAM_BATCH mark "
+                f"({val}) and no {mark_name}: if this stream is the renamed "
+                "legacy stream pass inherit_legacy_mark=True to continue "
+                "exactly-once; if it is a new stream, migrate the legacy "
+                "stream first (its next commit tombstones the legacy mark)"
+            )
         return None
 
     def _markers(batch_id: int) -> dict[str, str]:

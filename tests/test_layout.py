@@ -866,3 +866,60 @@ def test_retract_from_zordered_concurrent_append_is_cas_conflict(
         read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
         == 149
     )
+
+
+def test_write_zordered_rewrite_conflicts_with_concurrent_commit(
+    spark, tmp_path
+):
+    """A full rewrite resolves prev (to carry _STREAM_* replay marks), so
+    its pointer write must be a CAS like append/compact/retract: a stream
+    batch committing between resolve() and commit() must surface as
+    CommitConflict, not be silently clobbered (data AND high-water mark
+    lost) — ADVICE r8."""
+    import os
+
+    from sri2db_spark.functions.layout import (
+        append_zordered,
+        read_skipping,
+        write_zordered,
+    )
+    from sri2db_spark.sinks.committer import CommitConflict, ManifestCommitter
+
+    mc = ManifestCommitter()
+    path = str(tmp_path / "zw")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 7).cast("bigint").alias("v"),
+    )
+    write_zordered(mk(0, 100), path, ["id", "v"], n_files=2, committer=mc)
+
+    orig_resolve = mc.resolve
+    raced = []
+
+    def racing_resolve(dst, *a, **kw):
+        stale = orig_resolve(dst, *a, **kw)
+        if not raced:
+            raced.append(True)
+            # a streaming batch (with its replay mark) lands between the
+            # rewrite's resolve and its commit
+            append_zordered(
+                mk(100, 150), path, ["id", "v"], 1,
+                committer=ManifestCommitter(),
+                markers={"_STREAM_BATCH": "7"},
+            )
+        return stale  # the rewrite saw the PRE-race version
+
+    mc.resolve = racing_resolve
+    try:
+        with pytest.raises(CommitConflict):
+            write_zordered(mk(0, 10), path, ["id", "v"], n_files=1, committer=mc)
+    finally:
+        mc.resolve = orig_resolve
+
+    # the stream's batch and its high-water mark both survived
+    assert (
+        read_skipping(spark, path, {"id": (None, None)}, committer=mc).count()
+        == 150
+    )
+    base = mc.resolve(path)
+    assert open(os.path.join(base, "_STREAM_BATCH")).read() == "7"

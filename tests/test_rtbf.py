@@ -164,8 +164,10 @@ def test_rtbf_completed_record_extends_to_new_artifacts(spark, tmp_path):
         {r.id for r in spark.read.parquet(f"{idx}/cells").collect()} & set(ids)
     )
     assert rec2["artifacts"]["output"] == rec1["artifacts"]["output"]
-    # counts recorded by the extension run are flagged as resume-floor
-    assert rec2["artifacts"]["index"].get("resumed") is True
+    # the extension's index delete ran for the FIRST time here — its count
+    # is exact, NOT a resume floor (the prior run completed and never
+    # touched the index), so it must not carry the resumed flag (ADVICE r8)
+    assert rec2["artifacts"]["index"].get("resumed") is None
     assert rec2["artifacts"]["index"]["removed"] == 2
 
 
@@ -262,3 +264,45 @@ def test_rtbf_covers_the_zordered_artifact(spark, tmp_path, capsys):
     )
     assert code == 0
     assert "zordered=1" in capsys.readouterr().out
+
+
+def test_rtbf_crash_resume_floors_only_original_artifacts(spark, tmp_path):
+    """Resuming a crashed request with an EXTRA artifact: artifacts the
+    crashed run was working toward are resume-floors (their deletion may
+    have landed without a record), but the newly named artifact runs for
+    the first time — its count is exact and carries no flag (ADVICE r8)."""
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash")
+
+    orig = P.retract_from_output
+    P.retract_from_output = boom
+    try:
+        with pytest.raises(RuntimeError):
+            R.rtbf_delete(spark, [7], log, output_dir=out)
+    finally:
+        P.retract_from_output = orig
+
+    rec = R.rtbf_delete(spark, [7], log, output_dir=out, index_path=idx)
+    assert rec["completed"]
+    assert rec["artifacts"]["output"].get("resumed") is True  # mid-flight
+    assert rec["artifacts"]["index"].get("resumed") is None  # first run
+    assert sorted(rec["requested"]) == ["index", "output"]
+
+
+def test_rtbf_cli_rejects_empty_and_malformed_ids(capsys):
+    """'--ids ,' (empty after split) and non-integer tokens must exit as
+    argparse errors (code 2), not uncaught tracebacks (ADVICE r8)."""
+    from sri2db_spark import cli
+
+    for bad in [",", " , ", ""]:
+        with pytest.raises(SystemExit) as ei:
+            cli.main(["rtbf", "--ids", bad, "--log", "/tmp/x", "--output", "/tmp/y"])
+        assert ei.value.code == 2
+        assert "no ids given" in capsys.readouterr().err
+
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["rtbf", "--ids", "1,abc", "--log", "/tmp/x", "--output", "/tmp/y"])
+    assert ei.value.code == 2
+    assert "--id-type string" in capsys.readouterr().err

@@ -291,3 +291,59 @@ def test_doctor_reports_stream_marks(spark, tmp_path):
         f"{STREAM_HWM}.ingest-a": "0",
         STREAM_HWM: "-1",  # tombstoned legacy mark
     }
+
+
+def test_new_suffixed_stream_on_legacy_table_raises(spark, tmp_path):
+    """A brand-new suffixed stream pointed at a never-migrated legacy table
+    must NOT silently adopt the legacy _STREAM_BATCH as its own high-water
+    mark (it would skip its first N batches — data loss); inheritance is
+    opt-in and the default raises (ADVICE r8)."""
+    import pytest
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_feed(feed, "b0.json", _rows(0, 100), 1_000)
+    table = str(tmp_path / "zt")
+    mc = ManifestCommitter()
+
+    def run(ckpt, src=feed, **kw):
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = stream_zordered_ingest(
+            stream, table, ["event_id", "ts_ms"], str(tmp_path / ckpt), mc, **kw
+        )
+        q.awaitTermination(120)
+
+    run("ck-legacy")  # unsuffixed legacy stream commits mark "0"
+    # a NEW suffixed stream with a fresh checkpoint: its batch 0 is NEW data,
+    # but the legacy mark says 0-already-applied — must raise, not skip
+    _write_feed(feed, "b1.json", _rows(100, 150), 2_000)
+    with pytest.raises(Exception, match="inherit_legacy_mark"):
+        run("ck-new", stream_id="new-stream")
+    # opting in (the renamed-legacy-stream case: SAME checkpoint dir, new
+    # stream_id) reads the legacy mark, skips the replayed batch ids
+    # at-or-under it, applies the new batch, and tombstones the legacy mark
+    run("ck-legacy", stream_id="migrated", inherit_legacy_mark=True)
+    got = read_skipping(spark, table, {"event_id": (None, None)}, committer=mc)
+    assert got.count() == 150
+    base = mc.resolve(table)
+    assert open(os.path.join(base, STREAM_HWM)).read() == "-1"
+    assert open(os.path.join(base, f"{STREAM_HWM}.migrated")).read() == "1"
+    # an unrelated suffixed stream (its own feed) now starts cleanly
+    # against the tombstone — no raise, no skipped first batch
+    feed2 = tmp_path / "feed2"
+    feed2.mkdir()
+    _write_feed(feed2, "b2.json", _rows(150, 170), 3_000)
+    run("ck-other", src=feed2, stream_id="other")
+    got = read_skipping(spark, table, {"event_id": (None, None)}, committer=mc)
+    assert got.count() == 170
+
+
+def test_inherit_legacy_mark_requires_stream_id(spark, tmp_path):
+    import pytest
+
+    stream = spark.readStream.schema(SCHEMA).json(str(tmp_path))
+    with pytest.raises(ValueError, match="inherit_legacy_mark"):
+        stream_zordered_ingest(
+            stream, str(tmp_path / "t"), ["event_id"], str(tmp_path / "c"),
+            ManifestCommitter(), inherit_legacy_mark=True,
+        )
