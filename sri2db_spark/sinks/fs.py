@@ -453,10 +453,13 @@ class S3FsspecFS(_ConditionalPutFsspecFS):
     content was checked, ``IfNoneMatch='*'`` implements create-if-absent;
     a losing writer gets HTTP 412 ``PreconditionFailed`` from S3 itself —
     no race window. ``pipe_file`` forwards the kwargs to ``PutObject``.
-    Tested against the generation-token fake in ``tests/fake_fsspec.py``
-    (this sandbox has no s3fs); the racing-writer test shows the generic
-    read-check-put path losing an update that this binding turns into a
-    clean lost-race return."""
+    Tested two ways: the generation-token fake in ``tests/fake_fsspec.py``
+    pins the protocol (racing-writer interleavings, error propagation),
+    and ``tests/test_fs_cas_moto.py`` runs the binding against moto's
+    in-process S3 through a minimal s3fs-shaped adapter — real botocore
+    request cycle, real ``ClientError``/412 shapes through the
+    ``__cause__`` chain ``_is_precondition_failure`` walks, up to a full
+    two-committer CommitConflict race."""
 
     def _token(self, info: dict):
         return info["ETag"]
