@@ -2193,6 +2193,305 @@ def q_zorder_pruned_scan(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# streaming wrappers under the external oracle (r8 verdict item 5): each
+# entry replays testdata as a time-ordered 2-batch file micro-stream through
+# the REAL writeStream wrapper (availableNow trigger) into a temp sink, then
+# returns what the sink holds — so the exactly-once/stateful path itself is
+# externally graded, not just its batch core.
+
+
+def _feed_file(df, feed_dir: str, name: str, mtime: int) -> None:
+    """Write ``df`` as ONE parquet file in ``feed_dir`` with a pinned
+    mtime. The file stream source orders files by modification time; a
+    multi-part batch half could interleave out of event-time order and
+    break stateful operators' cross-batch contracts, so each half is
+    exactly one file with an explicit timestamp."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    staging = tempfile.mkdtemp(prefix="feed_stage_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.startswith("part-"))
+        os.makedirs(feed_dir, exist_ok=True)
+        dest = os.path.join(feed_dir, name)
+        shutil.move(os.path.join(staging, part), dest)
+        os.utime(dest, (mtime, mtime))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _time_split_feed(df, ts_col: str, feed_dir: str) -> None:
+    """Split ``df`` into two single-file batches at the midpoint of
+    ``ts_col`` — early half first. Per key, every batch-1 row precedes
+    every batch-2 row in event time, so stateful continuation across the
+    micro-batch boundary reproduces the batch operator's semantics."""
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    mid = lo + (hi - lo) // 2
+    _feed_file(df.filter(F.col(ts_col) <= mid), feed_dir, "b0.parquet", 1_000)
+    _feed_file(df.filter(F.col(ts_col) > mid), feed_dir, "b1.parquet", 2_000)
+
+
+def q_stream_sessionize_replay(spark, sf):
+    """The stateful streaming sessionizer (applyInPandasWithState,
+    streaming/sessionize.py) replayed over the events table as a 2-batch
+    micro-stream: per-user open-session state spans the batch boundary,
+    closed sessions land in the parquet sink exactly once. With no idle
+    timeout, each user's final open session never closes — so the result
+    is exactly the batch sessionization minus every user's last session,
+    which is what the oracle computes."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..streaming.sessionize import stream_sessionize  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    try:
+        _time_split_feed(ev, "ts", f"{tmp}/feed")
+        stream = (
+            spark.readStream.schema("user_id long, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/feed")
+        )
+        sessions = stream_sessionize(stream, timeout_ms=None)
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.read.schema(sessions.schema)
+            .parquet(f"{tmp}/out")
+            .select(
+                "user_id",
+                "n_events",
+                F.expr("session_start_ns div 1000000").alias("start_ms"),
+                F.expr("session_end_ns div 1000000").alias("end_ms"),
+                "closed_by",
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_interval_join(spark, sf):
+    """Stream-stream interval join (streaming/interval_join.py): click and
+    purchase events replay as two watermarked micro-streams; a purchase
+    joins the click it followed within 2 hours. Time-ordered batch halves
+    guarantee no buffered row is evicted before its cross-batch partner
+    arrives (watermark ≤ every later batch's timestamps), so the inner
+    join emits exactly the batch range-join pairs."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..streaming.interval_join import stream_interval_join  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events")
+
+    def side(kind):
+        return ev.filter(F.col("event_type") == kind).select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("t"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="ivj_stream_")
+    try:
+        for kind, feed in (("click", "feed_l"), ("purchase", "feed_r")):
+            df = side(kind)
+            lo, hi = df.agg(F.min("t"), F.max("t")).first()
+            mid = lo + (hi - lo) / 2
+            _feed_file(
+                df.filter(F.col("t") <= mid), f"{tmp}/{feed}", "b0.parquet", 1_000
+            )
+            _feed_file(
+                df.filter(F.col("t") > mid), f"{tmp}/{feed}", "b1.parquet", 2_000
+            )
+        schema = "event_id long, user_id long, t timestamp"
+        mk = lambda feed: (  # noqa: E731
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/{feed}")
+        )
+        joined = stream_interval_join(
+            mk("feed_l"), mk("feed_r"), key="user_id",
+            left_time="t", right_time="t",
+            upper="2 hours", watermark_delay="10 minutes", how="inner",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.read.schema(joined.schema)
+            .parquet(f"{tmp}/out")
+            .select(
+                F.col("l_event_id").alias("click_id"),
+                F.col("r_event_id").alias("purchase_id"),
+                F.col("l_user_id").alias("user_id"),
+                F.expr("unix_micros(l_t) div 1000").alias("click_ms"),
+                F.expr("unix_micros(r_t) div 1000").alias("purchase_ms"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_windowed_counts(spark, sf):
+    """Watermarked tumbling-window streaming aggregation
+    (streaming/windowed.py): 6-hour event-time windows over the events
+    stream in APPEND mode — a window row reaches the sink exactly once,
+    when the watermark passes its end; windows still open at stream end
+    (end > max event time − 30 min delay) are never emitted. The oracle
+    reproduces both the counts and that emission frontier."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..streaming.windowed import windowed_counts  # noqa: PLC0415
+
+    ev = _t(spark, sf, "events").select("event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="win_stream_")
+    try:
+        _time_split_feed(ev, "ts", f"{tmp}/feed")
+        stream = (
+            spark.readStream.schema("event_type string, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/feed")
+            .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        counts = windowed_counts(
+            stream, "event_time", key_col="event_type",
+            window_duration="6 hours", watermark_delay="30 minutes",
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.read.schema(counts.schema)
+            .parquet(f"{tmp}/out")
+            .select(
+                F.expr("unix_millis(window_start)").alias("window_start_ms"),
+                F.expr("unix_millis(window_end)").alias("window_end_ms"),
+                "event_type",
+                "n",
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_vector_ingest(spark, sf):
+    """Continuous vector ingest into a saved IVF index
+    (streaming/vector_ingest.py): the index trains on the base corpus
+    (vec_id % 5 != 0), the rest arrives as a 2-batch micro-stream assigned
+    to the EXISTING centroids (O(batch) per tick, exactly-once via
+    (cid, batch_id) dynamic partition overwrite), and the standard query
+    batch then sees base + streamed — the same final state as
+    ``ann_ivf_upsert``, which is exactly the oracle it shares."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..streaming.vector_ingest import stream_ivf_ingest  # noqa: PLC0415
+
+    emb = _tp(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_stream_")
+    try:
+        idx = f"{tmp}/idx"
+        S.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, nlist=16)
+        batch = emb.filter(F.col("vec_id") % 5 == 0)
+        _feed_file(
+            batch.filter(F.col("vec_id") % 10 == 0),
+            f"{tmp}/feed", "b0.parquet", 1_000,
+        )
+        _feed_file(
+            batch.filter(F.col("vec_id") % 10 == 5),
+            f"{tmp}/feed", "b1.parquet", 2_000,
+        )
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/feed")
+        )
+        q = stream_ivf_ingest(stream, idx, f"{tmp}/ck")
+        q.awaitTermination(600)
+        out = S.ivf_query_index(
+            spark, idx, emb.filter(F.col("vec_id") < 8), k=5, nprobe=4
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_rtbf_all_artifacts(spark, sf):
+    """One right-to-be-forgotten request spanning ALL FOUR persisted
+    artifacts in a single run (r8 verdict item 6): curation state,
+    published batch output, ANN index, and the Z-ordered skipping table
+    are built from the test tables, one id list is forgotten everywhere
+    by one ``rtbf_delete`` call, and the audit log's per-artifact removed
+    counts are returned — each a pure derivation of the base tables."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions import pipeline as P  # noqa: PLC0415
+    from ..functions import similarity as SIM  # noqa: PLC0415
+    from ..functions.layout import write_zordered  # noqa: PLC0415
+    from ..functions.rtbf import read_rtbf_log, rtbf_delete  # noqa: PLC0415
+    from ..sinks.committer import ManifestCommitter  # noqa: PLC0415
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    emb = _tp(spark, sf, "embeddings")
+    ids = [0, 9, 33]
+    mc = ManifestCommitter()
+    root = tempfile.mkdtemp(prefix="rtbf_all_")
+    try:
+        state, out, idx, zt, log = (
+            f"{root}/{d}" for d in ("st", "out", "idx", "zt", "log")
+        )
+        P.init_curation_state(docs, state, "doc_id", "text", committer=mc)
+        for b in range(3):
+            docs.filter((F.col("doc_id") / 3 % 3).cast("long") == b).select(
+                "doc_id", "lang"
+            ).write.parquet(f"{out}/batch_id={b}")
+        SIM.build_ivf_index(emb, idx, nlist=8)
+        # the zordered table holds the UNFILTERED documents so its removed
+        # count (all 3 ids) differs from output's (ids in the %3 subset)
+        zdocs = _t(spark, sf, "documents").select(
+            "doc_id", F.length("text").alias("n_chars")
+        )
+        write_zordered(zdocs, zt, ["doc_id", "n_chars"], n_files=4, committer=mc)
+        rec = rtbf_delete(
+            spark, ids, log,
+            state_dir=state, output_dir=out, index_path=idx,
+            zordered_path=zt, committer=mc,
+        )
+        assert rec["completed"] and len(rec["artifacts"]) == 4
+        res = read_rtbf_log(spark, log)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 #: canonical registry, insertion order = stable tie-break only. The
 #: externally-visible QUERIES order is DERIVED below by _rotation_order
 #: from the recorded sample history — never hand-rotated.
@@ -2330,6 +2629,12 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_heavy_suppliers": q20_heavy_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
+    # streaming wrappers replayed through the real writeStream path (r9)
+    "stream_sessionize_replay": q_stream_sessionize_replay,
+    "stream_interval_join": q_stream_interval_join,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_vector_ingest": q_stream_vector_ingest,
+    "rtbf_all_artifacts": q_rtbf_all_artifacts,
 }
 
 

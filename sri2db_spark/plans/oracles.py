@@ -2128,4 +2128,91 @@ ORACLES: dict[str, str] = {
                     AS INT) AS height
         FROM documents
     """,
+    # -- streaming wrappers replayed through the real writeStream path (r9) --
+    # The stateful sessionizer with no idle timeout emits exactly the
+    # gap-closed sessions: batch sessionization minus every user's final
+    # (still-open) session. Duplicate timestamps extend like the stream's
+    # sorted-ts fold, so the event_id tiebreak cannot change the output.
+    "stream_sessionize_replay": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM flagged
+        ), agg AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 epoch_ns(min(ts)) // 1000000 AS start_ms,
+                 epoch_ns(max(ts)) // 1000000 AS end_ms
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               start_ms, end_ms, 'gap' AS closed_by
+        FROM agg a
+        WHERE session_id < (SELECT MAX(session_id) FROM agg b
+                            WHERE b.user_id = a.user_id)
+    """,
+    # Inner stream-stream interval join over availableNow replays every
+    # matching (click, purchase-within-2h) pair exactly once; time-ordered
+    # batch halves guarantee no buffered row is evicted before its
+    # cross-batch partner (the registry query constructs the same split).
+    "stream_interval_join": """
+        SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+               l.user_id AS user_id,
+               epoch_ns(l.ts) // 1000000 AS click_ms,
+               epoch_ns(r.ts) // 1000000 AS purchase_ms
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'click' AND r.event_type = 'purchase'
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+    """,
+    # Append-mode watermarked windows: a 6h window reaches the sink iff the
+    # final watermark (max event time - 30 min, ms precision) passed its
+    # end; later windows are still open at stream end and never emit.
+    "stream_windowed_counts": """
+        WITH e AS (
+          SELECT event_type, epoch_ns(ts) // 1000000 AS ms FROM events
+        ), mx AS (SELECT MAX(ms) AS max_ms FROM e)
+        SELECT (ms // 21600000) * 21600000 AS window_start_ms,
+               (ms // 21600000) * 21600000 + 21600000 AS window_end_ms,
+               event_type, COUNT(*) AS n
+        FROM e, mx
+        GROUP BY 1, 2, event_type, max_ms
+        HAVING window_end_ms <= max_ms - 1800000
+    """,
+    # Streaming IVF ingest lands the SAME final index state as the batch
+    # ivf_index_upsert (assignment to existing centroids, union of cells),
+    # so it shares that entry's full kmeans-replay oracle.
+    "stream_vector_ingest": _ivf_ann_oracle(train_where="vec_id % 5 != 0"),
+    # One deletion request across all FOUR artifacts: every per-artifact
+    # removed count derives from the base tables; the request id is md5
+    # over the canonical sorted-id JSON array.
+    "rtbf_all_artifacts": """
+        WITH req AS (SELECT md5('[0,33,9]') AS request_id, 3 AS n_ids)
+        SELECT request_id, CAST(n_ids AS BIGINT) AS n_ids, TRUE AS completed,
+               'index' AS artifact,
+               (SELECT COUNT(*) FROM embeddings WHERE vec_id IN (0, 9, 33))
+                 AS removed
+        FROM req
+        UNION ALL
+        SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'output',
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id % 3 = 0 AND doc_id IN (0, 9, 33))
+        FROM req
+        UNION ALL
+        SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'state',
+               CAST(3 AS BIGINT)
+        FROM req
+        UNION ALL
+        SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'zordered',
+               (SELECT COUNT(*) FROM documents WHERE doc_id IN (0, 9, 33))
+        FROM req
+    """,
 }
