@@ -320,15 +320,46 @@ def check_lake(location: str, committer=None) -> dict:
     return report
 
 
+def _parquet_column_values(fs, directory: str, column: str):
+    """All values of ``column`` across a parquet directory, via pyarrow —
+    no Spark session. Returns ``None`` (check skipped) when the binding
+    is not local-file-backed or pyarrow is unavailable; raises nothing:
+    the doctor reports what it could not verify instead of crashing."""
+    from ..sinks.fs import LocalFS  # noqa: PLC0415
+
+    if not isinstance(fs, LocalFS):
+        return None
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+    except ImportError:
+        return None
+    values = []
+    for f in sorted(fs.walk_files(directory, ".parquet")):
+        values.extend(pq.read_table(f, columns=[column])[column].to_pylist())
+    return values
+
+
 def check_ann_index(path: str, fs=None) -> dict:
     """Doctor a saved ANN index directory (see
     :func:`~.similarity.build_ivf_index` / ``build_ivfpq_index``):
-    centroids must exist; the ``cells`` partition layout must be
-    consistent with the detected kind (``cid=`` for IVF, ``cell=`` for
-    IVF-PQ — a MIX corrupts partition discovery for every query, the
-    exact failure ``saved_index_kind`` routing exists to prevent); every
-    cell holds only ``batch_id=`` subdirs. All filesystem-level — no
-    Spark session needed."""
+
+    - centroids must exist; the ``cells`` partition layout must be
+      consistent with the detected kind (``cid=`` for IVF, ``cell=`` for
+      IVF-PQ — a MIX corrupts partition discovery for every query, the
+      exact failure ``saved_index_kind`` routing exists to prevent);
+      every cell holds only ``batch_id=`` subdirs;
+    - ORPHAN cells: a cell partition whose id has no trained centroid
+      (nothing can ever probe it — its vectors are unreachable by every
+      query, the silent-recall-loss failure);
+    - EMPTY cell partitions: ``ann_index_delete`` removes directories it
+      empties, so a dataless cell/batch dir is crashed-delete residue
+      (harmless to reads, flagged for cleanup);
+    - meta/kind drift: a ``meta`` sidecar on a codebook-less index (meta
+      belongs to IVF-PQ), or a codebooks/centroids/meta directory with
+      no parquet data inside.
+
+    Filesystem + pyarrow only — no Spark session; the centroid-set checks
+    are skipped (and say so) on non-local bindings."""
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
     fs = fs or LocalFS()
@@ -346,6 +377,23 @@ def check_ann_index(path: str, fs=None) -> dict:
     has_codebooks = fs.isdir(os.path.join(path, "codebooks"))
     kind = "ivfpq" if has_codebooks else "ivf"
     info["index_kind"] = kind
+    for artifact in ("centroids", "codebooks", "meta"):
+        d = os.path.join(path, artifact)
+        if fs.isdir(d) and not fs.walk_files(d, ".parquet"):
+            issues.append(f"{artifact} directory holds no parquet data")
+    if kind == "ivf" and fs.isdir(os.path.join(path, "meta")):
+        issues.append(
+            "meta sidecar present on a codebook-less index — meta belongs "
+            "to IVF-PQ (kind drift: were the codebooks deleted, or the "
+            "meta written into the wrong index?)"
+        )
+    cids = _parquet_column_values(fs, os.path.join(path, "centroids"), "cid")
+    if cids is None:
+        info["centroid_check"] = "skipped (non-local fs or no pyarrow)"
+    else:
+        info["n_centroids"] = len(cids)
+        if len(set(cids)) != len(cids):
+            issues.append("duplicate cid values in centroids")
     cells = os.path.join(path, "cells")
     if not fs.isdir(cells):
         info["cells"] = 0
@@ -353,8 +401,8 @@ def check_ann_index(path: str, fs=None) -> dict:
         return report
     expect = "cell=" if kind == "ivfpq" else "cid="
     other = "cid=" if kind == "ivfpq" else "cell="
-    n_cells = 0
-    for n in fs.listdir(cells):
+    n_cells, empty_cells = 0, []
+    for n in sorted(fs.listdir(cells)):
         full = os.path.join(cells, n)
         if not fs.isdir(full):
             # _SUCCESS and .…crc are Spark's own write artifacts
@@ -373,11 +421,35 @@ def check_ann_index(path: str, fs=None) -> dict:
             issues.append(f"unexpected cells subdirectory {n!r}")
             continue
         n_cells += 1
+        if cids is not None:
+            try:
+                cell_id = int(n.split("=", 1)[1])
+            except ValueError:
+                cell_id = None
+            if cell_id is not None and cell_id not in set(cids):
+                issues.append(
+                    f"orphan cell {n!r}: no trained centroid has this id — "
+                    "its vectors are unreachable by every probe (centroids "
+                    "overwritten after cells were written?)"
+                )
+        if not fs.walk_files(full, ".parquet"):
+            empty_cells.append(n)
+            continue
         for b in fs.listdir(full):
-            if fs.isdir(os.path.join(full, b)) and not b.startswith(
-                "batch_id="
-            ):
-                issues.append(f"cell {n}: non-batch subdirectory {b!r}")
+            sub = os.path.join(full, b)
+            if fs.isdir(sub):
+                if not b.startswith("batch_id="):
+                    issues.append(f"cell {n}: non-batch subdirectory {b!r}")
+                elif not fs.walk_files(sub, ".parquet"):
+                    empty_cells.append(f"{n}/{b}")
+    if empty_cells:
+        issues.append(
+            f"{len(empty_cells)} empty cell partition(s) "
+            f"({', '.join(empty_cells[:5])}"
+            f"{', …' if len(empty_cells) > 5 else ''}) — ann_index_delete "
+            "removes directories it empties, so this is crashed-delete "
+            "residue; remove the empty dirs"
+        )
     info["cells"] = n_cells
     report["healthy"] = not issues
     return report

@@ -336,3 +336,62 @@ def test_doctor_ann_index(spark, tmp_path, capsys):
     assert not rep3["healthy"]
     assert any("mixed" in i for i in rep3["issues"])
     assert cli.main(["doctor", "--index", idx2]) == 4
+
+
+def test_doctor_ann_index_orphans_empties_and_meta_drift(spark, tmp_path, capsys):
+    """r8 verdict item 7: doctor --index flags hand-corrupted upsert/delete
+    residue — an orphan cell no probe can reach, empty partitions left by
+    a crashed delete, and meta/kind drift."""
+    import shutil
+
+    import sri2db_spark.functions.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, nlist=8)
+    assert D.check_ann_index(idx)["healthy"]
+
+    # ORPHAN cell: a cid with no trained centroid (unreachable vectors)
+    some_cell = next(
+        n for n in sorted(os.listdir(os.path.join(idx, "cells")))
+        if n.startswith("cid=")
+    )
+    src_part = next(
+        os.path.join(r, f)
+        for r, _, fs_ in os.walk(os.path.join(idx, "cells", some_cell))
+        for f in fs_ if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(idx, "cells", "cid=99"))
+    shutil.copy(src_part, os.path.join(idx, "cells", "cid=99", "part-0.parquet"))
+    rep = D.check_ann_index(idx)
+    assert not rep["healthy"]
+    assert any("orphan cell 'cid=99'" in i for i in rep["issues"])
+    assert rep["info"]["n_centroids"] == 8
+    shutil.rmtree(os.path.join(idx, "cells", "cid=99"))
+
+    # EMPTY partition: crashed-delete residue (delete removes emptied dirs)
+    os.makedirs(os.path.join(idx, "cells", some_cell, "batch_id=5"))
+    rep = D.check_ann_index(idx)
+    assert not rep["healthy"]
+    assert any("empty cell partition" in i for i in rep["issues"])
+    assert cli.main(["doctor", "--index", idx]) == 4
+    capsys.readouterr()
+    os.rmdir(os.path.join(idx, "cells", some_cell, "batch_id=5"))
+
+    # META/KIND drift: a meta sidecar on a codebook-less index
+    os.makedirs(os.path.join(idx, "meta"))
+    rep = D.check_ann_index(idx)
+    assert not rep["healthy"]
+    assert any("kind drift" in i for i in rep["issues"])
+    assert any("meta directory holds no parquet data" in i for i in rep["issues"])
+    shutil.rmtree(os.path.join(idx, "meta"))
+
+    # empty codebooks dir flips the detected kind AND is flagged as dataless
+    os.makedirs(os.path.join(idx, "codebooks"))
+    rep = D.check_ann_index(idx)
+    assert not rep["healthy"]
+    assert rep["info"]["index_kind"] == "ivfpq"
+    assert any("codebooks directory holds no parquet data" in i for i in rep["issues"])
+    shutil.rmtree(os.path.join(idx, "codebooks"))
+
+    assert D.check_ann_index(idx)["healthy"]  # all corruptions reverted
