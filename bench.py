@@ -48,10 +48,14 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def run_session() -> dict:
+    """One fresh-JVM measurement pass over every bench entry; returns
+    ``{"medians", "mins", "spreads", "repeats"}`` per query. The per-JVM
+    JIT plateau (tools/bench_bimodality_probe.py) makes any single
+    session's numbers sit 0-30% above another's on identical code — the
+    cross-SESSION aggregation in :func:`main` is what removes that."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(app_name="sri2db_spark_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,7 +75,11 @@ def main() -> None:
     # three runs) pins the noise floor: round-4's max−min of 3 let one GC
     # pause put a 40% phantom swing on q1, making a 2× regression bar
     # unenforceable for sub-2s queries.
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5"))
+    # Default 3 in-session repeats: the reported statistic is the
+    # cross-session MIN (see main), which needs plateau diversity more
+    # than in-session depth — min-of-3 already lands past the JIT warm-up
+    # slope, and two extra sessions beat eight extra repeats inside one.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     # The two historically bimodal entries (3.0↔4.1 s across rounds on
     # byte-identical code) get more repeats: tools/bench_bimodality_probe.py
     # showed the swing is a per-JVM-SESSION plateau plus an in-session
@@ -85,8 +93,8 @@ def main() -> None:
     # 11 gets that many runs here too, and the emitted per-query "repeats"
     # map records the actual count for every entry
     extra_repeat = {
-        "dedup_minhash_lsh": max(repeat, 11),
-        "ngram_topk": max(repeat, 11),
+        "dedup_minhash_lsh": max(repeat, 5),
+        "ngram_topk": max(repeat, 5),
     }
     repeats_used: dict[str, int] = {}
 
@@ -304,19 +312,84 @@ def main() -> None:
     finally:
         shutil.rmtree(st_tmp, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
-    # diagnostics first (spreads/mins/repeats can grow unboundedly as entries
-    # are added), THEN the compact headline object as the very last stdout
-    # line: the driver tail-captures a bounded window and BENCH_r07 arrived
-    # truncated mid-object ("parsed": null) when everything was one line.
+    spark.stop()
+    return {
+        "medians": timings,
+        "mins": mins,
+        "spreads": spreads,
+        "repeats": repeats_used,
+    }
+
+
+def main() -> None:
+    """Run the suite in N FRESH JVM sessions (default 3; env
+    SPARK_GRAFT_BENCH_SESSIONS) and report per-query CROSS-SESSION MINS.
+
+    The r7 bimodality probe pinned the dominant noise: each JVM session
+    settles on its own JIT plateau, so two captures of identical code can
+    differ ±30-79% per query in either direction (BENCH_r07 vs r08).
+    Additive noise only ever inflates a run, so the min over sessions ×
+    repeats is the statistic that tracks the CODE — it is exactly what the
+    round-8 A/B used to clear the phantom sync regression. Diagnostics
+    carry each session's mins plus the cross-session spread percentage so
+    a regression claim can be checked against the plateau width."""
+    sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        out = run_session()
+        print(json.dumps({"detail": "bench_session", **out}, separators=(",", ":")))
+        return
+
+    if sessions <= 1:
+        results = [run_session()]
+    else:
+        import subprocess  # noqa: PLC0415
+
+        results = []
+        for i in range(sessions):
+            env = {**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"}
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"bench session {i} failed ({proc.returncode})")
+            last = [l for l in proc.stdout.splitlines() if l.strip()][-1]
+            results.append(json.loads(last))
+
+    names = list(results[0]["mins"])
+    queries: dict[str, float] = {}
+    spread_pct: dict[str, float] = {}
+    session_mins = {r_i: res["mins"] for r_i, res in enumerate(results)}
+    for q in names:
+        per_session = [res["mins"][q] for res in results]
+        best = min(per_session)
+        queries[q] = best
+        spread_pct[q] = round(
+            100.0 * (max(per_session) - best) / best if best > 0 else 0.0, 1
+        )
+    total = round(sum(queries.values()), 3)
+    # diagnostics first (per-session maps grow as entries are added), THEN
+    # the compact headline object as the very last stdout line: the driver
+    # tail-captures a bounded window and BENCH_r07 arrived truncated
+    # mid-object ("parsed": null) when everything was one line.
     print(
         json.dumps(
             {
                 "detail": "bench_diagnostics",
-                "spreads": spreads,
-                "mins": mins,
-                "repeat": repeat,
-                "repeats": repeats_used,
+                "statistic": "min over sessions x repeats",
+                "sessions": len(results),
+                "session_mins": session_mins,
+                "cross_session_spread_pct": spread_pct,
+                "medians_last_session": results[-1]["medians"],
+                "spreads_last_session": results[-1]["spreads"],
+                "repeats": results[-1]["repeats"],
             },
             separators=(",", ":"),
         )
@@ -327,9 +400,10 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": queries,
                 "sf": sf,
                 "cpus": int(cpus),
+                "sessions": len(results),
             },
             separators=(",", ":"),
         )
