@@ -81,17 +81,13 @@ def run_session() -> dict:
     # slope, and two extra sessions beat eight extra repeats inside one.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     # The two historically bimodal entries (3.0↔4.1 s across rounds on
-    # byte-identical code) get more repeats: tools/bench_bimodality_probe.py
-    # showed the swing is a per-JVM-SESSION plateau plus an in-session
-    # warm-up slope — JIT compiler threads spend 2-6 s of compile time PER
-    # RUN on these queries' large generated classes (128-perm OPH / n-gram
-    # explode), so early runs sit 20-40 % above steady state and median-of-5
-    # lands on the slope. More repeats push the median off the slope, and
-    # the reported per-query MIN is the load/JIT-robust statistic to compare
-    # across rounds (additive noise only ever inflates a run).
-    # floor, not override: a caller raising SPARK_GRAFT_BENCH_REPEAT above
-    # 11 gets that many runs here too, and the emitted per-query "repeats"
-    # map records the actual count for every entry
+    # byte-identical code) get a floor of 5 repeats: their JIT warm-up
+    # slope is the steepest (2-6 s of compile time PER RUN on the large
+    # generated classes — 128-perm OPH / n-gram explode), so the first
+    # couple of runs sit 20-40% above steady state and a min-of-3 could
+    # still land on the slope. Floor, not override: a caller raising
+    # SPARK_GRAFT_BENCH_REPEAT above 5 gets that many runs here too, and
+    # the emitted per-query "repeats" map records the actual count.
     extra_repeat = {
         "dedup_minhash_lsh": max(repeat, 5),
         "ngram_topk": max(repeat, 5),

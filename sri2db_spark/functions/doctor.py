@@ -320,11 +320,12 @@ def check_lake(location: str, committer=None) -> dict:
     return report
 
 
-def _parquet_column_values(fs, directory: str, column: str):
+def _parquet_column_values(fs, directory: str, column: str, issues: list):
     """All values of ``column`` across a parquet directory, via pyarrow —
     no Spark session. Returns ``None`` (check skipped) when the binding
     is not local-file-backed or pyarrow is unavailable; raises nothing:
-    the doctor reports what it could not verify instead of crashing."""
+    a corrupt/truncated file (exactly the crashed-write damage the doctor
+    exists to diagnose) becomes an ISSUE entry, never a traceback."""
     from ..sinks.fs import LocalFS  # noqa: PLC0415
 
     if not isinstance(fs, LocalFS):
@@ -335,7 +336,17 @@ def _parquet_column_values(fs, directory: str, column: str):
         return None
     values = []
     for f in sorted(fs.walk_files(directory, ".parquet")):
-        values.extend(pq.read_table(f, columns=[column])[column].to_pylist())
+        try:
+            values.extend(
+                pq.read_table(f, columns=[column])[column].to_pylist()
+            )
+        except Exception as exc:  # noqa: BLE001 — diagnostic tool: report, don't crash
+            issues.append(
+                f"unreadable parquet {os.path.basename(f)!r} in "
+                f"{os.path.basename(directory)!r} ({type(exc).__name__}: "
+                f"{str(exc)[:120]}) — truncated/corrupt write?"
+            )
+            return None
     return values
 
 
@@ -387,7 +398,9 @@ def check_ann_index(path: str, fs=None) -> dict:
             "to IVF-PQ (kind drift: were the codebooks deleted, or the "
             "meta written into the wrong index?)"
         )
-    cids = _parquet_column_values(fs, os.path.join(path, "centroids"), "cid")
+    cids = _parquet_column_values(
+        fs, os.path.join(path, "centroids"), "cid", issues
+    )
     if cids is None:
         info["centroid_check"] = "skipped (non-local fs or no pyarrow)"
     else:
@@ -401,6 +414,7 @@ def check_ann_index(path: str, fs=None) -> dict:
         return report
     expect = "cell=" if kind == "ivfpq" else "cid="
     other = "cid=" if kind == "ivfpq" else "cell="
+    cid_set = None if cids is None else set(cids)
     n_cells, empty_cells = 0, []
     for n in sorted(fs.listdir(cells)):
         full = os.path.join(cells, n)
@@ -421,27 +435,36 @@ def check_ann_index(path: str, fs=None) -> dict:
             issues.append(f"unexpected cells subdirectory {n!r}")
             continue
         n_cells += 1
-        if cids is not None:
+        if cid_set is not None:
             try:
                 cell_id = int(n.split("=", 1)[1])
             except ValueError:
                 cell_id = None
-            if cell_id is not None and cell_id not in set(cids):
+            if cell_id is not None and cell_id not in cid_set:
                 issues.append(
                     f"orphan cell {n!r}: no trained centroid has this id — "
                     "its vectors are unreachable by every probe (centroids "
                     "overwritten after cells were written?)"
                 )
-        if not fs.walk_files(full, ".parquet"):
-            empty_cells.append(n)
-            continue
+        # ONE recursive walk per cell; emptiness of the cell and of each
+        # batch subdir derives from it, and the layout check runs even on
+        # an empty cell (an empty cell holding only a foreign subdir is a
+        # layout violation, not just delete residue)
+        cell_files = fs.walk_files(full, ".parquet")
+        had_batch_residue = False
         for b in fs.listdir(full):
             sub = os.path.join(full, b)
             if fs.isdir(sub):
                 if not b.startswith("batch_id="):
                     issues.append(f"cell {n}: non-batch subdirectory {b!r}")
-                elif not fs.walk_files(sub, ".parquet"):
+                elif not any(
+                    f.startswith(sub + os.sep) or f.startswith(sub + "/")
+                    for f in cell_files
+                ):
                     empty_cells.append(f"{n}/{b}")
+                    had_batch_residue = True
+        if not cell_files and not had_batch_residue:
+            empty_cells.append(n)
     if empty_cells:
         issues.append(
             f"{len(empty_cells)} empty cell partition(s) "

@@ -281,14 +281,18 @@ def write_zordered(
         prev = committer.resolve(path)
         if prev is not None:
             _carry_protocol_sidecars(fs, prev, target, markers)
-            # this rewrite resolved prev (and carried its _STREAM_* replay
-            # marks), so the pointer write must be a compare-and-swap like
-            # append/compact/retract: a stream batch committing between
-            # resolve() and commit() would otherwise be silently clobbered —
-            # its data AND its high-water mark both lost
-            committer.commit(target, path, expected_basis=os.path.basename(prev))
-        else:
-            committer.commit(target, path)
+        # this rewrite resolved prev (and carried its _STREAM_* replay
+        # marks), so the pointer write must be a compare-and-swap like
+        # append/compact/retract: a stream batch committing between
+        # resolve() and commit() would otherwise be silently clobbered —
+        # its data AND its high-water mark both lost. expected_basis=None
+        # ("nothing committed yet") covers the first-publication race the
+        # same way: a concurrent first commit wins and this one conflicts.
+        committer.commit(
+            target,
+            path,
+            expected_basis=None if prev is None else os.path.basename(prev),
+        )
     return stats
 
 

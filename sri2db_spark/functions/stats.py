@@ -143,7 +143,10 @@ def exact_corr(
     (HALF_UP vs HALF_EVEN at the final digit) is engine-version-dependent
     and flipped cross-engine value hashes twice (CORRECTNESS_r07/r08):
 
-    - ``n`` BIGINT — group row count.
+    - ``n`` BIGINT — count of PAIRWISE-COMPLETE rows (both x and y
+      non-null), the standard correlation semantics (Spark's ``corr``
+      and SQL's ``CORR`` likewise skip incomplete pairs); a group with
+      no complete pair yields n=0 and a NULL ``corr_e8``.
     - ``corr_e8`` BIGINT — the Pearson coefficient quantized to 8 decimal
       places via FLOOR(corr*1e8 + 0.5) (round-half-up, engine-invariant
       pure-double arithmetic; NULL on zero variance). 1e-8 quantization is
@@ -160,29 +163,34 @@ def exact_corr(
     would null out — both are counted/detected in the same aggregation and
     raised via ``assert_true`` at execution time.
     """
+    # pairwise-complete mask FIRST (standard corr semantics): a NULL input
+    # is a skipped pair, never an overflow — without the mask, an all-NULL
+    # group's legitimately-NULL moment sums would trip the overflow guard
+    # (review r9 finding, confirmed live).
+    complete = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     # round() before the cast: the inputs are doubles carrying ~1e-9
     # representation noise around exact integers; never near .5, so the
     # rounding mode is irrelevant.
-    x = F.round(F.col(x_col) * F.lit(float(10**x_scale)), 0).cast("decimal(18,0)")
-    y = F.round(F.col(y_col) * F.lit(float(10**y_scale)), 0).cast("decimal(18,0)")
+    x = F.when(
+        complete, F.round(F.col(x_col) * F.lit(float(10**x_scale)), 0)
+    ).cast("decimal(18,0)")
+    y = F.when(
+        complete, F.round(F.col(y_col) * F.lit(float(10**y_scale)), 0)
+    ).cast("decimal(18,0)")
     mod = F.lit(10**18)
     moments = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(complete, 1).otherwise(0)).alias("n_rows"),
         F.sum(x).alias("sx_d"),
         F.sum(y).alias("sy_d"),
         F.sum(x * y).alias("sxy_d"),
         F.sum(x * x).alias("sx2_d"),
         F.sum(y * y).alias("sy2_d"),
-        # rows where the decimal(18,0) cast nulled a non-null input —
+        # complete pairs whose decimal(18,0) cast nulled the scaled value —
         # i.e. |v * 10^scale| >= 1e18 operand overflow
-        F.sum(
-            F.when(x.isNull() & F.col(x_col).isNotNull(), 1).otherwise(0)
-        ).alias("x_ovf"),
-        F.sum(
-            F.when(y.isNull() & F.col(y_col).isNotNull(), 1).otherwise(0)
-        ).alias("y_ovf"),
+        F.sum(F.when(x.isNull() & complete, 1).otherwise(0)).alias("x_ovf"),
+        F.sum(F.when(y.isNull() & complete, 1).otherwise(0)).alias("y_ovf"),
     )
-    # a moment sum that is NULL despite contributing rows = the decimal(38,0)
+    # a moment sum that is NULL despite complete pairs = the decimal(38,0)
     # accumulator overflowed (Spark's non-ANSI SUM nulls out instead of
     # raising); either overflow class raises at execution time
     has_rows = F.col("n_rows") > F.lit(0)

@@ -2201,6 +2201,18 @@ def q_zorder_pruned_scan(spark, sf):
 # externally graded, not just its batch core.
 
 
+def _await_or_die(q, seconds: int = 600) -> None:
+    """awaitTermination returns FALSE on timeout (it does not raise); the
+    sink must never be read — nor the temp dirs removed — under a live
+    query, so a timeout stops the stream and raises loudly instead of
+    grading a partially-written sink as a phantom correctness regression."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming registry query did not finish within {seconds}s"
+        )
+
+
 def _feed_file(df, feed_dir: str, name: str, mtime: int) -> None:
     """Write ``df`` as ONE parquet file in ``feed_dir`` with a pinned
     mtime. The file stream source orders files by modification time; a
@@ -2265,7 +2277,7 @@ def q_stream_sessionize_replay(spark, sf):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_die(q)
         out = (
             spark.read.schema(sessions.schema)
             .parquet(f"{tmp}/out")
@@ -2334,7 +2346,7 @@ def q_stream_interval_join(spark, sf):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_die(q)
         out = (
             spark.read.schema(joined.schema)
             .parquet(f"{tmp}/out")
@@ -2385,7 +2397,7 @@ def q_stream_windowed_counts(spark, sf):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_die(q)
         out = (
             spark.read.schema(counts.schema)
             .parquet(f"{tmp}/out")
@@ -2434,7 +2446,7 @@ def q_stream_vector_ingest(spark, sf):
             .parquet(f"{tmp}/feed")
         )
         q = stream_ivf_ingest(stream, idx, f"{tmp}/ck")
-        q.awaitTermination(600)
+        _await_or_die(q)
         out = S.ivf_query_index(
             spark, idx, emb.filter(F.col("vec_id") < 8), k=5, nprobe=4
         )

@@ -1978,10 +1978,14 @@ ORACLES: dict[str, str] = {
         -- the exact moment sums ship mod 1e18 so any future mismatch
         -- localizes to one column.
         WITH i AS (
+          -- pairwise-complete rows only (standard corr semantics; matches
+          -- exact_corr's complete-pair mask — no nulls in lineitem, so the
+          -- filter is a no-op here but keeps the two definitions aligned)
           SELECT l_returnflag,
                  CAST(ROUND(l_quantity, 0) AS DECIMAL(18,0)) AS xi,
                  CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(18,0)) AS yi
-          FROM lineitem),
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
         m AS (
           SELECT l_returnflag,
                  COUNT(*) AS n_rows,

@@ -395,3 +395,48 @@ def test_doctor_ann_index_orphans_empties_and_meta_drift(spark, tmp_path, capsys
     shutil.rmtree(os.path.join(idx, "codebooks"))
 
     assert D.check_ann_index(idx)["healthy"]  # all corruptions reverted
+
+
+def test_doctor_ann_index_corrupt_centroids_is_an_issue_not_a_crash(
+    spark, tmp_path
+):
+    """A truncated centroids parquet (crashed-write damage — the exact
+    input doctor exists to diagnose) must become an issue entry, never an
+    ArrowInvalid traceback (review r9)."""
+    import sri2db_spark.functions.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, nlist=8)
+    part = next(
+        os.path.join(r, f)
+        for r, _, fs_ in os.walk(os.path.join(idx, "centroids"))
+        for f in fs_ if f.endswith(".parquet")
+    )
+    data = open(part, "rb").read()
+    open(part, "wb").write(data[: len(data) // 2])  # truncate mid-file
+    rep = D.check_ann_index(idx)
+    assert not rep["healthy"]
+    assert any("unreadable parquet" in i for i in rep["issues"])
+    assert "n_centroids" not in rep["info"]  # check skipped, reported
+
+
+def test_doctor_ann_index_empty_cell_with_foreign_subdir_is_layout_issue(
+    spark, tmp_path
+):
+    """An empty cell whose only content is a non-batch subdirectory is a
+    LAYOUT violation, not just delete residue — the empty-cell shortcut
+    must not hide it (review r9)."""
+    import sri2db_spark.functions.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, nlist=8)
+    os.makedirs(os.path.join(idx, "cells", "cid=2", "tmp_staging"), exist_ok=True)
+    # (cid=2 exists from the build; add a fresh empty cell with ONLY the
+    # foreign dir to hit the empty-cell path)
+    os.makedirs(os.path.join(idx, "cells", "cid=5", "tmp_staging2"), exist_ok=True)
+    rep = D.check_ann_index(idx)
+    assert not rep["healthy"]
+    assert any("non-batch subdirectory 'tmp_staging'" in i for i in rep["issues"])
+    assert any("non-batch subdirectory 'tmp_staging2'" in i for i in rep["issues"])

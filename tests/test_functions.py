@@ -876,3 +876,23 @@ def test_exact_corr_overflow_is_loud(spark):
     )
     with pytest.raises(Exception, match="(?i)decimal|numeric_value_out_of_range|overflow"):
         exact_corr(df, "g", "x", "y", x_scale=9, y_scale=0).collect()
+
+
+def test_exact_corr_all_null_group_is_null_not_overflow(spark):
+    """A group whose x (or y) column is entirely NULL is a skipped-pair
+    case (standard corr semantics): n counts pairwise-complete rows and
+    corr_e8 is NULL — the overflow guard must NOT fire on the
+    legitimately-NULL moment sums (review r9, confirmed live)."""
+    from sri2db_spark.functions.stats import exact_corr
+
+    rows = (
+        [("dead", None, float(i)) for i in range(5)]
+        + [("half", float(i) if i % 2 else None, float(i)) for i in range(6)]
+        + [("live", float(i), float(2 * i)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["n"], r["corr_e8"]) for r in
+           exact_corr(df, "g", "x", "y", 0, 0).collect()}
+    assert got["dead"] == (0, None)
+    assert got["half"][0] == 3  # only the complete pairs count
+    assert got["live"] == (4, 100000000)  # perfectly correlated
