@@ -848,3 +848,99 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.lit(1e12)
         ).alias("mean_bigram_p"),
     )
+
+
+def _token_gram_occurrences(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """Every w-token window of every document as (id, pos, gram) — the
+    building block of exact substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": duplicated
+    SPANS, not just duplicated documents, drive memorization).
+
+    All JVM expressions: whitespace-split (empties dropped), a
+    ``transform(sequence(...))`` window enumeration, one ``posexplode``.
+    The explode yields ~tokens-per-doc rows per document — the same row
+    volume every shingle operator here already shuffles — and the
+    downstream groupBy is map-side combined.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
+    grams = F.expr(
+        f"CASE WHEN size(__t) >= {w} THEN "
+        f"transform(sequence(1, size(__t)-{w}+1), "
+        f"i -> array_join(slice(__t, i, {w}), ' ')) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+        .select("id", F.posexplode(grams).alias("pos0", "gram"))
+        .select("id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact duplicated w-token spans ACROSS documents: every w-gram that
+    appears in at least ``min_docs`` distinct documents, with its document
+    and occurrence counts. The cross-document report behind substring
+    dedup — document-level fingerprints (minhash/simhash) miss a
+    boilerplate paragraph pasted into thousands of otherwise-unique pages;
+    this is the operator that finds it. Returns (gram, n_docs,
+    n_occurrences); one hash-shuffle on the gram."""
+    occ = _token_gram_occurrences(df, id_col, text_col, w)
+    return occ.groupBy("gram").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    ).filter(F.col("n_docs") >= min_docs)
+
+
+def duplicated_span_coverage(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span coverage: how many of a document's
+    tokens sit inside at least one w-gram that also appears in
+    ``min_docs``-1 other documents. The Lee-et-al. curation metric — a
+    high ``dup_tokens/total_tokens`` ratio marks boilerplate-heavy or
+    near-copied documents that document-level dedup keeps.
+
+    Shape: the gram groupBy (one shuffle) marks duplicated grams; hit
+    positions join back co-partitioned on the gram; the per-document
+    interval union ([pos, pos+w) spans overlap heavily) is the classic
+    running-max window, partitioned by document — never a global sort.
+    Output is all-integer (doc id, total_tokens, dup_tokens): ratios are
+    left to the caller, so no double crosses an engine boundary."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    occ = _token_gram_occurrences(df, id_col, text_col, w)
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    hits = occ.join(dup, "gram").select("id", "pos")
+    wspec = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + F.lit(w))
+        - F.greatest(F.col("pos"), F.coalesce(F.max(F.col("pos") + F.lit(w)).over(wspec), F.lit(0))),
+    )
+    covered = hits.select("id", contrib.alias("c")).groupBy("id").agg(
+        F.sum("c").alias("dup_tokens")
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size(filter(split({text_col}, ' '), x -> x <> ''))")
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+    return totals.join(covered, "id", "left").select(
+        F.col("id").alias(id_col),
+        "total_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )

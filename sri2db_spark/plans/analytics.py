@@ -2504,6 +2504,25 @@ def q_rtbf_all_artifacts(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_dup_spans(spark, sf):
+    """Exact duplicated 8-token spans across documents
+    (``duplicated_spans``, functions/text.py — the substring-level dedup
+    report document fingerprints miss): every 8-gram in ≥2 distinct
+    documents with its document/occurrence counts. One gram hash-shuffle,
+    all JVM expressions."""
+    docs = _tp(spark, sf, "documents")
+    return X.duplicated_spans(docs, "doc_id", "text", w=8, min_docs=2)
+
+
+def q_dup_span_coverage(spark, sf):
+    """Per-document duplicated-span coverage (``duplicated_span_coverage``):
+    tokens inside ≥1 cross-document 8-gram, via a per-document interval
+    union (running-max window partitioned by doc — never a global sort).
+    All-integer output."""
+    docs = _tp(spark, sf, "documents")
+    return X.duplicated_span_coverage(docs, "doc_id", "text", w=8, min_docs=2)
+
+
 #: canonical registry, insertion order = stable tie-break only. The
 #: externally-visible QUERIES order is DERIVED below by _rotation_order
 #: from the recorded sample history — never hand-rotated.
@@ -2647,6 +2666,9 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_vector_ingest": q_stream_vector_ingest,
     "rtbf_all_artifacts": q_rtbf_all_artifacts,
+    # substring-level dedup (r9): duplicated spans across documents
+    "dup_spans": q_dup_spans,
+    "dup_span_coverage": q_dup_span_coverage,
 }
 
 

@@ -2132,6 +2132,57 @@ ORACLES: dict[str, str] = {
                     AS INT) AS height
         FROM documents
     """,
+    # -- substring-level dedup (r9): exact duplicated w-token spans --------
+    # tokenization is whitespace-split with empties dropped on BOTH sides;
+    # 8-gram windows enumerated 1-based; list slicing is inclusive in
+    # DuckDB (t[i:i+7] = 8 elements) where Spark's slice(t, i, 8) takes a
+    # length — same window either way.
+    "dup_spans": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                 AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ')
+                 AS gram
+          FROM toks,
+               UNNEST(generate_series(1, greatest(len(t)-7, 0))) AS u(i))
+        SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    # per-document interval union of the duplicated [pos, pos+8) spans —
+    # the classic gaps-and-islands running max; zero-coverage documents
+    # kept via the left join
+    "dup_span_coverage": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                 AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ')
+                 AS gram
+          FROM toks,
+               UNNEST(generate_series(1, greatest(len(t)-7, 0))) AS u(i)),
+        d AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        isl AS (
+          SELECT doc_id, pos,
+                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM h),
+        cov AS (
+          SELECT doc_id,
+                 SUM(GREATEST(0, (pos + 8)
+                     - GREATEST(pos, COALESCE(prev_end, 0)))) AS dup_tokens
+          FROM isl GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS total_tokens,
+               CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
     # -- streaming wrappers replayed through the real writeStream path (r9) --
     # The stateful sessionizer with no idle timeout emits exactly the
     # gap-closed sessions: batch sessionization minus every user's final

@@ -896,3 +896,38 @@ def test_exact_corr_all_null_group_is_null_not_overflow(spark):
     assert got["dead"] == (0, None)
     assert got["half"][0] == 3  # only the complete pairs count
     assert got["live"] == (4, 100000000)  # perfectly correlated
+
+
+def test_duplicated_spans_and_coverage_exact(spark):
+    """Hand-computed case: two docs share a 10-token run — the three
+    overlapping 8-grams must union to exactly 10 covered tokens (interval
+    merge, not 3x8), a third unrelated doc covers zero, and the span
+    report lists exactly the shared grams."""
+    shared = [f"s{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(["a1", "a2"] + shared + ["a3"])),          # 13 tokens
+        (2, " ".join(shared + ["b1", "b2", "b3", "b4"])),        # 14 tokens
+        (3, " ".join(f"u{i}" for i in range(12))),               # 12 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {r.gram: (r.n_docs, r.n_occurrences)
+             for r in X.duplicated_spans(df, "doc_id", "text", w=8).collect()}
+    expect_grams = {" ".join(shared[i:i + 8]) for i in range(3)}
+    assert set(spans) == expect_grams
+    assert all(v == (2, 2) for v in spans.values())
+
+    cov = {r.doc_id: (r.total_tokens, r.dup_tokens)
+           for r in X.duplicated_span_coverage(df, "doc_id", "text", w=8).collect()}
+    assert cov == {1: (13, 10), 2: (14, 10), 3: (12, 0)}
+
+
+def test_duplicated_span_coverage_plan_is_partitioned(spark, docs):
+    """The interval-union window must partition by document — a global
+    sort would single-thread the whole corpus."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        X.duplicated_span_coverage(docs, "doc_id", "text").explain(True)
+    assert "SinglePartition" not in buf.getvalue()
