@@ -45,6 +45,8 @@ HEADLINE = [
     "segment_dedup",
     "bm25_topk",
     "ngram_topk",
+    "dup_spans",
+    "dup_span_coverage",
 ]
 
 
