@@ -398,11 +398,18 @@ def check_ann_index(path: str, fs=None) -> dict:
             "to IVF-PQ (kind drift: were the codebooks deleted, or the "
             "meta written into the wrong index?)"
         )
+    n_issues_before = len(issues)
     cids = _parquet_column_values(
         fs, os.path.join(path, "centroids"), "cid", issues
     )
     if cids is None:
-        info["centroid_check"] = "skipped (non-local fs or no pyarrow)"
+        # label the skip with its actual cause: an unreadable file already
+        # appended its own issue; otherwise it was the environment
+        info["centroid_check"] = (
+            "skipped (unreadable centroids parquet — see issues)"
+            if len(issues) > n_issues_before
+            else "skipped (non-local fs or no pyarrow)"
+        )
     else:
         info["n_centroids"] = len(cids)
         if len(set(cids)) != len(cids):
@@ -451,16 +458,19 @@ def check_ann_index(path: str, fs=None) -> dict:
         # an empty cell (an empty cell holding only a foreign subdir is a
         # layout violation, not just delete residue)
         cell_files = fs.walk_files(full, ".parquet")
+        # membership is decided on the "<cell>/<batch>/" path-SEGMENT pair,
+        # not an absolute-path prefix: fsspec backends return normalized
+        # (protocol/root-stripped) keys from find(), so startswith against
+        # the os.path.join'd absolute dir would falsely flag every
+        # populated batch as empty on object-store bindings
+        normalized = [f.replace(os.sep, "/") for f in cell_files]
         had_batch_residue = False
         for b in fs.listdir(full):
             sub = os.path.join(full, b)
             if fs.isdir(sub):
                 if not b.startswith("batch_id="):
                     issues.append(f"cell {n}: non-batch subdirectory {b!r}")
-                elif not any(
-                    f.startswith(sub + os.sep) or f.startswith(sub + "/")
-                    for f in cell_files
-                ):
+                elif not any(f"/{n}/{b}/" in f"/{f}" for f in normalized):
                     empty_cells.append(f"{n}/{b}")
                     had_batch_residue = True
         if not cell_files and not had_batch_residue:

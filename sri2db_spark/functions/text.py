@@ -850,6 +850,14 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _ws_tokens_expr(text_col: str):
+    """Whitespace tokens with empties dropped — the ONE tokenization the
+    span-dedup family shares (gram enumeration and the coverage totals
+    must count under the same definition, or coverage ratios silently
+    skew; DuckDB mirror: ``list_filter(string_split(text,' '), …)``)."""
+    return F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
+
+
 def _token_gram_occurrences(
     df: DataFrame, id_col: str, text_col: str, w: int
 ) -> DataFrame:
@@ -864,7 +872,7 @@ def _token_gram_occurrences(
     volume every shingle operator here already shuffles — and the
     downstream groupBy is map-side combined.
     """
-    toks = F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
+    toks = _ws_tokens_expr(text_col)
     grams = F.expr(
         f"CASE WHEN size(__t) >= {w} THEN "
         f"transform(sequence(1, size(__t)-{w}+1), "
@@ -933,9 +941,13 @@ def duplicated_span_coverage(
     covered = hits.select("id", contrib.alias("c")).groupBy("id").agg(
         F.sum("c").alias("dup_tokens")
     )
+    # NULL text -> NULL total (matches the oracle's len(NULL); Spark's
+    # non-ANSI size(NULL) would otherwise return -1 and poison ratios)
     totals = df.select(
         F.col(id_col).alias("id"),
-        F.expr(f"size(filter(split({text_col}, ' '), x -> x <> ''))")
+        F.when(
+            F.col(text_col).isNotNull(), F.size(_ws_tokens_expr(text_col))
+        )
         .cast("bigint")
         .alias("total_tokens"),
     )

@@ -429,14 +429,24 @@ def test_doctor_ann_index_empty_cell_with_foreign_subdir_is_layout_issue(
     must not hide it (review r9)."""
     import sri2db_spark.functions.similarity as S
 
+    import shutil
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     idx = str(tmp_path / "ivf")
     S.build_ivf_index(emb, idx, nlist=8)
+    # foreign subdir inside a POPULATED cell
     os.makedirs(os.path.join(idx, "cells", "cid=2", "tmp_staging"), exist_ok=True)
-    # (cid=2 exists from the build; add a fresh empty cell with ONLY the
-    # foreign dir to hit the empty-cell path)
-    os.makedirs(os.path.join(idx, "cells", "cid=5", "tmp_staging2"), exist_ok=True)
+    # EMPTY the cid=5 cell (keep the dir) so its only content is the
+    # foreign subdir — this is the branch that previously short-circuited
+    # to "delete residue" and hid the layout violation
+    cell5 = os.path.join(idx, "cells", "cid=5")
+    for entry in os.listdir(cell5):
+        p = os.path.join(cell5, entry)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    os.makedirs(os.path.join(cell5, "tmp_staging2"), exist_ok=True)
     rep = D.check_ann_index(idx)
     assert not rep["healthy"]
     assert any("non-batch subdirectory 'tmp_staging'" in i for i in rep["issues"])
     assert any("non-batch subdirectory 'tmp_staging2'" in i for i in rep["issues"])
+    # the emptied cell is ALSO reported as residue, not silently skipped
+    assert any("cid=5" in i and "empty cell partition" in i for i in rep["issues"])

@@ -5,9 +5,11 @@ server (/root/reference/test/index.mjs); this build's transport
 (streaming/listener.socketio_connect) is implemented against the public
 python-socketio client and e2e-tested through the injected
 ``client_factory`` seam. This module adds the REAL-server run: a
-python-socketio AsyncServer on 127.0.0.1, the actual socketio.Client
-(no seam), room join on connect, an ``update`` event triggering a sync
-callback, and the D2 reconnect path on server restart.
+python-socketio Server in ``threading`` async mode (thread-safe — an
+eventlet-mode server's hub may never see an emit issued from a foreign
+OS thread) hosted on a ThreadingWSGIServer, the actual socketio.Client
+(no seam), room join on connect, and an ``update`` event triggering the
+listener's sync callback.
 
 The build sandbox does not ship python-socketio, so these tests
 importorskip with a precise reason — they are ready evidence the moment
@@ -21,6 +23,8 @@ from __future__ import annotations
 
 import threading
 import time
+from socketserver import ThreadingMixIn
+from wsgiref.simple_server import WSGIServer, make_server
 
 import pytest
 
@@ -29,9 +33,6 @@ socketio = pytest.importorskip(
     reason="python-socketio not installed in this sandbox; the transport's "
     "protocol is covered via the injected client seam in test_streaming.py",
 )
-eventlet = pytest.importorskip(
-    "eventlet", reason="eventlet WSGI server needed to host socket.io"
-)
 
 from sri2db_spark.streaming.listener import (  # noqa: E402
     BroadcastListener,
@@ -39,9 +40,16 @@ from sri2db_spark.streaming.listener import (  # noqa: E402
 )
 
 
+class _ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+    # long-polling needs the client's concurrent GET (listen) and POST
+    # (emit) requests served simultaneously; wsgiref's default server is
+    # single-threaded and would deadlock the handshake
+    daemon_threads = True
+
+
 @pytest.fixture
 def sio_server():
-    sio = socketio.Server(async_mode="eventlet")
+    sio = socketio.Server(async_mode="threading")
     app = socketio.WSGIApp(sio)
     joined = []
 
@@ -50,13 +58,14 @@ def sio_server():
         joined.append(room)
         sio.enter_room(sid, room)
 
-    listener = eventlet.listen(("127.0.0.1", 0))
-    port = listener.getsockname()[1]
-    t = threading.Thread(
-        target=eventlet.wsgi.server, args=(listener, app), daemon=True
-    )
+    httpd = make_server("127.0.0.1", 0, app, server_class=_ThreadingWSGIServer)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield sio, f"http://127.0.0.1:{port}", joined
+    try:
+        yield sio, f"http://127.0.0.1:{port}", joined
+    finally:
+        httpd.shutdown()
 
 
 def test_live_socketio_event_triggers_sync(sio_server):
