@@ -109,16 +109,20 @@ def rtbf_delete(
     }
     if rec["completed"] and requested <= set(rec["artifacts"]):
         return rec
-    # only an artifact the CRASHED run was already working toward can have
+    # only an artifact a PRIOR run was already working toward can have
     # its idempotent re-execution under-count (deletion landed, record
     # didn't) — an artifact first named by THIS submission runs fresh and
-    # its count is exact, even when extending an older record. Records
-    # from before "requested" was stored can't localize the mid-flight
-    # artifact, so a crashed legacy resume conservatively floors them all.
-    if resuming and not rec["completed"]:
-        crash_floor = set(
-            rec["requested"] if "requested" in rec else requested
-        ) - set(rec["artifacts"])
+    # its count is exact, even when extending an older record. The floor
+    # set derives from REQUESTED-COVERAGE (requested minus recorded), not
+    # the completed bit: a partial resubmission must not launder the
+    # still-unrecorded artifact into an exact-looking zero later (review
+    # r9, confirmed live). Records from before "requested" was stored
+    # can't localize the mid-flight artifact, so a crashed legacy resume
+    # conservatively floors everything unrecorded.
+    if resuming and "requested" in rec:
+        crash_floor = set(rec["requested"]) - set(rec["artifacts"])
+    elif resuming and not rec["completed"]:
+        crash_floor = requested - set(rec["artifacts"])
     else:
         crash_floor = set()
     rec["requested"] = sorted(requested | set(rec.get("requested", [])))
@@ -169,7 +173,12 @@ def rtbf_delete(
         )
         _record("zordered", n)
 
-    rec["completed"] = True
+    # completed means EVERY artifact the request has ever named is
+    # recorded — a resubmission naming only a subset of a crashed run's
+    # artifacts must not flip the record to complete while the crashed
+    # run's other artifact is still unrecorded (doctor --rtbf-log would
+    # stop flagging it and the compliance record would lie)
+    rec["completed"] = set(rec["requested"]) <= set(rec["artifacts"])
     fs.put(rec_path, json.dumps(rec, sort_keys=True))
     return rec
 

@@ -157,11 +157,12 @@ def exact_corr(
       arithmetic both sides; a future mismatch self-localizes to one
       moment column instead of one opaque hash.
 
-    Overflow fails LOUDLY (never a silently skewed statistic): operands
-    whose scaled magnitude exceeds decimal(18,0) would be nulled by the
-    non-ANSI cast and skipped by SUM, and a moment sum past decimal(38,0)
-    would null out — both are counted/detected in the same aggregation and
-    raised via ``assert_true`` at execution time.
+    Overflow fails LOUDLY (never a silently skewed statistic). Under ANSI
+    semantics (Spark 4's default) the decimal cast/SUM raises directly;
+    with ANSI off they would instead null the operand / the accumulator
+    and SUM would skip rows — that silent path is closed by counting
+    nulled casts and checking sum-nullity in the same aggregation, raised
+    via ``assert_true`` at execution time.
     """
     # pairwise-complete mask FIRST (standard corr semantics): a NULL input
     # is a skipped pair, never an overflow — without the mask, an all-NULL
@@ -214,13 +215,20 @@ def exact_corr(
     cov = F.col("sxy_d").cast("double") * n - sx * sy
     vx = F.col("sx2_d").cast("double") * n - sx * sx
     vy = F.col("sy2_d").cast("double") * n - sy * sy
+    # zero variance (constant column, or any single-pair group) has no
+    # defined correlation: emit NULL. The gate must run BEFORE the divide —
+    # under ANSI (Spark 4's default) a bare cov/0.0 aborts the whole job
+    # with DIVIDE_BY_ZERO for one degenerate group (review r9, confirmed
+    # live); `> 0` also catches a pathological tiny-negative vx from
+    # double rounding of the exact sums, whose sqrt would be NaN.
+    defined = (vx > F.lit(0.0)) & (vy > F.lit(0.0))
     corr = cov / (F.sqrt(vx) * F.sqrt(vy))
     return moments.select(
         group_col,
         F.col("n_rows").cast("bigint").alias("n"),
         # guard is True when the assert passes (assert_true -> NULL);
         # referencing it in the projection stops Catalyst pruning it away
-        F.when(guard, F.floor(corr * F.lit(1e8) + F.lit(0.5)))
+        F.when(guard & defined, F.floor(corr * F.lit(1e8) + F.lit(0.5)))
         .cast("bigint")
         .alias("corr_e8"),
         (F.col("sx_d") % mod).cast("bigint").alias("sx_m"),

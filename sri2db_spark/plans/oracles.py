@@ -2004,9 +2004,12 @@ ORACLES: dict[str, str] = {
                  sx_d, sy_d, sxy_d, sx2_d, sy2_d
           FROM m)
         SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n,
-               CAST(FLOOR((sxy * n - sx * sy)
-                 / (sqrt(sx2 * n - sx * sx) * sqrt(sy2 * n - sy * sy))
-                 * 1e8 + 0.5) AS BIGINT) AS corr_e8,
+               -- NULL on zero variance, matching exact_corr's defined-gate
+               CASE WHEN (sx2 * n - sx * sx) > 0 AND (sy2 * n - sy * sy) > 0
+                    THEN CAST(FLOOR((sxy * n - sx * sy)
+                      / (sqrt(sx2 * n - sx * sx) * sqrt(sy2 * n - sy * sy))
+                      * 1e8 + 0.5) AS BIGINT)
+               END AS corr_e8,
                CAST(sx_d % 1000000000000000000 AS BIGINT) AS sx_m,
                CAST(sy_d % 1000000000000000000 AS BIGINT) AS sy_m,
                CAST(sxy_d % 1000000000000000000 AS BIGINT) AS sxy_m,

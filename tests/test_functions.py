@@ -931,3 +931,23 @@ def test_duplicated_span_coverage_plan_is_partitioned(spark, docs):
     with contextlib.redirect_stdout(buf):
         X.duplicated_span_coverage(docs, "doc_id", "text").explain(True)
     assert "SinglePartition" not in buf.getvalue()
+
+
+def test_exact_corr_zero_variance_is_null_not_divide_by_zero(spark):
+    """A singleton or constant-column group has no defined correlation:
+    corr_e8 must be NULL — under ANSI (Spark 4 default) an ungated divide
+    aborts the whole job with DIVIDE_BY_ZERO for one degenerate group
+    (review r9, confirmed live)."""
+    from sri2db_spark.functions.stats import exact_corr
+
+    rows = [
+        ("solo", 5.0, 7.0),            # n=1 -> vx=vy=0
+        ("const_x", 4.0, 1.0), ("const_x", 4.0, 9.0),
+        ("big", 1.0, 1.0), ("big", 2.0, 3.0), ("big", 3.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["n"], r["corr_e8"]) for r in
+           exact_corr(df, "g", "x", "y", 0, 0).collect()}
+    assert got["solo"] == (1, None)
+    assert got["const_x"] == (2, None)
+    assert got["big"][0] == 3 and got["big"][1] is not None

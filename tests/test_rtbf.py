@@ -306,3 +306,55 @@ def test_rtbf_cli_rejects_empty_and_malformed_ids(capsys):
         cli.main(["rtbf", "--ids", "1,abc", "--log", "/tmp/x", "--output", "/tmp/y"])
     assert ei.value.code == 2
     assert "--id-type string" in capsys.readouterr().err
+
+
+def test_rtbf_partial_resubmission_cannot_launder_the_crashed_artifact(
+    spark, tmp_path
+):
+    """Resume a crashed {output,index} request naming ONLY output: the
+    record must stay completed=false (the index deletion is unrecorded —
+    doctor keeps flagging it), and a later full resubmission must floor
+    the index count, not present its idempotent 0 as exact (review r9,
+    confirmed live)."""
+    from sri2db_spark.functions import doctor as Doc
+
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+    ids = [0, 9]
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash")
+
+    # run 1: {output, index}; output lands+records, index deletion LANDS
+    # but its record does not (crash between deletion and record)
+    orig_rec = R.rtbf_delete
+    import sri2db_spark.functions.similarity as S_
+
+    orig_del = S_.ann_index_delete
+
+    def delete_then_crash(*a, **kw):
+        orig_del(*a, **kw)
+        raise RuntimeError("crash after deletion, before record")
+
+    S_.ann_index_delete = delete_then_crash
+    try:
+        with pytest.raises(RuntimeError):
+            R.rtbf_delete(spark, ids, log, output_dir=out, index_path=idx)
+    finally:
+        S_.ann_index_delete = orig_del
+
+    # run 2: partial resubmission naming only output — nothing new runs,
+    # and the record must NOT flip to completed
+    rec2 = R.rtbf_delete(spark, ids, log, output_dir=out)
+    assert rec2["completed"] is False
+    assert set(rec2["requested"]) == {"index", "output"}
+    assert set(rec2["artifacts"]) == {"output"}
+    rep = Doc.check_rtbf_log(log)
+    assert not rep["healthy"]  # doctor still flags the pending index
+
+    # run 3: full resubmission — the index count is a resume FLOOR (the
+    # idempotent re-delete counts 0; the data already went in run 1)
+    rec3 = R.rtbf_delete(spark, ids, log, output_dir=out, index_path=idx)
+    assert rec3["completed"] is True
+    assert rec3["artifacts"]["index"].get("resumed") is True
+    assert rec3["artifacts"]["index"]["removed"] == 0  # floor, flagged
+    assert Doc.check_rtbf_log(log)["healthy"]
