@@ -109,9 +109,20 @@ def run_session() -> dict:
         if n >= 4:
             return round(sorted_runs[(3 * n) // 4] - sorted_runs[n // 4], 3)
         return round(sorted_runs[-1] - sorted_runs[0], 3)
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     mins: dict[str, float] = {}
+
+    def _record_stats(name: str, runs: list[float]) -> None:
+        # one place for the per-entry statistics, so a new diagnostic
+        # field can never be silently dropped by one of the bespoke
+        # measurement blocks (each previously hand-wrote these lines)
+        runs = sorted(runs)
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = _spread(runs)
+        mins[name] = round(runs[0], 3)
+        repeats_used[name] = len(runs)
     for name in HEADLINE:
         fn = QUERIES[name]
         # One untimed warmup: whole-stage codegen compilation of a large
@@ -127,10 +138,7 @@ def run_session() -> dict:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
-        spreads[name] = _spread(runs)
-        mins[name] = round(runs[0], 3)
+        _record_stats(name, runs)
 
     # ETL throughput: full sync of a 20k-resource fake SRI collection at the
     # reference's defaults (500/page) into a lake partition — the number most
@@ -168,11 +176,7 @@ def run_session() -> dict:
         result = sync.full_sync()
         sync_runs.append(time.perf_counter() - t0)
         assert result.rows_after == n_resources
-    sync_runs.sort()
-    timings["sri_full_sync_20k"] = round(sync_runs[len(sync_runs) // 2], 3)
-    spreads["sri_full_sync_20k"] = _spread(sync_runs)
-    mins["sri_full_sync_20k"] = round(sync_runs[0], 3)
-    repeats_used["sri_full_sync_20k"] = extra_repeat["sri_full_sync_20k"]
+    _record_stats("sri_full_sync_20k", sync_runs)
 
     # Same 20k full sync through the A2 offset-sharded scale path: disjoint
     # executor-owned offset ranges paged inside Python workers (the shape a
@@ -192,11 +196,7 @@ def run_session() -> dict:
         result = sync_sh.full_sync()
         sh_runs.append(time.perf_counter() - t0)
         assert result.rows_after == n_resources
-    sh_runs.sort()
-    timings["sri_full_sync_20k_sharded"] = round(sh_runs[len(sh_runs) // 2], 3)
-    spreads["sri_full_sync_20k_sharded"] = _spread(sh_runs)
-    mins["sri_full_sync_20k_sharded"] = round(sh_runs[0], 3)
-    repeats_used["sri_full_sync_20k_sharded"] = extra_repeat["sri_full_sync_20k_sharded"]
+    _record_stats("sri_full_sync_20k_sharded", sh_runs)
     shutil.rmtree(tmp, ignore_errors=True)
 
     # Steady-state ANN serving: the index is built ONCE (the amortized cost a
@@ -222,11 +222,7 @@ def run_session() -> dict:
                 "noop"
             ).mode("overwrite").save()
             q_runs.append(time.perf_counter() - t0)
-        q_runs.sort()
-        timings["ann_ivfpq_query_64q"] = round(q_runs[len(q_runs) // 2], 3)
-        spreads["ann_ivfpq_query_64q"] = _spread(q_runs)
-        mins["ann_ivfpq_query_64q"] = round(q_runs[0], 3)
-        repeats_used["ann_ivfpq_query_64q"] = repeat
+        _record_stats("ann_ivfpq_query_64q", q_runs)
 
         # Bulk offline scoring: 10,000 queries in ONE job — the regime the
         # distributed LUT build exists for (the former driver-side loop
@@ -255,11 +251,7 @@ def run_session() -> dict:
                 "noop"
             ).mode("overwrite").save()
             b_runs.append(time.perf_counter() - t0)
-        b_runs.sort()
-        timings["ann_ivfpq_bulk_10k"] = round(b_runs[len(b_runs) // 2], 3)
-        spreads["ann_ivfpq_bulk_10k"] = _spread(b_runs)
-        mins["ann_ivfpq_bulk_10k"] = round(b_runs[0], 3)
-        repeats_used["ann_ivfpq_bulk_10k"] = extra_repeat["ann_ivfpq_bulk_10k"]
+        _record_stats("ann_ivfpq_bulk_10k", b_runs)
 
         # Same 10k-query job through the sort-merge path
         # (broadcast_queries=False): the shape that has NO per-job query
@@ -274,11 +266,7 @@ def run_session() -> dict:
                 spark, idx_tmp, bulk_q, k=5, nprobe=4, broadcast_queries=False
             ).write.format("noop").mode("overwrite").save()
             s_runs.append(time.perf_counter() - t0)
-        s_runs.sort()
-        timings["ann_ivfpq_bulk_10k_shuffle"] = round(s_runs[len(s_runs) // 2], 3)
-        spreads["ann_ivfpq_bulk_10k_shuffle"] = _spread(s_runs)
-        mins["ann_ivfpq_bulk_10k_shuffle"] = round(s_runs[0], 3)
-        repeats_used["ann_ivfpq_bulk_10k_shuffle"] = extra_repeat["ann_ivfpq_bulk_10k_shuffle"]
+        _record_stats("ann_ivfpq_bulk_10k_shuffle", s_runs)
     finally:
         shutil.rmtree(idx_tmp, ignore_errors=True)
 
@@ -316,11 +304,7 @@ def run_session() -> dict:
             t0 = time.perf_counter()
             P.retract_from_state(spark, state, ids, committer=mc)
             r_runs.append(time.perf_counter() - t0)
-        r_runs.sort()
-        timings["state_retract_pruned"] = round(r_runs[len(r_runs) // 2], 3)
-        spreads["state_retract_pruned"] = _spread(r_runs)
-        mins["state_retract_pruned"] = round(r_runs[0], 3)
-        repeats_used["state_retract_pruned"] = repeat
+        _record_stats("state_retract_pruned", r_runs)
     finally:
         shutil.rmtree(st_tmp, ignore_errors=True)
 

@@ -455,6 +455,18 @@ def rtbf_main(argv: list[str]) -> int:
     parts = ", ".join(
         f"{a}={info['removed']}" for a, info in sorted(rec["artifacts"].items())
     )
+    if not rec["completed"]:
+        # a partial resubmission of a crashed request legitimately returns
+        # an incomplete record (rtbf_delete only runs what THIS call
+        # names); the operator-facing signal must not read as success
+        # while an artifact of the request is still unrecorded
+        missing = sorted(set(rec["requested"]) - set(rec["artifacts"]))
+        print(
+            f"rtbf INCOMPLETE: request {rec['request_id']} "
+            f"({rec['n_ids']} ids): {parts}; still unrecorded: "
+            f"{', '.join(missing)} — re-run naming those artifacts"
+        )
+        return 4
     print(f"rtbf ok: request {rec['request_id']} ({rec['n_ids']} ids): {parts}")
     return 0
 

@@ -107,7 +107,16 @@ def rtbf_delete(
         )
         if target is not None
     }
-    if rec["completed"] and requested <= set(rec["artifacts"]):
+    # the stored completed bit alone is not trusted: records written by a
+    # pre-coverage-fix build could say completed=true while an artifact in
+    # their own requested set is unrecorded — re-check coverage here so a
+    # laundered legacy record gets repaired (falls through, re-runs the
+    # missing artifact with a resume floor) instead of returned as truth
+    if (
+        rec["completed"]
+        and requested <= set(rec["artifacts"])
+        and set(rec.get("requested", [])) <= set(rec["artifacts"])
+    ):
         return rec
     # only an artifact a PRIOR run was already working toward can have
     # its idempotent re-execution under-count (deletion landed, record

@@ -326,7 +326,6 @@ def test_rtbf_partial_resubmission_cannot_launder_the_crashed_artifact(
 
     # run 1: {output, index}; output lands+records, index deletion LANDS
     # but its record does not (crash between deletion and record)
-    orig_rec = R.rtbf_delete
     import sri2db_spark.functions.similarity as S_
 
     orig_del = S_.ann_index_delete
@@ -358,3 +357,69 @@ def test_rtbf_partial_resubmission_cannot_launder_the_crashed_artifact(
     assert rec3["artifacts"]["index"].get("resumed") is True
     assert rec3["artifacts"]["index"]["removed"] == 0  # floor, flagged
     assert Doc.check_rtbf_log(log)["healthy"]
+
+
+def test_rtbf_cli_incomplete_record_exits_nonzero(spark, tmp_path, capsys):
+    """A partial resubmission of a crashed request leaves the record
+    incomplete — the CLI must say so and exit 4, not print 'rtbf ok'
+    (review r9: the operator-facing compliance signal)."""
+    from sri2db_spark import cli
+
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+
+    import sri2db_spark.functions.similarity as S_
+
+    orig_del = S_.ann_index_delete
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash")
+
+    S_.ann_index_delete = boom
+    try:
+        with pytest.raises(RuntimeError):
+            R.rtbf_delete(spark, [0, 9], log, output_dir=out, index_path=idx)
+    finally:
+        S_.ann_index_delete = orig_del
+
+    code = cli.main(["rtbf", "--ids", "0,9", "--log", log, "--output", out])
+    assert code == 4
+    msg = capsys.readouterr().out
+    assert "rtbf INCOMPLETE" in msg and "index" in msg
+
+    code2 = cli.main(
+        ["rtbf", "--ids", "0,9", "--log", log, "--output", out, "--index", idx]
+    )
+    assert code2 == 0
+    assert "rtbf ok" in capsys.readouterr().out
+
+
+def test_rtbf_laundered_legacy_record_is_repaired(spark, tmp_path):
+    """A record written by a pre-coverage-fix build (completed=true with an
+    artifact in its own requested set unrecorded) must not short-circuit
+    as truth: a resubmission re-checks coverage, repairs the bit, and a
+    full resubmission floors the missing artifact (review r9)."""
+    import json as _json
+    import os as _os
+
+    docs, mc, state, out, idx, log = _setup(spark, tmp_path)
+    ids = [0, 9]
+    rid = R.request_id(ids)
+    _os.makedirs(log, exist_ok=True)
+    # hand-write the laundered legacy shape
+    rec = {
+        "request_id": rid,
+        "n_ids": 2,
+        "requested": ["index", "output"],
+        "artifacts": {"output": {"removed": 2}},
+        "completed": True,
+    }
+    open(_os.path.join(log, f"{rid}.json"), "w").write(_json.dumps(rec))
+
+    # subset resubmission: must NOT return the lying record unchanged
+    rec2 = R.rtbf_delete(spark, ids, log, output_dir=out)
+    assert rec2["completed"] is False
+
+    # full resubmission: runs the missing artifact with a resume floor
+    rec3 = R.rtbf_delete(spark, ids, log, output_dir=out, index_path=idx)
+    assert rec3["completed"] is True
+    assert rec3["artifacts"]["index"].get("resumed") is True

@@ -9,10 +9,10 @@ them to one reducer), and a co-partitioned join back for the coverage
 interval union. Nothing is quadratic in documents and nothing collects to
 the driver.
 
-This probe synthesizes corpora of growing document counts (constant
-tokens/doc, a fixed boilerplate paragraph planted in 10% of docs so the
-duplicated-gram population scales too), runs both operators, and prints
-one JSON line per size with:
+This probe synthesizes corpora of growing document counts (48 filler
+tokens per doc, plus a fixed 12-token boilerplate paragraph planted in
+10% of docs so the duplicated-occurrence population scales too), runs
+both operators, and prints one JSON line per size with:
 
 - ``docs`` / ``tokens``: corpus size;
 - ``dup_grams`` / ``covered_docs``: output sizes (the planted signal);
@@ -42,7 +42,7 @@ from sri2db_spark.functions.text import (  # noqa: E402
 )
 from sri2db_spark.session import get_spark  # noqa: E402
 
-TOKENS_PER_DOC = 60
+FILLER_TOKENS = 48
 BOILERPLATE = " ".join(f"bp{i}" for i in range(12))  # a 12-token paragraph
 
 
@@ -54,7 +54,7 @@ def corpus(spark, n_docs: int):
             # modulus far above id*31's range so filler never collides
             # across docs — the planted boilerplate is the ONLY dup signal
             F.concat(F.lit(f"w{j}_"), (F.col("id") * 31 + j) % 100000007)
-            for j in range(TOKENS_PER_DOC - 12)
+            for j in range(FILLER_TOKENS)
         ],
     )
     return spark.range(n_docs).select(
@@ -77,6 +77,12 @@ def main() -> None:
     spark.range(10).count()  # JVM warm-up
     for n in sizes:
         docs = corpus(spark, n).repartition(8).localCheckpoint(eager=True)
+        # exact token count (boilerplate docs are 12 tokens longer than
+        # filler-only ones — a nominal per-doc constant would overstate
+        # the corpus ~22% and skew the per-token rate)
+        tokens = docs.select(
+            F.sum(F.size(F.expr("filter(split(text, ' '), x -> x <> '')")))
+        ).first()[0]
         t0 = time.perf_counter()
         dup_grams = duplicated_spans(docs, "doc_id", "text", w=8).count()
         spans_s = time.perf_counter() - t0
@@ -87,7 +93,6 @@ def main() -> None:
             .count()
         )
         coverage_s = time.perf_counter() - t0
-        tokens = n * TOKENS_PER_DOC
         print(
             json.dumps(
                 {
