@@ -132,8 +132,8 @@ def run_session() -> dict:
         spark.catalog.clearCache()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs: list[float] = []
-        repeats_used[name] = extra_repeat.get(name, repeat)
-        for _ in range(repeats_used[name]):
+        # _record_stats is the single writer of repeats_used (= len(runs))
+        for _ in range(extra_repeat.get(name, repeat)):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

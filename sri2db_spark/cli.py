@@ -397,7 +397,10 @@ def rtbf_main(argv: list[str]) -> int:
 
     Re-running the same id list resumes a crashed request (artifacts
     already recorded are skipped) or no-ops a completed one. Exit 3 on a
-    CAS conflict with concurrent maintenance — re-run to retry.
+    CAS conflict with concurrent maintenance — re-run to retry. Exit 4
+    when the record is still INCOMPLETE after this run (a resubmission
+    that named only a subset of the request's artifacts) — the message
+    lists the unrecorded artifacts; re-run naming them.
     """
     p = argparse.ArgumentParser(prog="sri2db_spark rtbf")
     p.add_argument("--ids", required=True, help="comma-separated doc ids")

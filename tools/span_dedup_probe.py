@@ -77,12 +77,12 @@ def main() -> None:
     spark.range(10).count()  # JVM warm-up
     for n in sizes:
         docs = corpus(spark, n).repartition(8).localCheckpoint(eager=True)
-        # exact token count (boilerplate docs are 12 tokens longer than
-        # filler-only ones — a nominal per-doc constant would overstate
-        # the corpus ~22% and skew the per-token rate)
-        tokens = docs.select(
-            F.sum(F.size(F.expr("filter(split(text, ' '), x -> x <> '')")))
-        ).first()[0]
+        # exact token count, closed-form from the generator (boilerplate
+        # docs are 12 tokens longer than filler-only ones — a nominal
+        # per-doc constant would overstate the corpus ~22%); arithmetic
+        # instead of a Spark pass so the untimed scan cannot warm caches
+        # differently across sizes
+        tokens = FILLER_TOKENS * n + 12 * ((n + 9) // 10)
         t0 = time.perf_counter()
         dup_grams = duplicated_spans(docs, "doc_id", "text", w=8).count()
         spans_s = time.perf_counter() - t0
