@@ -242,3 +242,38 @@ def test_socketio_adapter_drives_delta_sync(spark, tmp_path):
     listener.stop()
     assert listener.syncs_run >= 2
     assert script["urls"] == ["https://broadcast.local"] * len(script["urls"])
+
+
+def test_feed_helpers_tolerate_degenerate_splits(spark, tmp_path):
+    """The registry streaming entries' feed plumbing: an all-equal-ts
+    frame puts every row in batch 0 and an EMPTY batch 1 — the empty half
+    must still land as a readable single parquet file (schema intact) so
+    the 2-batch replay runs rather than erroring on a missing file."""
+    from pyspark.sql import functions as F
+
+    from sri2db_spark.plans.analytics import _feed_file, _time_split_feed
+
+    df = spark.createDataFrame(
+        [(i, 1_700_000_000_000_000_000) for i in range(10)],
+        "user_id long, ts long",
+    )
+    feed = str(tmp_path / "feed")
+    _time_split_feed(df, "ts", feed)
+    import os
+
+    names = sorted(os.listdir(feed))
+    assert names == ["b0.parquet", "b1.parquet"]
+    b0 = spark.read.schema("user_id long, ts long").parquet(f"{feed}/b0.parquet")
+    b1 = spark.read.schema("user_id long, ts long").parquet(f"{feed}/b1.parquet")
+    assert b0.count() == 10 and b1.count() == 0
+    # mtime ordering is what the file source sorts on
+    assert os.path.getmtime(f"{feed}/b0.parquet") < os.path.getmtime(
+        f"{feed}/b1.parquet"
+    )
+
+    # empty input df: still one readable file
+    _feed_file(df.filter(F.lit(False)), str(tmp_path / "f2"), "e.parquet", 500)
+    e = spark.read.schema("user_id long, ts long").parquet(
+        str(tmp_path / "f2" / "e.parquet")
+    )
+    assert e.count() == 0
