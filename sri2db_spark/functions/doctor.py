@@ -422,6 +422,12 @@ def check_ann_index(path: str, fs=None) -> dict:
     expect = "cell=" if kind == "ivfpq" else "cid="
     other = "cid=" if kind == "ivfpq" else "cell="
     cid_set = None if cids is None else set(cids)
+    if cid_set is not None and not cid_set:
+        # an empty centroid set has exactly one root cause (the "holds no
+        # parquet data" issue already appended above); flagging every cell
+        # as an orphan would fan that single issue out per-cell
+        info["orphan_check"] = "skipped: no centroid data"
+        cid_set = None
     n_cells, empty_cells = 0, []
     for n in sorted(fs.listdir(cells)):
         full = os.path.join(cells, n)

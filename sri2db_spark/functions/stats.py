@@ -202,14 +202,25 @@ def exact_corr(
         & (~has_rows | F.col("sx2_d").isNotNull())
         & (~has_rows | F.col("sy2_d").isNotNull())
     )
-    guard = F.assert_true(
-        ok,
-        F.lit(
-            "exact_corr: decimal overflow — an operand exceeded 10^18 after "
-            "scaling, or a moment sum exceeded decimal(38,0); the statistic "
-            "would be silently wrong. Reduce x_scale/y_scale or pre-filter."
-        ),
-    ).isNull()
+    # the guard is a FILTER on the moments frame (always-true when the
+    # assert passes, raises at execution time otherwise) rather than an
+    # expression anchored to one projected column: a downstream
+    # .select("n") would let Catalyst prune a projection-anchored guard
+    # away together with the column it rides on, silently reintroducing
+    # the overflow-skew path the guard exists to close (ADVICE r9). A
+    # Filter node's condition is evaluated for every row regardless of
+    # which output columns the caller keeps.
+    moments = moments.filter(
+        F.assert_true(
+            ok,
+            F.lit(
+                "exact_corr: decimal overflow — an operand exceeded 10^18 "
+                "after scaling, or a moment sum exceeded decimal(38,0); the "
+                "statistic would be silently wrong. Reduce x_scale/y_scale "
+                "or pre-filter."
+            ),
+        ).isNull()
+    )
     n = F.col("n_rows").cast("double")
     sx, sy = F.col("sx_d").cast("double"), F.col("sy_d").cast("double")
     cov = F.col("sxy_d").cast("double") * n - sx * sy
@@ -226,9 +237,7 @@ def exact_corr(
     return moments.select(
         group_col,
         F.col("n_rows").cast("bigint").alias("n"),
-        # guard is True when the assert passes (assert_true -> NULL);
-        # referencing it in the projection stops Catalyst pruning it away
-        F.when(guard & defined, F.floor(corr * F.lit(1e8) + F.lit(0.5)))
+        F.when(defined, F.floor(corr * F.lit(1e8) + F.lit(0.5)))
         .cast("bigint")
         .alias("corr_e8"),
         (F.col("sx_d") % mod).cast("bigint").alias("sx_m"),

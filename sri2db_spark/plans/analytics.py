@@ -2241,6 +2241,12 @@ def _time_split_feed(df, ts_col: str, feed_dir: str) -> None:
     every batch-2 row in event time, so stateful continuation across the
     micro-batch boundary reproduces the batch operator's semantics."""
     lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            f"_time_split_feed: input frame has no non-null {ts_col!r} "
+            "rows — cannot split an empty feed into time-ordered batches "
+            "(does the testdata table hold the expected rows?)"
+        )
     mid = lo + (hi - lo) // 2
     _feed_file(df.filter(F.col(ts_col) <= mid), feed_dir, "b0.parquet", 1_000)
     _feed_file(df.filter(F.col(ts_col) > mid), feed_dir, "b1.parquet", 2_000)
@@ -2320,6 +2326,11 @@ def q_stream_interval_join(spark, sf):
         for kind, feed in (("click", "feed_l"), ("purchase", "feed_r")):
             df = side(kind)
             lo, hi = df.agg(F.min("t"), F.max("t")).first()
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"q_stream_interval_join: no {kind!r} events in the "
+                    "testdata — cannot split an empty feed"
+                )
             mid = lo + (hi - lo) / 2
             _feed_file(
                 df.filter(F.col("t") <= mid), f"{tmp}/{feed}", "b0.parquet", 1_000
@@ -2473,7 +2484,11 @@ def q_rtbf_all_artifacts(spark, sf):
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
     emb = _tp(spark, sf, "embeddings")
-    ids = [0, 9, 33]
+    # 4 is deliberately NOT a multiple of 3: it is removed from the index
+    # and the (unfiltered) zordered table but absent from state/output, so
+    # the per-artifact removed counts genuinely differ and a bug that
+    # cross-wires two artifacts' counts fails the oracle (ADVICE r9)
+    ids = [0, 9, 33, 4]
     mc = ManifestCommitter()
     root = tempfile.mkdtemp(prefix="rtbf_all_")
     try:
@@ -2487,7 +2502,7 @@ def q_rtbf_all_artifacts(spark, sf):
             ).write.parquet(f"{out}/batch_id={b}")
         SIM.build_ivf_index(emb, idx, nlist=8)
         # the zordered table holds the UNFILTERED documents so its removed
-        # count (all 3 ids) differs from output's (ids in the %3 subset)
+        # count (all 4 ids) differs from output's (only the %3 subset, 3)
         zdocs = _t(spark, sf, "documents").select(
             "doc_id", F.length("text").alias("n_chars")
         )
