@@ -128,7 +128,10 @@ def socketio_connect(
     trigger a sync per ``update`` event).
 
     ``python-socketio`` is an OPTIONAL dependency: the import is deferred to
-    connect time and a missing package raises a clear ImportError.
+    connect time, and when the package is absent the in-repo long-polling
+    transport (:class:`..streaming.sio_polling.PollingSocketIOClient`, the
+    same public Engine.IO v4 / Socket.IO v5 wire protocol over stdlib
+    HTTP) is used instead — the broadcast path runs live either way.
     ``client_factory`` injects any object with the socket.io client surface
     (``on``/``connect``/``connected``/``disconnect``) — the test seam, and
     an escape hatch for other transports.
@@ -150,14 +153,15 @@ def socketio_connect(
         else:
             try:
                 import socketio  # noqa: PLC0415
-            except ImportError as e:  # pragma: no cover - env without the dep
-                raise ImportError(
-                    "socketio_connect needs the optional python-socketio "
-                    "package (pip install 'python-socketio[client]'); or "
-                    "pass client_factory=, or give BroadcastListener any "
-                    "event iterator via connect="
-                ) from e
-            client = socketio.Client()
+
+                client = socketio.Client()
+            except ImportError:
+                # public-protocol fallback: Engine.IO v4 long-polling over
+                # stdlib HTTP (sio_polling) — same handshake/join/update
+                # wire format, no optional dependency required
+                from .sio_polling import PollingSocketIOClient  # noqa: PLC0415
+
+                client = PollingSocketIOClient()
         events: _queue.Queue = _queue.Queue()
 
         def _on_event(*data):
