@@ -58,6 +58,17 @@ def run_session() -> dict:
     cross-SESSION aggregation in :func:`main` is what removes that."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named entries —
+    # for targeted captures (the sf1 skew run only exercises the
+    # skew-sensitive entries) without perturbing the default suite
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
+
+    def _selected(name: str) -> bool:
+        return not only or name in only
 
     spark = get_spark(app_name="sri2db_spark_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -124,6 +135,8 @@ def run_session() -> dict:
         mins[name] = round(runs[0], 3)
         repeats_used[name] = len(runs)
     for name in HEADLINE:
+        if not _selected(name):
+            continue
         fn = QUERIES[name]
         # One untimed warmup: whole-stage codegen compilation of a large
         # expression tree (e.g. 128 OPH mins) is a per-session JVM constant —
@@ -148,165 +161,175 @@ def run_session() -> dict:
     import sys
     import tempfile
 
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    # the sharded sync pickles the fake API's fetch_json into executor
-    # Python workers, which need the module importable there too
-    spark.sparkContext.addPyFile(os.path.join(REPO, "tests", "fake_api.py"))
-    from fake_api import FakeSriApi  # noqa: E402, PLC0415
+    if _selected("sri_full_sync_20k") or _selected("sri_full_sync_20k_sharded"):
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        # the sharded sync pickles the fake API's fetch_json into executor
+        # Python workers, which need the module importable there too
+        spark.sparkContext.addPyFile(os.path.join(REPO, "tests", "fake_api.py"))
+        from fake_api import FakeSriApi  # noqa: E402, PLC0415
 
-    from sri2db_spark.model.schema import LAYOUT_LARGE  # noqa: PLC0415
-    from sri2db_spark.sinks.lake import LakeTable  # noqa: PLC0415
-    from sri2db_spark.sources.sri_api import SriApiReader  # noqa: PLC0415
-    from sri2db_spark.sync.engine import Sri2DbSync  # noqa: PLC0415
+        from sri2db_spark.model.schema import LAYOUT_LARGE  # noqa: PLC0415
+        from sri2db_spark.sinks.lake import LakeTable  # noqa: PLC0415
+        from sri2db_spark.sources.sri_api import SriApiReader  # noqa: PLC0415
+        from sri2db_spark.sync.engine import Sri2DbSync  # noqa: PLC0415
 
-    n_resources = 20_000
-    api = FakeSriApi(n=n_resources, page_size=500)
-    tmp = tempfile.mkdtemp(prefix="bench_sync_")
-    sync = Sri2DbSync(
-        reader=SriApiReader(spark, "https://bench.local", fetch_json=api.fetch_json, limit=500),
-        table=LakeTable(spark, os.path.join(tmp, "table"), LAYOUT_LARGE),
-        path="/a",
-        baseurl="https://bench.local",
-        layout=LAYOUT_LARGE,
-    )
-    sync.full_sync()  # untimed warmup: merge-pipeline codegen
-    sync_runs: list[float] = []
-    for _ in range(extra_repeat["sri_full_sync_20k"]):
-        t0 = time.perf_counter()
-        result = sync.full_sync()
-        sync_runs.append(time.perf_counter() - t0)
-        assert result.rows_after == n_resources
-    _record_stats("sri_full_sync_20k", sync_runs)
+        n_resources = 20_000
+        api = FakeSriApi(n=n_resources, page_size=500)
+        tmp = tempfile.mkdtemp(prefix="bench_sync_")
+        if _selected("sri_full_sync_20k"):
+            sync = Sri2DbSync(
+                reader=SriApiReader(spark, "https://bench.local", fetch_json=api.fetch_json, limit=500),
+                table=LakeTable(spark, os.path.join(tmp, "table"), LAYOUT_LARGE),
+                path="/a",
+                baseurl="https://bench.local",
+                layout=LAYOUT_LARGE,
+            )
+            sync.full_sync()  # untimed warmup: merge-pipeline codegen
+            sync_runs: list[float] = []
+            for _ in range(extra_repeat["sri_full_sync_20k"]):
+                t0 = time.perf_counter()
+                result = sync.full_sync()
+                sync_runs.append(time.perf_counter() - t0)
+                assert result.rows_after == n_resources
+            _record_stats("sri_full_sync_20k", sync_runs)
 
-    # Same 20k full sync through the A2 offset-sharded scale path: disjoint
-    # executor-owned offset ranges paged inside Python workers (the shape a
-    # 1000-executor ingest uses) instead of driver-sequential next links.
-    sync_sh = Sri2DbSync(
-        reader=SriApiReader(spark, "https://bench.local", fetch_json=api.fetch_json, limit=500),
-        table=LakeTable(spark, os.path.join(tmp, "table_sh"), LAYOUT_LARGE),
-        path="/a",
-        baseurl="https://bench.local",
-        layout=LAYOUT_LARGE,
-        full_sync_shard_size=2500,
-    )
-    sync_sh.full_sync()  # untimed warmup: Python worker spin-up + codegen
-    sh_runs: list[float] = []
-    for _ in range(extra_repeat["sri_full_sync_20k_sharded"]):
-        t0 = time.perf_counter()
-        result = sync_sh.full_sync()
-        sh_runs.append(time.perf_counter() - t0)
-        assert result.rows_after == n_resources
-    _record_stats("sri_full_sync_20k_sharded", sh_runs)
-    shutil.rmtree(tmp, ignore_errors=True)
+        # Same 20k full sync through the A2 offset-sharded scale path:
+        # disjoint executor-owned offset ranges paged inside Python workers
+        # (the shape a 1000-executor ingest uses) instead of
+        # driver-sequential next links.
+        if _selected("sri_full_sync_20k_sharded"):
+            sync_sh = Sri2DbSync(
+                reader=SriApiReader(spark, "https://bench.local", fetch_json=api.fetch_json, limit=500),
+                table=LakeTable(spark, os.path.join(tmp, "table_sh"), LAYOUT_LARGE),
+                path="/a",
+                baseurl="https://bench.local",
+                layout=LAYOUT_LARGE,
+                full_sync_shard_size=2500,
+            )
+            sync_sh.full_sync()  # untimed warmup: worker spin-up + codegen
+            sh_runs: list[float] = []
+            for _ in range(extra_repeat["sri_full_sync_20k_sharded"]):
+                t0 = time.perf_counter()
+                result = sync_sh.full_sync()
+                sh_runs.append(time.perf_counter() - t0)
+                assert result.rows_after == n_resources
+            _record_stats("sri_full_sync_20k_sharded", sh_runs)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # Steady-state ANN serving: the index is built ONCE (the amortized cost a
     # deployment pays per retrain, not per query); we time only the query path
     # against the saved IVF-PQ index — probed-cell pruning + code-only ADC.
-    from pyspark.sql import functions as F  # noqa: PLC0415
+    ann_names = ("ann_ivfpq_query_64q", "ann_ivfpq_bulk_10k", "ann_ivfpq_bulk_10k_shuffle")
+    if any(_selected(n) for n in ann_names):
+        from pyspark.sql import functions as F  # noqa: PLC0415
 
-    from sri2db_spark.functions import similarity as S  # noqa: PLC0415
-    from sri2db_spark.plans.analytics import _tp  # noqa: PLC0415
+        from sri2db_spark.functions import similarity as S  # noqa: PLC0415
+        from sri2db_spark.plans.analytics import _tp  # noqa: PLC0415
 
-    emb = _tp(spark, sf_dir, "embeddings")
-    idx_tmp = tempfile.mkdtemp(prefix="bench_ivfpq_")
-    try:
-        S.build_ivfpq_index(emb, idx_tmp, nlist=16, m=4, ksub=16, pq_iters=1)
-        queries = emb.filter(F.col("vec_id") < 64)
-        q_runs: list[float] = []
-        S.ivfpq_query_index(spark, idx_tmp, queries, k=5, nprobe=4).write.format(
-            "noop"
-        ).mode("overwrite").save()  # untimed warmup
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            S.ivfpq_query_index(spark, idx_tmp, queries, k=5, nprobe=4).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            q_runs.append(time.perf_counter() - t0)
-        _record_stats("ann_ivfpq_query_64q", q_runs)
+        emb = _tp(spark, sf_dir, "embeddings")
+        idx_tmp = tempfile.mkdtemp(prefix="bench_ivfpq_")
+        try:
+            S.build_ivfpq_index(emb, idx_tmp, nlist=16, m=4, ksub=16, pq_iters=1)
+            if _selected("ann_ivfpq_query_64q"):
+                queries = emb.filter(F.col("vec_id") < 64)
+                q_runs: list[float] = []
+                S.ivfpq_query_index(spark, idx_tmp, queries, k=5, nprobe=4).write.format(
+                    "noop"
+                ).mode("overwrite").save()  # untimed warmup
+                for _ in range(repeat):
+                    t0 = time.perf_counter()
+                    S.ivfpq_query_index(spark, idx_tmp, queries, k=5, nprobe=4).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    q_runs.append(time.perf_counter() - t0)
+                _record_stats("ann_ivfpq_query_64q", q_runs)
 
-        # Bulk offline scoring: 10,000 queries in ONE job — the regime the
-        # distributed LUT build exists for (the former driver-side loop
-        # serialized m·ksub·|queries| doubles through the driver and was
-        # the one flagged scale bottleneck). Query ids are shifted clear of
-        # corpus ids so the self-match exclusion never triggers.
-        from functools import reduce  # noqa: PLC0415
+            # Bulk offline scoring: 10,000 queries in ONE job — the regime
+            # the distributed LUT build exists for (the former driver-side
+            # loop serialized m·ksub·|queries| doubles through the driver
+            # and was the one flagged scale bottleneck). Query ids are
+            # shifted clear of corpus ids so self-match never triggers.
+            from functools import reduce  # noqa: PLC0415
 
-        bulk_q = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                emb.select(
-                    (F.col("vec_id") + F.lit(100_000 * (i + 1))).alias("vec_id"),
-                    "embedding",
-                )
-                for i in range(5)
-            ],
-        )
-        b_runs: list[float] = []
-        S.ivfpq_query_index(spark, idx_tmp, bulk_q, k=5, nprobe=4).write.format(
-            "noop"
-        ).mode("overwrite").save()  # untimed warmup
-        for _ in range(extra_repeat["ann_ivfpq_bulk_10k"]):
-            t0 = time.perf_counter()
-            S.ivfpq_query_index(spark, idx_tmp, bulk_q, k=5, nprobe=4).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            b_runs.append(time.perf_counter() - t0)
-        _record_stats("ann_ivfpq_bulk_10k", b_runs)
+            bulk_q = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    emb.select(
+                        (F.col("vec_id") + F.lit(100_000 * (i + 1))).alias("vec_id"),
+                        "embedding",
+                    )
+                    for i in range(5)
+                ],
+            )
+            if _selected("ann_ivfpq_bulk_10k"):
+                b_runs: list[float] = []
+                S.ivfpq_query_index(spark, idx_tmp, bulk_q, k=5, nprobe=4).write.format(
+                    "noop"
+                ).mode("overwrite").save()  # untimed warmup
+                for _ in range(extra_repeat["ann_ivfpq_bulk_10k"]):
+                    t0 = time.perf_counter()
+                    S.ivfpq_query_index(spark, idx_tmp, bulk_q, k=5, nprobe=4).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    b_runs.append(time.perf_counter() - t0)
+                _record_stats("ann_ivfpq_bulk_10k", b_runs)
 
-        # Same 10k-query job through the sort-merge path
-        # (broadcast_queries=False): the shape that has NO per-job query
-        # ceiling — both sides shuffle by cell, nothing broadcasts.
-        s_runs: list[float] = []
-        S.ivfpq_query_index(
-            spark, idx_tmp, bulk_q, k=5, nprobe=4, broadcast_queries=False
-        ).write.format("noop").mode("overwrite").save()  # untimed warmup
-        for _ in range(extra_repeat["ann_ivfpq_bulk_10k_shuffle"]):
-            t0 = time.perf_counter()
-            S.ivfpq_query_index(
-                spark, idx_tmp, bulk_q, k=5, nprobe=4, broadcast_queries=False
-            ).write.format("noop").mode("overwrite").save()
-            s_runs.append(time.perf_counter() - t0)
-        _record_stats("ann_ivfpq_bulk_10k_shuffle", s_runs)
-    finally:
-        shutil.rmtree(idx_tmp, ignore_errors=True)
+            # Same 10k-query job through the sort-merge path
+            # (broadcast_queries=False): the shape that has NO per-job query
+            # ceiling — both sides shuffle by cell, nothing broadcasts.
+            if _selected("ann_ivfpq_bulk_10k_shuffle"):
+                s_runs: list[float] = []
+                S.ivfpq_query_index(
+                    spark, idx_tmp, bulk_q, k=5, nprobe=4, broadcast_queries=False
+                ).write.format("noop").mode("overwrite").save()  # untimed warmup
+                for _ in range(extra_repeat["ann_ivfpq_bulk_10k_shuffle"]):
+                    t0 = time.perf_counter()
+                    S.ivfpq_query_index(
+                        spark, idx_tmp, bulk_q, k=5, nprobe=4, broadcast_queries=False
+                    ).write.format("noop").mode("overwrite").save()
+                    s_runs.append(time.perf_counter() - t0)
+                _record_stats("ann_ivfpq_bulk_10k_shuffle", s_runs)
+        finally:
+            shutil.rmtree(idx_tmp, ignore_errors=True)
 
     # Pruned right-to-be-forgotten (SURVEY §7.9): the curation state is
     # built ONCE (64 range-partitioned base files with _PRUNE_STATS); each
     # timed run retracts 3 fresh clustered ids — the commit rewrites the
     # one file whose id range they hit and carries the other ~63 by
     # reference, so this number tracks touched files, not store size.
-    from sri2db_spark.functions import pipeline as P  # noqa: PLC0415
-    from sri2db_spark.sinks.committer import ManifestCommitter  # noqa: PLC0415
+    if _selected("state_retract_pruned"):
+        from sri2db_spark.functions import pipeline as P  # noqa: PLC0415
+        from sri2db_spark.sinks.committer import ManifestCommitter  # noqa: PLC0415
 
-    st_tmp = tempfile.mkdtemp(prefix="bench_state_")
-    try:
-        mc = ManifestCommitter()
-        state = os.path.join(st_tmp, "state")
-        docs = (
-            spark.range(32_000)
-            .select(
-                F.col("id").alias("doc_id"),
-                F.concat(
-                    F.lit("benchmark document number "),
-                    F.col("id"),
-                    F.lit(" with deterministic unique filler words "),
-                    F.col("id"),
-                ).alias("text"),
-                F.lit("en").alias("lang"),
+        st_tmp = tempfile.mkdtemp(prefix="bench_state_")
+        try:
+            mc = ManifestCommitter()
+            state = os.path.join(st_tmp, "state")
+            docs = (
+                spark.range(32_000)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat(
+                        F.lit("benchmark document number "),
+                        F.col("id"),
+                        F.lit(" with deterministic unique filler words "),
+                        F.col("id"),
+                    ).alias("text"),
+                    F.lit("en").alias("lang"),
+                )
+                .repartitionByRange(64, "doc_id")
             )
-            .repartitionByRange(64, "doc_id")
-        )
-        P.init_curation_state(docs, state, committer=mc)
-        P.retract_from_state(spark, state, [1, 2, 3], committer=mc)  # warmup
-        r_runs: list[float] = []
-        for i in range(repeat):
-            ids = [10 + 3 * i, 11 + 3 * i, 12 + 3 * i]
-            t0 = time.perf_counter()
-            P.retract_from_state(spark, state, ids, committer=mc)
-            r_runs.append(time.perf_counter() - t0)
-        _record_stats("state_retract_pruned", r_runs)
-    finally:
-        shutil.rmtree(st_tmp, ignore_errors=True)
+            P.init_curation_state(docs, state, committer=mc)
+            P.retract_from_state(spark, state, [1, 2, 3], committer=mc)  # warmup
+            r_runs: list[float] = []
+            for i in range(repeat):
+                ids = [10 + 3 * i, 11 + 3 * i, 12 + 3 * i]
+                t0 = time.perf_counter()
+                P.retract_from_state(spark, state, ids, committer=mc)
+                r_runs.append(time.perf_counter() - t0)
+            _record_stats("state_retract_pruned", r_runs)
+        finally:
+            shutil.rmtree(st_tmp, ignore_errors=True)
 
     spark.stop()
     return {
@@ -363,6 +386,15 @@ def main() -> None:
     queries: dict[str, float] = {}
     spread_pct: dict[str, float] = {}
     session_mins = {r_i: res["mins"] for r_i, res in enumerate(results)}
+    spread_violations: dict[str, float] = {}
+    # pass/fail variance gate (r9 verdict item 3): a query whose
+    # cross-session mins disagree by more than GATE_PCT *and* by a
+    # non-trivial absolute margin is flagged — percentage alone would
+    # flag sub-second entries on 0.1 s of scheduler noise (the r9
+    # dup_span_coverage observation), absolute alone would miss a 20%
+    # drift on a 30 s entry.
+    gate_pct = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_GATE_PCT", "10"))
+    gate_abs_s = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_GATE_ABS_S", "0.25"))
     for q in names:
         per_session = [res["mins"][q] for res in results]
         best = min(per_session)
@@ -370,6 +402,12 @@ def main() -> None:
         spread_pct[q] = round(
             100.0 * (max(per_session) - best) / best if best > 0 else 0.0, 1
         )
+        if (
+            len(per_session) > 1
+            and spread_pct[q] > gate_pct
+            and (max(per_session) - best) > gate_abs_s
+        ):
+            spread_violations[q] = spread_pct[q]
     total = round(sum(queries.values()), 3)
     # diagnostics first (per-session maps grow as entries are added), THEN
     # the compact headline object as the very last stdout line: the driver
@@ -383,6 +421,12 @@ def main() -> None:
                 "sessions": len(results),
                 "session_mins": session_mins,
                 "cross_session_spread_pct": spread_pct,
+                "spread_gate": {
+                    "pct": gate_pct,
+                    "abs_s": gate_abs_s,
+                    "violations": spread_violations,
+                    "pass": not spread_violations,
+                },
                 "medians_last_session": results[-1]["medians"],
                 "spreads_last_session": results[-1]["spreads"],
                 "repeats": results[-1]["repeats"],
@@ -404,6 +448,19 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    if spread_violations:
+        # always VISIBLE; only FATAL when the caller opts into gating
+        # (the driver's capture must still record the numbers)
+        sys.stderr.write(
+            "bench spread gate: cross-session min spread exceeds "
+            f"{gate_pct}% (+{gate_abs_s}s) on: "
+            + ", ".join(
+                f"{q}={p}%" for q, p in sorted(spread_violations.items())
+            )
+            + "\n"
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_SPREAD_GATE"):
+            raise SystemExit(4)
 
 
 if __name__ == "__main__":
