@@ -2251,26 +2251,61 @@ ORACLES: dict[str, str] = {
     "stream_vector_ingest": _ivf_ann_oracle(train_where="vec_id % 5 != 0"),
     # One deletion request across all FOUR artifacts: every per-artifact
     # removed count derives from the base tables; the request id is md5
-    # over the canonical sorted-id JSON array.
+    # over the canonical sorted-id JSON array (sorted with key=str —
+    # lexical — so [0, 9, 33, 4] canonicalizes to '[0,33,4,9]'). Id 4 is
+    # deliberately not a multiple of 3 (ADVICE r9): it is removed from the
+    # index and the unfiltered zordered table but absent from the %3==0
+    # state/output, so the four removed counts genuinely differ and a bug
+    # that cross-wires two artifacts' counts fails this oracle.
     "rtbf_all_artifacts": """
-        WITH req AS (SELECT md5('[0,33,9]') AS request_id, 3 AS n_ids)
+        WITH req AS (SELECT md5('[0,33,4,9]') AS request_id, 4 AS n_ids)
         SELECT request_id, CAST(n_ids AS BIGINT) AS n_ids, TRUE AS completed,
                'index' AS artifact,
-               (SELECT COUNT(*) FROM embeddings WHERE vec_id IN (0, 9, 33))
+               (SELECT COUNT(*) FROM embeddings WHERE vec_id IN (0, 4, 9, 33))
                  AS removed
         FROM req
         UNION ALL
         SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'output',
                (SELECT COUNT(*) FROM documents
-                WHERE doc_id % 3 = 0 AND doc_id IN (0, 9, 33))
+                WHERE doc_id % 3 = 0 AND doc_id IN (0, 4, 9, 33))
         FROM req
         UNION ALL
+        -- the state artifact records the REQUEST size (retract_from_state
+        -- is multi-store and returns no row count; rtbf.py:158-164)
         SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'state',
-               CAST(3 AS BIGINT)
+               CAST(n_ids AS BIGINT)
         FROM req
         UNION ALL
         SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'zordered',
-               (SELECT COUNT(*) FROM documents WHERE doc_id IN (0, 9, 33))
+               (SELECT COUNT(*) FROM documents WHERE doc_id IN (0, 4, 9, 33))
         FROM req
+    """,
+    # ---- incremental maintenance folds (r10) -----------------------------
+    # Minor state compaction: the folds carry the base, preserve the
+    # newest append, and drop planted cross-duplicates — so the final
+    # corpus holds every document id exactly once, the untouched hashes
+    # store keeps the base's distinct content hashes, and the carry
+    # marker is present. All five outputs are pure derivations of the
+    # documents table (the fold arithmetic replayed in SQL).
+    "compact_state_incremental": """
+        WITH ids AS (SELECT doc_id AS id, text FROM documents)
+        SELECT CAST((SELECT count(*) FROM ids) AS BIGINT) AS rows_corpus,
+               CAST((SELECT count(DISTINCT id) FROM ids) AS BIGINT)
+                 AS distinct_corpus,
+               CAST((SELECT count(DISTINCT md5(text)) FROM ids
+                     WHERE id % 4 <> 0) AS BIGINT) AS rows_hashes,
+               1 AS base_carried,
+               CAST((SELECT sum(id) FROM ids) AS BIGINT) AS sum_id
+    """,
+    # Minor output compaction: two incremental ticks accrue exactly two
+    # negative-token bases (prior bases never rewritten), the replayed
+    # rows are dropped against the retained base, and every id survives
+    # exactly once.
+    "compact_output_incremental": """
+        SELECT CAST(count(*) AS BIGINT) AS rows_after,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_after,
+               2 AS n_bases,
+               CAST(sum(doc_id) AS BIGINT) AS sum_id
+        FROM documents
     """,
 }
