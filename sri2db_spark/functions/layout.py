@@ -210,6 +210,28 @@ def _carry_by_reference(
     return carry
 
 
+def _raise_for_vanished_basis(committer, path: str, old_base: str, err) -> None:
+    """Convert a ``FileNotFoundError`` on the basis version dir mid-staging
+    into :class:`~...sinks.committer.CommitConflict`. A concurrent rewrite
+    can supersede the basis AND drop every carry reference to it, at which
+    point the committer's GC may collect the dir while a slower writer is
+    still staging from it — the same stale-basis condition the commit-time
+    CAS reports, just observed earlier. Converting it lets every retry
+    loop (``stream_zordered_ingest``'s, a scheduler's) treat both
+    uniformly: re-resolve and re-run. When the basis is still CURRENT the
+    original error re-raises — a missing file under a live version is real
+    corruption, not a race, and must stay loud."""
+    import os  # noqa: PLC0415
+
+    from ..sinks.committer import CommitConflict  # noqa: PLC0415
+
+    old_version = os.path.basename(old_base)
+    cur = committer.current_version(path)
+    if cur is not None and cur != old_version:
+        raise CommitConflict(path, old_version, cur) from err
+    raise err
+
+
 def _carry_protocol_sidecars(fs, old_base: str, target: str, markers) -> None:
     """Every new committed version of a zordered table carries the
     ``_STREAM_*`` sidecars of the version it replaces (the streaming
@@ -385,12 +407,18 @@ def append_zordered(
     fs = committer.fs
     try:
         old_meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
-    except FileNotFoundError:
-        raise ValueError(
-            f"{path} has no {FILE_STATS} in its committed version — not a "
-            "write_zordered table (stats-less data cannot be carried; "
-            "re-cluster it once with write_zordered)"
-        ) from None
+    except FileNotFoundError as e:
+        # basis superseded-and-collected mid-read -> CommitConflict (retry
+        # on the new basis); a still-current basis without stats is not a
+        # zordered table at all
+        try:
+            _raise_for_vanished_basis(committer, path, old_base, e)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{path} has no {FILE_STATS} in its committed version — "
+                "not a write_zordered table (stats-less data cannot be "
+                "carried; re-cluster it once with write_zordered)"
+            ) from None
     if old_meta["cols"] != cols:
         raise ValueError(
             f"append stats columns {cols} != table's {old_meta['cols']}"
@@ -409,7 +437,10 @@ def append_zordered(
     )
     for name, data in (markers or {}).items():
         fs.put(os.path.join(target, name), data)
-    _carry_protocol_sidecars(fs, old_base, target, markers)
+    try:
+        _carry_protocol_sidecars(fs, old_base, target, markers)
+    except FileNotFoundError as e:
+        _raise_for_vanished_basis(committer, path, old_base, e)
     # read-modify-write: this commit is built on old_base's stats/files,
     # so the pointer write must be a compare-and-swap — a concurrent
     # append/rewrite landing in between would otherwise be silently
@@ -536,7 +567,12 @@ def compact_zordered(
     old_base = committer.resolve(path)
     if old_base is None:
         raise FileNotFoundError(f"nothing committed at {path}")
-    meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    try:
+        meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    except FileNotFoundError as e:
+        # basis superseded-and-collected mid-read: surface as a
+        # CommitConflict so the caller's retry re-resolves
+        _raise_for_vanished_basis(committer, path, old_base, e)
     cols, files = meta["cols"], meta["files"]
     old_version = os.path.basename(old_base)
 
@@ -577,7 +613,10 @@ def compact_zordered(
     # table: _STREAM_* sidecars (the streaming ingest's replay high-water
     # mark) ride forward into the new version — dropping one would make a
     # checkpoint-reset replay double-apply its batch after a compaction
-    _carry_protocol_sidecars(fs, old_base, target, None)
+    try:
+        _carry_protocol_sidecars(fs, old_base, target, None)
+    except FileNotFoundError as e:
+        _raise_for_vanished_basis(committer, path, old_base, e)
     committer.commit(target, path, expected_basis=old_version)
     return {
         "merged_files": len(merge_entries),
@@ -636,7 +675,12 @@ def retract_from_zordered(
     old_base = committer.resolve(path)
     if old_base is None:
         raise FileNotFoundError(f"nothing committed at {path}")
-    meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    try:
+        meta = json.loads(fs.read(os.path.join(old_base, FILE_STATS)))
+    except FileNotFoundError as e:
+        # basis superseded-and-collected mid-read: surface as a
+        # CommitConflict so the caller's retry re-resolves
+        _raise_for_vanished_basis(committer, path, old_base, e)
     cols, files = meta["cols"], meta["files"]
     old_version = os.path.basename(old_base)
 
@@ -741,7 +785,10 @@ def retract_from_zordered(
         os.path.join(target, FILE_STATS),
         json.dumps({"cols": cols, "files": merged}, sort_keys=True),
     )
-    _carry_protocol_sidecars(fs, old_base, target, None)
+    try:
+        _carry_protocol_sidecars(fs, old_base, target, None)
+    except FileNotFoundError as e:
+        _raise_for_vanished_basis(committer, path, old_base, e)
     committer.commit(target, path, expected_basis=old_version)
     return n_victims
 
