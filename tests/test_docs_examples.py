@@ -1,0 +1,67 @@
+"""DOCS.md stays true: every fenced ``python`` block executes, and the
+runbook's CLI verb table matches cli.py's dispatch exactly (r9 verdict
+item 7 — examples that execute, verbs that match)."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = os.path.join(REPO, "DOCS.md")
+
+
+def _python_blocks() -> list[str]:
+    text = open(DOCS).read()
+    return re.findall(r"```python\n(.*?)```", text, flags=re.DOTALL)
+
+
+def test_docs_python_examples_execute(spark, tmp_path):
+    blocks = _python_blocks()
+    assert len(blocks) >= 10, "operator catalog lost its examples"
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    ns = {
+        "spark": spark,
+        "SF": os.environ.get("SPARK_GRAFT_DOCS_SF", "/root/testdata/sf0.001"),
+        "tmp": str(tmp_path),
+        "REPO": REPO,
+        "tempfile": tempfile,
+    }
+    for i, block in enumerate(blocks):
+        try:
+            exec(compile(block, f"DOCS.md[python block {i}]", "exec"), ns)
+        except Exception as e:  # pragma: no cover - the assertion is the point
+            raise AssertionError(
+                f"DOCS.md python block {i} failed: {type(e).__name__}: {e}\n"
+                f"--- block ---\n{block}"
+            ) from e
+
+
+def test_docs_cli_verbs_match_cli_py():
+    """Every verb cli.main dispatches must appear in DOCS.md §3, and DOCS.md
+    must not document a verb cli.py does not have."""
+    cli_src = open(os.path.join(REPO, "sri2db_spark", "cli.py")).read()
+    dispatched = set(re.findall(r'"((?:index|snapshot|state|output)-[a-z]+)"', cli_src))
+    dispatched |= {"doctor", "rtbf", "zorder-compact"}
+    docs = open(DOCS).read()
+    runbook = docs.split("## 3.")[1].split("## 4.")[0]
+    documented = set(re.findall(r"`((?:index|snapshot|state|output)-[a-z]+)", runbook))
+    documented |= {v for v in ("doctor", "rtbf", "zorder-compact") if f"`{v} " in runbook}
+    assert dispatched == documented, (
+        f"missing from DOCS.md: {sorted(dispatched - documented)}; "
+        f"documented but not dispatched: {sorted(documented - dispatched)}"
+    )
+
+
+def test_docs_cli_flags_exist():
+    """Spot-check: every --flag named in the runbook table exists in cli.py."""
+    cli_src = open(os.path.join(REPO, "sri2db_spark", "cli.py")).read()
+    docs = open(DOCS).read()
+    runbook = docs.split("## 3.")[1].split("## 4.")[0]
+    flags = set(re.findall(r"--([a-z][a-z-]+)", runbook))
+    known = set(re.findall(r'"--([a-z][a-z-]+)"', cli_src))
+    # prose-only tokens that are not argparse flags
+    missing = flags - known
+    assert not missing, f"DOCS.md names unknown CLI flags: {sorted(missing)}"
