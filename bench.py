@@ -387,27 +387,33 @@ def main() -> None:
     spread_pct: dict[str, float] = {}
     session_mins = {r_i: res["mins"] for r_i, res in enumerate(results)}
     spread_violations: dict[str, float] = {}
-    # pass/fail variance gate (r9 verdict item 3): a query whose
-    # cross-session mins disagree by more than GATE_PCT *and* by a
-    # non-trivial absolute margin is flagged — percentage alone would
-    # flag sub-second entries on 0.1 s of scheduler noise (the r9
+    min_stability_pct: dict[str, float] = {}
+    # pass/fail variance gate (r9 verdict item 3). The reported statistic
+    # is the cross-session MIN, so the gate measures how well-ESTIMATED
+    # that min is: the gap between the two lowest session-mins
+    # (min-stability). The full max-min spread is kept as a diagnostic —
+    # it measures the JIT-plateau width (one slow outlier session widens
+    # it arbitrarily, which is exactly what the min statistic discards)
+    # and GROWS with session count, so gating on it would punish running
+    # more sessions. Violation = instability above GATE_PCT *and* a
+    # non-trivial absolute margin — percentage alone would flag
+    # sub-second entries on 0.1 s of scheduler noise (the r9
     # dup_span_coverage observation), absolute alone would miss a 20%
     # drift on a 30 s entry.
     gate_pct = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_GATE_PCT", "10"))
     gate_abs_s = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_GATE_ABS_S", "0.25"))
     for q in names:
-        per_session = [res["mins"][q] for res in results]
-        best = min(per_session)
+        per_session = sorted(res["mins"][q] for res in results)
+        best = per_session[0]
         queries[q] = best
         spread_pct[q] = round(
-            100.0 * (max(per_session) - best) / best if best > 0 else 0.0, 1
+            100.0 * (per_session[-1] - best) / best if best > 0 else 0.0, 1
         )
-        if (
-            len(per_session) > 1
-            and spread_pct[q] > gate_pct
-            and (max(per_session) - best) > gate_abs_s
-        ):
-            spread_violations[q] = spread_pct[q]
+        if len(per_session) > 1 and best > 0:
+            stab = 100.0 * (per_session[1] - best) / best
+            min_stability_pct[q] = round(stab, 1)
+            if stab > gate_pct and (per_session[1] - best) > gate_abs_s:
+                spread_violations[q] = min_stability_pct[q]
     total = round(sum(queries.values()), 3)
     # diagnostics first (per-session maps grow as entries are added), THEN
     # the compact headline object as the very last stdout line: the driver
@@ -421,7 +427,9 @@ def main() -> None:
                 "sessions": len(results),
                 "session_mins": session_mins,
                 "cross_session_spread_pct": spread_pct,
+                "min_stability_pct": min_stability_pct,
                 "spread_gate": {
+                    "metric": "min_stability (gap between two lowest session-mins)",
                     "pct": gate_pct,
                     "abs_s": gate_abs_s,
                     "violations": spread_violations,
@@ -452,7 +460,7 @@ def main() -> None:
         # always VISIBLE; only FATAL when the caller opts into gating
         # (the driver's capture must still record the numbers)
         sys.stderr.write(
-            "bench spread gate: cross-session min spread exceeds "
+            "bench spread gate: min-stability exceeds "
             f"{gate_pct}% (+{gate_abs_s}s) on: "
             + ", ".join(
                 f"{q}={p}%" for q, p in sorted(spread_violations.items())
