@@ -66,6 +66,22 @@ def run_session() -> dict:
         for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
         if s.strip()
     }
+    known = set(HEADLINE) | {
+        "sri_full_sync_20k",
+        "sri_full_sync_20k_sharded",
+        "ann_ivfpq_query_64q",
+        "ann_ivfpq_bulk_10k",
+        "ann_ivfpq_bulk_10k_shuffle",
+        "state_retract_pruned",
+    }
+    unknown = only - known
+    if unknown:
+        # a typo'd name would otherwise yield an EMPTY passing run that
+        # measured nothing and could be recorded as evidence
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ONLY names unknown entries: {sorted(unknown)}"
+            f"; known: {sorted(known)}"
+        )
 
     def _selected(name: str) -> bool:
         return not only or name in only
@@ -298,6 +314,10 @@ def run_session() -> dict:
     # one file whose id range they hit and carries the other ~63 by
     # reference, so this number tracks touched files, not store size.
     if _selected("state_retract_pruned"):
+        # NOT shared with the ANN block's import: that block may be
+        # deselected while this one runs (SPARK_GRAFT_BENCH_ONLY)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         from sri2db_spark.functions import pipeline as P  # noqa: PLC0415
         from sri2db_spark.sinks.committer import ManifestCommitter  # noqa: PLC0415
 

@@ -302,7 +302,12 @@ def write_zordered(
     if versioned:
         prev = committer.resolve(path)
         if prev is not None:
-            _carry_protocol_sidecars(fs, prev, target, markers)
+            try:
+                _carry_protocol_sidecars(fs, prev, target, markers)
+            except FileNotFoundError as e:
+                # prev superseded+collected between resolve and the copy —
+                # same stale-basis race as append/compact/retract
+                _raise_for_vanished_basis(committer, path, prev, e)
         # this rewrite resolved prev (and carried its _STREAM_* replay
         # marks), so the pointer write must be a compare-and-swap like
         # append/compact/retract: a stream batch committing between
@@ -596,12 +601,20 @@ def compact_zordered(
     df = spark.read.parquet(
         *[fs.spark_path(_entry_home(path, old_base, e)) for e in merge_entries]
     )
-    clustered = zorder_repartition(
-        df, cols, n_files or len(merge_entries), bits=bits
-    ).drop("zkey")
     target = committer.stage(path)
-    clustered.write.mode("overwrite").parquet(fs.spark_path(target))
-    merged_stats = _collect_file_stats(spark, fs.spark_path(target), cols)
+    try:
+        # first Spark actions over the basis's physical files (the
+        # zorder bounds collect, then the staged write): a concurrent
+        # rewrite + GC can delete those files mid-job, which surfaces as
+        # a Spark read error — convert it to the stale-basis conflict it
+        # is so retry loops re-resolve instead of crashing
+        clustered = zorder_repartition(
+            df, cols, n_files or len(merge_entries), bits=bits
+        ).drop("zkey")
+        clustered.write.mode("overwrite").parquet(fs.spark_path(target))
+        merged_stats = _collect_file_stats(spark, fs.spark_path(target), cols)
+    except Exception as e:  # noqa: BLE001 - re-raised unless basis moved
+        _raise_for_vanished_basis(committer, path, old_base, e)
 
     carry = _carry_by_reference(carry_src, old_version, merged_stats)
     fs.put(os.path.join(target, CARRY_MARKER), "\n".join(sorted(carry)))
@@ -758,7 +771,10 @@ def retract_from_zordered(
     if n_victims == 0:
         return 0  # ranges matched but no victim rows: touch nothing
     carry_src = {e: st for e, st in files.items() if e not in touched}
-    has_survivors = bool(survivors.limit(1).count())
+    try:
+        has_survivors = bool(survivors.limit(1).count())
+    except Exception as e:  # noqa: BLE001 - re-raised unless basis moved
+        _raise_for_vanished_basis(committer, path, old_base, e)
     if not has_survivors and not carry_src:
         raise ValueError(
             f"retracting these ids empties the whole table {path}; a "
@@ -767,11 +783,14 @@ def retract_from_zordered(
         )
     target = committer.stage(path)
     if has_survivors:
-        clustered = zorder_repartition(
-            survivors, cols, n_files or len(touched), bits=16
-        ).drop("zkey")
-        clustered.write.mode("overwrite").parquet(fs.spark_path(target))
-        merged = _collect_file_stats(spark, fs.spark_path(target), cols)
+        try:
+            clustered = zorder_repartition(
+                survivors, cols, n_files or len(touched), bits=16
+            ).drop("zkey")
+            clustered.write.mode("overwrite").parquet(fs.spark_path(target))
+            merged = _collect_file_stats(spark, fs.spark_path(target), cols)
+        except Exception as e:  # noqa: BLE001 - re-raised unless basis moved
+            _raise_for_vanished_basis(committer, path, old_base, e)
     else:
         # every row of every touched file was a victim: the new version
         # holds only the carried files (zorder_key cannot bucket an empty

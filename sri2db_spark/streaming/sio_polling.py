@@ -68,6 +68,7 @@ class PollingSocketIOClient:
         self._poller: threading.Thread | None = None
         self._post_lock = threading.Lock()
         self._timeout = request_timeout
+        self._connect_error: str | None = None
 
     # -- public surface ------------------------------------------------------
 
@@ -99,6 +100,12 @@ class PollingSocketIOClient:
         while not self.connected and time.monotonic() < deadline:
             for pkt in _split_packets(self._http("GET", self._qs(self._sid))):
                 self._handle_packet(pkt)
+            if self._connect_error is not None:
+                # server refused the namespace CONNECT (auth etc.) —
+                # surface its payload instead of spinning to the timeout
+                raise ConnectionError(
+                    f"socket.io connect refused: {self._connect_error}"
+                )
         if not self.connected:
             raise ConnectionError("socket.io namespace connect not acked")
         self._poller = threading.Thread(target=self._poll_loop, daemon=True)
@@ -153,6 +160,9 @@ class PollingSocketIOClient:
             fn = self._handlers.get("connect")
             if fn:
                 fn()
+        elif pkt.startswith("44"):  # CONNECT_ERROR: server refused the nsp
+            self._connect_error = pkt[2:] or "connect_error"
+            self._mark_disconnected()
         elif pkt.startswith("41"):  # namespace disconnect
             self._mark_disconnected()
         elif pkt.startswith("42"):  # event
@@ -185,11 +195,12 @@ class PollingSocketIOClient:
 
 
 class _Session:
-    __slots__ = ("queue", "sio_connected")
+    __slots__ = ("queue", "sio_connected", "last_seen")
 
     def __init__(self) -> None:
         self.queue: Queue = Queue()
         self.sio_connected = False
+        self.last_seen = time.monotonic()
 
 
 class PollingSocketIOServer:
@@ -202,12 +213,18 @@ class PollingSocketIOServer:
     the client's GET (listen) and POST (emit) served concurrently.
     """
 
-    def __init__(self, poll_timeout: float = 2.0) -> None:
+    def __init__(
+        self, poll_timeout: float = 2.0, session_timeout: float = 45.0
+    ) -> None:
         self._sessions: dict[str, _Session] = {}
         self._rooms: dict[str, set[str]] = defaultdict(set)
         self._handlers: dict[str, object] = {}
         self._lock = threading.Lock()
         self._poll_timeout = poll_timeout
+        # a client that dies without sending '41'/'1' never closes its
+        # session; reap anything idle past pingInterval+pingTimeout-scale
+        # so the hub's memory is bounded (queues grow per emit otherwise)
+        self._session_timeout = session_timeout
 
     # -- app-facing surface ----------------------------------------------------
 
@@ -227,6 +244,7 @@ class PollingSocketIOServer:
             self._rooms[room].add(sid)
 
     def emit(self, event: str, data=None, room: str | None = None) -> None:
+        self._reap_idle()
         payload = [event] if data is None else [event, data]
         pkt = "42" + json.dumps(payload, separators=(",", ":"))
         with self._lock:
@@ -235,9 +253,27 @@ class PollingSocketIOServer:
                 if room is not None
                 else set(self._sessions)
             )
-            targets = [self._sessions[s] for s in sids if s in self._sessions]
+            # only sessions that completed the Socket.IO CONNECT ('40')
+            # receive events — a handshake-only engine.io session must
+            # not see a '42' before its namespace ack
+            targets = [
+                self._sessions[s]
+                for s in sids
+                if s in self._sessions and self._sessions[s].sio_connected
+            ]
         for sess in targets:
             sess.queue.put(pkt)
+
+    def _reap_idle(self) -> None:
+        cutoff = time.monotonic() - self._session_timeout
+        with self._lock:
+            dead = [
+                sid
+                for sid, sess in self._sessions.items()
+                if sess.last_seen < cutoff
+            ]
+        for sid in dead:
+            self.close_session(sid)
 
     def close_session(self, sid: str) -> None:
         """Drop a session server-side (test hook for disconnect paths)."""
@@ -269,6 +305,9 @@ class PollingSocketIOServer:
             # unknown session: the client treats the HTTP error as a
             # disconnect and its listener reconnects (D2)
             return self._respond(start_response, "400 Bad Request", "unknown sid")
+        sess = self._sessions.get(sid)
+        if sess is not None:  # close_session may race the check above
+            sess.last_seen = time.monotonic()
         if method == "GET":
             return self._respond(start_response, "200 OK", self._drain(sid))
         if method == "POST":

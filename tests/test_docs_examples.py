@@ -44,11 +44,18 @@ def test_docs_cli_verbs_match_cli_py():
     must not document a verb cli.py does not have."""
     cli_src = open(os.path.join(REPO, "sri2db_spark", "cli.py")).read()
     dispatched = set(re.findall(r'"((?:index|snapshot|state|output)-[a-z]+)"', cli_src))
-    dispatched |= {"doctor", "rtbf", "zorder-compact"}
+    # single-word verbs are dispatched as argv[0] == "<verb>" — derive
+    # them from the source so REMOVING one from cli.py fails this test
+    # instead of being masked by a hard-coded union
+    dispatched |= set(
+        re.findall(r'argv\[0\] == "([a-z-]+)"', cli_src)
+    )
     docs = open(DOCS).read()
     runbook = docs.split("## 3.")[1].split("## 4.")[0]
     documented = set(re.findall(r"`((?:index|snapshot|state|output)-[a-z]+)", runbook))
-    documented |= {v for v in ("doctor", "rtbf", "zorder-compact") if f"`{v} " in runbook}
+    documented |= {
+        v for v in ("doctor", "rtbf", "zorder-compact") if f"`{v} " in runbook
+    }
     assert dispatched == documented, (
         f"missing from DOCS.md: {sorted(dispatched - documented)}; "
         f"documented but not dispatched: {sorted(documented - dispatched)}"

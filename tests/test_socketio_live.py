@@ -213,6 +213,54 @@ def test_live_default_retry_interval_is_reference_5s():
     assert BroadcastListener(connect=object, sync_fn=object).retry_interval == 5.0
 
 
+def test_connect_refused_surfaces_server_payload():
+    """A server that refuses the namespace CONNECT (auth etc.) answers
+    with a '44' CONNECT_ERROR packet; the client must surface its payload
+    immediately instead of spinning to the ack timeout."""
+
+    class _Refusing(PollingSocketIOServer):
+        def _receive(self, sid, pkt):
+            if pkt.startswith("40"):
+                sess = self._sessions.get(sid)
+                if sess is not None:
+                    sess.queue.put('44{"message":"auth required"}')
+            else:
+                super()._receive(sid, pkt)
+
+    sio = _Refusing(poll_timeout=0.5)
+    httpd = make_server("127.0.0.1", 0, sio, server_class=_ThreadingWSGIServer)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        c = PollingSocketIOClient()
+        t0 = time.monotonic()
+        with pytest.raises(ConnectionError, match="auth required"):
+            c.connect(f"http://127.0.0.1:{httpd.server_address[1]}")
+        assert time.monotonic() - t0 < 4.0, "refusal waited for the timeout"
+        assert not c.connected
+    finally:
+        httpd.shutdown()
+
+
+def test_server_reaps_idle_sessions():
+    """A client that dies without '41'/'1' must not leak its session: the
+    hub reaps anything idle past session_timeout, and emits only reach
+    sessions that completed the Socket.IO CONNECT."""
+    hub = _Hub("inrepo")
+    hub.sio._session_timeout = 0.3
+    try:
+        c = PollingSocketIOClient()
+        c.connect(hub.url)
+        assert len(hub.sio.session_ids) == 1
+        # simulate a dead client: stop polling without closing
+        c._stop.set()
+        c._poller.join(5)
+        time.sleep(0.5)
+        hub.sio.emit("update", {"x": 1}, room=None)  # emit triggers the reap
+        assert hub.sio.session_ids == []
+    finally:
+        hub.stop()
+
+
 def test_polling_client_against_inrepo_server_direct():
     """Transport-level check without the listener: connect, ping/pong
     keepalive on an idle poll, emit both directions, clean disconnect."""
