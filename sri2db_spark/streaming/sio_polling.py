@@ -86,6 +86,7 @@ class PollingSocketIOClient:
     def connect(self, url: str, wait_timeout: float = 5.0) -> None:
         self._base = url.rstrip("/") + "/socket.io/"
         self._stop.clear()
+        self._connect_error = None  # a reused client must not see a stale refusal
         # 1. Engine.IO open handshake
         body = self._http("GET", self._qs())
         pkts = _split_packets(body)
