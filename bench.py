@@ -21,6 +21,18 @@ sys.path.insert(0, REPO)
 from sri2db_spark.plans.analytics import QUERIES  # noqa: E402
 from sri2db_spark.session import get_spark  # noqa: E402
 
+# Entries measured by bespoke blocks below (not via the QUERIES registry);
+# ONE list shared by the selection validation and the gated blocks so a
+# new block cannot be forgotten in the known-names check
+EXTRA_ENTRIES = [
+    "sri_full_sync_20k",
+    "sri_full_sync_20k_sharded",
+    "ann_ivfpq_query_64q",
+    "ann_ivfpq_bulk_10k",
+    "ann_ivfpq_bulk_10k_shuffle",
+    "state_retract_pruned",
+]
+
 # Representative coverage: heavy scans/aggs, multi-join, window, merge ops,
 # dedup sketches, similarity, text pipeline.
 HEADLINE = [
@@ -66,14 +78,7 @@ def run_session() -> dict:
         for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
         if s.strip()
     }
-    known = set(HEADLINE) | {
-        "sri_full_sync_20k",
-        "sri_full_sync_20k_sharded",
-        "ann_ivfpq_query_64q",
-        "ann_ivfpq_bulk_10k",
-        "ann_ivfpq_bulk_10k_shuffle",
-        "state_retract_pruned",
-    }
+    known = set(HEADLINE) | set(EXTRA_ENTRIES)
     unknown = only - known
     if unknown:
         # a typo'd name would otherwise yield an EMPTY passing run that

@@ -211,23 +211,41 @@ def _carry_by_reference(
 
 
 def _raise_for_vanished_basis(committer, path: str, old_base: str, err) -> None:
-    """Convert a ``FileNotFoundError`` on the basis version dir mid-staging
-    into :class:`~...sinks.committer.CommitConflict`. A concurrent rewrite
-    can supersede the basis AND drop every carry reference to it, at which
-    point the committer's GC may collect the dir while a slower writer is
-    still staging from it — the same stale-basis condition the commit-time
-    CAS reports, just observed earlier. Converting it lets every retry
-    loop (``stream_zordered_ingest``'s, a scheduler's) treat both
-    uniformly: re-resolve and re-run. When the basis is still CURRENT the
-    original error re-raises — a missing file under a live version is real
-    corruption, not a race, and must stay loud."""
+    """Convert a read failure caused by the basis version dir VANISHING
+    mid-staging into :class:`~...sinks.committer.CommitConflict`. A
+    concurrent rewrite can supersede the basis AND drop every carry
+    reference to it, at which point the committer's GC may collect the dir
+    while a slower writer is still staging from it — the same stale-basis
+    condition the commit-time CAS reports, just observed earlier.
+    Converting it lets every retry loop (``stream_zordered_ingest``'s, a
+    scheduler's) treat both uniformly: re-resolve and re-run.
+
+    The conversion requires BOTH (a) the pointer moved past ``old_base``'s
+    version and (b) evidence the failure IS the vanishing — the basis dir
+    is gone, or the error is a missing-file error. A pointer that merely
+    advanced (concurrent appends carry old files by reference, so the
+    basis files stay live) must NOT excuse an unrelated job failure:
+    retrying a deterministic error (OOM, corrupt input) against steady
+    append traffic would livelock instead of surfacing. Everything else
+    re-raises unchanged."""
     import os  # noqa: PLC0415
 
     from ..sinks.committer import CommitConflict  # noqa: PLC0415
 
     old_version = os.path.basename(old_base)
     cur = committer.current_version(path)
-    if cur is not None and cur != old_version:
+    superseded = cur is not None and cur != old_version
+    base_gone = not committer.fs.isdir(old_base)
+    missing_file_shaped = isinstance(err, FileNotFoundError) or any(
+        marker in str(err)
+        for marker in (
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "does not exist",
+            "No such file",
+        )
+    )
+    if superseded and (base_gone or missing_file_shaped):
         raise CommitConflict(path, old_version, cur) from err
     raise err
 
@@ -598,22 +616,26 @@ def compact_zordered(
     }
     carry_src = {e: files[e] for e in files if e not in merge_entries}
 
-    df = spark.read.parquet(
-        *[fs.spark_path(_entry_home(path, old_base, e)) for e in merge_entries]
-    )
     target = committer.stage(path)
     try:
-        # first Spark actions over the basis's physical files (the
-        # zorder bounds collect, then the staged write): a concurrent
-        # rewrite + GC can delete those files mid-job, which surfaces as
-        # a Spark read error — convert it to the stale-basis conflict it
-        # is so retry loops re-resolve instead of crashing
+        # every Spark action over the basis's physical files (the eager
+        # schema-inferring read, the zorder bounds collect, the staged
+        # write): a concurrent rewrite + GC can delete those files
+        # mid-job, which surfaces as a Spark read error — convert it to
+        # the stale-basis conflict it is so retry loops re-resolve
+        # instead of crashing
+        df = spark.read.parquet(
+            *[
+                fs.spark_path(_entry_home(path, old_base, e))
+                for e in merge_entries
+            ]
+        )
         clustered = zorder_repartition(
             df, cols, n_files or len(merge_entries), bits=bits
         ).drop("zkey")
         clustered.write.mode("overwrite").parquet(fs.spark_path(target))
         merged_stats = _collect_file_stats(spark, fs.spark_path(target), cols)
-    except Exception as e:  # noqa: BLE001 - re-raised unless basis moved
+    except Exception as e:  # noqa: BLE001 - re-raised unless basis vanished
         _raise_for_vanished_basis(committer, path, old_base, e)
 
     carry = _carry_by_reference(carry_src, old_version, merged_stats)
@@ -760,10 +782,16 @@ def retract_from_zordered(
 
     # ONE materialization of the touched files (they are read for the
     # victim count, the survivor probe, AND the rewrite — without the
-    # checkpoint that is three full scans of the touched set)
-    candidates = spark.read.parquet(
-        *[fs.spark_path(_entry_home(path, old_base, e)) for e in touched]
-    ).localCheckpoint(eager=True)
+    # checkpoint that is three full scans of the touched set). This
+    # eager checkpoint is THE Spark action that reads the basis's
+    # physical files, so the stale-basis conversion must wrap it — the
+    # later survivor/write jobs read the checkpoint, not the basis.
+    try:
+        candidates = spark.read.parquet(
+            *[fs.spark_path(_entry_home(path, old_base, e)) for e in touched]
+        ).localCheckpoint(eager=True)
+    except Exception as e:  # noqa: BLE001 - re-raised unless basis vanished
+        _raise_for_vanished_basis(committer, path, old_base, e)
     survivors = candidates.join(
         F.broadcast(drop), candidates[id_col] == F.col("__rid"), "left_anti"
     )

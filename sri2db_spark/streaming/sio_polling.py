@@ -334,6 +334,9 @@ class PollingSocketIOServer:
         return [data]
 
     def _open_session(self) -> str:
+        # reap on each handshake too: a hub that accepts connections but
+        # rarely emits must still bound its session map
+        self._reap_idle()
         sid = uuid.uuid4().hex
         with self._lock:
             self._sessions[sid] = _Session()

@@ -47,15 +47,15 @@ def test_docs_cli_verbs_match_cli_py():
     # single-word verbs are dispatched as argv[0] == "<verb>" — derive
     # them from the source so REMOVING one from cli.py fails this test
     # instead of being masked by a hard-coded union
-    dispatched |= set(
-        re.findall(r'argv\[0\] == "([a-z-]+)"', cli_src)
-    )
+    single_verbs = set(re.findall(r'argv\[0\] == "([a-z-]+)"', cli_src))
+    dispatched |= single_verbs
     docs = open(DOCS).read()
     runbook = docs.split("## 3.")[1].split("## 4.")[0]
     documented = set(re.findall(r"`((?:index|snapshot|state|output)-[a-z]+)", runbook))
-    documented |= {
-        v for v in ("doctor", "rtbf", "zorder-compact") if f"`{v} " in runbook
-    }
+    # scan the SAME derived set on the documented side — a hard-coded
+    # tuple here would misreport a correctly-documented new verb as
+    # missing from DOCS.md
+    documented |= {v for v in single_verbs if f"`{v} " in runbook}
     assert dispatched == documented, (
         f"missing from DOCS.md: {sorted(dispatched - documented)}; "
         f"documented but not dispatched: {sorted(documented - dispatched)}"

@@ -39,11 +39,18 @@ def _headline(path: str) -> dict:
             return doc["queries"]
     except json.JSONDecodeError:
         pass
-    heads = [
-        json.loads(line)
-        for line in text.splitlines()
-        if line.strip().startswith("{") and '"metric"' in line
-    ]
+    heads = []
+    for line in text.splitlines():
+        if not line.strip().startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue  # driver tail-captures can truncate a line mid-object
+        # headline lines carry "metric"+"queries"; the diagnostics line
+        # only mentions "metric" inside spread_gate — check parsed keys
+        if isinstance(obj, dict) and "metric" in obj and "queries" in obj:
+            heads.append(obj)
     if not heads:
         raise SystemExit(f"{path}: no bench headline found")
     return heads[-1]["queries"]
