@@ -59,6 +59,10 @@ HEADLINE = [
     "ngram_topk",
     "dup_spans",
     "dup_span_coverage",
+    "hybrid_rrf_topk",
+    "ann_matryoshka_topk",
+    "pagerank_copurchase",
+    "quality_calibration",
 ]
 
 

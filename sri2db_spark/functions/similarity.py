@@ -120,6 +120,72 @@ def cosine_topk(
     )
 
 
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_dims: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Adaptive retrieval over Matryoshka-style embeddings (Kusupati et
+    al. 2022): a cheap coarse pass scores every candidate on only the
+    FIRST ``coarse_dims`` dimensions (MRL training front-loads signal, so
+    a prefix is itself a usable embedding), keeps a per-query
+    ``shortlist``, then reranks the shortlist with full-dimension cosine.
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)`` — same contract as
+    :func:`cosine_topk` (cos_sim is the exact full-dim score).
+
+    Scale shape: the corpus-sized pass does coarse_dims/dim of the float
+    work per row (16/64 = 4x cheaper here; 64/1024 = 16x on production
+    embeddings) entirely in codegen; the exact rerank touches only
+    shortlist·|queries| rows. Both passes broadcast the query side; the
+    full vector rides along the coarse pass so reranking never rejoins
+    the corpus. Ties break on neighbor id at both cuts, so the result is
+    deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.slice(F.col(vec_col), 1, coarse_dims).alias("qc"),
+    )
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.slice(F.col(vec_col), 1, coarse_dims).alias("cc"),
+    )
+    coarse = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            "cv",
+            cosine(F.col("qc"), F.col("cc")).alias("coarse_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_sim").desc(), F.col("neighbor_id").asc()
+    )
+    short = coarse.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= shortlist
+    )
+    rescored = short.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane_signature(vec, planes: list[list[float]]):
     """Sign-pattern bucket id for a vector under fixed random hyperplanes."""
     bits = []

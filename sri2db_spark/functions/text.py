@@ -956,3 +956,64 @@ def duplicated_span_coverage(
         "total_tokens",
         F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
     )
+
+
+def calibrate_quality(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source quality calibration: each document's quality score is
+    converted to a percentile WITHIN its source and a decile bucket.
+    Raw quality heuristics are not comparable across sources (a forum
+    corpus and an encyclopedia have different score distributions);
+    mixture planners sample by within-source percentile instead —
+    "keep the top 30% of each source" — which needs exactly this table.
+
+    Returns ``(id, source, qbin, pr_e6, decile)``: qbin = floor(1e6 ×
+    quality) (the integer quality grid), pr_e6 = percent_rank on that
+    grid scaled to [0, 1e6] (ties share a rank, like SQL PERCENT_RANK),
+    decile = min(9, pr_e6 div 100_000).
+
+    Scale shape: a naive PERCENT_RANK window partitions by source — a
+    handful of partitions, each holding its whole source's rows: the
+    classic skewed-window trap at 100 TB. This plan instead aggregates a
+    per-(source, qbin) HISTOGRAM (bounded at 10^6+1 bins per source no
+    matter the corpus size), computes the CDF with a window over that
+    bounded frame, and joins the percentiles back co-partitioned on
+    (source, qbin) — the corpus-sized pass is one hash aggregation and
+    one shuffle join, never a per-source sort. All ranking arithmetic is
+    exact integers, so any engine reproduces it bit-for-bit (the oracle
+    uses the window form; same semantics, different physical plan)."""
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.floor(F.lit(1_000_000.0) * quality_score(F.col(text_col)))
+        .cast("bigint")
+        .alias("qbin"),
+    )
+    hist = q.groupBy("source", "qbin").agg(F.count(F.lit(1)).alias("cnt"))
+    wcdf = (
+        Window.partitionBy("source")
+        .orderBy("qbin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("source")
+    cdf = hist.select(
+        "source",
+        "qbin",
+        F.coalesce(F.sum("cnt").over(wcdf), F.lit(0)).alias("below"),
+        F.sum("cnt").over(wtot).alias("n_src"),
+    )
+    # guard n_src == 1 BEFORE the div: under ANSI (Spark 4's default) an
+    # unguarded div-by-zero aborts the job for a single-document source
+    pr = F.when(
+        F.col("n_src") > 1,
+        F.expr("(below * 1000000) div (n_src - 1)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        q.join(cdf, ["source", "qbin"])
+        .select("id", "source", "qbin", pr.alias("pr_e6"))
+        .withColumn(
+            "decile",
+            F.least(F.lit(9).cast("bigint"), F.expr("pr_e6 div 100000")),
+        )
+    )

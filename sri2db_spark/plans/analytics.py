@@ -2649,6 +2649,79 @@ def q_compact_output_incremental(spark, sf):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_hybrid_rrf_topk(spark, sf):
+    """Hybrid retrieval: BM25 top-50 over the documents table fused with
+    dense cosine top-50 (query = embedding 0 over the embeddings corpus)
+    by reciprocal-rank fusion (functions/retrieval.py). Ids present in
+    only one list score with the missing term as 0.0 — the fused head is
+    where both retrievers agree. Both inputs are top-N lists, so the
+    fusion join is trivially small; the corpus-sized work stays inside
+    the two already-oracled retrievers."""
+    from ..functions.retrieval import rrf_fuse  # noqa: PLC0415
+
+    sparse = X.bm25_topk(
+        _tp(spark, sf, "documents"), "doc_id", "text", ("spark", "merge", "window"), k=50
+    ).select(F.col("id").alias("doc_id"), "rank")
+    emb = _tp(spark, sf, "embeddings")
+    dense = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(sparse, dense, id_col="doc_id", k_rrf=60, k=10).select(
+        F.col("id").alias("doc_id"),
+        F.col("rank_a").alias("sparse_rank"),
+        F.col("rank_b").alias("dense_rank"),
+        "rrf_score",
+        "rank",
+    )
+
+
+def q_ann_matryoshka_topk(spark, sf):
+    """Adaptive (Matryoshka) ANN: coarse top-20 shortlist on the first 16
+    of 64 dims, exact full-dim rerank to top-5 — 4x less float work on
+    the corpus-sized pass (functions/similarity.py matryoshka_topk)."""
+    emb = _tp(spark, sf, "embeddings")
+    return S.matryoshka_topk(
+        emb, emb.filter(F.col("vec_id") < 8), coarse_dims=16, shortlist=20, k=5
+    )
+
+
+def q_pagerank_copurchase(spark, sf):
+    """Fixed-point integer PageRank (functions/graph.py) over the
+    bipartite customer↔supplier trade graph: distinct (custkey, suppkey)
+    pairs from orders ⋈ lineitem, edges added in BOTH directions so no
+    node dangles; node ids are 2·custkey / 2·suppkey+1 to keep the two
+    key spaces disjoint. 3 iterations, damping 0.85, all arithmetic
+    exact bigint — the DuckDB oracle unrolls the identical iterations."""
+    from ..functions.graph import pagerank  # noqa: PLC0415
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=3, damping_pct=85)
+
+
+def q_quality_calibration(spark, sf):
+    """Per-source quality percentiles + decile buckets via the bounded
+    histogram-CDF plan (functions/text.py calibrate_quality) — the
+    scalable replacement for a skewed PERCENT_RANK-per-source window;
+    the oracle uses the window form to prove the semantics match."""
+    return X.calibrate_quality(
+        _tp(spark, sf, "documents"), "doc_id", "text", "source"
+    ).select(
+        F.col("id").alias("doc_id"), "source", "qbin", "pr_e6", "decile"
+    )
+
+
 #: canonical registry, insertion order = stable tie-break only. The
 #: externally-visible QUERIES order is DERIVED below by _rotation_order
 #: from the recorded sample history — never hand-rotated.
@@ -2799,6 +2872,12 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # surfaces, now externally oracled
     "compact_state_incremental": q_compact_state_incremental,
     "compact_output_incremental": q_compact_output_incremental,
+    # r10 continuation: hybrid retrieval, adaptive ANN, iterative graph
+    # ranking, per-source quality calibration
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "ann_matryoshka_topk": q_ann_matryoshka_topk,
+    "pagerank_copurchase": q_pagerank_copurchase,
+    "quality_calibration": q_quality_calibration,
 }
 
 

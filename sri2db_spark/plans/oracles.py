@@ -59,6 +59,69 @@ def _dot(a: str, b: str) -> str:
     )
 
 
+def _dotn(a: str, b: str, n: int) -> str:
+    """Like _dot but over the first ``n`` dims (matryoshka coarse pass)."""
+    return " + ".join(
+        f"CAST({a}.embedding[{i}] AS DOUBLE)*CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, n + 1)
+    )
+
+
+def _pagerank_sql(iters: int = 3, damping: int = 85, scale: int = 10**12) -> str:
+    """Unrolled fixed-point integer PageRank over the bipartite trade
+    graph — the exact arithmetic of functions.graph.pagerank (integer
+    divisions, exact bigint sums), one s_k/r_k CTE pair per iteration."""
+    parts = [
+        f"""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL
+          SELECT s AS src, c AS dst FROM pairs
+        ),
+        outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM outdeg),
+        r0 AS (
+          SELECT src AS node, od,
+                 CAST({scale} // n AS BIGINT) AS r,
+                 CAST(({100 - damping} * ({scale} // n)) // 100 AS BIGINT) AS tp
+          FROM outdeg, nn
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        s{k} AS (
+          SELECT e.dst AS node, CAST(sum(r.r // r.od) AS BIGINT) AS s
+          FROM edges e JOIN r{k - 1} r ON e.src = r.node GROUP BY e.dst
+        ),
+        r{k} AS (
+          SELECT p.node, p.od, p.tp,
+                 CAST(p.tp + ({damping} * coalesce(s{k}.s, 0)) // 100 AS BIGINT)
+                   AS r
+          FROM r{k - 1} p LEFT JOIN s{k} ON p.node = s{k}.node
+        )"""
+        )
+    parts.append(
+        f"\n        SELECT node AS node_id, r AS rank_e12 FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+#: the text_quality heuristic as one scalar expression (0.5·stopword_ratio
+#: + 0.3·min(avg_word_len/8, 1) + 0.2·min(n_tokens/200, 1)) — shared by the
+#: quality_calibration oracle so the binning matches text_quality exactly
+_QUALITY_EXPR = (
+    f"0.5 * ({_stop_ratio(_EN_STOPS)}) "
+    f"+ 0.3 * least((CAST(list_sum(list_transform({_W}, t -> length(t)))"
+    f" AS DOUBLE) / CAST(len({_W}) AS DOUBLE)) / 8.0, 1.0) "
+    f"+ 0.2 * least(CAST(len({_W}) AS DOUBLE) / 200.0, 1.0)"
+)
+
+
 def _shingles_sql(k: int) -> str:
     """k-word shingle list, mirroring functions.text.word_shingles (short
     docs yield [text])."""
@@ -2307,5 +2370,144 @@ ORACLES: dict[str, str] = {
                2 AS n_bases,
                CAST(sum(doc_id) AS BIGINT) AS sum_id
         FROM documents
+    """,
+    # ---- r10 continuation: hybrid retrieval / adaptive ANN / graph /
+    # calibration ----------------------------------------------------------
+    # BM25 top-50 (same division-form idf and fixed term order as the
+    # bm25_topk oracle) fused with dense cosine top-50 for query vector 0
+    # by reciprocal-rank fusion: score = 1/(60+rank_sparse) +
+    # 1/(60+rank_dense), missing-list terms contribute 0.0 in fixed order.
+    "hybrid_rrf_topk": f"""
+        WITH lens AS (
+          SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM lens
+        ),
+        toks AS (
+          SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+          SELECT id, term, count(*) AS tf FROM toks
+          WHERE term IN ('spark', 'merge', 'window') GROUP BY id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT id, term,
+                 ((stats.n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                 * (CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / stats.avgdl)) AS c
+          FROM tf JOIN dfreq USING (term) JOIN lens USING (id), stats
+        ),
+        pivoted AS (
+          SELECT id,
+                 max(CASE WHEN term = 'spark' THEN c END) AS c0,
+                 max(CASE WHEN term = 'merge' THEN c END) AS c1,
+                 max(CASE WHEN term = 'window' THEN c END) AS c2
+          FROM contrib GROUP BY id
+        ),
+        sparse_scored AS (
+          SELECT id AS doc_id,
+                 coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0) AS score
+          FROM pivoted
+        ),
+        sparse AS (
+          SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM sparse_scored
+          ) WHERE rnk <= 50
+        ),
+        q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+        dense_scored AS (
+          SELECT c.vec_id AS doc_id,
+                 ({_dot('q', 'c')})
+                 / (sqrt({_dot('q', 'q')}) * sqrt({_dot('c', 'c')})) AS cos_sim
+          FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+        ),
+        dense AS (
+          SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rnk
+            FROM dense_scored
+          ) WHERE rnk <= 50
+        ),
+        fused AS (
+          SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+                 s.rnk AS sparse_rank, d.rnk AS dense_rank,
+                 coalesce(1.0 / (60 + s.rnk), 0.0)
+                   + coalesce(1.0 / (60 + d.rnk), 0.0) AS rrf_score
+          FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+          FROM fused
+        ) WHERE rank <= 10
+    """,
+    # Coarse pass on the first 16 dims, per-query top-20 shortlist, exact
+    # full-dim rerank to top-5 — mirrors similarity.matryoshka_topk.
+    "ann_matryoshka_topk": f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        coarse AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ({_dotn('q', 'c', 16)})
+                 / (sqrt({_dotn('q', 'q', 16)}) * sqrt({_dotn('c', 'c', 16)}))
+                   AS coarse_sim
+          FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+        ),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY coarse_sim DESC, neighbor_id ASC) AS crank
+            FROM coarse
+          ) WHERE crank <= 20
+        ),
+        scored AS (
+          SELECT s.query_id, s.neighbor_id,
+                 ({_dot('q', 'c')})
+                 / (sqrt({_dot('q', 'q')}) * sqrt({_dot('c', 'c')})) AS cos_sim
+          FROM short s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    # Unrolled integer PageRank — identical fixed-point arithmetic to
+    # functions.graph.pagerank (3 iterations, damping 85%).
+    "pagerank_copurchase": _pagerank_sql(iters=3, damping=85),
+    # Window-form percent_rank on the e6 quality grid: RANK()-1 = rows
+    # strictly below (ties share), scaled to [0, 1e6] by integer division —
+    # the semantic mirror of the engine's bounded histogram-CDF plan.
+    "quality_calibration": f"""
+        WITH q AS (
+          SELECT doc_id, source,
+                 CAST(floor(1000000 * ({_QUALITY_EXPR})) AS BIGINT) AS qbin
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source, qbin,
+                 RANK() OVER (PARTITION BY source ORDER BY qbin) - 1 AS below,
+                 COUNT(*) OVER (PARTITION BY source) AS n_src
+          FROM q
+        ),
+        pr AS (
+          SELECT doc_id, source, qbin,
+                 CASE WHEN n_src > 1
+                      THEN CAST((below * 1000000) // (n_src - 1) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS pr_e6
+          FROM r
+        )
+        SELECT doc_id, source, qbin, pr_e6,
+               least(CAST(9 AS BIGINT), pr_e6 // 100000) AS decile
+        FROM pr
     """,
 }

@@ -951,3 +951,117 @@ def test_exact_corr_zero_variance_is_null_not_divide_by_zero(spark):
     assert got["solo"] == (1, None)
     assert got["const_x"] == (2, None)
     assert got["big"][0] == 3 and got["big"][1] is not None
+
+
+def test_rrf_fuse_orders_and_handles_missing(spark):
+    """RRF: overlap-of-both-lists ranks first; ids in only one list get the
+    missing term as 0.0; ties on the fused score break by id."""
+    from sri2db_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "id long, rank int")
+    rows = {r["id"]: r for r in rrf_fuse(a, b, k_rrf=60, k=10).collect()}
+    assert [rows[i]["rank"] for i in (2, 1, 4, 3)] == [1, 2, 3, 4]
+    assert rows[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert rows[1]["rrf_score"] == 1.0 / 61
+    assert rows[4]["rrf_score"] == 1.0 / 62
+    assert rows[1]["rank_b"] is None and rows[4]["rank_a"] is None
+
+
+def test_matryoshka_full_shortlist_equals_exact(spark, emb):
+    """With shortlist >= corpus, the coarse pass prunes nothing, so the
+    rerank must reproduce exact cosine_topk bit-for-bit."""
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = S.cosine_topk(emb, queries, k=5)
+    mat = S.matryoshka_topk(
+        emb, queries, coarse_dims=16, shortlist=n, k=5
+    ).select(*exact.columns)
+    assert mat.exceptAll(exact).count() == 0
+    assert exact.exceptAll(mat).count() == 0
+
+
+def test_matryoshka_small_shortlist_scores_are_exact(spark, emb):
+    """Even with an aggressive shortlist, every RETURNED cos_sim must be the
+    exact full-dimension score (matryoshka trades recall, never precision)."""
+    queries = emb.filter(F.col("vec_id") < 4)
+    mat = S.matryoshka_topk(emb, queries, coarse_dims=8, shortlist=10, k=5)
+    exact_scores = (
+        S.cosine_topk(emb, queries, k=10**9)
+        .select("query_id", "neighbor_id", F.col("cos_sim").alias("ref"))
+    )
+    joined = mat.join(exact_scores, ["query_id", "neighbor_id"])
+    assert joined.count() == mat.count()
+    assert joined.filter(F.col("cos_sim") != F.col("ref")).count() == 0
+
+
+def test_pagerank_star_graph(spark):
+    """Star (center<->4 leaves, both directions): the center out-ranks the
+    leaves, the leaves rank equally, and integer rounding loses only a
+    negligible sliver of the 10^12 mass."""
+    from sri2db_spark.functions.graph import RANK_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3, 4)] + [(i, 0) for i in (1, 2, 3, 4)],
+        "src long, dst long",
+    )
+    rows = {r["node_id"]: r["rank_e12"] for r in pagerank(edges, iters=3).collect()}
+    assert len(rows) == 5
+    leaf_ranks = {rows[i] for i in (1, 2, 3, 4)}
+    assert len(leaf_ranks) == 1
+    assert rows[0] > rows[1]
+    assert abs(sum(rows.values()) - RANK_SCALE) < RANK_SCALE * 0.01
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    """A 2-cycle is perfectly symmetric: both nodes keep the uniform rank."""
+    from sri2db_spark.functions.graph import RANK_SCALE, pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    rows = {r["node_id"]: r["rank_e12"] for r in pagerank(edges, iters=3).collect()}
+    assert rows[1] == rows[2]
+    assert abs(rows[1] - RANK_SCALE // 2) <= 5
+
+
+def test_calibrate_quality_matches_window_percent_rank(spark, docs):
+    """The bounded histogram-CDF plan must equal the naive PERCENT_RANK
+    window semantics row for row (rank ties share; scaled to [0, 1e6])."""
+    from pyspark.sql import Window
+
+    out = X.calibrate_quality(docs, "doc_id", "text", "source")
+    q = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.floor(F.lit(1_000_000.0) * X.quality_score(F.col("text")))
+        .cast("bigint")
+        .alias("qbin"),
+    )
+    w = Window.partitionBy("source").orderBy("qbin")
+    ref = q.select(
+        "id",
+        "source",
+        "qbin",
+        (F.rank().over(w) - 1).alias("below"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    ).select(
+        "id",
+        "source",
+        "qbin",
+        F.when(
+            F.col("n_src") > 1, F.expr("(below * 1000000) div (n_src - 1)")
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("pr_e6"),
+    )
+    mism = out.select("id", "source", "qbin", "pr_e6").exceptAll(ref)
+    assert mism.count() == 0
+    assert ref.exceptAll(out.select("id", "source", "qbin", "pr_e6")).count() == 0
+    # deciles are a pure derivation of pr_e6, clamped to 9
+    assert out.filter((F.col("decile") < 0) | (F.col("decile") > 9)).count() == 0
+    assert (
+        out.filter(
+            F.col("decile")
+            != F.least(F.lit(9).cast("bigint"), F.expr("pr_e6 div 100000"))
+        ).count()
+        == 0
+    )
