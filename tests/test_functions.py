@@ -1065,3 +1065,78 @@ def test_calibrate_quality_matches_window_percent_rank(spark, docs):
         ).count()
         == 0
     )
+
+
+def _pagerank_reference(edge_list, iters=3, damping=85, scale=10**12):
+    """Driver-side pure-integer replay of functions.graph.pagerank."""
+    edges = sorted(set(edge_list))
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(out)
+    base = scale // n
+    tp = ((100 - damping) * base) // 100
+    ranks = {v: base for v in out}
+    for _ in range(iters):
+        inflow = dict.fromkeys(ranks, 0)
+        for s, d in edges:
+            if d in inflow:
+                inflow[d] += ranks[s] // out[s]
+        ranks = {v: tp + (damping * inflow[v]) // 100 for v in ranks}
+    return ranks
+
+
+def test_pagerank_matches_integer_reference_on_random_graphs(spark):
+    """Seeded random digraphs (reverse edges added so nothing dangles):
+    the distributed fixed-point PageRank must equal a sequential integer
+    replay exactly — bit-for-bit determinism is the operator's contract."""
+    import random
+
+    from sri2db_spark.functions.graph import pagerank
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n = rng.randint(4, 12)
+        fwd = {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(n, 3 * n))
+        }
+        fwd = {(a, b) for a, b in fwd if a != b} or {(0, 1)}
+        both = list(fwd) + [(b, a) for a, b in fwd]
+        got = {
+            r["node_id"]: r["rank_e12"]
+            for r in pagerank(
+                spark.createDataFrame(both, "src long, dst long"), iters=3
+            ).collect()
+        }
+        assert got == _pagerank_reference(both), f"trial {trial} diverged"
+
+
+def test_rrf_fuse_matches_bruteforce(spark):
+    """Random rank lists: fused scores and the top-k cut must match a
+    driver-side reference exactly (IEEE doubles, fixed add order)."""
+    import random
+
+    from sri2db_spark.functions.retrieval import rrf_fuse
+
+    rng = random.Random(7)
+    ids = list(range(30))
+    rng.shuffle(ids)
+    a = [(i, r + 1) for r, i in enumerate(ids[:12])]
+    rng.shuffle(ids)
+    b = [(i, r + 1) for r, i in enumerate(ids[:9])]
+    got = rrf_fuse(
+        spark.createDataFrame(a, "id long, rank int"),
+        spark.createDataFrame(b, "id long, rank int"),
+        k_rrf=60,
+        k=8,
+    ).collect()
+    ra, rb = dict(a), dict(b)
+    scores = {
+        i: (1.0 / (60 + ra[i]) if i in ra else 0.0)
+        + (1.0 / (60 + rb[i]) if i in rb else 0.0)
+        for i in set(ra) | set(rb)
+    }
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [(r["id"], r["rrf_score"]) for r in got] == ref
+    assert [r["rank"] for r in got] == list(range(1, 9))
