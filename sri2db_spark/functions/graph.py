@@ -32,6 +32,7 @@ def pagerank(
     iters: int = 3,
     damping_pct: int = 85,
     checkpoint_every: int = 4,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -52,7 +53,17 @@ def pagerank(
     persisted dataset.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = e.distinct().persist()
+    if dedup_edges:
+        # duplicate edges would double-count contributions; callers whose
+        # edge list is distinct by construction pass dedup_edges=False and
+        # save a full edge-sized shuffle
+        e = e.distinct()
+    # hash-partition the (big) edge list by the join key ONCE before
+    # caching: the cached plan's outputPartitioning satisfies every
+    # iteration's join distribution, so only the O(nodes) rank side
+    # shuffles per iteration — without this, the edge list re-shuffles
+    # every iteration (the dominant cost at web-graph scale)
+    e = e.repartition("src").persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     # 1-row node count, folded in as a column (lazy; no driver collect)
     n_nodes = outdeg.agg(F.count(F.lit(1)).alias("__n"))

@@ -2707,7 +2707,10 @@ def q_pagerank_copurchase(spark, sf):
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iters=3, damping_pct=85)
+    # pairs is distinct and the two directions live in disjoint (even/odd)
+    # id spaces, so the union is distinct by construction — skip the
+    # edge-sized dedup shuffle
+    return pagerank(edges, iters=3, damping_pct=85, dedup_edges=False)
 
 
 def q_quality_calibration(spark, sf):
