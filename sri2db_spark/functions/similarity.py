@@ -156,6 +156,18 @@ def matryoshka_topk(
         F.col(vec_col).alias("cv"),
         F.slice(F.col(vec_col), 1, coarse_dims).alias("cc"),
     )
+    # guard the prefix norms BEFORE the divide: a vector whose first
+    # coarse_dims entries are all zero is legal (its FULL norm is nonzero)
+    # but has no defined prefix cosine — under ANSI (Spark 4's default) an
+    # unguarded divide aborts the whole job with DIVIDE_BY_ZERO. The
+    # sentinel -2.0 sorts below every real cosine, so such candidates
+    # fall to the back of the shortlist deterministically (coarse_sim is
+    # only a pruning heuristic; returned scores are exact full-dim).
+    qn, cn = _norm(F.col("qc")), _norm(F.col("cc"))
+    prefix_cos = F.when(
+        (qn > F.lit(0.0)) & (cn > F.lit(0.0)),
+        _dot(F.col("qc"), F.col("cc")) / (qn * cn),
+    ).otherwise(F.lit(-2.0))
     coarse = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -164,7 +176,7 @@ def matryoshka_topk(
             "neighbor_id",
             "qv",
             "cv",
-            cosine(F.col("qc"), F.col("cc")).alias("coarse_sim"),
+            prefix_cos.alias("coarse_sim"),
         )
     )
     wc = Window.partitionBy("query_id").orderBy(

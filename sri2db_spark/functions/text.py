@@ -990,6 +990,10 @@ def calibrate_quality(
         .cast("bigint")
         .alias("qbin"),
     )
+    # persist the narrow (id, source, qbin) frame: it feeds BOTH the
+    # histogram build and the join probe — without this the per-document
+    # quality_score expression (the dominant corpus cost) evaluates twice
+    q = q.persist()
     hist = q.groupBy("source", "qbin").agg(F.count(F.lit(1)).alias("cnt"))
     wcdf = (
         Window.partitionBy("source")
@@ -1009,8 +1013,22 @@ def calibrate_quality(
         F.col("n_src") > 1,
         F.expr("(below * 1000000) div (n_src - 1)"),
     ).otherwise(F.lit(0).cast("bigint"))
+    # null-safe join keys: a NULL source (or a NULL qbin from NULL text)
+    # still groups in the histogram, so an equi-join would silently DROP
+    # those rows from the calibration table — every input row must get a
+    # percentile, like the window form the oracle replays
+    cdf = cdf.select(
+        F.col("source").alias("__src"),
+        F.col("qbin").alias("__qb"),
+        "below",
+        "n_src",
+    )
     return (
-        q.join(cdf, ["source", "qbin"])
+        q.join(
+            cdf,
+            F.col("source").eqNullSafe(F.col("__src"))
+            & F.col("qbin").eqNullSafe(F.col("__qb")),
+        )
         .select("id", "source", "qbin", pr.alias("pr_e6"))
         .withColumn(
             "decile",

@@ -1744,10 +1744,7 @@ ORACLES: dict[str, str] = {
     "corpus_curation": f"""
         WITH scored AS (
           SELECT doc_id, lang, text,
-                 0.5 * ({_stop_ratio(_EN_STOPS)})
-                   + 0.3 * least((CAST(list_sum(list_transform({_W}, t -> length(t))) AS DOUBLE)
-                        / CAST(len({_W}) AS DOUBLE)) / 8.0, 1.0)
-                   + 0.2 * least(CAST(len({_W}) AS DOUBLE) / 200.0, 1.0) AS quality
+                 {_QUALITY_EXPR} AS quality
           FROM documents WHERE doc_id % 100 >= 2),
         qf AS (SELECT * FROM scored WHERE quality >= 0.24),
         reps AS (SELECT min(doc_id) AS rid FROM qf GROUP BY md5(text)),
@@ -1772,10 +1769,7 @@ ORACLES: dict[str, str] = {
     "curate_incremental": f"""
         WITH scored AS (
           SELECT doc_id, lang, text,
-                 0.5 * ({_stop_ratio(_EN_STOPS)})
-                   + 0.3 * least((CAST(list_sum(list_transform({_W}, t -> length(t))) AS DOUBLE)
-                        / CAST(len({_W}) AS DOUBLE)) / 8.0, 1.0)
-                   + 0.2 * least(CAST(len({_W}) AS DOUBLE) / 200.0, 1.0) AS quality
+                 {_QUALITY_EXPR} AS quality
           FROM documents WHERE doc_id % 7 = 0),
         q1 AS (SELECT * FROM scored WHERE quality >= 0.24),
         q2 AS (SELECT * FROM q1 WHERE md5(text) NOT IN (
@@ -1939,11 +1933,7 @@ ORACLES: dict[str, str] = {
                {_stop_ratio(_EN_STOPS)} AS stopword_ratio,
                CAST(list_sum(list_transform({_W}, t -> length(t))) AS DOUBLE)
                  / CAST(len({_W}) AS DOUBLE) AS avg_word_len,
-               0.5 * ({_stop_ratio(_EN_STOPS)})
-                 + 0.3 * least(
-                     (CAST(list_sum(list_transform({_W}, t -> length(t))) AS DOUBLE)
-                      / CAST(len({_W}) AS DOUBLE)) / 8.0, 1.0)
-                 + 0.2 * least(CAST(len({_W}) AS DOUBLE) / 200.0, 1.0) AS quality
+               {_QUALITY_EXPR} AS quality
         FROM documents
     """,
     "text_lang_id": f"""

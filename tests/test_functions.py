@@ -1140,3 +1140,50 @@ def test_rrf_fuse_matches_bruteforce(spark):
     ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
     assert [(r["id"], r["rrf_score"]) for r in got] == ref
     assert [r["rank"] for r in got] == list(range(1, 9))
+
+
+def test_calibrate_quality_keeps_null_source_rows(spark):
+    """A NULL source (or NULL qbin) must not vanish from the calibration
+    table — the histogram join is null-safe (review r10 finding)."""
+    rows = [
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "the a of and to in is words here", "s1"),
+        (3, "some other doc entirely", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = X.calibrate_quality(df, "doc_id", "text", "source").collect()
+    assert {r["id"] for r in out} == {1, 2, 3}
+    null_row = next(r for r in out if r["id"] == 3)
+    assert null_row["source"] is None and null_row["pr_e6"] == 0
+
+
+def test_matryoshka_zero_prefix_vector_does_not_abort(spark):
+    """A corpus vector whose coarse-prefix entries are all zero is legal
+    (nonzero full norm); the coarse pass must not divide by zero (ANSI
+    aborts the job) and returned scores stay exact (review r10 finding)."""
+    rows = [
+        (0, [1.0, 0.5, 0.2, 0.1, 0.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.4, 0.1, 0.2, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]),  # zero prefix
+        (3, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = S.matryoshka_topk(
+            df, df.filter(F.col("vec_id") == 0), coarse_dims=4, shortlist=4, k=3
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert len(out) == 3  # all three candidates survive, incl. the
+    # zero-prefix one (shortlist covers the corpus), ranked by EXACT cosine
+    exact = {
+        r["neighbor_id"]: r["cos_sim"]
+        for r in S.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    }
+    for r in out:
+        assert r["cos_sim"] == exact[r["neighbor_id"]]
