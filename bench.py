@@ -63,6 +63,7 @@ HEADLINE = [
     "ann_matryoshka_topk",
     "pagerank_copurchase",
     "quality_calibration",
+    "triangle_knn",
 ]
 
 

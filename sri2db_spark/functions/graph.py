@@ -100,3 +100,80 @@ def pagerank(
         ranks = nxt
     e.unpersist()
     return ranks.select(F.col("src").alias("node_id"), F.col("r").alias("rank_e12"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as an edge
+    list (either or both directions; self-loops and duplicates ignored).
+    Returns ``(node_id, n_triangles)`` for every node of the graph.
+
+    The at-scale algorithm is compact-forward / degree ordering (Latapy
+    2008; the MapReduce form is Suri & Vassilvitskii 2011): orient every
+    undirected edge from the (degree, id)-smaller endpoint to the larger,
+    build wedges at each source, and probe the oriented edge set. The
+    orientation bounds every node's out-degree by O(sqrt(m)) — a
+    celebrity node with 10^7 neighbors contributes wedges only at its
+    (few) lower-degree endpoints, so the wedge explosion the naive
+    neighbor self-join suffers cannot happen. Plan: two hash joins and
+    two aggregations, all on edge-shaped frames; the triangle set is
+    never wider than one row per triangle.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient a->b iff (deg, id) of a < (deg, id) of b (a total order, so
+    # every undirected edge gets exactly one direction)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    fwd = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+        )
+        .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+        .alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    # wedges at s: two oriented out-neighbors u < t' in the SAME total
+    # order; since both edges leave s, ordering by plain id is a valid
+    # canonical pair order for the probe below
+    e1 = fwd.select(F.col("s"), F.col("t").alias("u"))
+    e2 = fwd.select(F.col("s"), F.col("t").alias("w"))
+    wedges = e1.join(e2, "s").filter(F.col("u") < F.col("w"))
+    # the closing edge may be oriented either way between u and w
+    closing = fwd.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("w")
+    )
+    tris = wedges.join(closing, ["u", "w"]).select(
+        F.col("s").alias("x"), F.col("u").alias("y"), F.col("w").alias("z")
+    )
+    per_node = (
+        tris.select(F.col("x").alias("v"))
+        .unionByName(tris.select(F.col("y").alias("v")))
+        .unionByName(tris.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "v", "left")
+        .select(
+            F.col("v").alias("node_id"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+        )
+    )

@@ -2713,6 +2713,24 @@ def q_pagerank_copurchase(spark, sf):
     return pagerank(edges, iters=3, damping_pct=85, dedup_edges=False)
 
 
+def q_triangle_knn(spark, sf):
+    """Per-node triangle counts (functions/graph.py triangle_counts —
+    degree-oriented compact-forward, no wedge explosion at hubs) over the
+    cosine k-nearest-neighbor graph of the embeddings table (k=3,
+    undirected). Triangle density in the kNN graph is the standard
+    cluster-cohesion diagnostic for embedding-based dedup/curation. The
+    kNN build here is exact brute force (the corpus IS the query set); at
+    index scale the same edges come from ivfpq_query_index."""
+    from ..functions.graph import triangle_counts  # noqa: PLC0415
+
+    emb = _tp(spark, sf, "embeddings")
+    nn = S.cosine_topk(emb, emb, k=3)
+    edges = nn.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
 def q_quality_calibration(spark, sf):
     """Per-source quality percentiles + decile buckets via the bounded
     histogram-CDF plan (functions/text.py calibrate_quality) — the
@@ -2881,6 +2899,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_matryoshka_topk": q_ann_matryoshka_topk,
     "pagerank_copurchase": q_pagerank_copurchase,
     "quality_calibration": q_quality_calibration,
+    "triangle_knn": q_triangle_knn,
 }
 
 

@@ -2474,6 +2474,47 @@ ORACLES: dict[str, str] = {
     # Unrolled integer PageRank — identical fixed-point arithmetic to
     # functions.graph.pagerank (3 iterations, damping 85%).
     "pagerank_copurchase": _pagerank_sql(iters=3, damping=85),
+    # kNN graph (exact cosine top-3 per vector, same arithmetic as the
+    # ann_cosine oracle), undirected + deduped, then textbook triangle
+    # enumeration (each triangle once as x<y<z) and per-corner counts.
+    # Every graph node appears, zero-filled.
+    "triangle_knn": f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ({_dot('q', 'c')})
+                 / (sqrt({_dot('q', 'q')}) * sqrt({_dot('c', 'c')})) AS cos_sim
+          FROM embeddings q, embeddings c WHERE c.vec_id <> q.vec_id
+        ),
+        nn AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+          ) WHERE rnk <= 3
+        ),
+        und AS (
+          SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                          greatest(query_id, neighbor_id) AS b
+          FROM nn
+        ),
+        nodes AS (SELECT a AS v FROM und UNION SELECT b AS v FROM und),
+        tris AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+          SELECT x AS v FROM tris
+          UNION ALL SELECT y AS v FROM tris
+          UNION ALL SELECT z AS v FROM tris
+        ),
+        per AS (SELECT v, count(*) AS n FROM corners GROUP BY v)
+        SELECT nodes.v AS node_id,
+               CAST(coalesce(per.n, 0) AS BIGINT) AS n_triangles
+        FROM nodes LEFT JOIN per ON nodes.v = per.v
+    """,
     # Window-form percent_rank on the e6 quality grid: RANK()-1 = rows
     # strictly below (ties share), scaled to [0, 1e6] by integer division —
     # the semantic mirror of the engine's bounded histogram-CDF plan.

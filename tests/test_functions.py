@@ -1187,3 +1187,42 @@ def test_matryoshka_zero_prefix_vector_does_not_abort(spark):
     }
     for r in out:
         assert r["cos_sim"] == exact[r["neighbor_id"]]
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Random graphs (with planted duplicate / reversed / self-loop noise):
+    the degree-oriented count must equal naive triangle enumeration."""
+    import itertools
+    import random
+
+    from sri2db_spark.functions.graph import triangle_counts
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = rng.randint(5, 14)
+        edges = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.4
+        }
+        if not edges:
+            edges = {(0, 1), (1, 2), (0, 2)}
+        feed = list(edges) + [(b, a) for a, b in list(edges)[:3]] + [(0, 0)]
+        got = {
+            r["node_id"]: r["n_triangles"]
+            for r in triangle_counts(
+                spark.createDataFrame(feed, "src long, dst long")
+            ).collect()
+        }
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        ref = dict.fromkeys(adj, 0)
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                ref[x] += 1
+                ref[y] += 1
+                ref[z] += 1
+        assert got == ref, f"trial {trial} diverged"
