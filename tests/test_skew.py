@@ -90,3 +90,51 @@ def test_semantic_dedup_hot_cluster_capped(spark):
         map(tuple, D.semantic_dedup_pairs(emb, k=16, max_cluster_size=None).collect())
     )
     assert with_cap == no_cap
+
+
+def test_pagerank_hub_star_matches_closed_form(spark):
+    """A 20k-leaf hub (the web-graph celebrity shape): the distributed
+    fixed-point PageRank must match the closed-form integer recurrence
+    exactly — by symmetry the star has only two distinct rank values, so
+    the recurrence is computable in the test."""
+    from sri2db_spark.functions.graph import RANK_SCALE, pagerank
+
+    n_leaves = 20_000
+    leaves = spark.range(1, n_leaves + 1)
+    edges = leaves.select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    ).unionByName(leaves.select(F.col("id").alias("src"), F.lit(0).alias("dst")))
+    got = pagerank(edges, iters=3, dedup_edges=False)
+    n = n_leaves + 1
+    base = RANK_SCALE // n
+    tp = (15 * base) // 100
+    rc, rl = base, base  # center, leaf
+    for _ in range(3):
+        rc, rl = (
+            tp + (85 * (n_leaves * (rl // 1))) // 100,
+            tp + (85 * (rc // n_leaves)) // 100,
+        )
+    agg = got.groupBy("rank_e12").agg(F.count(F.lit(1)).alias("n")).collect()
+    dist = {r["rank_e12"]: r["n"] for r in agg}
+    assert dist == {rc: 1, rl: n_leaves}
+
+
+def test_triangle_counts_hub_node_correct(spark):
+    """A 2000-leaf hub with 10 planted leaf-leaf edges: degree orientation
+    builds wedges at the (low-degree) leaves, never the hub, and the
+    counts are exact: triangle (hub, i, i+1) per planted edge."""
+    from sri2db_spark.functions.graph import triangle_counts
+
+    leaves = spark.range(1, 2001)
+    spokes = leaves.select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    rims = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 11)], "src long, dst long"
+    )
+    got = {
+        r["node_id"]: r["n_triangles"]
+        for r in triangle_counts(spokes.unionByName(rims)).collect()
+    }
+    assert got[0] == 10
+    expected_leaf = {i: (2 if 2 <= i <= 10 else 1) for i in range(1, 12)}
+    for i in range(1, 2001):
+        assert got[i] == expected_leaf.get(i, 0)
