@@ -154,10 +154,9 @@ def triangle_counts(
     e1 = fwd.select(F.col("s"), F.col("t").alias("u"))
     e2 = fwd.select(F.col("s"), F.col("t").alias("w"))
     wedges = e1.join(e2, "s").filter(F.col("u") < F.col("w"))
-    # the closing edge may be oriented either way between u and w
-    closing = fwd.select(
-        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("w")
-    )
+    # the closing edge may be oriented either way between u and w; its
+    # id-canonical form is exactly the undirected edge set
+    closing = und.select(F.col("a").alias("u"), F.col("b").alias("w"))
     tris = wedges.join(closing, ["u", "w"]).select(
         F.col("s").alias("x"), F.col("u").alias("y"), F.col("w").alias("z")
     )
