@@ -111,9 +111,10 @@ def _pagerank_sql(iters: int = 3, damping: int = 85, scale: int = 10**12) -> str
     return "".join(parts)
 
 
-#: the text_quality heuristic as one scalar expression (0.5·stopword_ratio
-#: + 0.3·min(avg_word_len/8, 1) + 0.2·min(n_tokens/200, 1)) — shared by the
-#: quality_calibration oracle so the binning matches text_quality exactly
+#: the quality heuristic as one scalar expression (0.5·stopword_ratio
+#: + 0.3·min(avg_word_len/8, 1) + 0.2·min(n_tokens/200, 1)) — the single
+#: copy shared by the text_quality, corpus_curation, curate_incremental,
+#: and quality_calibration oracles, so the formula cannot drift apart
 _QUALITY_EXPR = (
     f"0.5 * ({_stop_ratio(_EN_STOPS)}) "
     f"+ 0.3 * least((CAST(list_sum(list_transform({_W}, t -> length(t)))"
