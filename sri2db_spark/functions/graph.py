@@ -118,9 +118,12 @@ def triangle_counts(
     orientation bounds every node's out-degree by O(sqrt(m)) — a
     celebrity node with 10^7 neighbors contributes wedges only at its
     (few) lower-degree endpoints, so the wedge explosion the naive
-    neighbor self-join suffers cannot happen. Plan: two hash joins and
-    two aggregations, all on edge-shaped frames; the triangle set is
-    never wider than one row per triangle.
+    neighbor self-join suffers cannot happen. Plan: five hash joins (two
+    to attach degrees, the wedge self-join, the closing-edge probe, the
+    zero-fill) and three shuffling aggregations (edge dedup, degrees,
+    per-node counts) — every frame involved is edge-shaped or smaller,
+    and the wedge join is the only one whose output can exceed the edge
+    count (bounded by the orientation, above).
     """
     a, b = F.col(src_col), F.col(dst_col)
     und = (

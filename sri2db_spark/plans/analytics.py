@@ -2719,8 +2719,12 @@ def q_triangle_knn(spark, sf):
     cosine k-nearest-neighbor graph of the embeddings table (k=3,
     undirected). Triangle density in the kNN graph is the standard
     cluster-cohesion diagnostic for embedding-based dedup/curation. The
-    kNN build here is exact brute force (the corpus IS the query set); at
-    index scale the same edges come from ivfpq_query_index."""
+    kNN build here is exact brute force with the corpus AS the query set,
+    i.e. the query-side broadcast carries the whole table — valid up to
+    Spark's 8 GB broadcast ceiling (~10^7 64-dim vectors), NOT a 100 TB
+    plan; past that envelope build the same (src, dst) edges with
+    ivfpq_query_index (partition-pruned, no broadcast) and feed them to
+    triangle_counts unchanged."""
     from ..functions.graph import triangle_counts  # noqa: PLC0415
 
     emb = _tp(spark, sf, "embeddings")
