@@ -64,6 +64,7 @@ HEADLINE = [
     "pagerank_copurchase",
     "quality_calibration",
     "triangle_knn",
+    "decontaminate_spans",
 ]
 
 

@@ -918,8 +918,6 @@ def duplicated_span_coverage(
     running-max window, partitioned by document — never a global sort.
     Output is all-integer (doc id, total_tokens, dup_tokens): ratios are
     left to the caller, so no double crosses an engine boundary."""
-    from pyspark.sql import Window  # noqa: PLC0415
-
     occ = _token_gram_occurrences(df, id_col, text_col, w)
     dup = (
         occ.groupBy("gram")
@@ -928,6 +926,14 @@ def duplicated_span_coverage(
         .select("gram")
     )
     hits = occ.join(dup, "gram").select("id", "pos")
+    return _span_coverage_table(df, id_col, text_col, hits, w, "dup_tokens")
+
+
+def _span_union_per_doc(hits: DataFrame, w: int) -> DataFrame:
+    """(id, pos) hit positions → (id, covered): size of the union of the
+    intervals [pos, pos+w) per id — the running-max window form
+    (doc-partitioned, never a global sort; heavy overlap collapses in one
+    pass)."""
     wspec = (
         Window.partitionBy("id")
         .orderBy("pos")
@@ -938,11 +944,19 @@ def duplicated_span_coverage(
         (F.col("pos") + F.lit(w))
         - F.greatest(F.col("pos"), F.coalesce(F.max(F.col("pos") + F.lit(w)).over(wspec), F.lit(0))),
     )
-    covered = hits.select("id", contrib.alias("c")).groupBy("id").agg(
-        F.sum("c").alias("dup_tokens")
+    return hits.select("id", contrib.alias("c")).groupBy("id").agg(
+        F.sum("c").alias("covered")
     )
-    # NULL text -> NULL total (matches the oracle's len(NULL); Spark's
-    # non-ANSI size(NULL) would otherwise return -1 and poison ratios)
+
+
+def _span_coverage_table(
+    df: DataFrame, id_col: str, text_col: str, hits: DataFrame, w: int, out_col: str
+) -> DataFrame:
+    """Join per-doc covered-token counts back onto every input doc
+    (zero-filled). NULL text -> NULL total (matches the oracle's
+    len(NULL); Spark's non-ANSI size(NULL) would otherwise return -1 and
+    poison ratios)."""
+    covered = _span_union_per_doc(hits, w)
     totals = df.select(
         F.col(id_col).alias("id"),
         F.when(
@@ -954,7 +968,42 @@ def duplicated_span_coverage(
     return totals.join(covered, "id", "left").select(
         F.col("id").alias(id_col),
         "total_tokens",
-        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias(out_col),
+    )
+
+
+def contaminated_span_coverage(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+) -> DataFrame:
+    """Span-level decontamination measure: for every TRAINING document,
+    how many of its tokens sit inside at least one w-token gram that also
+    occurs anywhere in the BENCHMARK corpus. Document-level n-gram
+    overlap (``ngram_overlap_contamination``) flags whole documents; this
+    is the surgical form — the per-token contamination mass that decides
+    between dropping a document and splicing out the contaminated spans
+    (the GPT-3 appendix-C / Lee-et-al. decontamination recipe).
+
+    Returns all-integer ``(id, total_tokens, contaminated_tokens)``.
+
+    Shape: one distinct-gram aggregation over the benchmark side (small —
+    benchmarks are tiny next to training corpora), one co-partitioned
+    gram join against the training occurrences, then the per-doc interval
+    union — identical physics to :func:`duplicated_span_coverage` (one
+    gram shuffle, doc-partitioned running-max window, never a global
+    sort)."""
+    occ = _token_gram_occurrences(train, id_col, text_col, w)
+    bgrams = (
+        _token_gram_occurrences(bench, id_col, text_col, w)
+        .select("gram")
+        .distinct()
+    )
+    hits = occ.join(bgrams, "gram").select("id", "pos")
+    return _span_coverage_table(
+        train, id_col, text_col, hits, w, "contaminated_tokens"
     )
 
 

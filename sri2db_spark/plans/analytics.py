@@ -2713,6 +2713,17 @@ def q_pagerank_copurchase(spark, sf):
     return pagerank(edges, iters=3, damping_pct=85, dedup_edges=False)
 
 
+def q_decontaminate_spans(spark, sf):
+    """Span-level decontamination (functions/text.py
+    contaminated_span_coverage): per-training-doc count of tokens inside
+    any 8-gram that occurs in the benchmark slice (doc_id % 100 < 2, the
+    same split corpus_curation uses). All-integer output."""
+    docs = _tp(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 < 2)
+    train = docs.filter(F.col("doc_id") % 100 >= 2)
+    return X.contaminated_span_coverage(train, bench, "doc_id", "text", w=8)
+
+
 def q_triangle_knn(spark, sf):
     """Per-node triangle counts (functions/graph.py triangle_counts —
     degree-oriented compact-forward, no wedge explosion at hubs) over the
@@ -2904,6 +2915,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_copurchase": q_pagerank_copurchase,
     "quality_calibration": q_quality_calibration,
     "triangle_knn": q_triangle_knn,
+    "decontaminate_spans": q_decontaminate_spans,
 }
 
 

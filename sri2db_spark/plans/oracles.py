@@ -2475,6 +2475,39 @@ ORACLES: dict[str, str] = {
     # Unrolled integer PageRank — identical fixed-point arithmetic to
     # functions.graph.pagerank (3 iterations, damping 85%).
     "pagerank_copurchase": _pagerank_sql(iters=3, damping=85),
+    # Span-level decontamination: benchmark slice = doc_id % 100 < 2;
+    # training tokens covered by any benchmark 8-gram, via the same
+    # interval-union window as dup_span_coverage.
+    "decontaminate_spans": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                 AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ')
+                 AS gram
+          FROM toks,
+               UNNEST(generate_series(1, greatest(len(t)-7, 0))) AS u(i)),
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 < 2),
+        h AS (
+          SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)
+          WHERE g.doc_id % 100 >= 2),
+        isl AS (
+          SELECT doc_id, pos,
+                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM h),
+        cov AS (
+          SELECT doc_id,
+                 SUM(GREATEST(0, (pos + 8)
+                     - GREATEST(pos, COALESCE(prev_end, 0)))) AS ct
+          FROM isl GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS total_tokens,
+               CAST(COALESCE(c.ct, 0) AS BIGINT) AS contaminated_tokens
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+        WHERE t.doc_id % 100 >= 2
+    """,
     # kNN graph (exact cosine top-3 per vector, same arithmetic as the
     # ann_cosine oracle), undirected + deduped, then textbook triangle
     # enumeration (each triangle once as x<y<z) and per-corner counts.

@@ -1226,3 +1226,31 @@ def test_triangle_counts_matches_bruteforce(spark):
                 ref[y] += 1
                 ref[z] += 1
         assert got == ref, f"trial {trial} diverged"
+
+
+def test_contaminated_span_coverage_exact(spark):
+    """Hand-built train/bench: contaminated token count equals the union
+    of benchmark-gram intervals, and the refactored duplicated_span_
+    coverage keeps its exact semantics."""
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram at pos 3 -> 8 tokens covered
+            (1, "x y a b c d e f g h z w"),
+            # no benchmark 8-gram (7-token overlap only)
+            (2, "a b c d e f g q r s"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["total_tokens"], r["contaminated_tokens"])
+        for r in X.contaminated_span_coverage(
+            train, bench, "doc_id", "text", w=8
+        ).collect()
+    }
+    assert got[1] == (12, 8)
+    assert got[2] == (10, 0)
+    assert got[3] == (None, 0)
