@@ -1039,14 +1039,21 @@ def calibrate_quality(
         .cast("bigint")
         .alias("qbin"),
     )
-    # persist the narrow (id, source, qbin) frame: it feeds BOTH the
-    # histogram build and the join probe — without this the per-document
-    # quality_score expression (the dominant corpus cost) evaluates twice
-    q = q.persist()
+    # materialize the narrow (id, source, qbin) frame once: it feeds BOTH
+    # the histogram build and the join probe — without this the
+    # per-document quality_score expression (the dominant corpus cost)
+    # evaluates twice. localCheckpoint (not persist) so the storage is
+    # dropped with the lineage when the frame is garbage-collected rather
+    # than pinned for the application lifetime of a long-lived session.
+    q = q.localCheckpoint(eager=True)
     hist = q.groupBy("source", "qbin").agg(F.count(F.lit(1)).alias("cnt"))
+    # NULLS LAST pinned explicitly: Spark's ASC default is NULLS FIRST but
+    # the DuckDB oracle's RANK() defaults to NULLS LAST — a NULL qbin
+    # (NULL text) must rank above every real bin in BOTH engines or
+    # `below` diverges in both directions for mixed sources
     wcdf = (
         Window.partitionBy("source")
-        .orderBy("qbin")
+        .orderBy(F.col("qbin").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wtot = Window.partitionBy("source")

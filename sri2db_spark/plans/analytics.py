@@ -1806,7 +1806,10 @@ def q_rtbf_audit(spark, sf):
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
     emb = _tp(spark, sf, "embeddings")
-    ids = [0, 9, 33]
+    # 4 is deliberately NOT a multiple of 3 (mirrors q_rtbf_all_artifacts,
+    # ADVICE r9/r10): present in the index, absent from the % 3 == 0
+    # output, so cross-wired per-artifact counts fail the oracle
+    ids = [0, 9, 33, 4]
     mc = ManifestCommitter()
     root = tempfile.mkdtemp(prefix="rtbf_")
     try:

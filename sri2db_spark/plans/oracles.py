@@ -1802,20 +1802,20 @@ ORACLES: dict[str, str] = {
     # the base tables (state records the request size; output/index count
     # matching rows)
     "rtbf_audit": """
-        WITH req AS (SELECT md5('[0,33,9]') AS request_id, 3 AS n_ids)
+        WITH req AS (SELECT md5('[0,33,4,9]') AS request_id, 4 AS n_ids)
         SELECT request_id, CAST(n_ids AS BIGINT) AS n_ids, TRUE AS completed,
                'index' AS artifact,
-               (SELECT COUNT(*) FROM embeddings WHERE vec_id IN (0, 9, 33))
+               (SELECT COUNT(*) FROM embeddings WHERE vec_id IN (0, 4, 9, 33))
                  AS removed
         FROM req
         UNION ALL
         SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'output',
                (SELECT COUNT(*) FROM documents
-                WHERE doc_id % 3 = 0 AND doc_id IN (0, 9, 33))
+                WHERE doc_id % 3 = 0 AND doc_id IN (0, 4, 9, 33))
         FROM req
         UNION ALL
         SELECT request_id, CAST(n_ids AS BIGINT), TRUE, 'state',
-               CAST(3 AS BIGINT)
+               CAST(n_ids AS BIGINT)
         FROM req
     """,
     "state_pruned_retraction": """
@@ -2444,10 +2444,17 @@ ORACLES: dict[str, str] = {
     "ann_matryoshka_topk": f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
         coarse AS (
+          -- explicit zero-prefix-norm guard mirroring similarity.py's
+          -- -2.0 sentinel: without it DuckDB yields NULL (x/0.0) which
+          -- only sorted last by coincidence of NULLS LAST in the DESC
+          -- shortlist ordering
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 ({_dotn('q', 'c', 16)})
-                 / (sqrt({_dotn('q', 'q', 16)}) * sqrt({_dotn('c', 'c', 16)}))
-                   AS coarse_sim
+                 CASE WHEN ({_dotn('q', 'q', 16)}) > 0
+                       AND ({_dotn('c', 'c', 16)}) > 0
+                      THEN ({_dotn('q', 'c', 16)})
+                           / (sqrt({_dotn('q', 'q', 16)})
+                              * sqrt({_dotn('c', 'c', 16)}))
+                      ELSE -2.0 END AS coarse_sim
           FROM q, embeddings c WHERE c.vec_id <> q.vec_id
         ),
         short AS (
@@ -2560,7 +2567,8 @@ ORACLES: dict[str, str] = {
         ),
         r AS (
           SELECT doc_id, source, qbin,
-                 RANK() OVER (PARTITION BY source ORDER BY qbin) - 1 AS below,
+                 RANK() OVER (PARTITION BY source
+                              ORDER BY qbin NULLS LAST) - 1 AS below,
                  COUNT(*) OVER (PARTITION BY source) AS n_src
           FROM q
         ),

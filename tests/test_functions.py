@@ -1036,7 +1036,7 @@ def test_calibrate_quality_matches_window_percent_rank(spark, docs):
         .cast("bigint")
         .alias("qbin"),
     )
-    w = Window.partitionBy("source").orderBy("qbin")
+    w = Window.partitionBy("source").orderBy(F.col("qbin").asc_nulls_last())
     ref = q.select(
         "id",
         "source",
@@ -1140,6 +1140,30 @@ def test_rrf_fuse_matches_bruteforce(spark):
     ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
     assert [(r["id"], r["rrf_score"]) for r in got] == ref
     assert [r["rank"] for r in got] == list(range(1, 9))
+
+
+def test_calibrate_quality_null_text_ranks_last_in_source(spark):
+    """A NULL qbin (NULL text) mixed into a source with real docs must
+    rank ABOVE every real bin in the CDF — NULLS LAST, pinned explicitly
+    in the engine window to match the DuckDB oracle's default (ADVICE
+    r10: Spark's ASC default is NULLS FIRST, which silently inflated
+    every real bin's `below` and deflated the NULL rows')."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "s1"),
+        (2, "the a of and to in is short words here now", "s1"),
+        (3, None, "s1"),  # NULL text -> NULL qbin, same source
+        (4, "another reasonable document body", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["id"]: r for r in X.calibrate_quality(df, "doc_id", "text", "source").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the NULL-qbin row ranks strictly above every real bin: below = 3
+    assert out[3]["qbin"] is None
+    assert out[3]["pr_e6"] == (3 * 1_000_000) // 3
+    # real rows' `below` must NOT count the NULL row (NULLS LAST): the
+    # best real doc has below <= 2 of 3 -> pr_e6 <= 666666
+    real_max = max(out[i]["pr_e6"] for i in (1, 2, 4))
+    assert real_max <= (2 * 1_000_000) // 3
 
 
 def test_calibrate_quality_keeps_null_source_rows(spark):
