@@ -65,6 +65,7 @@ HEADLINE = [
     "quality_calibration",
     "triangle_knn",
     "decontaminate_spans",
+    "decontaminate_corpus",
 ]
 
 

@@ -1007,6 +1007,175 @@ def contaminated_span_coverage(
     )
 
 
+def decontaminate_corpus(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    drop_threshold_e6: int = 500_000,
+    margin: int = 2,
+) -> DataFrame:
+    """The ACTION half of span-level benchmark decontamination — emit the
+    decontaminated corpus, not just the report
+    (:func:`contaminated_span_coverage` is the measurement half). The
+    Lee-et-al. / GPT-3 appendix-C "remove" recipe:
+
+    - **drop**: a training document whose contaminated-token fraction
+      strictly exceeds ``drop_threshold_e6``/1e6 is removed wholesale
+      (one audit row, ``seg = 0``, NULL ``clean_text``).
+    - **splice**: below the threshold, every contaminated w-gram window
+      is cut out with ``margin`` extra tokens on each side (overlapping
+      cut intervals merged), and each maximal surviving token run is
+      re-chunked as its OWN output row (``seg`` = 1-based ordinal).
+      Emitting segments as separate rows — never re-joining across a
+      splice point — is what makes the guarantee hold: a w-gram inside a
+      kept segment occupies w consecutive ORIGINAL positions all outside
+      the cut union, so re-measuring the output against the same
+      benchmark yields zero contamination mass (property-tested).
+    - **keep**: zero contamination → the document passes through
+      unchanged (``seg = 1``). A splice that leaves no surviving segment
+      degrades to **drop**.
+
+    The drop decision uses the UN-margined contamination mass (exactly
+    what ``contaminated_span_coverage`` reports); the cut intervals are
+    the margined ones. The threshold compare is exact-integer
+    (``contaminated·1e6 > threshold_e6·total``) so any engine replays it
+    bit-for-bit.
+
+    Returns ``(id, seg, action, n_dropped_spans, total_tokens,
+    contaminated_tokens, clean_text)``.
+
+    Shape at 100 TB: identical physics to the measurement — one
+    distinct-gram aggregation on the (small) benchmark side, one
+    co-partitioned gram join, then doc-partitioned windows over the HIT
+    rows only (bounded by contamination mass, far below corpus size; the
+    hit set is localCheckpoint-materialized once and feeds both the
+    coverage union and the cut-interval merge). The splice itself is a
+    per-row JVM array expression — no Python, no extra shuffle."""
+    occ = _token_gram_occurrences(train, id_col, text_col, w)
+    bgrams = (
+        _token_gram_occurrences(bench, id_col, text_col, w)
+        .select("gram")
+        .distinct()
+    )
+    # hit positions feed BOTH the un-margined coverage union and the
+    # margined cut-interval merge — materialize once
+    hits = occ.join(bgrams, "gram").select("id", "pos").localCheckpoint(eager=True)
+    covered = _span_union_per_doc(hits, w)
+
+    # margined cut intervals [max(1, pos-margin), pos+w+margin), merged
+    # per doc with the standard sort + running-max-end group assignment
+    iv = hits.select(
+        "id",
+        F.greatest(F.lit(1), F.col("pos") - F.lit(margin)).alias("s"),
+        (F.col("pos") + F.lit(w + margin)).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = iv.select(
+        "id",
+        "s",
+        "e",
+        F.sum(
+            (F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(0))).cast("bigint")
+        )
+        .over(wrun)
+        .alias("grp"),
+    )
+    spans = grp.groupBy("id", "grp").agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    spans_agg = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans")
+    )
+
+    doc = train.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        _ws_tokens_expr(text_col).alias("__t"),
+    )
+    base = doc.join(covered, "id", "left").join(spans_agg, "id", "left")
+    total = (
+        F.when(F.col("__text").isNotNull(), F.size("__t"))
+        .cast("bigint")
+        .alias("total_tokens")
+    )
+    cont = F.coalesce(F.col("covered"), F.lit(0)).cast("bigint")
+    nspans = (
+        F.when(F.col("spans").isNull(), F.lit(0))
+        .otherwise(F.size("spans"))
+        .cast("bigint")
+    )
+    # maximal kept runs between the merged cut intervals: boundary i of
+    # 0..k is [prev end, next start-1]; ends past the token count filter
+    # out naturally (slice clamps, st<=en rejects empty)
+    segs = F.expr(
+        "transform("
+        "  filter("
+        "    transform(sequence(0, size(spans)), i -> named_struct("
+        "      'st', CASE WHEN i = 0 THEN 1 ELSE element_at(spans, i).e END,"
+        "      'en', CASE WHEN i = size(spans) THEN size(__t)"
+        "            ELSE element_at(spans, i + 1).s - 1 END)),"
+        "    x -> x.st <= x.en),"
+        "  x -> array_join(slice(__t, x.st, x.en - x.st + 1), ' '))"
+    )
+    enriched = base.select(
+        "id",
+        "__text",
+        total,
+        cont.alias("contaminated_tokens"),
+        nspans.alias("n_dropped_spans"),
+        F.when(F.col("spans").isNull(), F.expr("CAST(array() AS array<string>)"))
+        .otherwise(segs)
+        .alias("__segs"),
+    )
+    action = (
+        F.when(F.col("contaminated_tokens") == 0, F.lit("keep"))
+        .when(
+            F.col("contaminated_tokens") * F.lit(1_000_000)
+            > F.lit(int(drop_threshold_e6)) * F.col("total_tokens"),
+            F.lit("drop"),
+        )
+        # a splice that leaves nothing is a drop
+        .when(F.size("__segs") == 0, F.lit("drop"))
+        .otherwise(F.lit("splice"))
+    )
+    enriched = enriched.withColumn("action", action).withColumn(
+        "__out",
+        F.when(F.col("action") == "keep", F.array(F.col("__text")))
+        .when(F.col("action") == "drop", F.expr("array(CAST(NULL AS string))"))
+        .otherwise(F.col("__segs")),
+    )
+    return enriched.select(
+        "id",
+        "action",
+        F.when(F.col("action") == "keep", F.lit(0).cast("bigint"))
+        .otherwise(F.col("n_dropped_spans"))
+        .alias("n_dropped_spans"),
+        "total_tokens",
+        "contaminated_tokens",
+        F.posexplode("__out").alias("seg0", "clean_text"),
+    ).select(
+        F.col("id").alias(id_col),
+        F.when(F.col("action") == "drop", F.lit(0))
+        .otherwise(F.col("seg0") + 1)
+        .cast("bigint")
+        .alias("seg"),
+        "action",
+        "n_dropped_spans",
+        "total_tokens",
+        "contaminated_tokens",
+        "clean_text",
+    )
+
+
 def calibrate_quality(
     df: DataFrame, id_col: str, text_col: str, source_col: str
 ) -> DataFrame:

@@ -2727,6 +2727,21 @@ def q_decontaminate_spans(spark, sf):
     return X.contaminated_span_coverage(train, bench, "doc_id", "text", w=8)
 
 
+def q_decontaminate_corpus(spark, sf):
+    """The decontamination ACTION (functions/text.py decontaminate_corpus):
+    drop training docs whose contaminated-token fraction exceeds 50%,
+    splice the margined contaminated spans out of the rest and emit each
+    surviving token run as its own row (re-chunked, so splice-junction
+    grams can never recreate contamination). w=4 so the canonical
+    testdata exercises all three actions; margin=2."""
+    docs = _tp(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 < 2)
+    train = docs.filter(F.col("doc_id") % 100 >= 2)
+    return X.decontaminate_corpus(
+        train, bench, "doc_id", "text", w=4, drop_threshold_e6=500_000, margin=2
+    )
+
+
 def q_triangle_knn(spark, sf):
     """Per-node triangle counts (functions/graph.py triangle_counts —
     degree-oriented compact-forward, no wedge explosion at hubs) over the
@@ -2919,6 +2934,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_calibration": q_quality_calibration,
     "triangle_knn": q_triangle_knn,
     "decontaminate_spans": q_decontaminate_spans,
+    # r11: the decontamination ACTION — emit the cleaned corpus
+    "decontaminate_corpus": q_decontaminate_corpus,
 }
 
 

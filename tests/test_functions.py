@@ -1142,6 +1142,127 @@ def test_rrf_fuse_matches_bruteforce(spark):
     assert [r["rank"] for r in got] == list(range(1, 9))
 
 
+def test_decontaminate_corpus_hand_example(spark):
+    """Hand-built train/bench: verdicts, margined cut intervals, and the
+    re-chunked segments are exactly the Lee-et-al. recipe."""
+    bench = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # benchmark 4-gram at pos 4 of 12 tokens: 4/12 contaminated
+            # (below 50%) -> splice. Cut interval with margin 1:
+            # [3, 9) -> segments tok 1-2 and tok 9-12.
+            (1, "t1 t2 t3 a b c d t8 t9 t10 t11 t12"),
+            # the whole doc IS the benchmark gram: 4/4 -> drop
+            (2, "a b c d"),
+            # clean -> keep, text passes through untouched
+            (3, "u v w x y"),
+            # contaminated 4/7 (57%) -> drop
+            (4, "a b c d q r s"),
+            (5, None),  # NULL text -> keep (NULL total, 0 contaminated)
+        ],
+        "doc_id long, text string",
+    )
+    out = X.decontaminate_corpus(
+        train, bench, "doc_id", "text", w=4, drop_threshold_e6=500_000, margin=1
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: splice into two segments
+    segs = sorted(by_doc[1], key=lambda r: r["seg"])
+    assert [r["action"] for r in segs] == ["splice", "splice"]
+    assert [(r["seg"], r["clean_text"]) for r in segs] == [
+        (1, "t1 t2"),
+        (2, "t9 t10 t11 t12"),
+    ]
+    assert segs[0]["n_dropped_spans"] == 1
+    assert segs[0]["total_tokens"] == 12 and segs[0]["contaminated_tokens"] == 4
+    # doc 2 and 4: dropped with an audit row
+    for d in (2, 4):
+        (row,) = by_doc[d]
+        assert row["action"] == "drop" and row["seg"] == 0
+        assert row["clean_text"] is None and row["n_dropped_spans"] == 1
+    # doc 3: kept verbatim
+    (row,) = by_doc[3]
+    assert row["action"] == "keep" and row["clean_text"] == "u v w x y"
+    assert row["seg"] == 1 and row["n_dropped_spans"] == 0
+    # doc 5: NULL text kept, NULL totals
+    (row,) = by_doc[5]
+    assert row["action"] == "keep" and row["total_tokens"] is None
+
+
+def test_decontaminate_corpus_fully_spliced_degrades_to_drop(spark):
+    """A sub-threshold doc whose margined cuts cover every token leaves
+    no segment — it must degrade to a drop row, not vanish silently."""
+    bench = spark.createDataFrame(
+        [(100, "a b c d"), (101, "p q r s")], "doc_id long, text string"
+    )
+    # 8 tokens, two disjoint benchmark grams: contamination 8/8 would be
+    # drop by threshold; use threshold 1e6 (never drop by fraction) to
+    # force the degradation path
+    train = spark.createDataFrame(
+        [(1, "a b c d p q r s")], "doc_id long, text string"
+    )
+    out = X.decontaminate_corpus(
+        train, bench, "doc_id", "text", w=4, drop_threshold_e6=1_000_000, margin=2
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["action"] == "drop" and out[0]["clean_text"] is None
+    assert out[0]["seg"] == 0
+
+
+def test_decontaminate_corpus_zero_contamination_after_splice(spark):
+    """Property (the guarantee the re-chunking buys): re-measuring the
+    splice/keep output against the SAME benchmark yields zero
+    contamination mass — segments never re-join across a splice point,
+    so junction grams cannot recreate a benchmark match."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "d", "e"])  # tiny alphabet:
+    # shared grams are COMMON, the adversarial regime for junction grams
+    doc = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(doc, min_size=1, max_size=6),
+        st.lists(doc, min_size=1, max_size=3),
+        st.integers(0, 3),
+    )
+    def check(train_texts, bench_texts, margin):
+        train = spark.createDataFrame(
+            list(enumerate(train_texts)), "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(bench_texts)],
+            "doc_id long, text string",
+        )
+        out = X.decontaminate_corpus(
+            train, bench, "doc_id", "text",
+            w=3, drop_threshold_e6=700_000, margin=margin,
+        )
+        clean = out.filter(F.col("action") != "drop").select(
+            (F.col("doc_id") * 1000 + F.col("seg")).alias("doc_id"),
+            F.col("clean_text").alias("text"),
+        )
+        if clean.count() == 0:
+            return
+        remeasured = X.contaminated_span_coverage(
+            clean, bench, "doc_id", "text", w=3
+        )
+        assert (
+            remeasured.filter(F.col("contaminated_tokens") > 0).count() == 0
+        )
+
+    check()
+
+
 def test_calibrate_quality_null_text_ranks_last_in_source(spark):
     """A NULL qbin (NULL text) mixed into a source with real docs must
     rank ABOVE every real bin in the CDF — NULLS LAST, pinned explicitly
