@@ -52,6 +52,7 @@ HEADLINE = [
     "text_repetition",
     "boilerplate_frac",
     "dedup_survivors",
+    "dedup_survivors_lsh",
     "q7_nation_volume",
     "multimodal_meta",
     "segment_dedup",

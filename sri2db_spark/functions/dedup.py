@@ -576,26 +576,121 @@ def incremental_neardup_pairs(
     return verified
 
 
+def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond"): each
+    round hangs every node directly off its neighborhood minimum, so a
+    giant component collapses in O(log²) rounds instead of O(diameter) —
+    the web-scale regime where one boilerplate cluster holds 20%+ of the
+    corpus (the measured dedup_survivors skew hotspot).
+
+    Both half-steps are expressed as groupBy-min + co-partitioned join —
+    never a per-node neighbor collect, so the giant star's edges stay
+    spread across partitions; the min aggregation is map-side combined.
+
+    ``edges``: distinct, self-loop-free, single orientation. ``nodes``:
+    every id that must appear in the output. Returns (id, component).
+    """
+    # canonical (hi, lo) orientation; localCheckpoint truncates lineage
+    e = edges.select(
+        F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+    ).distinct().localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_iters):
+        # -- large-star: for every node u, connect each STRICTLY LARGER
+        # neighbor v to min(N(u) ∪ {u}); u<->v edges where v < u are
+        # handled from v's side of the bidirectional view
+        b = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mn = (
+            b.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        el = (
+            b.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # -- small-star: group by the larger endpoint, hang it and all its
+        # smaller neighbors off the overall minimum
+        mn2 = el.groupBy("hi").agg(F.min("lo").alias("m"))
+        new_e = (
+            el.join(mn2, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(mn2.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixed point of the FULL round (the paper's criterion: a state a
+        # whole large+small cycle leaves unchanged is a star forest —
+        # comparing against the post-large-star set alone could accept a
+        # non-star small-star fixpoint like a descending chain)
+        new_cnt = new_e.count()
+        if new_cnt == n_edges and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            break
+        e, n_edges = new_e, new_cnt
+    # converged: e is a star graph (x -> component min for every non-root)
+    labels = e.select(F.col("hi").alias("id"), F.col("lo").alias("comp"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("comp", "id").alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Near-dup CLUSTERS from a pair list: (id, component) where component =
     the minimum id reachable through the pair graph.
 
     Deduplication needs groups, not pairs — "keep one representative per
-    cluster" requires the transitive closure of the pairwise matches. This
-    is iterative min-label propagation: each round joins labels across edges
-    and takes the min; converges in O(cluster diameter) rounds (near-dup
-    clusters are shallow — a handful of rounds in practice). Each round is
-    one shuffle join + one aggregation; the fixpoint is unique, so the
-    result is deterministic regardless of execution order. The per-round
-    convergence check is a cheap driver-side count on the (small) label
-    delta — the standard Spark shape for connected components without a
-    graph library.
+    cluster" requires the transitive closure of the pairwise matches.
+
+    ``algorithm``:
+
+    - ``"minlabel"`` — iterative min-label propagation; converges in
+      O(cluster diameter) rounds. Each round is one shuffle join + one
+      aggregation; the fixpoint is unique, so the result is deterministic
+      regardless of execution order.
+    - ``"star"`` — alternating large-star/small-star (Kiveris et al.
+      2014): O(log² n) rounds independent of diameter, the right regime
+      when one giant component (web-scale boilerplate) would drive
+      min-label through many more-expensive rounds.
+    - ``"auto"`` (default) — star: its round count is bounded without
+      knowing the component structure up front, and on the shallow
+      graphs where min-label shines both finish in 2-3 rounds anyway.
+
+    Both produce the identical (id, min-reachable-id) labeling — the same
+    oracle verifies either.
     """
+    if algorithm not in ("minlabel", "star", "auto"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    if algorithm in ("star", "auto"):
+        # materialize the pair list ONCE: upstream pair generation (LSH /
+        # Jaccard joins) is expensive, and both the edge set and the node
+        # set derive from it — without this the final nodes-join would
+        # silently re-run the whole pair pipeline
+        e0 = pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        ).localCheckpoint(eager=True)
+        nodes = (
+            e0.select(F.col("src").alias("id"))
+            .unionByName(e0.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return _cc_star(
+            e0.filter(F.col("src") != F.col("dst")), nodes, max_iters
+        )
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

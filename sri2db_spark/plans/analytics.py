@@ -1628,6 +1628,24 @@ def q_dedup_survivors(spark, sf):
     return D.dedup_survivors(docs, pairs, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+def q_dedup_survivors_lsh(spark, sf):
+    """The 100 TB-shaped survivors pipeline: MinHash-LSH candidate pairs
+    (banded, capped buckets — bounded under a hot boilerplate cluster,
+    unlike the quadratic exact-Jaccard verifier dedup_survivors times) →
+    exact Jaccard verification → connected components (alternating
+    large-star/small-star) → keep the min-id representative per cluster.
+    Shares dedup_survivors' oracle: at r=2/64 bands the banding miss
+    probability at jaccard 0.5 is ~1e-8 and every candidate is verified
+    exactly, so the semantic mirror is the exact pair set."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_perm=128, bands=64, threshold=0.5
+    )
+    return D.dedup_survivors(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_orders_history(spark, sf):
     """SCD2 validity timeline per customer: one window, no joins; the
     current version is the NULL-valid_to row."""
@@ -2822,6 +2840,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_survivors_lsh": q_dedup_survivors_lsh,
     "emb_quantize": q_emb_quantize,
     "boilerplate_shingles": q_boilerplate_shingles,
     # -- block 2: core representatives keeping fresh external evidence ----

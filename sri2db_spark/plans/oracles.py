@@ -1383,6 +1383,26 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
     """,
+    # LSH-candidate survivors: banding at r=2/64 bands misses a jaccard-0.5
+    # pair with prob ~1e-8 and the engine verifies candidates exactly, so
+    # the semantic mirror is the same exact-pair closure dedup_survivors
+    # replays.
+    "dedup_survivors_lsh": f"""
+        WITH RECURSIVE p AS ({_JACCARD_PAIRS}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM p
+        ),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+    """,
     "stratified_sample": """
         SELECT doc_id, lang FROM documents
         WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 10 END)

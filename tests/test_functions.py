@@ -326,10 +326,40 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
 
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        got = {r.id: r.component for r in D.connected_components(pairs).collect()}
-        assert got == expected
+        for algo in ("minlabel", "star"):
+            got = {
+                r.id: r.component
+                for r in D.connected_components(pairs, algorithm=algo).collect()
+            }
+            assert got == expected, algo
 
     check()
+
+
+def test_connected_components_star_on_stars_chains_and_mixtures(spark):
+    """Large-star/small-star (Kiveris et al. 2014) equals min-label on the
+    shapes that stress it: a giant star (the boilerplate-component skew
+    case it exists for), a long chain (many rounds for min-label, few for
+    star), and a mixture with singles and reversed orientations."""
+    cases = [
+        # giant star centered on a HIGH id: every leaf hangs off 500
+        [(500, i) for i in range(1, 60)],
+        # 40-hop chain
+        [(i, i + 1) for i in range(1, 41)],
+        # two components + reversed edges + self-loop
+        [(5, 3), (3, 9), (9, 5), (100, 101), (101, 100), (7, 7)],
+    ]
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = {
+            r.id: r.component
+            for r in D.connected_components(pairs, algorithm="minlabel").collect()
+        }
+        b = {
+            r.id: r.component
+            for r in D.connected_components(pairs, algorithm="star").collect()
+        }
+        assert a == b
 
 
 def test_curate_corpus_every_stage_drops(spark, docs):
