@@ -33,12 +33,23 @@ def pagerank(
     damping_pct: int = 85,
     checkpoint_every: int = 4,
     dedup_edges: bool = True,
+    tol_e12: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
     Returns ``(node_id, rank_e12)`` for every node that appears as a
     source (callers that need dangling nodes ranked should add reverse
     or self edges first — the bipartite registry entry adds reverses).
+
+    ``tol_e12`` switches to CONVERGENCE mode — how real domain-authority
+    runs terminate: iterate until the exact integer L1 delta
+    Σ|rank'−rank| ≤ tol_e12, capped at ``iters``. The stopping rule is
+    integer arithmetic on the fixed-point ranks, so an oracle replays
+    the identical decision (a float-tolerance rule would flip near the
+    boundary across engines). Output gains an ``n_iters`` column (the
+    iteration whose ranks are returned). The per-iteration delta is one
+    O(nodes) join + aggregate over the already-materialized rank frames
+    — edges are never touched by the check.
 
     rank'(v) = ((100-d)·(S div N)) div 100 + (d·Σ_{u→v} (rank(u) div
     outdeg(u))) div 100, with S = 10^12, all divisions integer.
@@ -73,6 +84,7 @@ def pagerank(
         outdeg.crossJoin(F.broadcast(n_nodes))
         .select("src", "od", base.alias("r"), teleport.alias("tp"))
     ).localCheckpoint(eager=True)
+    n_done = iters
     for i in range(iters):
         contrib = (
             e.alias("e")
@@ -95,11 +107,35 @@ def pagerank(
                 ).alias("r"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+        if (
+            tol_e12 is not None
+            or (i + 1) % checkpoint_every == 0
+            or i == iters - 1
+        ):
+            # convergence mode checkpoints every round: the delta check
+            # reads the frame anyway, so the materialization is free
             nxt = nxt.localCheckpoint(eager=True)
+        if tol_e12 is not None:
+            delta = (
+                nxt.alias("n")
+                .join(ranks.alias("o"), F.col("n.src") == F.col("o.src"))
+                .agg(
+                    F.sum(F.abs(F.col("n.r") - F.col("o.r"))).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta <= tol_e12:
+                ranks = nxt
+                n_done = i + 1
+                break
         ranks = nxt
     e.unpersist()
-    return ranks.select(F.col("src").alias("node_id"), F.col("r").alias("rank_e12"))
+    out = ranks.select(
+        F.col("src").alias("node_id"), F.col("r").alias("rank_e12")
+    )
+    if tol_e12 is not None:
+        out = out.withColumn("n_iters", F.lit(n_done).cast("bigint"))
+    return out
 
 
 def triangle_counts(

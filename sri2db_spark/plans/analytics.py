@@ -2745,6 +2745,32 @@ def q_decontaminate_spans(spark, sf):
     return X.contaminated_span_coverage(train, bench, "doc_id", "text", w=8)
 
 
+def q_pagerank_converged(spark, sf):
+    """Convergence-mode integer PageRank (functions/graph.py pagerank
+    with tol_e12): same bipartite trade graph as pagerank_copurchase,
+    iterating until the exact integer L1 rank delta is ≤ 5·10¹¹
+    (half the total mass scale; stops at iteration 8 on the canonical
+    testdata — the early-stop path IS exercised), capped at 12. The DuckDB oracle unrolls 12 iterations
+    plus the per-iteration deltas and applies the identical stopping
+    rule, so even the returned n_iters is verified."""
+    from ..functions.graph import pagerank  # noqa: PLC0415
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=12, tol_e12=5 * 10**11, dedup_edges=False)
+
+
 def q_decontaminate_corpus(spark, sf):
     """The decontamination ACTION (functions/text.py decontaminate_corpus):
     drop training docs whose contaminated-token fraction exceeds 50%,
@@ -2950,6 +2976,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "ann_matryoshka_topk": q_ann_matryoshka_topk,
     "pagerank_copurchase": q_pagerank_copurchase,
+    "pagerank_converged": q_pagerank_converged,
     "quality_calibration": q_quality_calibration,
     "triangle_knn": q_triangle_knn,
     "decontaminate_spans": q_decontaminate_spans,

@@ -111,6 +111,79 @@ def _pagerank_sql(iters: int = 3, damping: int = 85, scale: int = 10**12) -> str
     return "".join(parts)
 
 
+def _pagerank_converged_sql(
+    max_iters: int, tol_e12: int, damping: int = 85, scale: int = 10**12
+) -> str:
+    """Convergence-mode mirror of _pagerank_sql: unroll ``max_iters``
+    iterations PLUS the exact integer L1 delta d_k = Σ|r_k − r_{k-1}|
+    after each, then emit the ranks of the FIRST iteration whose delta is
+    ≤ tol_e12 (else the cap) — the identical stopping rule
+    functions.graph.pagerank applies with ``tol_e12`` set."""
+    parts = [
+        f"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        edges AS MATERIALIZED (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL
+          SELECT s AS src, c AS dst FROM pairs
+        ),
+        outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM outdeg),
+        r0 AS (
+          SELECT src AS node, od,
+                 CAST({scale} // n AS BIGINT) AS r,
+                 CAST(({100 - damping} * ({scale} // n)) // 100 AS BIGINT) AS tp
+          FROM outdeg, nn
+        )"""
+    ]
+    for k in range(1, max_iters + 1):
+        # every r_k MATERIALIZED: each is referenced three times (s_{k+1},
+        # r_{k+1}, d_{k+1}/d_k) and inlining would blow the plan up 3^k
+        parts.append(
+            f""",
+        s{k} AS (
+          SELECT e.dst AS node, CAST(sum(r.r // r.od) AS BIGINT) AS s
+          FROM edges e JOIN r{k - 1} r ON e.src = r.node GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT p.node, p.od, p.tp,
+                 CAST(p.tp + ({damping} * coalesce(s{k}.s, 0)) // 100 AS BIGINT)
+                   AS r
+          FROM r{k - 1} p LEFT JOIN s{k} ON p.node = s{k}.node
+        ),
+        d{k} AS (
+          SELECT CAST(sum(abs(a.r - b.r)) AS BIGINT) AS d
+          FROM r{k} a JOIN r{k - 1} b USING (node)
+        )"""
+        )
+    all_r = "\n          UNION ALL ".join(
+        f"SELECT {k} AS it, node, r FROM r{k}" for k in range(1, max_iters + 1)
+    )
+    all_d = "\n          UNION ALL ".join(
+        f"SELECT {k} AS it, d FROM d{k}" for k in range(1, max_iters + 1)
+    )
+    parts.append(
+        f""",
+        all_r AS (
+          {all_r}
+        ),
+        all_d AS (
+          {all_d}
+        ),
+        stop AS (
+          SELECT COALESCE(MIN(it), {max_iters}) AS it
+          FROM all_d WHERE d <= {tol_e12}
+        )
+        SELECT node AS node_id, r AS rank_e12,
+               CAST((SELECT it FROM stop) AS BIGINT) AS n_iters
+        FROM all_r WHERE it = (SELECT it FROM stop)"""
+    )
+    return "".join(parts)
+
+
 #: the quality heuristic as one scalar expression (0.5·stopword_ratio
 #: + 0.3·min(avg_word_len/8, 1) + 0.2·min(n_tokens/200, 1)) — the single
 #: copy shared by the text_quality, corpus_curation, curate_incremental,
@@ -2502,6 +2575,9 @@ ORACLES: dict[str, str] = {
     # Unrolled integer PageRank — identical fixed-point arithmetic to
     # functions.graph.pagerank (3 iterations, damping 85%).
     "pagerank_copurchase": _pagerank_sql(iters=3, damping=85),
+    "pagerank_converged": _pagerank_converged_sql(
+        max_iters=12, tol_e12=5 * 10**11, damping=85
+    ),
     # Span-level decontamination: benchmark slice = doc_id % 100 < 2;
     # training tokens covered by any benchmark 8-gram, via the same
     # interval-union window as dup_span_coverage.

@@ -1053,6 +1053,41 @@ def test_pagerank_symmetric_cycle_is_uniform(spark):
     assert abs(rows[1] - RANK_SCALE // 2) <= 5
 
 
+def test_pagerank_convergence_mode_stops_early_and_matches_fixed(spark):
+    """tol_e12 mode: stops at the FIRST iteration whose integer L1 delta
+    is ≤ tol, returns exactly the fixed-iteration ranks of that count,
+    and reports it in n_iters; an unreachable tol runs to the cap."""
+    from sri2db_spark.functions.graph import pagerank
+
+    # 2-cycle + a feeder: converges geometrically
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1), (1, 3)], "src long, dst long"
+    )
+    fixed = {}
+    for k in range(1, 9):
+        fixed[k] = {
+            r["node_id"]: r["rank_e12"]
+            for r in pagerank(edges, iters=k).collect()
+        }
+    deltas = {
+        k: sum(abs(fixed[k][n] - fixed[k - 1][n]) for n in fixed[k])
+        for k in range(2, 9)
+    }
+    # pick a tol hit strictly inside the cap (deltas must be strictly
+    # decreasing here or "first iteration ≤ tol" wouldn't be k_target)
+    k_target = 5
+    assert deltas[k_target - 1] > deltas[k_target] > deltas[k_target + 1]
+    tol = deltas[k_target]
+    conv = pagerank(edges, iters=8, tol_e12=tol).collect()
+    n_iters = {r["n_iters"] for r in conv}
+    assert n_iters == {k_target}
+    assert {r["node_id"]: r["rank_e12"] for r in conv} == fixed[k_target]
+    # unreachable tol -> cap, still returns the fixed-8 ranks
+    capped = pagerank(edges, iters=8, tol_e12=0).collect()
+    assert {r["n_iters"] for r in capped} == {8}
+    assert {r["node_id"]: r["rank_e12"] for r in capped} == fixed[8]
+
+
 def test_calibrate_quality_matches_window_percent_rank(spark, docs):
     """The bounded histogram-CDF plan must equal the naive PERCENT_RANK
     window semantics row for row (rank ties share; scaled to [0, 1e6])."""
