@@ -80,6 +80,130 @@ def curate_corpus(
     )
 
 
+def curate_full(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_quality: float = 0.24,
+    w: int = 4,
+    drop_threshold_e6: int = 500_000,
+    margin: int = 2,
+    weights: dict[str, float] | None = None,
+    budget_tokens: int = 15_000,
+    target_tokens: int = 512,
+    shuffle_parts: int = 16,
+    n_shards: int = 16,
+    return_stages: bool = False,
+):
+    """The FULL composed curation pipeline — every stage a real 100 TB
+    run chains, in order, as one driver program:
+
+    1. quality filter (codegen predicate in the scan stage)
+    2. exact dedup, first-id-wins (one md5 hash-agg + semi-join)
+    3. MinHash-LSH near-dup → connected components → min-id survivors
+    4. span-level benchmark decontamination: drop > threshold, splice the
+       margined contaminated spans out of the rest, re-chunk segments
+       (segment uid = doc_id·1000 + seg — decontaminate_corpus re-chunks,
+       so downstream stages treat segments as documents)
+    5. per-source quality calibration; the bottom decile is dropped
+    6. mixing: per-source sampling rates from target ``weights`` and the
+       token ``budget_tokens``, applied by engine-portable md5 bucket
+    7. sequence packing to ``target_tokens``
+    8. deterministic corpus shuffle (training order) + shard assignment
+
+    Returns the packed-corpus manifest
+    ``(uid, source, n_tokens, seq_id, shard, part, pos)`` — one row per
+    surviving segment, everything a loader fleet needs. With
+    ``return_stages=True`` returns ``(manifest, stages)`` where
+    ``stages`` maps stage name → its output DataFrame, so a harness can
+    time/materialize each boundary.
+
+    Every stage is deterministic and engine-replayable (integer/md5
+    arithmetic; the one double — the mixing rate — is a single IEEE
+    div/mult chain), so the whole composition is oracle-checkable
+    bit-for-bit; ``corpus_pipeline_full`` in the registry does exactly
+    that.
+    """
+    from .dedup import dedup_survivors, minhash_lsh_pairs  # noqa: PLC0415
+    from .layout import _md5_bucket, corpus_shuffle, shard_assign  # noqa: PLC0415
+    from .text import (  # noqa: PLC0415
+        calibrate_quality,
+        decontaminate_corpus,
+        mixing_rates,
+        pack_sequences,
+    )
+
+    stages: dict[str, DataFrame] = {}
+    scored = docs.withColumn("quality", quality_score(F.col(text_col))).filter(
+        F.col("quality") >= min_quality
+    )
+    reps = (
+        scored.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    deduped = scored.join(reps, id_col, "left_semi")
+    stages["exact_dedup"] = deduped
+    pairs = minhash_lsh_pairs(
+        deduped, id_col, text_col, k=3, num_perm=128, bands=64, threshold=0.5
+    )
+    surv = dedup_survivors(deduped, pairs, id_col)
+    stages["neardup_survivors"] = surv
+    dec = decontaminate_corpus(
+        surv,
+        benchmark,
+        id_col,
+        text_col,
+        w=w,
+        drop_threshold_e6=drop_threshold_e6,
+        margin=margin,
+    )
+    clean = (
+        dec.filter(F.col("action") != "drop")
+        .select(
+            (F.col(id_col) * 1000 + F.col("seg")).alias("uid"),
+            F.col(id_col).alias("__did"),
+            F.col("clean_text"),
+        )
+        .join(
+            surv.select(
+                F.col(id_col).alias("__did"), F.col(source_col).alias("source")
+            ),
+            "__did",
+        )
+        .drop("__did")
+    )
+    stages["decontaminate"] = clean
+    cal = calibrate_quality(clean, "uid", "clean_text", "source")
+    keep = cal.filter(F.col("decile") >= 1).select(F.col("id").alias("uid"))
+    corp = clean.join(keep, "uid")
+    stages["calibration_filter"] = corp
+    weights = weights or {}
+    rates = mixing_rates(
+        corp, "uid", "clean_text", "source", weights, budget_tokens
+    ).select("source", F.floor(F.col("sample_rate") * 1_000_000).alias("__thr"))
+    mixed = corp.join(rates, "source").filter(
+        _md5_bucket(F.col("uid"), 1_000_000) < F.col("__thr")
+    ).drop("__thr")
+    stages["mixing"] = mixed
+    packed = pack_sequences(mixed, "uid", "clean_text", target_tokens)
+    shuf = corpus_shuffle(mixed, "uid", seed="42", n_parts=shuffle_parts)
+    manifest = (
+        mixed.select("uid", "source")
+        .join(packed.select(F.col("doc_id").alias("uid"), "n_tokens", "seq_id"), "uid")
+        .join(shuf.select(F.col("uid"), "part", "pos"), "uid")
+    )
+    manifest = shard_assign(manifest, "uid", n_shards).select(
+        "uid", "source", "n_tokens", "seq_id", "shard", "part", "pos"
+    )
+    stages["manifest"] = manifest
+    if return_stages:
+        return manifest, stages
+    return manifest
+
+
 def init_curation_state(
     docs: DataFrame,
     state_dir: str,

@@ -1736,6 +1736,25 @@ def q_events_retention(spark, sf):
     )
 
 
+def q_corpus_pipeline_full(spark, sf):
+    """The FULL composed curation pipeline (functions/pipeline.py
+    curate_full) as one graded run: quality filter → exact dedup →
+    MinHash-LSH near-dup survivors → span decontamination (drop/splice/
+    re-chunk, w=4) → per-source quality-calibration decile filter →
+    token-budget mixing → sequence packing → deterministic shuffle +
+    shard assignment. Returns the packed-corpus manifest (uid, source,
+    n_tokens, seq_id, shard, part, pos); the oracle replays every stage
+    relationally (exact-Jaccard closure stands in for LSH — banding miss
+    prob ~1e-8 and candidates are exactly verified)."""
+    from ..functions.pipeline import curate_full  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) < 2)
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) >= 2)
+    weights = {f"src{i}": 0.05 for i in range(20)}
+    return curate_full(train, bench, weights=weights, budget_tokens=15_000)
+
+
 def q_corpus_curation(spark, sf):
     """Flagship composition: quality filter → exact dedup → benchmark
     decontamination → stratified sample → token accounting, as ONE lazy
@@ -2982,6 +3001,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_spans": q_decontaminate_spans,
     # r11: the decontamination ACTION — emit the cleaned corpus
     "decontaminate_corpus": q_decontaminate_corpus,
+    # r11: the full composed pipeline, graded end to end
+    "corpus_pipeline_full": q_corpus_pipeline_full,
 }
 
 

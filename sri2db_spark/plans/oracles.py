@@ -1835,6 +1835,174 @@ ORACLES: dict[str, str] = {
         GROUP BY cohort_week, week_offset
     """,
     # the composed curation chain, stage by stage as CTEs
+    # The FULL composed pipeline replayed stage by stage: quality filter →
+    # exact dedup → exact-Jaccard closure survivors (the LSH mirror) →
+    # span decontamination with drop/splice/re-chunk (w=4, margin 2) →
+    # per-source calibration decile filter (NULLS LAST, integer ranks) →
+    # token-budget mixing (md5 bucket under the per-source rate) →
+    # contiguous packing (prefix sum over uid order) → md5 shuffle keys →
+    # md5 shard buckets. Segment uid = doc_id*1000 + seg.
+    "corpus_pipeline_full": f"""
+        WITH RECURSIVE
+        train AS (
+          SELECT doc_id, text, source FROM documents WHERE doc_id % 100 >= 2),
+        scored AS (
+          SELECT doc_id, text, source, {_QUALITY_EXPR} AS quality FROM train),
+        qf AS (SELECT * FROM scored WHERE quality >= 0.24),
+        reps AS (SELECT min(doc_id) AS rid FROM qf GROUP BY md5(text)),
+        dd AS MATERIALIZED (
+          SELECT * FROM qf WHERE doc_id IN (SELECT rid FROM reps)),
+        ds AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s FROM dd),
+        szs AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        p AS (
+          SELECT id_a, id_b FROM inter
+          JOIN szs sa ON id_a = sa.doc_id
+          JOIN szs sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)
+                / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM p),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        surv AS MATERIALIZED (
+          SELECT * FROM dd
+          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)),
+        toks AS (
+          SELECT doc_id, text, source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM surv),
+        g AS (
+          SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+3], ' ')
+                 AS gram
+          FROM toks,
+               UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        btoks AS (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 100 < 2),
+        b AS (
+          SELECT DISTINCT array_to_string(t[u.i:u.i+3], ' ') AS gram
+          FROM btoks,
+               UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)),
+        isl AS (
+          SELECT doc_id, pos,
+                 max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM h),
+        cov AS (
+          SELECT doc_id,
+                 SUM(GREATEST(0, (pos + 4)
+                     - GREATEST(pos, COALESCE(prev_end, 0)))) AS ct
+          FROM isl GROUP BY doc_id),
+        iv AS (
+          SELECT doc_id, GREATEST(1, pos - 2) AS s, pos + 6 AS e FROM h),
+        ivp AS (
+          SELECT doc_id, s, e,
+                 COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pe
+          FROM iv),
+        ivg AS (
+          SELECT doc_id, s, e,
+                 SUM(CASE WHEN s > pe THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM ivp),
+        spans AS (
+          SELECT doc_id, grp, min(s) AS s, max(e) AS e
+          FROM ivg GROUP BY doc_id, grp),
+        sbounds AS (
+          SELECT doc_id,
+                 COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+                   AS st,
+                 s - 1 AS en
+          FROM spans
+          UNION ALL
+          SELECT s.doc_id, max(s.e) AS st, max(len(t.t)) AS en
+          FROM spans s JOIN toks t USING (doc_id) GROUP BY s.doc_id),
+        segs AS (
+          SELECT doc_id, st, en,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY st) AS seg
+          FROM sbounds WHERE st <= en),
+        verdict AS (
+          SELECT t.doc_id, t.source, len(t.t) AS total_tokens,
+                 COALESCE(c.ct, 0) AS ct
+          FROM toks t LEFT JOIN cov c USING (doc_id)),
+        clean AS MATERIALIZED (
+          -- keep rows (no contamination) pass the raw text through
+          SELECT v.doc_id * 1000 + 1 AS uid, v.source, t.text AS text
+          FROM verdict v JOIN toks t USING (doc_id)
+          WHERE v.ct = 0
+          UNION ALL
+          -- sub-threshold docs: each surviving run its own row
+          SELECT v.doc_id * 1000 + s.seg AS uid, v.source,
+                 array_to_string(t.t[s.st:s.en], ' ') AS text
+          FROM verdict v
+          JOIN segs s USING (doc_id)
+          JOIN toks t USING (doc_id)
+          WHERE v.ct > 0 AND v.ct * 1000000 <= 500000 * v.total_tokens),
+        qb AS (
+          SELECT uid, source, text,
+                 CAST(floor(1000000 * ({_QUALITY_EXPR})) AS BIGINT) AS qbin
+          FROM clean),
+        ranked AS (
+          SELECT uid, source, text, qbin,
+                 RANK() OVER (PARTITION BY source
+                              ORDER BY qbin NULLS LAST) - 1 AS below,
+                 COUNT(*) OVER (PARTITION BY source) AS n_src
+          FROM qb),
+        kept AS MATERIALIZED (
+          SELECT uid, source, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM ranked
+          WHERE (CASE WHEN n_src > 1
+                      THEN (below * 1000000) // (n_src - 1)
+                      ELSE 0 END) >= 100000),
+        srctok AS (
+          SELECT source, SUM(n_tokens) AS tok_s FROM kept GROUP BY source),
+        thr AS (
+          SELECT source,
+                 CAST(floor(least(1.0, 15000.0 * 0.05
+                       / CAST(tok_s AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+          FROM srctok),
+        mixed AS MATERIALIZED (
+          SELECT k.uid, k.source, k.text, k.n_tokens
+          FROM kept k JOIN thr USING (source)
+          WHERE CAST(('0x' || substr(md5(CAST(k.uid AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 < thr.thr),
+        packed AS (
+          SELECT uid, n_tokens,
+                 CAST(floor((SUM(n_tokens) OVER (ORDER BY uid ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 512.0) AS BIGINT) AS seq_id
+          FROM mixed),
+        shuf AS (
+          SELECT uid,
+                 md5('42:' || CAST(uid AS VARCHAR)) AS skey
+          FROM mixed)
+        SELECT m.uid, m.source, m.n_tokens, p2.seq_id,
+               CAST(CAST('0x' || substr(md5(CAST(m.uid AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 16 AS BIGINT) AS shard,
+               CAST(CAST('0x' || substr(s.skey, 1, 1) AS BIGINT) AS INT)
+                 AS part,
+               ROW_NUMBER() OVER (
+                 PARTITION BY substr(s.skey, 1, 1)
+                 ORDER BY s.skey, m.uid) AS pos
+        FROM mixed m
+        JOIN packed p2 USING (uid)
+        JOIN shuf s USING (uid)
+    """,
     "corpus_curation": f"""
         WITH scored AS (
           SELECT doc_id, lang, text,

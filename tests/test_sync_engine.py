@@ -393,6 +393,86 @@ def test_watermark_store_concurrent_puts(spark, tmp_path):
         assert (wm, ss) == (1000 + i, 2000 + i)
 
 
+def _plan_fingerprint(out: str) -> list[str]:
+    """Operator-shape fingerprint of an explain('formatted') dump: the
+    ordered operator names, stripped of ids/arguments."""
+    ops = []
+    for line in out.splitlines():
+        s = line.strip()
+        if s.startswith(("+-", "*(")) or (s and s[0] == ":"):
+            name = s.lstrip("+-*: (").split("(")[0].split()[0]
+            if name and name[0].isupper():
+                ops.append(name)
+    return ops
+
+
+def test_synthetic_api_full_delta_and_dup_echo_merge(spark, tmp_path):
+    """The generated scale API (SyntheticSriApi, the 2M-bench source)
+    drives the REAL engine correctly at small n: sharded full sync lands
+    every resource; an explicit-watermark delta applies spread updates,
+    hot duplicate echoes (the C1 dedup case) and tombstones; and the
+    staged-merge physical plan has the identical operator shape as the
+    FakeSriApi-driven sync — the 2M bench exercises the same plan."""
+    from .fake_api import SyntheticSriApi, seq_ts
+
+    n, upd, tomb, echoes = 200, 40, 10, 60
+    api = SyntheticSriApi(
+        n=n, page_size=25, n_updates=upd, n_hot_echoes=echoes, n_hot=5,
+        n_tombstones=tomb,
+    )
+    reader = SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=25)
+    table = LakeTable(spark, str(tmp_path / "t"), LAYOUT_LARGE)
+    wm = WatermarkStore(spark, str(tmp_path / "w"))
+    sync = Sri2DbSync(
+        reader=reader, table=table, path="/a", baseurl=BASEURL,
+        layout=LAYOUT_LARGE, watermarks=wm, full_sync_shard_size=50,
+    )
+    res = sync.full_sync()
+    assert res.rows_after == n
+    res2 = sync.delta_sync(modified_since=seq_ts(60 * n))
+    assert res2.rows_after == n - tomb
+    assert res2.deletes_synced == tomb
+    rows = {r["href"]: r for r in table.read().collect()}
+    assert len(rows) == n - tomb
+    # every updated (non-tombstoned) href carries its update timestamp —
+    # the hot echoes (exact duplicates) were deduped, not double-applied
+    upd_hrefs = {
+        f"/a/{api._upd_idx(k)}": api._upd_ts(k)
+        for k in range(upd)
+        if api._upd_idx(k) <= n - tomb
+    }
+    for href, ts in upd_hrefs.items():
+        assert json.loads(rows[href]["jsondata"])["$$meta"]["modified"] == ts
+
+
+def test_synthetic_and_fake_api_merge_plans_match(spark, tmp_path, capsys):
+    """Plan golden for the scale bench: the merge plan driven by the
+    synthetic 2M-bench API is operator-for-operator the one the 20k
+    FakeSriApi bench (and production) runs — scaling the bench changed
+    the data source, not the plan."""
+    from .fake_api import SyntheticSriApi
+
+    fake = FakeSriApi(n=20)
+    s1 = make_sync(spark, tmp_path / "f", fake, explain=True)
+    s1.full_sync()
+    fp_fake = _plan_fingerprint(capsys.readouterr().out)
+
+    api = SyntheticSriApi(n=20, page_size=10)
+    reader = SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=10)
+    s2 = Sri2DbSync(
+        reader=reader,
+        table=LakeTable(spark, str(tmp_path / "s"), LAYOUT_LARGE),
+        path="/a",
+        baseurl=BASEURL,
+        layout=LAYOUT_LARGE,
+        watermarks=WatermarkStore(spark, str(tmp_path / "ws")),
+        explain=True,
+    )
+    s2.full_sync()
+    fp_syn = _plan_fingerprint(capsys.readouterr().out)
+    assert fp_fake and fp_syn == fp_fake
+
+
 def test_explain_hook_prints_plan(spark, tmp_path, capsys):
     api = FakeSriApi(n=3)
     sync = make_sync(spark, tmp_path, api, explain=True)
