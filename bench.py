@@ -27,6 +27,9 @@ from sri2db_spark.session import get_spark  # noqa: E402
 EXTRA_ENTRIES = [
     "sri_full_sync_20k",
     "sri_full_sync_20k_sharded",
+    "sri_full_sync_2m_sharded",
+    "sri_delta_sync_200k",
+    "sri_delta_sync_260k_dupskew",
     "ann_ivfpq_query_64q",
     "ann_ivfpq_bulk_10k",
     "ann_ivfpq_bulk_10k_shuffle",
@@ -243,6 +246,77 @@ def run_session() -> dict:
                 sh_runs.append(time.perf_counter() - t0)
                 assert result.rows_after == n_resources
             _record_stats("sri_full_sync_20k_sharded", sh_runs)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # Scale points for the merge path itself (r11): a 2M-resource full sync
+    # through the A2 offset-sharded reader, a clean 200k delta with 20k
+    # tombstones, and a duplicate-skewed 260k delta (60k exact duplicate
+    # echoes concentrated on 50 hrefs — the paging-drift/retry shape the C1
+    # dedup window exists for). The API is GENERATED (SyntheticSriApi: a
+    # pure function of index, no stored corpus), so the bench measures the
+    # reader + merge, not fixture construction. One timed run each — these
+    # are 15-35 s entries; cross-session minima do the stabilizing.
+    scale_sync_names = (
+        "sri_full_sync_2m_sharded",
+        "sri_delta_sync_200k",
+        "sri_delta_sync_260k_dupskew",
+    )
+    if any(_selected(nm) for nm in scale_sync_names):
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        spark.sparkContext.addPyFile(os.path.join(REPO, "tests", "fake_api.py"))
+        from fake_api import SyntheticSriApi, seq_ts  # noqa: E402, PLC0415
+
+        from sri2db_spark.model.schema import LAYOUT_LARGE  # noqa: PLC0415
+        from sri2db_spark.operators.watermark import WatermarkStore  # noqa: PLC0415
+        from sri2db_spark.sinks.lake import LakeTable  # noqa: PLC0415
+        from sri2db_spark.sources.sri_api import SriApiReader  # noqa: PLC0415
+        from sri2db_spark.sync.engine import Sri2DbSync  # noqa: PLC0415
+
+        n_big = 2_000_000
+        tmp = tempfile.mkdtemp(prefix="bench_sync2m_")
+
+        def _mk(api, sub):
+            return Sri2DbSync(
+                reader=SriApiReader(
+                    spark, "https://bench.local", fetch_json=api.fetch_json,
+                    limit=5000,
+                ),
+                table=LakeTable(spark, os.path.join(tmp, sub), LAYOUT_LARGE),
+                path="/a",
+                baseurl="https://bench.local",
+                layout=LAYOUT_LARGE,
+                watermarks=WatermarkStore(spark, os.path.join(tmp, f"w_{sub}")),
+                full_sync_shard_size=62_500,
+            )
+
+        if _selected("sri_full_sync_2m_sharded"):
+            api = SyntheticSriApi(n=n_big, page_size=5000)
+            sync2m = _mk(api, "t2m")
+            t0 = time.perf_counter()
+            res = sync2m.full_sync()
+            _record_stats("sri_full_sync_2m_sharded", [time.perf_counter() - t0])
+            assert res.rows_after == n_big
+        if _selected("sri_delta_sync_200k"):
+            api = SyntheticSriApi(
+                n=n_big, page_size=5000, n_updates=200_000, n_tombstones=20_000
+            )
+            syncd = _mk(api, "td")
+            syncd.full_sync()  # untimed base load
+            t0 = time.perf_counter()
+            res = syncd.delta_sync(modified_since=seq_ts(60 * n_big))
+            _record_stats("sri_delta_sync_200k", [time.perf_counter() - t0])
+            assert res.rows_after == n_big - 20_000
+        if _selected("sri_delta_sync_260k_dupskew"):
+            api = SyntheticSriApi(
+                n=n_big, page_size=5000, n_updates=200_000,
+                n_hot_echoes=60_000, n_hot=50, n_tombstones=20_000,
+            )
+            syncs = _mk(api, "ts")
+            syncs.full_sync()  # untimed base load
+            t0 = time.perf_counter()
+            res = syncs.delta_sync(modified_since=seq_ts(60 * n_big))
+            _record_stats("sri_delta_sync_260k_dupskew", [time.perf_counter() - t0])
+            assert res.rows_after == n_big - 20_000
         shutil.rmtree(tmp, ignore_errors=True)
 
     # Steady-state ANN serving: the index is built ONCE (the amortized cost a
