@@ -255,6 +255,97 @@ def test_non_precondition_client_error_reraises(s3fs_live):
     assert fs.read(path) == "v1"
 
 
+def test_ls_find_protocol_stripped_like_real_s3fs(s3fs_live):
+    """Regression fixture for real-s3fs return shapes (s3fs docs, API
+    reference: ``S3FileSystem.ls``/``find`` return ``bucket/key`` paths
+    WITHOUT the ``s3://`` scheme; ``unstrip_protocol`` restores it).
+    Engine code must neither expect a scheme in listings nor hand Spark
+    a scheme-less path: listings stay in key space, and every
+    Spark-facing path goes through ``spark_path``."""
+    adapter, client = s3fs_live
+    fs = S3FsspecFS(adapter)
+    fs.put(f"{BUCKET}/tbl/v1/part-0.parquet", "x")
+    fs.put(f"{BUCKET}/tbl/v1/_MANIFEST.json", "{}")
+    ls = adapter.ls(f"{BUCKET}/tbl/v1")
+    fnd = adapter.find(f"{BUCKET}/tbl")
+    assert ls and fnd
+    for p in ls + fnd:
+        assert not p.startswith("s3://"), p  # protocol-stripped, always
+        assert p.startswith(f"{BUCKET}/"), p  # bucket-prefixed key space
+    # listdir reduces to basenames regardless of the stripped shape
+    assert sorted(fs.listdir(f"{BUCKET}/tbl/v1")) == [
+        "_MANIFEST.json",
+        "part-0.parquet",
+    ]
+    # walk_files returns key-space paths; spark_path is the ONE place the
+    # scheme is re-attached for the JVM reader
+    files = fs.walk_files(f"{BUCKET}/tbl")
+    assert files == [f"{BUCKET}/tbl/v1/part-0.parquet"]
+    assert fs.spark_path(files[0]) == f"s3://{BUCKET}/tbl/v1/part-0.parquet"
+
+
+class CachingMotoS3Fs(MotoS3Fs):
+    """MotoS3Fs plus real s3fs's documented dircache behavior: ``ls``
+    results are memoized per path and NOT invalidated by another
+    client's writes (s3fs docs: listings are cached; call
+    ``invalidate_cache``/pass ``refresh=True`` to see external changes).
+    The committer protocol must stay correct under a stale dircache."""
+
+    def __init__(self, client, wrap_errors: bool = True) -> None:
+        super().__init__(client, wrap_errors)
+        self.dircache: dict[str, list[str]] = {}
+
+    def ls(self, path: str, detail: bool = False) -> list[str]:
+        key = path.rstrip("/")
+        if key not in self.dircache:
+            self.dircache[key] = super().ls(path)
+        return self.dircache[key]
+
+    def invalidate_cache(self, path: str | None = None) -> None:
+        if path is None:
+            self.dircache.clear()
+        else:
+            self.dircache.pop(path.rstrip("/"), None)
+
+
+def test_stale_dircache_reader_resolves_latest_commit(s3fs_live):
+    """A reader whose dircache predates another writer's commit must
+    still resolve the NEW version: the manifest protocol's read path is
+    pointer-addressed (unconditional GET of _POINTER, then manifest
+    reads), never listing-addressed — a stale cached ``ls`` cannot
+    redirect it. The fixture also pins that the staleness is REAL (the
+    cached listing is missing the new version directory), so if the read
+    path ever grows a listing dependency this test fails loudly."""
+    from sri2db_spark.sinks.committer import ManifestCommitter
+
+    _, client = s3fs_live
+    writer_fs = S3FsspecFS(MotoS3Fs(client))
+    reader_adapter = CachingMotoS3Fs(client)
+    reader_fs = S3FsspecFS(reader_adapter)
+    table = f"{BUCKET}/tbl_stale"
+
+    mc_w = ManifestCommitter(fs=writer_fs)
+    s1 = mc_w.stage(table)
+    writer_fs.put(f"{s1}/part-0", "v1-data")
+    mc_w.commit(s1, table)
+
+    mc_r = ManifestCommitter(fs=reader_fs)
+    v_before = mc_r.resolve(table)
+    reader_adapter.ls(table)  # warm the dircache on the table root
+
+    s2 = mc_w.stage(table)
+    writer_fs.put(f"{s2}/part-0", "v2-data")
+    mc_w.commit(s2, table)
+
+    # staleness is real: the cached listing doesn't know the new version
+    v_now_name = mc_w.resolve(table).rsplit("/", 1)[-1]
+    assert all(v_now_name not in e for e in reader_adapter.dircache[table])
+    # but the pointer-addressed read path resolves and reads v2 anyway
+    v_after = mc_r.resolve(table)
+    assert v_after != v_before
+    assert reader_fs.read(f"{v_after}/part-0") == "v2-data"
+
+
 def test_committer_cas_conflict_over_moto(s3fs_live):
     """End to end: two ManifestCommitter writers over the moto-backed
     S3 binding race a read-modify-write on one pointer — the loser gets
