@@ -522,6 +522,54 @@ def main() -> None:
             if stab > gate_pct and (per_session[1] - best) > gate_abs_s:
                 spread_violations[q] = min_stability_pct[q]
     total = round(sum(queries.values()), 3)
+    # Scaling gate (r11 verdict item 4): with a baseline capture from a
+    # DIFFERENT scale factor (SPARK_GRAFT_BENCH_ALPHA_BASELINE=<json with
+    # "queries" and "sf">), compute each common entry's fitted log-log
+    # exponent alpha (time ~ sf^alpha) and flag data-proportional entries
+    # at alpha >= 1.05 — superlinear growth a 100x scale-up won't survive.
+    # Entries whose WORK grows superlinearly by construction are exempt
+    # (the bulk-ANN entries scale query count x corpus together), as are
+    # fixed-work entries (alpha ~ 0 passes the gate trivially anyway).
+    alpha_gate: dict = {}
+    baseline_path = os.environ.get("SPARK_GRAFT_BENCH_ALPHA_BASELINE")
+    if baseline_path:
+        import math  # noqa: PLC0415
+
+        alpha_exempt = {"ann_ivfpq_bulk_10k", "ann_ivfpq_bulk_10k_shuffle"}
+        # sub-second entries carry large relative noise (per-job constants
+        # dominate): a violation additionally requires the entry to cost
+        # real time at the bigger SF
+        alpha_abs_floor_s = float(
+            os.environ.get("SPARK_GRAFT_BENCH_ALPHA_FLOOR_S", "1.0")
+        )
+        base = json.load(open(baseline_path))
+        if "parsed" in base and base["parsed"]:
+            base = base["parsed"]
+        b_sf, b_q = float(base["sf"]), base["queries"]
+        alphas: dict[str, float] = {}
+        alpha_violations: dict[str, float] = {}
+        if b_sf != sf:
+            for q in sorted(set(queries) & set(b_q)):
+                if queries[q] <= 0 or b_q[q] <= 0:
+                    continue
+                a = math.log(queries[q] / b_q[q]) / math.log(sf / b_sf)
+                alphas[q] = round(a, 2)
+                big_t = queries[q] if sf > b_sf else b_q[q]
+                if (
+                    a >= 1.05
+                    and q not in alpha_exempt
+                    and big_t >= alpha_abs_floor_s
+                ):
+                    alpha_violations[q] = alphas[q]
+        alpha_gate = {
+            "baseline_sf": b_sf,
+            "threshold": 1.05,
+            "abs_floor_s": alpha_abs_floor_s,
+            "exempt": sorted(alpha_exempt),
+            "alphas": alphas,
+            "violations": alpha_violations,
+            "pass": not alpha_violations,
+        }
     # diagnostics first (per-session maps grow as entries are added), THEN
     # the compact headline object as the very last stdout line: the driver
     # tail-captures a bounded window and BENCH_r07 arrived truncated
@@ -542,6 +590,7 @@ def main() -> None:
                     "violations": spread_violations,
                     "pass": not spread_violations,
                 },
+                "alpha_gate": alpha_gate,
                 "medians_last_session": results[-1]["medians"],
                 "spreads_last_session": results[-1]["spreads"],
                 "repeats": results[-1]["repeats"],
@@ -549,6 +598,14 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    if alpha_gate and not alpha_gate["pass"]:
+        sys.stderr.write(
+            "bench alpha gate: superlinear scaling (alpha >= 1.05) on: "
+            + ", ".join(
+                f"{q}={a}" for q, a in sorted(alpha_gate["violations"].items())
+            )
+            + "\n"
+        )
     print(
         json.dumps(
             {
