@@ -305,8 +305,12 @@ def minhash_lsh_pairs(
     band_rows = _drop_oversized_buckets(band_rows, max_bucket_size, "minhash_lsh_pairs")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
+    # the band frame is a 64x row explosion of the scan — Catalyst's
+    # file-size estimate always says it broadcasts; at sf10 that is a
+    # 28M-row hashed relation and a driver OOM. Pin shuffle_hash.
     candidates = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
@@ -343,12 +347,20 @@ def _estimate_prefilter(
     cutoff = max(
         0.0, threshold - sigma * math.sqrt(threshold * (1.0 - threshold) / num_perm)
     )
+    # shuffle_hash: both the candidate pairs and the signature frames are
+    # expression-derived (Catalyst sizes them from the compact text scan),
+    # so an estimate-picked broadcast is a driver OOM waiting for scale —
+    # see the neardup_filter_against_index note
     est = (
         candidates.join(
-            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+            .hint("shuffle_hash"),
+            "id_a",
         )
         .join(
-            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+            .hint("shuffle_hash"),
+            "id_b",
         )
         .select(
             "id_a",
@@ -392,9 +404,15 @@ def _verify_jaccard(
     )
     sa = shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # shuffle_hash, not estimate-picked broadcast: the shingle sets are
+    # corpus-sized ARRAY frames whose bytes Catalyst sizes from the
+    # compact text scan — the broadcast "fits" on paper at any SF and the
+    # driver eventually OOMs building it (observed on the sibling
+    # cross-corpus filter at sf10; here the same join survived sf10 at
+    # ~500 MB hashed relation and dies one decade later)
     return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -1003,8 +1021,16 @@ def neardup_filter_against_index(
     r = num_perm // bands
     inc_sigs = oph_signatures(incoming, id_col, text_col, k, num_perm)
     inc_bands = _band_keys(inc_sigs, bands, r)
+    # Join-strategy hints, not estimates: every frame here is EXPRESSION-
+    # DERIVED from a compact scan (band keys are a 64x row explosion,
+    # shingle sets are text-sized arrays), and Catalyst sizes them from
+    # the scan's file size — at 100x data it still "fits" the broadcast
+    # threshold on paper and the driver OOMs building a 28M-row hashed
+    # relation (observed at sf10). shuffle_hash keeps every join a
+    # co-partitioned hash join whatever the estimate says.
     cand = (
         inc_bands.alias("n")
+        .hint("shuffle_hash")
         .join(
             index_bands.alias("x"),
             (F.col("n.band") == F.col("x.band")) & (F.col("n.bkey") == F.col("x.bkey")),
@@ -1020,8 +1046,13 @@ def neardup_filter_against_index(
         )
     )
     dup_ids = (
-        cand.join(inc_sh, "inc_id")
-        .join(index_shingles.select(F.col("id").alias("idx_id"), F.col("sh").alias("sh_x")), "idx_id")
+        cand.hint("shuffle_hash").join(inc_sh, "inc_id")
+        .join(
+            index_shingles.select(
+                F.col("id").alias("idx_id"), F.col("sh").alias("sh_x")
+            ).hint("shuffle_hash"),
+            "idx_id",
+        )
         .select(
             "inc_id",
             (

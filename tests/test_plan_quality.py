@@ -218,6 +218,22 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_lsh_derived_frames_never_broadcast(spark):
+    """The LSH family's band-key and shingle-set frames are EXPRESSION-
+    DERIVED (64x row explosion / text-sized arrays) from a compact scan,
+    so Catalyst's size estimate always says they fit the broadcast
+    threshold — and the driver OOMs building the hashed relation once the
+    data is big (observed: crosscorpus_neardup at sf10, a 28M-row band
+    index picked for broadcast). These plans must carry ZERO
+    BroadcastExchange nodes; every join is an explicit shuffle_hash."""
+    from sri2db_spark.plans.analytics import QUERIES
+
+    for name in ("dedup_minhash_lsh", "crosscorpus_neardup", "dedup_survivors_lsh"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        body = plan.split("== Physical Plan ==")[-1]
+        assert "BroadcastExchange" not in body, name
+
+
 def test_incremental_neardup_store_side_never_shuffles(spark, tmp_path):
     """The incremental band join must broadcast the batch side: no Exchange
     may sit between the store scan and the candidate join (the O(batch)
