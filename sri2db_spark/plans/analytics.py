@@ -1817,7 +1817,11 @@ def q_output_retraction(spark, sf):
             docs.filter((F.col("doc_id") / 3 % 3).cast("long") == b).select(
                 "doc_id", "lang"
             ).write.parquet(f"{tmp}/batch_id={b}")
-        P.retract_from_output(spark, tmp, [0, 9, 33, 10**9])
+        # victims land in ALL THREE batch dirs (batch = doc_id/3 % 3:
+        # 0,9 -> batch 0; 12 -> batch 1; 33 -> batch 2) so a retraction
+        # that silently skips one batch fails the oracle; 10**9 is the
+        # absent-id no-op path
+        P.retract_from_output(spark, tmp, [0, 9, 12, 33, 10**9])
         out = spark.read.parquet(tmp).select("doc_id", "lang")
         # materialize before the output directory disappears
         return spark.createDataFrame(out.collect(), out.schema)

@@ -2093,7 +2093,7 @@ ORACLES: dict[str, str] = {
     # sees after retract_from_output is exactly the subset minus the ids
     "output_retraction": """
         SELECT doc_id, lang FROM documents
-        WHERE doc_id % 3 = 0 AND doc_id NOT IN (0, 9, 33, 1000000000)
+        WHERE doc_id % 3 = 0 AND doc_id NOT IN (0, 9, 12, 33, 1000000000)
     """,
     # general as-of join: nearest-earlier order per event, largest
     # (order_ms, o_orderkey) wins; LEFT JOIN keeps no-order events
