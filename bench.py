@@ -296,26 +296,38 @@ def run_session() -> dict:
             res = sync2m.full_sync()
             _record_stats("sri_full_sync_2m_sharded", [time.perf_counter() - t0])
             assert res.rows_after == n_big
-        if _selected("sri_delta_sync_200k"):
-            api = SyntheticSriApi(
+        delta_cfgs = {
+            "sri_delta_sync_200k": dict(
                 n=n_big, page_size=5000, n_updates=200_000, n_tombstones=20_000
-            )
-            syncd = _mk(api, "td")
-            syncd.full_sync()  # untimed base load
-            t0 = time.perf_counter()
-            res = syncd.delta_sync(modified_since=seq_ts(60 * n_big))
-            _record_stats("sri_delta_sync_200k", [time.perf_counter() - t0])
-            assert res.rows_after == n_big - 20_000
-        if _selected("sri_delta_sync_260k_dupskew"):
-            api = SyntheticSriApi(
+            ),
+            "sri_delta_sync_260k_dupskew": dict(
                 n=n_big, page_size=5000, n_updates=200_000,
                 n_hot_echoes=60_000, n_hot=50, n_tombstones=20_000,
-            )
-            syncs = _mk(api, "ts")
-            syncs.full_sync()  # untimed base load
+            ),
+        }
+        base_loaded = None  # the 2M base table is identical for both deltas:
+        # full-sync once, file-copy for the second (untimed either way)
+        for entry_name, cfg in delta_cfgs.items():
+            if not _selected(entry_name):
+                continue
+            sub = "td" if entry_name == "sri_delta_sync_200k" else "ts"
+            if base_loaded is not None:
+                # copy table + watermarks BEFORE the sink objects touch the
+                # directories (copytree requires a fresh destination)
+                shutil.copytree(
+                    os.path.join(tmp, base_loaded), os.path.join(tmp, sub)
+                )
+                shutil.copytree(
+                    os.path.join(tmp, f"w_{base_loaded}"),
+                    os.path.join(tmp, f"w_{sub}"),
+                )
+            syncd = _mk(SyntheticSriApi(**cfg), sub)
+            if base_loaded is None:
+                syncd.full_sync()  # untimed base load
+                base_loaded = sub
             t0 = time.perf_counter()
-            res = syncs.delta_sync(modified_since=seq_ts(60 * n_big))
-            _record_stats("sri_delta_sync_260k_dupskew", [time.perf_counter() - t0])
+            res = syncd.delta_sync(modified_since=seq_ts(60 * n_big))
+            _record_stats(entry_name, [time.perf_counter() - t0])
             assert res.rows_after == n_big - 20_000
         shutil.rmtree(tmp, ignore_errors=True)
 
