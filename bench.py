@@ -70,6 +70,7 @@ HEADLINE = [
     "triangle_knn",
     "decontaminate_spans",
     "decontaminate_corpus",
+    "dedup_corpus_spans",
 ]
 
 

@@ -175,6 +175,13 @@ def curate_full(
         )
         .drop("__did")
     )
+    # materialize the cleaned corpus ONCE: everything upstream (LSH pair
+    # generation, connected components, the splice) is the expensive half
+    # of the pipeline, and without this boundary the calibration build,
+    # the mixing aggregate, the packing prefix sum, the shuffle keys and
+    # the manifest joins would each replay it (measured 5-7 upstream
+    # recomputes at sf10 in tools/pipeline_e2e.py)
+    clean = clean.localCheckpoint(eager=True)
     stages["decontaminate"] = clean
     cal = calibrate_quality(clean, "uid", "clean_text", "source")
     keep = cal.filter(F.col("decile") >= 1).select(F.col("id").alias("uid"))
@@ -187,6 +194,10 @@ def curate_full(
     mixed = corp.join(rates, "source").filter(
         _md5_bucket(F.col("uid"), 1_000_000) < F.col("__thr")
     ).drop("__thr")
+    # second boundary: the mixed corpus feeds packing, shuffle keys and
+    # two manifest joins — materialize so the calibration join above runs
+    # once, not three times
+    mixed = mixed.localCheckpoint(eager=True)
     stages["mixing"] = mixed
     packed = pack_sequences(mixed, "uid", "clean_text", target_tokens)
     shuf = corpus_shuffle(mixed, "uid", seed="42", n_parts=shuffle_parts)

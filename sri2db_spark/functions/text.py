@@ -1059,9 +1059,82 @@ def decontaminate_corpus(
         .select("gram")
         .distinct()
     )
+    hits = occ.join(bgrams, "gram").select("id", "pos")
+    return _splice_corpus(
+        train, hits, id_col, text_col, w, drop_threshold_e6, margin
+    )
+
+
+def dedup_corpus_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    min_docs: int = 2,
+    drop_threshold_e6: int = 500_000,
+    margin: int = 0,
+) -> DataFrame:
+    """Exact substring-level dedup ACTION (Lee et al. 2022, ExactSubstr —
+    the "remove" half; :func:`duplicated_span_coverage` is the report):
+    for every w-token gram appearing in ≥ ``min_docs`` distinct
+    documents, the LOWEST-id document keeps its occurrences and every
+    other document has those gram windows cut out (±``margin``) and is
+    re-chunked — same drop/splice/keep emitter and schema as
+    :func:`decontaminate_corpus` (documents above the un-margined
+    dup-token threshold are dropped wholesale with an audit row).
+
+    The keeper is per gram, so overlapping duplicate families resolve
+    deterministically; a keeper can still lose OTHER grams it doesn't
+    own. Guarantee (property-tested): re-measuring
+    ``duplicated_spans(min_docs=2)`` over the keep/splice output KEYED BY
+    THE ORIGINAL id finds no cross-document duplicated gram — every
+    surviving duplicated gram survives only in its keeper. Re-chunking
+    prevents junction grams, exactly as in decontamination.
+
+    Returns ``(id, seg, action, n_dropped_spans, total_tokens,
+    dup_tokens, clean_text)``.
+
+    Shape at 100 TB: one gram shuffle (groupBy gram: distinct-doc count +
+    min id, map-side combined), one co-partitioned join back, then the
+    shared splice machinery over HIT rows only."""
+    occ = _token_gram_occurrences(df, id_col, text_col, w)
+    keeper = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct("id").alias("nd"), F.min("id").alias("keeper"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram", "keeper")
+    )
+    hits = (
+        occ.join(keeper, "gram")
+        .filter(F.col("id") != F.col("keeper"))
+        .select("id", "pos")
+    )
+    return _splice_corpus(
+        df, hits, id_col, text_col, w, drop_threshold_e6, margin,
+        hit_col="dup_tokens",
+    )
+
+
+def _splice_corpus(
+    train: DataFrame,
+    hits: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+    drop_threshold_e6: int,
+    margin: int,
+    hit_col: str = "contaminated_tokens",
+) -> DataFrame:
+    """Shared drop/splice/re-chunk emitter behind
+    :func:`decontaminate_corpus` and :func:`dedup_corpus_spans`: given the
+    (id, pos) w-gram HIT positions to remove, drop documents whose
+    un-margined hit-token fraction exceeds the threshold, cut the
+    margined merged intervals out of the rest, and emit each maximal
+    surviving token run as its own row. See the public wrappers for the
+    guarantee discussion."""
     # hit positions feed BOTH the un-margined coverage union and the
     # margined cut-interval merge — materialize once
-    hits = occ.join(bgrams, "gram").select("id", "pos").localCheckpoint(eager=True)
+    hits = hits.localCheckpoint(eager=True)
     covered = _span_union_per_doc(hits, w)
 
     # margined cut intervals [max(1, pos-margin), pos+w+margin), merged
@@ -1130,16 +1203,16 @@ def decontaminate_corpus(
         "id",
         "__text",
         total,
-        cont.alias("contaminated_tokens"),
+        cont.alias(hit_col),
         nspans.alias("n_dropped_spans"),
         F.when(F.col("spans").isNull(), F.expr("CAST(array() AS array<string>)"))
         .otherwise(segs)
         .alias("__segs"),
     )
     action = (
-        F.when(F.col("contaminated_tokens") == 0, F.lit("keep"))
+        F.when(F.col(hit_col) == 0, F.lit("keep"))
         .when(
-            F.col("contaminated_tokens") * F.lit(1_000_000)
+            F.col(hit_col) * F.lit(1_000_000)
             > F.lit(int(drop_threshold_e6)) * F.col("total_tokens"),
             F.lit("drop"),
         )
@@ -1160,7 +1233,7 @@ def decontaminate_corpus(
         .otherwise(F.col("n_dropped_spans"))
         .alias("n_dropped_spans"),
         "total_tokens",
-        "contaminated_tokens",
+        hit_col,
         F.posexplode("__out").alias("seg0", "clean_text"),
     ).select(
         F.col("id").alias(id_col),
@@ -1171,7 +1244,7 @@ def decontaminate_corpus(
         "action",
         "n_dropped_spans",
         "total_tokens",
-        "contaminated_tokens",
+        hit_col,
         "clean_text",
     )
 

@@ -2809,6 +2809,19 @@ def q_decontaminate_corpus(spark, sf):
     )
 
 
+def q_dedup_corpus_spans(spark, sf):
+    """Exact substring-level dedup ACTION (functions/text.py
+    dedup_corpus_spans, Lee et al. ExactSubstr remove-half): every
+    4-gram duplicated across documents survives only in its lowest-id
+    keeper; other documents have those windows spliced out (margin 0)
+    and re-chunk, or drop wholesale above 50% dup mass. w=4 exercises
+    all three actions on the canonical testdata."""
+    return X.dedup_corpus_spans(
+        _tp(spark, sf, "documents"), "doc_id", "text",
+        w=4, min_docs=2, drop_threshold_e6=500_000, margin=0,
+    )
+
+
 def q_triangle_knn(spark, sf):
     """Per-node triangle counts (functions/graph.py triangle_counts —
     degree-oriented compact-forward, no wedge explosion at hubs) over the
@@ -3005,6 +3018,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_spans": q_decontaminate_spans,
     # r11: the decontamination ACTION — emit the cleaned corpus
     "decontaminate_corpus": q_decontaminate_corpus,
+    # r11: the substring-dedup ACTION — keeper keeps, the rest splice
+    "dedup_corpus_spans": q_dedup_corpus_spans,
     # r11: the full composed pipeline, graded end to end
     "corpus_pipeline_full": q_corpus_pipeline_full,
 }

@@ -2876,6 +2876,102 @@ ORACLES: dict[str, str] = {
         JOIN toks t USING (doc_id)
         WHERE v.action = 'splice'
     """,
+    # The substring-dedup ACTION replayed relationally: per-gram keeper =
+    # min doc_id over grams in >= 2 docs; hits = every non-keeper
+    # occurrence; then the same drop (> 50% dup tokens) / margin-0 cut
+    # merge / segment re-chunk emitter as decontaminate_corpus.
+    "dedup_corpus_spans": """
+        WITH toks AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+3], ' ')
+                 AS gram
+          FROM toks,
+               UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        kp AS (
+          SELECT gram, min(doc_id) AS keeper FROM g
+          GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        h AS (
+          SELECT g.doc_id, g.pos FROM g JOIN kp USING (gram)
+          WHERE g.doc_id <> kp.keeper),
+        isl AS (
+          SELECT doc_id, pos,
+                 max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM h),
+        cov AS (
+          SELECT doc_id,
+                 SUM(GREATEST(0, (pos + 4)
+                     - GREATEST(pos, COALESCE(prev_end, 0)))) AS ct
+          FROM isl GROUP BY doc_id),
+        iv AS (
+          SELECT doc_id, pos AS s, pos + 4 AS e FROM h),
+        ivp AS (
+          SELECT doc_id, s, e,
+                 COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pe
+          FROM iv),
+        ivg AS (
+          SELECT doc_id, s, e,
+                 SUM(CASE WHEN s > pe THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM ivp),
+        spans AS (
+          SELECT doc_id, grp, min(s) AS s, max(e) AS e
+          FROM ivg GROUP BY doc_id, grp),
+        nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+        bounds AS (
+          SELECT doc_id,
+                 COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+                   AS st,
+                 s - 1 AS en
+          FROM spans
+          UNION ALL
+          SELECT s.doc_id, max(s.e) AS st, max(len(t.t)) AS en
+          FROM spans s JOIN toks t USING (doc_id) GROUP BY s.doc_id),
+        segs AS (
+          SELECT doc_id, st, en,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY st) AS seg
+          FROM bounds WHERE st <= en),
+        dsegs AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id),
+        verdict AS (
+          SELECT t.doc_id, t.text, len(t.t) AS total_tokens,
+                 COALESCE(c.ct, 0) AS ct,
+                 COALESCE(n.n_spans, 0) AS n_spans,
+                 CASE WHEN COALESCE(c.ct, 0) = 0 THEN 'keep'
+                      WHEN COALESCE(c.ct, 0) * 1000000
+                           > 500000 * len(t.t) THEN 'drop'
+                      WHEN COALESCE(d.n_segs, 0) = 0 THEN 'drop'
+                      ELSE 'splice' END AS action
+          FROM toks t
+          LEFT JOIN cov c USING (doc_id)
+          LEFT JOIN nsp n USING (doc_id)
+          LEFT JOIN dsegs d USING (doc_id))
+        SELECT doc_id, CAST(1 AS BIGINT) AS seg, action,
+               CAST(0 AS BIGINT) AS n_dropped_spans,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               CAST(ct AS BIGINT) AS dup_tokens,
+               text AS clean_text
+        FROM verdict WHERE action = 'keep'
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT), action, CAST(n_spans AS BIGINT),
+               CAST(total_tokens AS BIGINT), CAST(ct AS BIGINT),
+               CAST(NULL AS VARCHAR)
+        FROM verdict WHERE action = 'drop'
+        UNION ALL
+        SELECT v.doc_id, CAST(s.seg AS BIGINT), v.action,
+               CAST(v.n_spans AS BIGINT), CAST(v.total_tokens AS BIGINT),
+               CAST(v.ct AS BIGINT), array_to_string(t.t[s.st:s.en], ' ')
+        FROM verdict v
+        JOIN segs s USING (doc_id)
+        JOIN toks t USING (doc_id)
+        WHERE v.action = 'splice'
+    """,
     # kNN graph (exact cosine top-3 per vector, same arithmetic as the
     # ann_cosine oracle), undirected + deduped, then textbook triangle
     # enumeration (each triangle once as x<y<z) and per-corner counts.

@@ -109,6 +109,14 @@ class SyntheticSriApi:
     def fetch_json(self, url: str) -> dict:
         parsed = urllib.parse.urlparse(url)
         q = dict(urllib.parse.parse_qsl(parsed.query, keep_blank_values=True))
+        if "keyIn" in q:
+            # the generated API serves full/delta bench scans only; a
+            # silent empty/stale answer here would make a safe-delta sync
+            # quietly wrong — fail loudly instead
+            raise NotImplementedError(
+                "SyntheticSriApi does not implement keyIn (safe-delta); "
+                "use FakeSriApi for safe-delta scenarios"
+            )
         limit_raw = q.get("limit", "500")
         offset = int(q.get("offset", "0"))
         expand = q.get("expand", "FULL")

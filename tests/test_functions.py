@@ -1328,6 +1328,71 @@ def test_decontaminate_corpus_zero_contamination_after_splice(spark):
     check()
 
 
+def test_dedup_corpus_spans_keeper_keeps_others_splice(spark):
+    """Hand-built corpus: the lowest-id doc keeps the shared 4-gram, the
+    other loses exactly that window (margin 0), heavy-dup docs drop."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x1 x2 x3 x4"),     # keeper of 'a b c d'
+            (2, "y1 y2 a b c d y3 y4"),     # splices it out
+            (3, "a b c d"),                  # 100% dup -> drop
+            (4, "u v w z q r s t"),          # unique -> keep
+        ],
+        "doc_id long, text string",
+    )
+    out = X.dedup_corpus_spans(docs, "doc_id", "text", w=4, margin=0)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    (k1,) = rows[1]
+    assert k1["action"] == "keep" and k1["clean_text"] == "a b c d x1 x2 x3 x4"
+    segs = sorted(rows[2], key=lambda r: r["seg"])
+    assert [r["action"] for r in segs] == ["splice", "splice"]
+    assert [r["clean_text"] for r in segs] == ["y1 y2", "y3 y4"]
+    assert segs[0]["dup_tokens"] == 4 and segs[0]["total_tokens"] == 8
+    (d3,) = rows[3]
+    assert d3["action"] == "drop" and d3["clean_text"] is None
+    (k4,) = rows[4]
+    assert k4["action"] == "keep"
+
+
+def test_dedup_corpus_spans_no_cross_doc_duplicates_remain(spark):
+    """Property (the ExactSubstr guarantee): re-measuring duplicated
+    spans over the keep/splice output KEYED BY THE ORIGINAL doc id finds
+    zero cross-document duplicated grams — every surviving duplicated
+    gram lives only in its keeper; re-chunking prevents junction grams."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "d"])  # tiny alphabet: shared
+    # grams everywhere, the adversarial regime
+    doc = st.lists(word, min_size=1, max_size=25).map(" ".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=2, max_size=6), st.integers(0, 2))
+    def check(texts, margin):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = X.dedup_corpus_spans(
+            docs, "doc_id", "text", w=3, drop_threshold_e6=800_000,
+            margin=margin,
+        )
+        surv = out.filter(F.col("action") != "drop").select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        if surv.count() == 0:
+            return
+        dups = X.duplicated_spans(surv, "doc_id", "text", w=3, min_docs=2)
+        assert dups.count() == 0
+
+    check()
+
+
 def test_calibrate_quality_null_text_ranks_last_in_source(spark):
     """A NULL qbin (NULL text) mixed into a source with real docs must
     rank ABOVE every real bin in the CDF — NULLS LAST, pinned explicitly
