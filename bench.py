@@ -66,6 +66,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "ann_matryoshka_topk",
     "pagerank_copurchase",
+    "pagerank_converged",
     "quality_calibration",
     "triangle_knn",
     "decontaminate_spans",
