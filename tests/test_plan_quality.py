@@ -228,6 +228,12 @@ def test_lsh_derived_frames_never_broadcast(spark):
     BroadcastExchange nodes; every join is an explicit shuffle_hash."""
     from sri2db_spark.plans.analytics import QUERIES
 
+    # assert the COLD plan: earlier tests in the shared session may have
+    # persisted identical sub-plans, and an InMemoryRelation carries
+    # accurate (small, at test SF) stats that legitimately re-enable a
+    # broadcast — at deployment scale the cached frame is accurately
+    # LARGE, so the cold plan is the one that must be broadcast-free
+    spark.catalog.clearCache()
     for name in ("dedup_minhash_lsh", "crosscorpus_neardup", "dedup_survivors_lsh"):
         plan = formatted_plan(QUERIES[name](spark, SF))
         body = plan.split("== Physical Plan ==")[-1]
