@@ -594,6 +594,24 @@ def incremental_neardup_pairs(
     return verified
 
 
+def _edge_sig(df: DataFrame) -> tuple:
+    """(count, order-insensitive checksum) of a distinct (hi, lo) edge
+    frame in ONE aggregation. Both frames compared by the star-CC
+    fixpoint are distinct sets, so equal sigs <=> equal sets up to a
+    2^-64 xxhash64 collision — property-tested equivalent to the
+    ``exceptAll``-based comparison it replaced, which cost a full extra
+    shuffle per round. decimal(38,0) sum: exact and overflow-free under
+    ANSI mode for any feasible edge count."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("x"),
+    ).first()
+    return (row["n"], row["x"])
+
+
 def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris
     et al. 2014, "Connected Components in MapReduce and Beyond"): each
@@ -613,7 +631,7 @@ def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
     e = edges.select(
         F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
     ).distinct().localCheckpoint(eager=True)
-    n_edges = e.count()
+    sig = _edge_sig(e)
     for _ in range(max_iters):
         # -- large-star: for every node u, connect each STRICTLY LARGER
         # neighbor v to min(N(u) ∪ {u}); u<->v edges where v < u are
@@ -648,11 +666,11 @@ def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
         # whole large+small cycle leaves unchanged is a star forest —
         # comparing against the post-large-star set alone could accept a
         # non-star small-star fixpoint like a descending chain)
-        new_cnt = new_e.count()
-        if new_cnt == n_edges and new_e.exceptAll(e).isEmpty():
+        new_sig = _edge_sig(new_e)
+        if new_sig == sig:
             e = new_e
             break
-        e, n_edges = new_e, new_cnt
+        e, sig = new_e, new_sig
     # converged: e is a star graph (x -> component min for every non-root)
     labels = e.select(F.col("hi").alias("id"), F.col("lo").alias("comp"))
     return (

