@@ -1783,6 +1783,24 @@ def q_corpus_pipeline_full(spark, sf):
     return curate_full(train, bench, weights=weights, budget_tokens=15_000)
 
 
+def q_corpus_pipeline_bpe(spark, sf):
+    """The composed pipeline with the BPE tokenizer seam driving every
+    token-denominated stage (mixing budget, packing, manifest n_tokens) —
+    the oracle replays the identical merges table relationally, so the
+    budget arithmetic is graded end to end in trainer tokens."""
+    from ..functions import tokenize as T  # noqa: PLC0415
+    from ..functions.pipeline import curate_full  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) < 2)
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) >= 2)
+    weights = {f"src{i}": 0.05 for i in range(20)}
+    return curate_full(
+        train, bench, weights=weights, budget_tokens=15_000,
+        tokenizer=T.bpe_tokenizer(),
+    )
+
+
 def q_corpus_curation(spark, sf):
     """Flagship composition: quality filter → exact dedup → benchmark
     decontamination → stratified sample → token accounting, as ONE lazy
@@ -3052,6 +3070,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_spans": q_dedup_corpus_spans,
     # r11: the full composed pipeline, graded end to end
     "corpus_pipeline_full": q_corpus_pipeline_full,
+    "corpus_pipeline_bpe": q_corpus_pipeline_bpe,
 }
 
 

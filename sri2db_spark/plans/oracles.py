@@ -3058,3 +3058,15 @@ ORACLES: dict[str, str] = {
         FROM pr
     """,
 }
+
+# The BPE variant of the composed pipeline: byte-identical SQL except the
+# token count every budget-bearing stage (calibration-survivor n_tokens →
+# per-source totals → mixing thresholds → packing prefix sum) is the BPE
+# mirror instead of the whitespace count. Derived textually from the
+# canonical oracle so the two can never drift structurally.
+_WS_NTOK = "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+assert _WS_NTOK in ORACLES["corpus_pipeline_full"]
+ORACLES["corpus_pipeline_bpe"] = ORACLES["corpus_pipeline_full"].replace(
+    _WS_NTOK, f"{_BPE} AS n_tokens"
+)
+assert ORACLES["corpus_pipeline_bpe"] != ORACLES["corpus_pipeline_full"]
