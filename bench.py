@@ -137,7 +137,19 @@ def run_session() -> dict:
     # the emitted per-query "repeats" map records the actual count.
     extra_repeat = {
         "dedup_minhash_lsh": max(repeat, 5),
-        "ngram_topk": max(repeat, 5),
+        # r12 probe (tools/bench_bimodality_probe.py, 12 repeats each):
+        # boilerplate_frac (+30% over two rounds), ngram_topk (+24% r11)
+        # and quality_calibration (+15% r11) all show a pure JIT warm-up
+        # slope — per-run compile time decays 8900→500 ms while GC stays
+        # flat at 5-50 ms — with wall reaching steady state only at run
+        # ~6-8 (boilerplate 2.58→1.39 s, ngram 0.92→0.75 s, qcal
+        # 1.63→0.81 s). A min-of-3/5 lands ON the slope at a session-
+        # dependent point, which is exactly the observed cross-round
+        # drift on unchanged code. Floor of 8 puts the min past the
+        # slope knee for all three (~40 s extra bench wall total).
+        "ngram_topk": max(repeat, 8),
+        "boilerplate_frac": max(repeat, 8),
+        "quality_calibration": max(repeat, 8),
         # the ETL sync and bulk-ANN entries have the other steep warm-up
         # slopes (merge-pipeline / LUT-projection codegen): a min-of-3 can
         # still land on the slope, which showed up as the only >10%

@@ -44,9 +44,19 @@ def main() -> None:
     n_tok_total = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0] or 0
     budget = max(15_000, int(n_tok_total * 0.55))
 
+    # PIPE_E2E_TOKENIZER=bpe measures the composition with the BPE
+    # counter driving every budget-bearing stage (the corpus_pipeline_bpe
+    # graded shape) — the extra cost is the pure-JVM fold of replaces
+    tokenizer = None
+    if os.environ.get("PIPE_E2E_TOKENIZER") == "bpe":
+        from sri2db_spark.functions.tokenize import bpe_tokenizer  # noqa: PLC0415
+
+        tokenizer = bpe_tokenizer()
+
     t_all = time.time()
     manifest, stages = curate_full(
-        train, bench, weights=weights, budget_tokens=budget, return_stages=True
+        train, bench, weights=weights, budget_tokens=budget,
+        return_stages=True, tokenizer=tokenizer,
     )
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
