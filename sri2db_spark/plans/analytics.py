@@ -907,6 +907,42 @@ def q_bpe_token_stats(spark, sf):
     )
 
 
+def q_bpe_train_merges(spark, sf):
+    """DISTRIBUTED BPE training over the documents corpus: one corpus-
+    sized word-frequency shuffle, then 10 argmax iterations over the
+    materialized vocabulary (Sennrich 2016 dictionary form; deterministic
+    (count DESC, pair ASC) tie-break). The oracle unrolls the identical
+    iterations as chained CTEs, so every learned decision is graded."""
+    from ..functions import tokenize as T  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    learned = T.bpe_train_merges(docs, "text", n_merges=10)
+    return spark.createDataFrame(
+        [(i, f"{l}|{r}", c) for i, (l, r, c) in enumerate(learned)],
+        "rank int, pair string, freq long",
+    )
+
+
+def q_bpe_vocab_topk(spark, sf):
+    """Corpus vocabulary profile under the BPE tokenizer: top-20 tokens
+    by frequency (deterministic tie-break). bpe_tokenize is a pure-JVM
+    fold+extract projection; one hash-agg shuffle on the token."""
+    from ..functions import tokenize as T  # noqa: PLC0415
+
+    docs = _tp(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(T.bpe_tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def q_pack_sequences_bpe(spark, sf):
     """Sequence packing under the pluggable BPE token counter — the
     budget-bearing operator actually denominated in trainer tokens."""
@@ -2966,6 +3002,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "bpe_token_stats": q_bpe_token_stats,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_vocab_topk": q_bpe_vocab_topk,
     "range_join_events": q_range_join_events,
     # -- thrice-green remainder (same relative order as rounds 4-6) -------
     "c2_anti_join": q_c2_anti_join,

@@ -15,7 +15,7 @@ verified bit-identical to Spark's ``aggregate(…, 0.0, acc+x)`` left fold.
 from __future__ import annotations
 
 from ..functions.similarity import _fixed_planes
-from ..functions.tokenize import bpe_count_sql
+from ..functions.tokenize import bpe_count_sql, bpe_tokens_sql, bpe_train_sql
 
 DIM = 64
 
@@ -1034,6 +1034,20 @@ ORACLES: dict[str, str] = {
     "bpe_token_stats": f"""
         SELECT doc_id, len({_W}) AS n_tokens_ws, {_BPE} AS n_tokens_bpe
         FROM documents
+    """,
+    # the trainer loop unrolled as chained 1-row CTEs (bpe_train_sql):
+    # every argmax decision + early stop replayed iteration by iteration
+    "bpe_train_merges": bpe_train_sql(n_merges=10, min_count=2),
+    "bpe_vocab_topk": f"""
+        WITH toks AS (
+          SELECT unnest({bpe_tokens_sql("text")}) AS token FROM documents),
+        agg AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY token)
+        SELECT token, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT)
+                 AS rank
+        FROM agg ORDER BY cnt DESC, token ASC LIMIT 20
     """,
     "deterministic_sample": """
         SELECT doc_id, source, lang FROM documents WHERE doc_id % 100 < 10

@@ -1710,3 +1710,77 @@ def test_bpe_rejects_sentinel_merge_tokens():
     for bad in [("a|b", "c"), ("\x1e", "x"), ("y", "\x1f")]:
         with pytest.raises(ValueError, match="sentinel"):
             T._encode([bad])
+
+
+def _py_bpe_tokenize(word, merges):
+    import re
+
+    s = "".join(f"\x1e{ch}\x1f" for ch in word)
+    for l, r in merges:  # noqa: E741
+        s = s.replace(f"\x1e{l}\x1f\x1e{r}\x1f", f"\x1e{l}{r}\x1f")
+    return re.findall("\x1e([^\x1e\x1f]*)\x1f", s)
+
+
+def _py_bpe_train(texts, n_merges, min_count=2):
+    """Pure-Python reference of the distributed trainer's semantics."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w and "|" not in w and "\x1e" not in w and "\x1f" not in w:
+                vocab[w] += 1
+    merges, out = [], []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, f in vocab.items():
+            toks = _py_bpe_tokenize(w, merges)
+            for a, b in zip(toks, toks[1:]):
+                counts[f"{a}|{b}"] += f
+        cands = [(c, p) for p, c in counts.items() if c >= min_count]
+        if not cands:
+            break
+        c, p = sorted(cands, key=lambda t: (-t[0], t[1]))[0]
+        l, r = p.split("|", 1)  # noqa: E741
+        merges.append((l, r))
+        out.append((l, r, c))
+    return out
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    """The distributed trainer reproduces the reference trainer exactly —
+    argmax order, weighted counts, lexicographic tie-breaks, early stop —
+    on corpora engineered with heavy ties and repeated words."""
+    from sri2db_spark.functions import tokenize as T
+
+    corpora = [
+        ["the the then there", "and hand the band", "in inn inside"],
+        ["aa aa ab ab ba ba", "abab baba aabb"],          # tie-heavy
+        ["x", "y z", ""],                                  # pair-starved
+        ["w|eird \x1esk kept kept", "kept words words"],   # filtered words
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = T.bpe_train_merges(df, "text", n_merges=8)
+        ref = _py_bpe_train(texts, 8)
+        assert got == ref, (texts, got, ref)
+
+
+def test_bpe_trained_merges_chain_into_tokenizer(spark):
+    """Learned merges plug straight into bpe_tokenizer/bpe_token_count and
+    strictly reduce token counts on the corpus they were trained on."""
+    from sri2db_spark.functions import tokenize as T
+
+    texts = ["the the then there", "and hand the band the"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    learned = [(l, r) for l, r, _ in T.bpe_train_merges(df, "text", n_merges=6)]
+    assert learned  # this corpus has mergeable pairs
+    out = df.select(
+        T.bpe_token_count(F.col("text"), ()).alias("chars"),
+        T.bpe_token_count(F.col("text"), learned).alias("bpe"),
+    ).collect()
+    assert all(r.bpe < r.chars for r in out)
+    toks = df.select(T.bpe_tokenize(F.col("text"), learned).alias("t")).first()
+    assert "the" in toks.t  # 'the' became a single learned token
