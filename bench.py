@@ -72,6 +72,11 @@ HEADLINE = [
     "decontaminate_spans",
     "decontaminate_corpus",
     "dedup_corpus_spans",
+    # r12: the BPE token-accounting family — the fold is a pure-JVM
+    # projection (vocab_topk adds one token hash-agg), so these double as
+    # a codegen-throughput probe
+    "bpe_token_stats",
+    "bpe_vocab_topk",
 ]
 
 
