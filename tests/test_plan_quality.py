@@ -335,3 +335,24 @@ def test_pq_lut_build_is_distributed_projection(spark):
             assert "LocalTableScan" not in plan, f"residual={residual}"
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bpe_fold_is_shuffle_free_jvm_projection(spark):
+    """The BPE token counter must stay a pure-JVM projection: no Exchange
+    (zero shuffles — the 100 TB contract of the fold design) and no
+    Python eval nodes in bpe_token_stats; bpe_vocab_topk may shuffle only
+    for its token hash-agg (exactly one Exchange pre-AQE plus the
+    single-partition top-k exchange)."""
+    plan = formatted_plan(QUERIES["bpe_token_stats"](spark, SF))
+    # the only allowed Exchange is _tp's deliberate round-robin CPU
+    # spreader; the fold itself must introduce NO hash/range shuffle
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+
+    plan_topk = formatted_plan(QUERIES["bpe_vocab_topk"](spark, SF))
+    assert "Python" not in plan_topk and "BatchEval" not in plan_topk
+    # exactly one hash shuffle (the token agg); top-k adds a single-
+    # partition exchange, _tp its round-robin — nothing else
+    n_hash = plan_topk.count("hashpartitioning")
+    assert n_hash <= 1, plan_topk
