@@ -38,6 +38,7 @@ def curate_corpus(
     contamination_k: int = 5,
     rates_pct: dict[str, int] | None = None,
     default_pct: int = 50,
+    token_count=None,
 ) -> DataFrame:
     """The curated corpus: (id, strata, n_tokens, quality) for every
     surviving document.
@@ -56,7 +57,9 @@ def curate_corpus(
     4. **Stratified sampling** — per-stratum deterministic ``id %% 100``
        rates (the data-mixing knob).
     5. **Token accounting** — whitespace token counts for downstream
-       packing/budgeting.
+       packing/budgeting by default; pass ``token_count``
+       (e.g. :func:`..tokenize.bpe_tokenizer`) to denominate in trainer
+       tokens.
     """
     scored = docs.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") >= min_quality
@@ -75,7 +78,7 @@ def curate_corpus(
     return sampled.select(
         id_col,
         strata_col,
-        token_count_ws(F.col(text_col)).alias("n_tokens"),
+        (token_count or token_count_ws)(F.col(text_col)).alias("n_tokens"),
         "quality",
     )
 
@@ -319,6 +322,7 @@ def curate_batch_incremental(
     update_state: bool = True,
     batch_token=None,
     committer=None,
+    token_count=None,
 ) -> DataFrame:
     """One ingest batch through the curation chain AGAINST persisted state —
     the per-batch cost is O(batch), never O(corpus):
@@ -403,7 +407,8 @@ def curate_batch_incremental(
     out = q.select(
         F.col(id_col),
         F.col(strata_col),
-        token_count_ws(F.col(text_col)).alias("n_tokens"),
+        # token_count seam: budget-faithful counting (see curate_full)
+        (token_count or token_count_ws)(F.col(text_col)).alias("n_tokens"),
         "quality",
     )
     if update_state:

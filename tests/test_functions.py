@@ -1635,6 +1635,10 @@ BPE_CASES = [
     "pipes |and| sentinels \x1e inside \x1f text",
     "the quick brown fox jumps over the lazy dog",
     "ss tt thth hehe erer",
+    # astral (non-BMP) chars: Java regex must wrap code POINTS, not
+    # UTF-16 units, to agree with RE2/Python — verified r12
+    "smile \U0001F600 x",
+    "a\U0001F44Db c \U0001D54A\U0001D56A",
 ]
 
 
