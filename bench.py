@@ -77,6 +77,7 @@ HEADLINE = [
     # a codegen-throughput probe
     "bpe_token_stats",
     "bpe_vocab_topk",
+    "gopher_quality_flags",
 ]
 
 

@@ -1344,3 +1344,88 @@ def calibrate_quality(
             F.least(F.lit(9).cast("bigint"), F.expr("pr_e6 div 100000")),
         )
     )
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-rule filter (Rae et al. 2021, "Scaling Language
+    Models", appendix A1.1) as per-document flags — the standard rule set
+    a web-scale curation pipeline applies before any model-based scoring:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10] chars
+    - symbol-word ratio (``#`` / ``...``) ≤ 10%
+    - < 90% of lines start with a bullet, < 30% end with an ellipsis
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 of the 8 Gopher stopwords present
+
+    Every decision is an EXACT-INTEGER cross-multiplied comparison
+    (``3·n_words ≤ total_chars ≤ 10·n_words``, ``10·n_sym ≤ n_words``,
+    …) so a relational engine replays the keep bit identically; the
+    reported ratios are integer-scaled (``…_e6 = (x·1e6) div n``). All
+    pure-JVM array expressions over one projection — no shuffle, no
+    Python. NULL text → NULL metrics, ``keep = false``.
+
+    Returns ``(id, n_words, mean_wl_e6, alpha_frac_e6, symbol_frac_e6,
+    bullet_frac_e6, ellipsis_frac_e6, n_stop, keep)``.
+    """
+    t = text_col
+    toks = f"filter(split({t}, ' '), x -> x <> '')"
+    lines = f"split({t}, '\\n')"
+    nw = f"size({toks})"
+    tc = f"aggregate({toks}, 0L, (a, x) -> a + length(x))"
+    na = f"size(filter({toks}, x -> x rlike '[A-Za-z]'))"
+    ns = f"size(filter({toks}, x -> x like '%#%' or x like '%...%'))"
+    nl = f"size({lines})"
+    nb = (
+        f"size(filter({lines}, l -> trim(l) like '-%' or "
+        f"trim(l) like '*%' or trim(l) like '•%'))"
+    )
+    ne = (
+        f"size(filter({lines}, l -> trim(l) like '%...' or "
+        f"trim(l) like '%…'))"
+    )
+    nstop = "(" + " + ".join(
+        f"if(array_contains({toks}, '{s}'), 1, 0)" for s in GOPHER_STOPS
+    ) + ")"
+    keep = (
+        f"coalesce({nw} >= {min_words} AND {nw} <= {max_words} "
+        f"AND 3 * {nw} <= {tc} AND {tc} <= 10 * {nw} "
+        f"AND 10 * {ns} <= {nw} "
+        f"AND 10 * {nb} < 9 * {nl} AND 10 * {ne} < 3 * {nl} "
+        f"AND 5 * {na} >= 4 * {nw} "
+        f"AND {nstop} >= 2, false)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"cast({nw} as bigint)").alias("n_words"),
+        F.expr(
+            f"cast(if({nw} > 0, ({tc} * 1000000) div {nw}, null) as bigint)"
+        ).alias("mean_wl_e6"),
+        F.expr(
+            f"cast(if({nw} > 0, (cast({na} as bigint) * 1000000) div {nw}, "
+            "null) as bigint)"
+        ).alias("alpha_frac_e6"),
+        F.expr(
+            f"cast(if({nw} > 0, (cast({ns} as bigint) * 1000000) div {nw}, "
+            "null) as bigint)"
+        ).alias("symbol_frac_e6"),
+        F.expr(
+            f"cast(if({nl} > 0, (cast({nb} as bigint) * 1000000) div {nl}, "
+            "null) as bigint)"
+        ).alias("bullet_frac_e6"),
+        F.expr(
+            f"cast(if({nl} > 0, (cast({ne} as bigint) * 1000000) div {nl}, "
+            "null) as bigint)"
+        ).alias("ellipsis_frac_e6"),
+        F.expr(f"cast({nstop} as int)").alias("n_stop"),
+        F.expr(keep).alias("keep"),
+    )

@@ -907,6 +907,12 @@ def q_bpe_token_stats(spark, sf):
     )
 
 
+def q_gopher_quality_flags(spark, sf):
+    """Gopher rule-based quality filter (Rae et al. 2021 A1.1) as exact-
+    integer per-doc flags — one pure-JVM projection, no shuffle."""
+    return X.gopher_quality_flags(_tp(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_bpe_train_merges(spark, sf):
     """DISTRIBUTED BPE training over the documents corpus: one corpus-
     sized word-frequency shuffle, then 10 argmax iterations over the
@@ -3004,6 +3010,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": q_bpe_token_stats,
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_vocab_topk": q_bpe_vocab_topk,
+    "gopher_quality_flags": q_gopher_quality_flags,
     "range_join_events": q_range_join_events,
     # -- thrice-green remainder (same relative order as rounds 4-6) -------
     "c2_anti_join": q_c2_anti_join,

@@ -1038,6 +1038,60 @@ ORACLES: dict[str, str] = {
     # the trainer loop unrolled as chained 1-row CTEs (bpe_train_sql):
     # every argmax decision + early stop replayed iteration by iteration
     "bpe_train_merges": bpe_train_sql(n_merges=10, min_count=2),
+    # Gopher A1.1 rules, exact-integer cross-multiplied comparisons —
+    # mirrors functions.text.gopher_quality_flags term for term
+    "gopher_quality_flags": """
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+                 string_split(text, chr(10)) AS ln
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 len(tk) AS nw,
+                 COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+                   AS tc,
+                 len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS na,
+                 len(list_filter(tk, x -> x LIKE '%#%' OR x LIKE '%...%'))
+                   AS ns,
+                 len(ln) AS nl,
+                 len(list_filter(ln, l -> trim(l) LIKE '-%'
+                     OR trim(l) LIKE '*%' OR trim(l) LIKE chr(8226) || '%'))
+                   AS nb,
+                 len(list_filter(ln, l -> trim(l) LIKE '%...'
+                     OR trim(l) LIKE '%' || chr(8230))) AS ne,
+                 (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END)
+                   AS nstop
+          FROM m)
+        SELECT doc_id,
+               CAST(nw AS BIGINT) AS n_words,
+               CAST(CASE WHEN nw > 0 THEN (tc * 1000000) // nw END AS BIGINT)
+                 AS mean_wl_e6,
+               CAST(CASE WHEN nw > 0 THEN (na * 1000000) // nw END AS BIGINT)
+                 AS alpha_frac_e6,
+               CAST(CASE WHEN nw > 0 THEN (ns * 1000000) // nw END AS BIGINT)
+                 AS symbol_frac_e6,
+               CAST(CASE WHEN nl > 0 THEN (nb * 1000000) // nl END AS BIGINT)
+                 AS bullet_frac_e6,
+               CAST(CASE WHEN nl > 0 THEN (ne * 1000000) // nl END AS BIGINT)
+                 AS ellipsis_frac_e6,
+               CAST(nstop AS INT) AS n_stop,
+               COALESCE(nw >= 50 AND nw <= 100000
+                 AND 3 * nw <= tc AND tc <= 10 * nw
+                 AND 10 * ns <= nw
+                 AND 10 * nb < 9 * nl AND 10 * ne < 3 * nl
+                 AND 5 * na >= 4 * nw
+                 AND nstop >= 2, false) AS keep
+        FROM c
+    """,
     "bpe_vocab_topk": f"""
         WITH toks AS (
           SELECT unnest({bpe_tokens_sql("text")}) AS token FROM documents),

@@ -1788,3 +1788,39 @@ def test_bpe_trained_merges_chain_into_tokenizer(spark):
     assert all(r.bpe < r.chars for r in out)
     toks = df.select(T.bpe_tokenize(F.col("text"), learned).alias("t")).first()
     assert "the" in toks.t  # 'the' became a single learned token
+
+
+def test_gopher_quality_flags_rule_boundaries(spark):
+    """Each Gopher rule trips on its own adversarial document; the good
+    document passes all; exact-integer boundary cases sit on the correct
+    side (90%-bullet and 30%-ellipsis are strict)."""
+    good = " ".join(["the", "and"] + ["word"] * 60)
+    docs = [
+        (0, good),                                        # keep
+        (1, "the and word"),                              # too short
+        (2, " ".join(["the", "and"] + ["#t"] * 7 + ["word"] * 50)),  # symbols
+        (3, "\n".join(["- the and word here now ok"] * 9
+                      + ["the and word here now ok"])),   # 90% bullets
+        (4, "\n".join(["the and word here now ok..."] * 3
+                      + ["the and word here now ok"] * 7)),  # 30% ellipsis
+        (5, " ".join(["the", "and"] + ["abcdefghijkl"] * 48)),  # mean wl > 10
+        (6, " ".join(["the", "and"] + ["123"] * 48)),     # alpha < 80%
+        (7, " ".join(["the"] + ["word"] * 49)),           # one stopword
+        (8, None),                                        # null text
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.gopher_quality_flags(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert out[0]["keep"] is True
+    for i in range(1, 9):
+        assert out[i]["keep"] is False, (i, out[i])
+    assert out[0]["n_words"] == 62
+    assert out[0]["mean_wl_e6"] == (246 * 1_000_000) // 62
+    assert out[0]["n_stop"] == 2
+    assert out[3]["bullet_frac_e6"] == 900_000
+    assert out[4]["ellipsis_frac_e6"] == 300_000
+    assert out[8]["n_words"] is None and out[8]["keep"] is False
