@@ -78,6 +78,7 @@ HEADLINE = [
     "bpe_token_stats",
     "bpe_vocab_topk",
     "gopher_quality_flags",
+    "gopher_repetition_flags",
 ]
 
 

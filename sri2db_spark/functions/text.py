@@ -1429,3 +1429,236 @@ def gopher_quality_flags(
         F.expr(f"cast({nstop} as int)").alias("n_stop"),
         F.expr(keep).alias("keep"),
     )
+
+
+# (threshold_pct applied as num*100 <= pct*total_chars — exact integers)
+GOPHER_REP_THRESHOLDS = {
+    "top": {2: 20, 3: 18, 4: 16},
+    "dup": {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10},
+}
+
+
+def gopher_repetition_flags(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Gopher REPETITION filter table (Rae et al. 2021 A1.1, second
+    half) — the companion of :func:`gopher_quality_flags`:
+
+    - duplicate line / paragraph fraction ≤ 30% (occurrence-counted)
+    - duplicate line / paragraph CHAR fraction ≤ 20%
+    - top k-gram char fraction: 2-gram ≤ 20%, 3 ≤ 18%, 4 ≤ 16%
+    - duplicated k-gram char fraction: 5..10-gram ≤ 15..10%
+
+    Char mass is the public-implementation form (occurrences × gram
+    string length, not exact span union); the "top" metric is the max
+    char mass of any single k-gram — deterministic with no tie-break
+    ambiguity. Every keep decision is an exact-integer cross-multiplied
+    comparison (``num·100 ≤ pct·total_chars``), so the oracle replays
+    the bit. NULL text → NULL metrics, ``keep = false``.
+
+    Plan shape: ONE fused explode emits every gram size as (k, gram)
+    structs — one shuffle keyed (doc, k, gram), one (doc, k) rollup
+    pivoted by conditional aggregation — plus two small line/paragraph
+    aggregations; ~3 shuffles total regardless of how many gram sizes
+    the rule table carries.
+    """
+    sizes = sorted({*GOPHER_REP_THRESHOLDS["top"], *GOPHER_REP_THRESHOLDS["dup"]})
+    t = text_col
+    toks = f"filter(split({t}, ' '), x -> x <> '')"
+    gram_arr = (
+        "flatten(transform(array(" + ",".join(map(str, sizes)) + "), kk -> "
+        f"CASE WHEN size(__t) >= kk THEN transform(sequence(1, size(__t) - kk + 1), "
+        "i -> struct(kk AS k, array_join(slice(__t, i, kk), ' ') AS g)) "
+        "ELSE CAST(array() AS array<struct<k:int,g:string>>) END))"
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(t)).cast("bigint").alias("total_chars"),
+        F.expr(toks).alias("__t"),
+        F.expr(f"filter(split({t}, '\\n'), x -> x <> '')").alias("__ln"),
+        F.expr(f"filter(split({t}, '\\n\\n'), x -> x <> '')").alias("__pg"),
+    ).localCheckpoint(eager=True)
+
+    per = (
+        base.select("doc_id", F.explode(F.expr(gram_arr)).alias("kg"))
+        .select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+        .groupBy("doc_id", "k", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mass = F.col("c") * F.length("g").cast("bigint")
+    byk = per.groupBy("doc_id", "k").agg(
+        F.max(mass).alias("topnum"),
+        F.sum(F.when(F.col("c") >= 2, mass).otherwise(F.lit(0))).alias("dupnum"),
+    )
+    gram_cols = []
+    for k in GOPHER_REP_THRESHOLDS["top"]:
+        gram_cols.append(
+            F.max(F.when(F.col("k") == k, F.col("topnum"))).alias(f"top{k}_num")
+        )
+    for k in GOPHER_REP_THRESHOLDS["dup"]:
+        gram_cols.append(
+            F.max(F.when(F.col("k") == k, F.col("dupnum"))).alias(f"dup{k}_num")
+        )
+    grams = byk.groupBy("doc_id").agg(*gram_cols)
+
+    def _dupagg(arr_col, prefix):
+        ex = base.select("doc_id", F.explode(F.col(arr_col)).alias("u"))
+        peru = ex.groupBy("doc_id", "u").agg(F.count(F.lit(1)).alias("c"))
+        return peru.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{prefix}_n"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                f"{prefix}_dup"
+            ),
+            F.sum(
+                F.when(
+                    F.col("c") >= 2, F.col("c") * F.length("u").cast("bigint")
+                ).otherwise(F.lit(0))
+            ).alias(f"{prefix}_dupchar"),
+        )
+
+    out = (
+        base.select("doc_id", "total_chars")
+        .join(grams, "doc_id", "left")
+        .join(_dupagg("__ln", "ln"), "doc_id", "left")
+        .join(_dupagg("__pg", "pg"), "doc_id", "left")
+    )
+    tc = F.col("total_chars")
+    metrics = [F.col("doc_id"), tc.alias("total_chars")]
+    conds = []
+    for prefix, frac_of, pct in (
+        ("ln_dup", "ln_n", 30),
+        ("pg_dup", "pg_n", 30),
+    ):
+        num = F.coalesce(F.col(prefix), F.lit(0))
+        den = F.coalesce(F.col(frac_of), F.lit(0))
+        metrics.append(
+            F.expr(
+                f"cast(if(coalesce({frac_of}, 0) > 0, "
+                f"(coalesce({prefix}, 0) * 1000000) div {frac_of}, null) as bigint)"
+            ).alias(f"{prefix}_frac_e6")
+        )
+        conds.append(num * 100 <= F.lit(pct) * den)
+    for prefix in ("ln_dupchar", "pg_dupchar"):
+        num = F.coalesce(F.col(prefix), F.lit(0))
+        metrics.append(
+            F.expr(
+                f"cast(if(total_chars > 0, "
+                f"(coalesce({prefix}, 0) * 1000000) div total_chars, null) as bigint)"
+            ).alias(f"{prefix}_frac_e6")
+        )
+        conds.append(num * 100 <= F.lit(20) * tc)
+    for kind, table in GOPHER_REP_THRESHOLDS.items():
+        for k, pct in table.items():
+            col = f"{kind}{k}_num"
+            num = F.coalesce(F.col(col), F.lit(0))
+            metrics.append(
+                F.expr(
+                    f"cast(if(total_chars > 0, "
+                    f"(coalesce({col}, 0) * 1000000) div total_chars, null) as bigint)"
+                ).alias(f"{kind}{k}_char_frac_e6")
+            )
+            conds.append(num * 100 <= F.lit(pct) * tc)
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep & c
+    metrics.append(F.coalesce(keep & tc.isNotNull(), F.lit(False)).alias("keep"))
+    return out.select(*metrics)
+
+
+def gopher_repetition_sql(relation: str = "documents") -> str:
+    """DuckDB mirror of :func:`gopher_repetition_flags`, generated from
+    the same ``GOPHER_REP_THRESHOLDS`` table so the engines cannot
+    drift."""
+    sizes = sorted({*GOPHER_REP_THRESHOLDS["top"], *GOPHER_REP_THRESHOLDS["dup"]})
+    ks = ", ".join(f"({k})" for k in sizes)
+    top_cols = ",\n                 ".join(
+        f"max(CASE WHEN k = {k} THEN topnum END) AS top{k}_num"
+        for k in GOPHER_REP_THRESHOLDS["top"]
+    )
+    dup_cols = ",\n                 ".join(
+        f"max(CASE WHEN k = {k} THEN dupnum END) AS dup{k}_num"
+        for k in GOPHER_REP_THRESHOLDS["dup"]
+    )
+    frac = []
+    conds = []
+    for prefix, den, pct in (("ln_dup", "ln_n", 30), ("pg_dup", "pg_n", 30)):
+        frac.append(
+            f"CAST(CASE WHEN COALESCE({den}, 0) > 0 THEN "
+            f"(COALESCE({prefix}, 0) * 1000000) // {den} END AS BIGINT) "
+            f"AS {prefix}_frac_e6"
+        )
+        conds.append(f"COALESCE({prefix}, 0) * 100 <= {pct} * COALESCE({den}, 0)")
+    for prefix in ("ln_dupchar", "pg_dupchar"):
+        frac.append(
+            f"CAST(CASE WHEN total_chars > 0 THEN "
+            f"(COALESCE({prefix}, 0) * 1000000) // total_chars END AS BIGINT) "
+            f"AS {prefix}_frac_e6"
+        )
+        conds.append(f"COALESCE({prefix}, 0) * 100 <= 20 * total_chars")
+    for kind, table in GOPHER_REP_THRESHOLDS.items():
+        for k, pct in table.items():
+            col = f"{kind}{k}_num"
+            frac.append(
+                f"CAST(CASE WHEN total_chars > 0 THEN "
+                f"(COALESCE({col}, 0) * 1000000) // total_chars END AS BIGINT) "
+                f"AS {kind}{k}_char_frac_e6"
+            )
+            conds.append(f"COALESCE({col}, 0) * 100 <= {pct} * total_chars")
+    keep = " AND ".join(conds)
+    frac_sql = ",\n               ".join(frac)
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t,
+                 list_filter(string_split(text, chr(10)), x -> x <> '') AS lna,
+                 list_filter(string_split(text, chr(10) || chr(10)),
+                             x -> x <> '') AS pga
+          FROM {relation}),
+        ks(k) AS (VALUES {ks}),
+        occ AS (
+          SELECT b.doc_id, ks.k,
+                 array_to_string(b.t[u.i:u.i + ks.k - 1], ' ') AS g
+          FROM base b, ks,
+               UNNEST(generate_series(1, greatest(len(b.t) - ks.k + 1, 0)))
+                 AS u(i)),
+        per AS (
+          SELECT doc_id, k, g, count(*) AS c FROM occ GROUP BY doc_id, k, g),
+        byk AS (
+          SELECT doc_id, k,
+                 CAST(max(c * length(g)) AS BIGINT) AS topnum,
+                 CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END),
+                               0) AS BIGINT) AS dupnum
+          FROM per GROUP BY doc_id, k),
+        gr AS (
+          SELECT doc_id,
+                 {top_cols},
+                 {dup_cols}
+          FROM byk GROUP BY doc_id),
+        lnagg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS ln_n,
+                 CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c END), 0)
+                      AS BIGINT) AS ln_dup,
+                 CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c * length(u) END),
+                               0) AS BIGINT) AS ln_dupchar
+          FROM (SELECT doc_id, u, count(*) AS c
+                FROM (SELECT doc_id, unnest(lna) AS u FROM base) q
+                GROUP BY doc_id, u) q2
+          GROUP BY doc_id),
+        pgagg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS pg_n,
+                 CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c END), 0)
+                      AS BIGINT) AS pg_dup,
+                 CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c * length(u) END),
+                               0) AS BIGINT) AS pg_dupchar
+          FROM (SELECT doc_id, u, count(*) AS c
+                FROM (SELECT doc_id, unnest(pga) AS u FROM base) q
+                GROUP BY doc_id, u) q2
+          GROUP BY doc_id)
+        SELECT b.doc_id, b.total_chars,
+               {frac_sql},
+               COALESCE(({keep}) AND b.total_chars IS NOT NULL, false) AS keep
+        FROM base b
+        LEFT JOIN gr USING (doc_id)
+        LEFT JOIN lnagg USING (doc_id)
+        LEFT JOIN pgagg USING (doc_id)
+    """

@@ -913,6 +913,14 @@ def q_gopher_quality_flags(spark, sf):
     return X.gopher_quality_flags(_tp(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_gopher_repetition_flags(spark, sf):
+    """Gopher repetition-filter table (dup lines/paragraphs + top/dup
+    k-gram char mass, k=2..10) — one fused gram explode, ~3 shuffles."""
+    return X.gopher_repetition_flags(
+        _tp(spark, sf, "documents"), "doc_id", "text"
+    )
+
+
 def q_bpe_train_merges(spark, sf):
     """DISTRIBUTED BPE training over the documents corpus: one corpus-
     sized word-frequency shuffle, then 10 argmax iterations over the
@@ -3011,6 +3019,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_vocab_topk": q_bpe_vocab_topk,
     "gopher_quality_flags": q_gopher_quality_flags,
+    "gopher_repetition_flags": q_gopher_repetition_flags,
     "range_join_events": q_range_join_events,
     # -- thrice-green remainder (same relative order as rounds 4-6) -------
     "c2_anti_join": q_c2_anti_join,

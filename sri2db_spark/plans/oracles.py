@@ -15,6 +15,7 @@ verified bit-identical to Spark's ``aggregate(…, 0.0, acc+x)`` left fold.
 from __future__ import annotations
 
 from ..functions.similarity import _fixed_planes
+from ..functions.text import gopher_repetition_sql
 from ..functions.tokenize import bpe_count_sql, bpe_tokens_sql, bpe_train_sql
 
 DIM = 64
@@ -1038,6 +1039,9 @@ ORACLES: dict[str, str] = {
     # the trainer loop unrolled as chained 1-row CTEs (bpe_train_sql):
     # every argmax decision + early stop replayed iteration by iteration
     "bpe_train_merges": bpe_train_sql(n_merges=10, min_count=2),
+    # the repetition table, generated from GOPHER_REP_THRESHOLDS so the
+    # engines share one rule set
+    "gopher_repetition_flags": gopher_repetition_sql("documents"),
     # Gopher A1.1 rules, exact-integer cross-multiplied comparisons —
     # mirrors functions.text.gopher_quality_flags term for term
     "gopher_quality_flags": """

@@ -1824,3 +1824,27 @@ def test_gopher_quality_flags_rule_boundaries(spark):
     assert out[3]["bullet_frac_e6"] == 900_000
     assert out[4]["ellipsis_frac_e6"] == 300_000
     assert out[8]["n_words"] is None and out[8]["keep"] is False
+
+
+def test_gopher_repetition_flags_boundaries(spark):
+    """Hand-built repetition cases: clean long doc passes, duplicate
+    lines trip the 30% line rule, a looped 5-gram trips the duplicated-
+    gram char-mass rules; exact-integer e6 ratios verified."""
+    clean = " ".join(f"w{i:03d}" for i in range(200))
+    dupline = "\n".join(
+        ["the same line here"] * 4 + [f"unique line {i} x" for i in range(6)]
+    )
+    loop5 = " ".join(["alpha beta gamma delta epsilon"] * 6)
+    docs = spark.createDataFrame(
+        [(0, clean), (1, dupline), (2, loop5)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in X.gopher_repetition_flags(docs, "doc_id", "text").collect()
+    }
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False
+    assert out[1]["ln_dup_frac_e6"] == 400_000  # 4 of 10 lines duplicated
+    assert out[2]["keep"] is False
+    assert out[2]["dup5_char_frac_e6"] > 150_000  # looped 5-gram mass
+    assert out[0]["dup5_char_frac_e6"] == 0
