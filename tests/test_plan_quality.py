@@ -356,3 +356,16 @@ def test_bpe_fold_is_shuffle_free_jvm_projection(spark):
     # partition exchange, _tp its round-robin — nothing else
     n_hash = plan_topk.count("hashpartitioning")
     assert n_hash <= 1, plan_topk
+
+
+def test_gopher_flags_are_shuffle_free_projections(spark):
+    """Both Gopher rule tables are per-document — the plans must contain
+    no hash/range shuffle at all (only the loader's round-robin CPU
+    spreader) and no Python nodes. The repetition table earlier shipped
+    as a (doc,k,gram) shuffle; the sorted-run projection form replaced
+    it (107.8 -> 70.8 s at sf10) and this guard keeps it that way."""
+    for name in ("gopher_quality_flags", "gopher_repetition_flags"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "hashpartitioning" not in plan, (name, plan)
+        assert "rangepartitioning" not in plan, (name, plan)
+        assert "Python" not in plan and "BatchEval" not in plan, name
