@@ -79,6 +79,7 @@ HEADLINE = [
     "bpe_vocab_topk",
     "gopher_quality_flags",
     "gopher_repetition_flags",
+    "c4_quality_flags",
 ]
 
 

@@ -1668,3 +1668,55 @@ def gopher_repetition_sql(relation: str = "documents") -> str:
         LEFT JOIN lnagg USING (doc_id)
         LEFT JOIN pgagg USING (doc_id)
     """
+
+
+def c4_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as per-document
+    flags — the third member of the classic rule-filter triad next to
+    :func:`gopher_quality_flags` / :func:`gopher_repetition_flags`:
+
+    - a line is RETAINED iff it ends in terminal punctuation
+      (``. ! ? "``), has ≥ 3 words, and does not mention "javascript"
+      (case-insensitive);
+    - the page is dropped if it contains "lorem ipsum" (case-
+      insensitive) or a curly brace, or has fewer than 5 sentences
+      (terminal-punctuation marks counted over the text) or no retained
+      line.
+
+    Exact-integer / exact-string decisions only (ASCII patterns, so
+    lowercasing is engine-identical); one pure-JVM projection, no
+    shuffle. NULL text → NULL metrics, ``keep = false``.
+
+    Returns ``(id, n_lines, n_kept_lines, kept_line_frac_e6,
+    n_sentences, has_lorem, has_brace, keep)``.
+    """
+    t = text_col
+    lines = f"filter(split({t}, '\\n'), x -> x <> '')"
+    lkeep = (
+        f"filter({lines}, l -> trim(l) rlike '[.!?\"]$' "
+        "AND size(filter(split(l, ' '), x -> x <> '')) >= 3 "
+        "AND NOT lower(l) like '%javascript%')"
+    )
+    nl = f"size({lines})"
+    nk = f"size({lkeep})"
+    nsent = (
+        f"length(regexp_replace({t}, '[^.!?]', ''))"
+    )
+    lorem = f"lower({t}) like '%lorem ipsum%'"
+    brace = f"{t} like '%{{%'"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"cast({nl} as bigint)").alias("n_lines"),
+        F.expr(f"cast({nk} as bigint)").alias("n_kept_lines"),
+        F.expr(
+            f"cast(if({nl} > 0, (cast({nk} as bigint) * 1000000) div {nl}, "
+            "null) as bigint)"
+        ).alias("kept_line_frac_e6"),
+        F.expr(f"cast({nsent} as bigint)").alias("n_sentences"),
+        F.expr(lorem).alias("has_lorem"),
+        F.expr(brace).alias("has_brace"),
+        F.expr(
+            f"coalesce(NOT ({lorem}) AND NOT ({brace}) "
+            f"AND {nsent} >= 5 AND {nk} >= 1, false)"
+        ).alias("keep"),
+    )

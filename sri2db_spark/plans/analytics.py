@@ -913,6 +913,12 @@ def q_gopher_quality_flags(spark, sf):
     return X.gopher_quality_flags(_tp(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_c4_quality_flags(spark, sf):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as per-doc flags —
+    pure projection, exact string/integer decisions."""
+    return X.c4_quality_flags(_tp(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_gopher_repetition_flags(spark, sf):
     """Gopher repetition-filter table (dup lines/paragraphs + top/dup
     k-gram char mass, k=2..10) — one fused gram explode, ~3 shuffles."""
@@ -3020,6 +3026,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_vocab_topk": q_bpe_vocab_topk,
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_flags": q_gopher_repetition_flags,
+    "c4_quality_flags": q_c4_quality_flags,
     "range_join_events": q_range_join_events,
     # -- thrice-green remainder (same relative order as rounds 4-6) -------
     "c2_anti_join": q_c2_anti_join,

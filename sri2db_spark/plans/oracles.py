@@ -1042,6 +1042,36 @@ ORACLES: dict[str, str] = {
     # the repetition table, generated from GOPHER_REP_THRESHOLDS so the
     # engines share one rule set
     "gopher_repetition_flags": gopher_repetition_sql("documents"),
+    # C4 cleaning rules — mirrors functions.text.c4_quality_flags
+    "c4_quality_flags": """
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)), x -> x <> '')
+                   AS lns,
+                 length(regexp_replace(text, '[^.!?]', '', 'g')) AS nsent,
+                 lower(text) LIKE '%lorem ipsum%' AS has_lorem,
+                 text LIKE '%{%' AS has_brace
+          FROM documents),
+        c AS (
+          SELECT doc_id, nsent, has_lorem, has_brace,
+                 len(lns) AS nl,
+                 len(list_filter(lns, l ->
+                   regexp_matches(trim(l), '[.!?"]$')
+                   AND len(list_filter(string_split(l, ' '),
+                                       x -> x <> '')) >= 3
+                   AND NOT lower(l) LIKE '%javascript%')) AS nk
+          FROM m)
+        SELECT doc_id,
+               CAST(nl AS BIGINT) AS n_lines,
+               CAST(nk AS BIGINT) AS n_kept_lines,
+               CAST(CASE WHEN nl > 0 THEN (nk * 1000000) // nl END
+                    AS BIGINT) AS kept_line_frac_e6,
+               CAST(nsent AS BIGINT) AS n_sentences,
+               has_lorem, has_brace,
+               COALESCE(NOT has_lorem AND NOT has_brace
+                 AND nsent >= 5 AND nk >= 1, false) AS keep
+        FROM c
+    """,
     # Gopher A1.1 rules, exact-integer cross-multiplied comparisons —
     # mirrors functions.text.gopher_quality_flags term for term
     "gopher_quality_flags": """

@@ -1848,3 +1848,38 @@ def test_gopher_repetition_flags_boundaries(spark):
     assert out[2]["keep"] is False
     assert out[2]["dup5_char_frac_e6"] > 150_000  # looped 5-gram mass
     assert out[0]["dup5_char_frac_e6"] == 0
+
+
+def test_c4_quality_flags_rules(spark):
+    """Each C4 rule trips: lorem ipsum, curly brace, <5 sentences,
+    javascript lines, no terminal punctuation; a clean 5-sentence doc
+    keeps; NULL text is keep=false."""
+    docs = [
+        (0, "Good first sentence here. Another solid line follows. "
+            "More words here. Even more now. And a fifth one."),
+        (1, "Lorem Ipsum dolor sit. Yes ok fine! Sure thing now? "
+            "Totally real words. The end here."),
+        (2, "code block { inside }. Yes ok fine! Sure thing now? "
+            "Totally real words. The end here."),
+        (3, "Only four sentences here. Yes ok fine! Sure thing now? "
+            "Totally real words"),
+        (4, "Enable JavaScript to view this. Yes ok fine! Sure here? "
+            "Totally real words. The end now."),
+        (5, "no terminal punctuation at all in this single line"),
+        (6, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.c4_quality_flags(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["has_lorem"] is True
+    assert out[2]["keep"] is False and out[2]["has_brace"] is True
+    assert out[3]["keep"] is False and out[3]["n_sentences"] == 3
+    # the javascript doc is a single LINE, so the whole line is dropped
+    assert out[4]["keep"] is False and out[4]["n_kept_lines"] == 0
+    assert out[5]["keep"] is False and out[5]["n_sentences"] == 0
+    assert out[6]["keep"] is False and out[6]["n_lines"] is None

@@ -364,7 +364,9 @@ def test_gopher_flags_are_shuffle_free_projections(spark):
     spreader) and no Python nodes. The repetition table earlier shipped
     as a (doc,k,gram) shuffle; the sorted-run projection form replaced
     it (107.8 -> 70.8 s at sf10) and this guard keeps it that way."""
-    for name in ("gopher_quality_flags", "gopher_repetition_flags"):
+    for name in (
+        "gopher_quality_flags", "gopher_repetition_flags", "c4_quality_flags"
+    ):
         plan = formatted_plan(QUERIES[name](spark, SF))
         assert "hashpartitioning" not in plan, (name, plan)
         assert "rangepartitioning" not in plan, (name, plan)
