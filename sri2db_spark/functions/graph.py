@@ -95,18 +95,22 @@ def pagerank(
         # every ranked node keeps its static od/tp columns; nodes with no
         # inflow (impossible once reverse edges exist, but cheap to keep
         # correct) coalesce to 0
-        nxt = (
-            ranks.join(inflow, ranks["src"] == inflow["node"], "left")
-            .select(
-                "src",
-                "od",
-                "tp",
-                (
-                    F.col("tp")
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                ).alias("r"),
-            )
-        )
+        sel = [
+            F.col("src"),
+            F.col("od"),
+            F.col("tp"),
+            (
+                F.col("tp")
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).alias("r"),
+        ]
+        if tol_e12 is not None:
+            # carry the previous rank through the join so the L1 delta is
+            # ONE aggregate over the checkpointed frame instead of an extra
+            # O(nodes) shuffle join per iteration (same integers: the join
+            # it replaces matched every src exactly once)
+            sel.append(ranks["r"].alias("__r_prev"))
+        nxt = ranks.join(inflow, ranks["src"] == inflow["node"], "left").select(*sel)
         if (
             tol_e12 is not None
             or (i + 1) % checkpoint_every == 0
@@ -117,10 +121,8 @@ def pagerank(
             nxt = nxt.localCheckpoint(eager=True)
         if tol_e12 is not None:
             delta = (
-                nxt.alias("n")
-                .join(ranks.alias("o"), F.col("n.src") == F.col("o.src"))
-                .agg(
-                    F.sum(F.abs(F.col("n.r") - F.col("o.r"))).alias("d")
+                nxt.agg(
+                    F.sum(F.abs(F.col("r") - F.col("__r_prev"))).alias("d")
                 )
                 .collect()[0]["d"]
             )

@@ -96,11 +96,19 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank) excluding self-matches.
     Ranking tie-breaks on neighbor id so results are fully deterministic.
     """
+    # Precompute each side's L2 norm BELOW the all-pairs join: the naive
+    # cosine(qv, cv) projection re-evaluates both norms once per PAIR —
+    # O(|Q|·|C|) array folds; as per-side columns they are evaluated once
+    # per ROW, so the pair-level work drops to the dot product alone
+    # (cos_sim = dot/(qn·cn) is the same IEEE expression tree, so values
+    # are bit-identical).
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = _spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("__qn", _norm(F.col("qv")))
+    c = (
+        _spread(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("__cn", _norm(F.col("cv")))
     )
     scored = (
         F.broadcast(q)
@@ -108,7 +116,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -146,16 +157,18 @@ def matryoshka_topk(
     the corpus. Ties break on neighbor id at both cuts, so the result is
     deterministic.
     """
+    # prefix norms as per-side columns (not per-pair folds) — same
+    # rationale and same bit-exactness argument as in cosine_topk
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.slice(F.col(vec_col), 1, coarse_dims).alias("qc"),
-    )
+    ).withColumn("__qcn", _norm(F.col("qc")))
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.slice(F.col(vec_col), 1, coarse_dims).alias("cc"),
-    )
+    ).withColumn("__ccn", _norm(F.col("cc")))
     # guard the prefix norms BEFORE the divide: a vector whose first
     # coarse_dims entries are all zero is legal (its FULL norm is nonzero)
     # but has no defined prefix cosine — under ANSI (Spark 4's default) an
@@ -163,7 +176,7 @@ def matryoshka_topk(
     # sentinel -2.0 sorts below every real cosine, so such candidates
     # fall to the back of the shortlist deterministically (coarse_sim is
     # only a pruning heuristic; returned scores are exact full-dim).
-    qn, cn = _norm(F.col("qc")), _norm(F.col("cc"))
+    qn, cn = F.col("__qcn"), F.col("__ccn")
     prefix_cos = F.when(
         (qn > F.lit(0.0)) & (cn > F.lit(0.0)),
         _dot(F.col("qc"), F.col("cc")) / (qn * cn),

@@ -21,6 +21,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 from ..model.schema import LAYOUT_LARGE, TableLayout
@@ -170,13 +171,19 @@ class Sri2DbSync:
         # reconciliation already covers deletions there; the extra scan would
         # be a full wasted API pass per safe sync.
         deletes_df = None
+        obs_deletes = None
         n_deletes = 0
         if not full and not safe and not self.deleted_not_implemented:
             raw_deletes = self.reader.read_collection(
                 self.path, modified_since=modified_since, expand="NONE", deleted=True
             )
-            deletes_df = self._stage(raw_deletes, ingest).select(*keys)
-            n_deletes = deletes_df.count()
+            deletes_pre = self._stage(raw_deletes, ingest).select(*keys)
+            # the tombstone count rides the merge job (observe) instead of
+            # an eager count() that would evaluate the staging chain twice
+            obs_deletes = Observation()
+            deletes_df = deletes_pre.observe(
+                obs_deletes, F.count(F.lit(1)).alias("n")
+            )
 
         # Scan + stage (A1/A4/A6 → B1/B2/B3); full syncs optionally use the
         # distributed offset-sharded scan (A2) — executor-side paging over
@@ -193,11 +200,31 @@ class Sri2DbSync:
                 self.path, modified_since=None if full else modified_since, expand="FULL"
             )
         staged = self._stage(raw, ingest)
-        # one job for batch size + watermark max (B5)
-        stats = staged.agg(
-            F.count(F.lit(1)).alias("n"), F.unix_millis(F.max("modified")).alias("mx")
-        ).first()
-        n_staged, last_seen_ms = stats["n"], stats["mx"]
+        # Batch size + watermark max (B5) ride the merge/write job via
+        # observe(): the staged scan — at scale a full distributed API read
+        # (read_offset_sharded pages inside executor Python workers) — is
+        # computed ONCE instead of once for the stats and again for the
+        # merge. Exception: merge-mode full sync consumes the staged frame
+        # twice inside ONE plan (semi-join + upsert), where a duplicated
+        # CollectMetrics node would double-count — that path keeps the
+        # eager aggregate (its staged side is also the one the C3
+        # delete-all default avoids entirely).
+        obs_staged = None
+        n_staged = last_seen_ms = None
+        staged_pre = staged
+        if full and self.prefer_updates_over_inserts:
+            stats = staged.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.unix_millis(F.max("modified")).alias("mx"),
+            ).first()
+            n_staged, last_seen_ms = stats["n"], stats["mx"]
+        else:
+            obs_staged = Observation()
+            staged = staged.observe(
+                obs_staged,
+                F.count(F.lit(1)).alias("n"),
+                F.unix_millis(F.max("modified")).alias("mx"),
+            )
 
         # Merge (C1-C6)
         if full:
@@ -206,6 +233,26 @@ class Sri2DbSync:
             )
         else:
             merged = merge_incremental(target, staged, deletes_df, keys)
+
+        def _resolve_staged_stats() -> None:
+            # pull the observed batch stats once the first action on the
+            # merged plan has run (observe fills on that job). When the
+            # optimizer proved the staged input EMPTY and eliminated the
+            # observed subtree (PropagateEmptyRelation — e.g. a delta with
+            # no changes), the observation never fills and .get raises;
+            # fall back to the direct aggregate, which is trivial exactly
+            # in that case.
+            nonlocal n_staged, last_seen_ms
+            if obs_staged is not None and n_staged is None:
+                try:
+                    row = obs_staged.get
+                    n_staged, last_seen_ms = row["n"], row["mx"]
+                except Exception:
+                    stats = staged_pre.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.unix_millis(F.max("modified")).alias("mx"),
+                    ).first()
+                    n_staged, last_seen_ms = stats["n"], stats["mx"]
 
         # Safe-delta membership reconciliation (A7/C7/C8/C9/A3,
         # client.js:1776-1805) against the post-merge contents.
@@ -219,6 +266,7 @@ class Sri2DbSync:
             # over the missing hrefs, persisted because both the watermark
             # stats and the merge consume it.
             n_missing = missing.count()
+            _resolve_staged_stats()  # filled by the count above
             if n_missing:
                 fetched = self.reader.get_hrefs_distributed(
                     self.path, missing.select("href")
@@ -244,6 +292,12 @@ class Sri2DbSync:
             )
         if gap_rows is not None:
             gap_rows.unpersist()
+        _resolve_staged_stats()  # filled by the write / dry-run count
+        if obs_deletes is not None:
+            try:
+                n_deletes = obs_deletes.get["n"]
+            except Exception:  # observed subtree optimized away (empty feed)
+                n_deletes = deletes_pre.count()
 
         # Watermark advance (B6) — skipped on explicit modifiedSince
         # (client.js:1816, README.md:174) and on dry runs.
