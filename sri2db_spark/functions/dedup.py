@@ -51,11 +51,15 @@ def _drop_oversized_buckets(
         .filter(F.col("n") > max_bucket_size)
         .persist()
     )
-    n_over = oversized.count()
+    # one driver action for BOTH stats (count + max) — the former
+    # count()-then-agg(max) pair launched two jobs over the guard frame
+    stats = oversized.agg(
+        F.count(F.lit(1)).alias("n_over"), F.max("n").alias("biggest")
+    ).first()
+    n_over, biggest = stats["n_over"], stats["biggest"]
     if not n_over:
         oversized.unpersist()
         return band_rows
-    biggest = oversized.agg(F.max("n")).first()[0]
     logger.warning(
         "%s: dropping %d LSH bucket(s) larger than %d docs (largest: %d); "
         "pairs co-occurring only in dropped buckets are lost",
@@ -121,7 +125,11 @@ def ngram_jaccard_pairs(
     ``minhash_lsh_pairs`` is the scale path.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    ds = _distinct_shingles(df, id_col, text_col, k)
+    # persist: three consumers (per-doc sizes + both self-join sides) would
+    # otherwise each re-run the corpus explode+array_distinct; the self-join
+    # sides share one exchange, so without the cache the shingling still
+    # runs twice. Reclaimed by the context cleaner with the result.
+    ds = _distinct_shingles(df, id_col, text_col, k).persist()
     sizes = ds.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -301,7 +309,13 @@ def minhash_lsh_pairs(
     # cleaner reclaims the block once the result DataFrame is unreachable.
     sig_fn = oph_signatures if method == "oph" else minhash_signatures
     sigs = sig_fn(df, id_col, text_col, k, num_perm).persist()
-    band_rows = _band_keys(sigs, bands, r)
+    # Persist the band frame too: the oversized-bucket guard aggregates it
+    # once and the self-join reads it twice more — without the cache the
+    # 64x band explode re-runs for each consumer (measured ~0.8 s per
+    # re-run at sf0.1, 3 runs -> 1). Same storage scale as the persisted
+    # signatures (64 small ints vs 128 per doc); reclaimed by the context
+    # cleaner with them.
+    band_rows = _band_keys(sigs, bands, r).persist()
     band_rows = _drop_oversized_buckets(band_rows, max_bucket_size, "minhash_lsh_pairs")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -410,6 +424,12 @@ def _verify_jaccard(
     # driver eventually OOMs building it (observed on the sibling
     # cross-corpus filter at sf10; here the same join survived sf10 at
     # ~500 MB hashed relation and dies one decade later)
+    # |A ∪ B| = |A| + |B| − |A ∩ B| for the distinct sets, so only the
+    # intersection is computed per PAIR; materializing array_union per pair
+    # hashed both arrays a second time — this halves the per-pair array
+    # work and the double division of the same exact integers is
+    # bit-identical.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         candidates.join(sa.hint("shuffle_hash"), "id_a")
         .join(sb.hint("shuffle_hash"), "id_b")
@@ -417,8 +437,8 @@ def _verify_jaccard(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -941,9 +961,12 @@ def semantic_dedup_pairs(
             .filter(F.col("n") > max_cluster_size)
             .persist()
         )
-        n_over = oversized.count()
+        # count + max in one driver action (see _drop_oversized_buckets)
+        stats = oversized.agg(
+            F.count(F.lit(1)).alias("n_over"), F.max("n").alias("biggest")
+        ).first()
+        n_over, biggest = stats["n_over"], stats["biggest"]
         if n_over:
-            biggest = oversized.agg(F.max("n")).first()[0]
             logger.warning(
                 "semantic_dedup_pairs: %d cluster(s) exceed max_cluster_size="
                 "%d (largest: %d); keep-side anchored to each one's %d "
@@ -1073,9 +1096,14 @@ def neardup_filter_against_index(
         )
         .select(
             "inc_id",
+            # |A ∪ B| by size arithmetic over the distinct sets — same
+            # per-pair halving as _verify_jaccard, bit-identical values
             (
                 F.size(F.array_intersect("sh_n", "sh_x")).cast("double")
-                / F.size(F.array_union("sh_n", "sh_x")).cast("double")
+                / (
+                    F.size("sh_n") + F.size("sh_x")
+                    - F.size(F.array_intersect("sh_n", "sh_x"))
+                ).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

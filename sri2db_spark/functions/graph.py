@@ -164,14 +164,23 @@ def triangle_counts(
     count (bounded by the orientation, above).
     """
     a, b = F.col(src_col), F.col(dst_col)
+    # localCheckpoint: the deduped edge set feeds FOUR downstream consumers
+    # (degrees, the two degree-attach joins, the closing-edge probe). The
+    # upstream edge source can be arbitrarily expensive (the kNN entry
+    # builds it from a full cosine top-k), and while AQE reuses the
+    # distinct's shuffle stage across consumers, each one still re-runs the
+    # post-shuffle dedup aggregation; materializing the (small, edge-shaped)
+    # frame once cuts that to a single pass and truncates the lineage.
     und = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # one pass, not a union of two reads: explode emits both endpoints of
+    # every edge in the same scan (same multiset of rows, one consumer)
     deg = (
-        und.select(F.col("a").alias("v"))
-        .unionByName(und.select(F.col("b").alias("v")))
+        und.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -201,10 +210,12 @@ def triangle_counts(
     tris = wedges.join(closing, ["u", "w"]).select(
         F.col("s").alias("x"), F.col("u").alias("y"), F.col("w").alias("z")
     )
+    # each triangle credits its three corners in ONE pass (explode), not a
+    # 3-way union that would re-run the wedge+closing joins per branch
     per_node = (
-        tris.select(F.col("x").alias("v"))
-        .unionByName(tris.select(F.col("y").alias("v")))
-        .unionByName(tris.select(F.col("z").alias("v")))
+        tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

@@ -724,7 +724,9 @@ def retract_from_zordered(
         id_values = [r["__rid"] for r in drop.collect()]  # RTBF-sized
     else:
         id_values = list(dict.fromkeys(ids))
-        drop = spark.createDataFrame([(i,) for i in id_values], ["__rid"])
+        from ..localframe import local_df  # noqa: PLC0415
+
+        drop = local_df(spark, [(i,) for i in id_values], ["__rid"])
 
     if id_col in cols:
         # the prune compares Python-typed stat bounds to the caller's id

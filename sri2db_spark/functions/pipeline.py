@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
+
 from .text import (
     ngram_overlap_contamination,
     quality_score,
@@ -1047,7 +1049,7 @@ def retract_from_output(
     if isinstance(ids, DataFrame):
         drop = ids.select(F.col(ids.columns[0]).alias("__rid")).distinct()
     else:
-        drop = spark.createDataFrame([(i,) for i in ids], ["__rid"]).distinct()
+        drop = local_df(spark, [(i,) for i in ids], ["__rid"]).distinct()
 
     names = fs.listdir(out_dir)
     flat = [
@@ -1629,9 +1631,9 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
     # string ids both occur; a hardcoded type would silently anti-join
     # nothing on the other kind).
     id_field = corpus_all.schema["id"]
-    ids_df = spark.createDataFrame(
-        [(i,) for i in ids], StructType([id_field])
-    )
+    from ..localframe import local_df as _ldf  # noqa: PLC0415
+
+    ids_df = _ldf(spark, [(i,) for i in ids], StructType([id_field]))
 
     def _anti(df: DataFrame) -> DataFrame:
         return df.join(F.broadcast(ids_df), "id", "left_anti")
@@ -1698,7 +1700,7 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
             # candidate set — a hash stays if any surviving doc produces
             # it. Broadcast join, not isin(): a mass retraction's
             # candidate list must not become a giant codegen expression.
-            doomed_df = spark.createDataFrame([(h,) for h in doomed], "h string")
+            doomed_df = _ldf(spark, [(h,) for h in doomed], "h string")
             still = {
                 r["h"]
                 for r in _anti(corpus_all)
@@ -1724,9 +1726,7 @@ def retract_from_state(spark, state_dir: str, ids: list, committer=None) -> None
                     else None
                 )
                 if plan_h is not None:
-                    drop_df = spark.createDataFrame(
-                        [(h,) for h in drop], "h string"
-                    )
+                    drop_df = _ldf(spark, [(h,) for h in drop], "h string")
                     _pruned_commit(
                         hash_path,
                         basis_h,

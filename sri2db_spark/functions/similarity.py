@@ -1007,9 +1007,9 @@ def _touched_partitions(spark, cells: DataFrame, part_col: str, hit_pairs):
             ],
         )
         return cells.filter(hit_pred)
-    hit_df = spark.createDataFrame(
-        list(hit_pairs), [f"__hp_{part_col}", "__hp_batch"]
-    )
+    from ..localframe import local_df  # noqa: PLC0415
+
+    hit_df = local_df(spark, list(hit_pairs), [f"__hp_{part_col}", "__hp_batch"])
     return cells.join(
         F.broadcast(hit_df),
         (F.col(part_col) == F.col(f"__hp_{part_col}"))
@@ -1065,9 +1065,9 @@ def ann_index_delete(
     if isinstance(ids, DataFrame):
         drop = ids.select(F.col(ids.columns[0]).alias("__did")).distinct()
     else:
-        drop = spark.createDataFrame(
-            [(i,) for i in ids], ["__did"]
-        ).distinct()
+        from ..localframe import local_df  # noqa: PLC0415
+
+        drop = local_df(spark, [(i,) for i in ids], ["__did"]).distinct()
     # one column-pruned probe: which partitions hold victims, and how many
     hits = (
         cells.join(
@@ -1258,14 +1258,23 @@ def ivfpq_query_index(
         (probe_side["cell"] == cells["cell"])
         & (F.col("query_id") != F.col("neighbor_id")),
     )
+    # m is known at plan time (the codebook count), so the ADC sum is
+    # UNROLLED into m direct element_at lookups instead of a zip_with that
+    # allocates an m-element intermediate array per candidate row — the
+    # hot expression of the bulk path (|queries|·nprobe/nlist·|corpus|
+    # rows). The fold starts from the same 0.0 and adds in the same
+    # left-to-right order, so the doubles are bit-identical.
+    m_subs = len(books)
+    adc = F.lit(0.0)
+    for i in range(m_subs):
+        adc = adc + F.element_at(
+            F.element_at(F.col("lut"), i + 1),
+            F.element_at(F.col("code"), i + 1) + F.lit(1),
+        )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.aggregate(
-            F.zip_with("lut", "code", lambda l, c: F.element_at(l, c + 1)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("adc_dist"),
+        adc.alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()

@@ -257,7 +257,9 @@ def pack_sequences(
         # an all-null-text partition sums to None (F.sum skips nulls):
         # contributes nothing, exactly like the old window behavior
         run += r["__tot"] or 0
-    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off bigint")
+    from ..localframe import local_df  # noqa: PLC0415
+
+    off = local_df(spark, offsets or [(0, 0)], "__pid int, __off bigint")
     cum = F.sum("n_tokens").over(w_local) + F.col("__off")
     return (
         parted.join(F.broadcast(off), "__pid")

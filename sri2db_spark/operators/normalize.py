@@ -45,24 +45,52 @@ def repair_resources(df: DataFrame, ingest_ts=None) -> DataFrame:
     Adds columns ``key``/``modified``/``resourcetype`` next to the raw
     document. NULL-resource (expand=NONE) rows keep NULL modified/key-from-href.
     """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
     ingest = ingest_ts if ingest_ts is not None else F.current_timestamp()
-    meta_modified = F.get_json_object("resource", "$.$$meta.modified")
+    # ONE JSON parse per row: the former three independent get_json_object
+    # calls each re-parsed the full document (the staging stage's dominant
+    # CPU on a 2M-row sync); from_json with a partial envelope schema
+    # extracts all three fields in a single pass. String-typed fields
+    # return the identical values get_json_object produced (unescaped
+    # string value; null when absent or unparsable — PERMISSIVE from_json
+    # yields a null/empty struct there, so every downstream coalesce takes
+    # the same branch).
+    envelope = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField(
+                "$$meta",
+                T.StructType(
+                    [
+                        T.StructField("modified", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    env = F.from_json(F.col("resource"), envelope)
     return (
-        df.withColumn(
+        df.withColumn("__env", env)
+        .withColumn(
             "modified",
             F.when(
                 F.col("resource").isNotNull(),
-                F.coalesce(F.to_timestamp(meta_modified), ingest),
+                F.coalesce(
+                    F.to_timestamp(F.col("__env")["$$meta"]["modified"]), ingest
+                ),
             ),
         )
         .withColumn(
             "key",
             F.coalesce(
-                F.get_json_object("resource", "$.key"),
+                F.col("__env")["key"],
                 F.element_at(F.split(F.col("href"), "/"), -1),
             ),
         )
-        .withColumn("resourcetype", F.get_json_object("resource", "$.$$meta.type"))
+        .withColumn("resourcetype", F.col("__env")["$$meta"]["type"])
+        .drop("__env")
     )
 
 

@@ -117,7 +117,9 @@ class WatermarkStore:
             return self.spark.read.schema(SYNCTIMES_SCHEMA).parquet(
                 fs.spark_path(physical)
             )
-        return self.spark.createDataFrame([], SYNCTIMES_SCHEMA)
+        from ..localframe import empty_df  # noqa: PLC0415
+
+        return empty_df(self.spark, SYNCTIMES_SCHEMA)
 
     def get(
         self, tablename: str, baseurl: str | None, path: str | None, synctype: str
@@ -186,7 +188,14 @@ class WatermarkStore:
                     & (F.col("synctype") == synctype)
                 )
             )
-            new_row = self.spark.createDataFrame(
+            # JVM LocalTableScan, not a pickled-row RDD: the upsert's tiny
+            # coalesce(1) write otherwise drains 32 Python slices serially —
+            # measured 5-7 s of the sync wall for a one-row control write
+            # (see sri2db_spark.localframe)
+            from ..localframe import local_df  # noqa: PLC0415
+
+            new_row = local_df(
+                self.spark,
                 [(tablename, baseurl, path, synctype, lastmodified_ms, syncstart_ms)],
                 SYNCTIMES_SCHEMA,
             )

@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..localframe import empty_df
 from ..model.schema import TableLayout, resource_row_schema
 from .committer import ManifestCommitter, RenameCommitter, check_backend_layout
 
@@ -301,7 +302,7 @@ class LakeTable:
         fs = self._fs
         if not self.committer.versioned:
             if not fs.isdir(self.location) or not fs.listdir(self.location):
-                return self.spark.createDataFrame([], schema)
+                return empty_df(self.spark, schema)
             for _, _, logical in self._list_partitions():
                 check_backend_layout(logical, versioned=False, fs=fs)
             df = (
@@ -319,7 +320,7 @@ class LakeTable:
             if physical is not None:
                 paths.append(physical)
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            return empty_df(self.spark, schema)
         return self._read_many(paths)
 
     def _read_many(self, paths: list[str]) -> DataFrame:
@@ -374,9 +375,7 @@ class LakeTable:
             check_backend_layout(logical, versioned=True, fs=self._fs)
             physical = self.committer.resolve(logical)
             if physical is None:
-                return self.spark.createDataFrame(
-                    [], resource_row_schema(self.layout)
-                )
+                return empty_df(self.spark, resource_row_schema(self.layout))
             return self._read_physical(physical, baseurl, path)
         df = self.read()
         if self.layout.has_baseurl:

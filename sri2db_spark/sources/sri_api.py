@@ -252,14 +252,24 @@ class SriApiReader:
         for page in self.iter_pages(url):
             buf.extend(page)
             if len(buf) >= rows_per_batch:
-                batches.append(self.spark.createDataFrame(buf, PAGE_SCHEMA))
+                batches.append(self._page_batch_df(buf))
                 buf = []
         if buf or not batches:
-            batches.append(self.spark.createDataFrame(buf, PAGE_SCHEMA))
+            batches.append(self._page_batch_df(buf))
         df = batches[0]
         for b in batches[1:]:
             df = df.unionByName(b)
         return df
+
+    def _page_batch_df(self, buf: list[tuple[str | None, str | None]]) -> DataFrame:
+        """One driver-accumulated page batch → DataFrame backed by a JVM
+        LocalTableScan (pandas/Arrow path via localframe.local_df): a
+        100k-row batch of JSON strings converts as two Arrow string columns
+        and executes with no Python worker round-trips, instead of
+        ``defaultParallelism`` pickled RDD slices."""
+        from ..localframe import local_df  # noqa: PLC0415
+
+        return local_df(self.spark, buf, PAGE_SCHEMA)
 
     # -- point lookups -------------------------------------------------------
 
@@ -286,7 +296,9 @@ class SriApiReader:
             url = set_expand_on_path(url, "FULL")
             for page in self.iter_pages(url):
                 rows.extend(page)
-        return self.spark.createDataFrame(rows, PAGE_SCHEMA)
+        from ..localframe import local_df  # noqa: PLC0415
+
+        return local_df(self.spark, rows, PAGE_SCHEMA)
 
     def get_hrefs_distributed(self, path: str, hrefs_df: DataFrame) -> DataFrame:
         """A3 at scale — executor-side keyIn fetch of an unbounded gap list.
@@ -361,8 +373,12 @@ class SriApiReader:
         base = set_expand_on_path(self._full_url(path), expand)
         limit = self.limit
         offsets = list(range(0, total_count, shard_size))
-        sdf = self.spark.createDataFrame(
-            [(o,) for o in offsets], T.StructType([T.StructField("offset", T.LongType())])
+        from ..localframe import local_df  # noqa: PLC0415
+
+        sdf = local_df(
+            self.spark,
+            [(o,) for o in offsets],
+            T.StructType([T.StructField("offset", T.LongType())]),
         ).repartition(max(1, len(offsets)))
 
         def run(iterator):
