@@ -111,6 +111,17 @@ def pagerank(
             # it replaces matched every src exactly once)
             sel.append(ranks["r"].alias("__r_prev"))
         nxt = ranks.join(inflow, ranks["src"] == inflow["node"], "left").select(*sel)
+        obs = None
+        if tol_e12 is not None:
+            # the L1 delta rides the checkpoint materialization via
+            # observe() — the former separate agg().collect() was one more
+            # O(nodes) job per iteration over the just-checkpointed frame
+            from pyspark.sql import Observation  # noqa: PLC0415
+
+            obs = Observation()
+            nxt = nxt.observe(
+                obs, F.sum(F.abs(F.col("r") - F.col("__r_prev"))).alias("d")
+            )
         if (
             tol_e12 is not None
             or (i + 1) % checkpoint_every == 0
@@ -120,12 +131,12 @@ def pagerank(
             # reads the frame anyway, so the materialization is free
             nxt = nxt.localCheckpoint(eager=True)
         if tol_e12 is not None:
-            delta = (
-                nxt.agg(
+            try:
+                delta = obs.get["d"]
+            except Exception:  # pragma: no cover — observed subtree gone
+                delta = nxt.agg(
                     F.sum(F.abs(F.col("r") - F.col("__r_prev"))).alias("d")
-                )
-                .collect()[0]["d"]
-            )
+                ).collect()[0]["d"]
             if delta is not None and delta <= tol_e12:
                 ranks = nxt
                 n_done = i + 1
