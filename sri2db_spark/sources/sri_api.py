@@ -262,14 +262,28 @@ class SriApiReader:
         return df
 
     def _page_batch_df(self, buf: list[tuple[str | None, str | None]]) -> DataFrame:
-        """One driver-accumulated page batch → DataFrame backed by a JVM
-        LocalTableScan (pandas/Arrow path via localframe.local_df): a
-        100k-row batch of JSON strings converts as two Arrow string columns
-        and executes with no Python worker round-trips, instead of
-        ``defaultParallelism`` pickled RDD slices."""
-        from ..localframe import local_df  # noqa: PLC0415
+        """One driver-accumulated page batch → DataFrame.
 
-        return local_df(self.spark, buf, PAGE_SCHEMA)
+        Deliberately the PICKLED-LIST construction, not ``localframe``'s
+        Arrow ``LocalRelation``: a LocalRelation invites the optimizer's
+        ``ConvertToLocalRelation`` rule to evaluate every downstream
+        deterministic projection EAGERLY ON THE DRIVER at plan time — for a
+        100k-row page batch that folds the whole staging chain (from_json
+        envelope parse and all) into a single-threaded driver pass, re-run
+        on every action that embeds the feed (measured: +4-5 s per
+        200k-row delta merge, the dominant regression of the r12 delta
+        bench). The pickled-RDD scan keeps staging distributed; measured
+        end-to-end (construct + stage + noop, 200k rows, local[32]):
+        list 2.0-2.7 s vs plain Arrow LocalRelation 4.7-5.2 s vs
+        Arrow + repartition barrier 2.7-3.4 s. ``localframe.local_df``
+        remains the right construction for the engine's tiny CONTROL
+        frames (watermark rows, id lists), where no corpus-sized
+        expression can fold into the driver."""
+        if not buf:
+            from ..localframe import empty_df  # noqa: PLC0415
+
+            return empty_df(self.spark, PAGE_SCHEMA)
+        return self.spark.createDataFrame(buf, PAGE_SCHEMA)
 
     # -- point lookups -------------------------------------------------------
 
@@ -296,9 +310,10 @@ class SriApiReader:
             url = set_expand_on_path(url, "FULL")
             for page in self.iter_pages(url):
                 rows.extend(page)
-        from ..localframe import local_df  # noqa: PLC0415
-
-        return local_df(self.spark, rows, PAGE_SCHEMA)
+        # same construction as read_collection's batches: a keyIn gap fetch
+        # can return an unbounded page list, and the LocalRelation fold
+        # hazard (see _page_batch_df) applies to its staging too
+        return self._page_batch_df(rows)
 
     def get_hrefs_distributed(self, path: str, hrefs_df: DataFrame) -> DataFrame:
         """A3 at scale — executor-side keyIn fetch of an unbounded gap list.
