@@ -614,22 +614,55 @@ def incremental_neardup_pairs(
     return verified
 
 
-def _edge_sig(df: DataFrame) -> tuple:
-    """(count, order-insensitive checksum) of a distinct (hi, lo) edge
-    frame in ONE aggregation. Both frames compared by the star-CC
-    fixpoint are distinct sets, so equal sigs <=> equal sets up to a
-    2^-64 xxhash64 collision — property-tested equivalent to the
-    ``exceptAll``-based comparison it replaced, which cost a full extra
-    shuffle per round. decimal(38,0) sum: exact and overflow-free under
-    ANSI mode for any feasible edge count."""
-    row = df.agg(
+def _edge_sig_cols() -> list:
+    """The two aggregates behind the star-CC fixpoint signature:
+    (count, order-insensitive checksum) of a distinct (hi, lo) edge
+    frame. Both frames compared by the fixpoint are distinct sets, so
+    equal sigs <=> equal sets up to a 2^-64 xxhash64 collision —
+    property-tested equivalent to the ``exceptAll``-based comparison
+    this replaced, which cost a full extra shuffle per round.
+    decimal(38,0) sum: exact and overflow-free under ANSI mode for any
+    feasible edge count."""
+    return [
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("x"),
-    ).first()
+    ]
+
+
+def _edge_sig(df: DataFrame) -> tuple:
+    """Direct-aggregation form of the fixpoint signature (one job)."""
+    row = df.agg(*_edge_sig_cols()).first()
     return (row["n"], row["x"])
+
+
+def _checkpoint_with_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+    """Eagerly localCheckpoint ``df`` and return (frame, fixpoint sig),
+    riding the signature aggregates on the checkpoint job itself via
+    ``observe()`` — the former separate ``agg().first()`` was one more
+    full-frame driver job per CC round on top of the materialization the
+    checkpoint already paid. Falls back to the direct aggregate if the
+    observed subtree was optimized away (e.g. an empty frame whose
+    checkpoint job never ran a task)."""
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    if os.environ.get("SPARK_GRAFT_CC_OBS", "1") == "0":  # A/B escape hatch
+        out = df.localCheckpoint(eager=True)
+        return out, _edge_sig(out)
+    obs = Observation()
+    out = df.observe(obs, *_edge_sig_cols()).localCheckpoint(eager=True)
+    try:
+        row = obs.get
+        n, x = row["n"], row["x"]
+        if x is None:  # observe skips the coalesce when no rows flowed
+            x = _edge_sig(out)[1]
+        return out, (n, x)
+    except Exception:  # pragma: no cover — observation never filled
+        return out, _edge_sig(out)
 
 
 def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
@@ -648,10 +681,12 @@ def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
     every id that must appear in the output. Returns (id, component).
     """
     # canonical (hi, lo) orientation; localCheckpoint truncates lineage
-    e = edges.select(
-        F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
-    ).distinct().localCheckpoint(eager=True)
-    sig = _edge_sig(e)
+    # (the fixpoint signature rides each checkpoint job via observe())
+    e, sig = _checkpoint_with_sig(
+        edges.select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        ).distinct()
+    )
     for _ in range(max_iters):
         # -- large-star: for every node u, connect each STRICTLY LARGER
         # neighbor v to min(N(u) ∪ {u}); u<->v edges where v < u are
@@ -664,6 +699,9 @@ def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
             .agg(F.min("v").alias("mv"))
             .select("u", F.least("mv", F.col("u")).alias("m"))
         )
+        # el keeps its own eager checkpoint: removing it (AQE exchange
+        # reuse covers the two consumers) was A/B'd and measured NEUTRAL
+        # at sf0.1 — kept for the bounded-plan robustness.
         el = (
             b.join(mn, "u")
             .filter(F.col("v") > F.col("u"))
@@ -674,19 +712,18 @@ def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
         # -- small-star: group by the larger endpoint, hang it and all its
         # smaller neighbors off the overall minimum
         mn2 = el.groupBy("hi").agg(F.min("lo").alias("m"))
-        new_e = (
+        # fixed point of the FULL round (the paper's criterion: a state a
+        # whole large+small cycle leaves unchanged is a star forest —
+        # comparing against the post-large-star set alone could accept a
+        # non-star small-star fixpoint like a descending chain); the sig
+        # fills during the checkpoint materialization itself
+        new_e, new_sig = _checkpoint_with_sig(
             el.join(mn2, "hi")
             .filter(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .unionByName(mn2.select(F.col("hi"), F.col("m").alias("lo")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        # fixed point of the FULL round (the paper's criterion: a state a
-        # whole large+small cycle leaves unchanged is a star forest —
-        # comparing against the post-large-star set alone could accept a
-        # non-star small-star fixpoint like a descending chain)
-        new_sig = _edge_sig(new_e)
         if new_sig == sig:
             e = new_e
             break
