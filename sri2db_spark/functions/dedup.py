@@ -365,14 +365,22 @@ def _estimate_prefilter(
     # expression-derived (Catalyst sizes them from the compact text scan),
     # so an estimate-picked broadcast is a driver OOM waiting for scale —
     # see the neardup_filter_against_index note
+    # Signature components are < 2^31-1 by construction (everything is
+    # taken mod MERSENNE31), so the attach joins carry them as array<int>
+    # — HALF the shuffle bytes of the stored array<bigint>, and the
+    # per-component equality compares the identical exact values. The
+    # dominant cost here is candidate-volume × 128-long arrays crossing
+    # the exchange (near-dup-rich corpora produce ~40x more candidates
+    # than docs), not the 1-row-per-doc signature side.
+    narrow = F.col("sig").cast("array<int>")
     est = (
         candidates.join(
-            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+            sigs.select(F.col("id").alias("id_a"), narrow.alias("sig_a"))
             .hint("shuffle_hash"),
             "id_a",
         )
         .join(
-            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+            sigs.select(F.col("id").alias("id_b"), narrow.alias("sig_b"))
             .hint("shuffle_hash"),
             "id_b",
         )
