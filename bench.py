@@ -29,6 +29,7 @@ EXTRA_ENTRIES = [
     "sri_full_sync_20k_sharded",
     "sri_full_sync_2m_sharded",
     "sri_delta_sync_200k",
+    "sri_delta_sync_200k_sharded",
     "sri_delta_sync_260k_dupskew",
     "ann_ivfpq_query_64q",
     "ann_ivfpq_bulk_10k",
@@ -122,6 +123,27 @@ def run_session() -> dict:
 
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         _t(spark, sf_dir, t).count()
+
+    # Machine fingerprint (r12 verdict item 5: cross-day drift of 13-57% on
+    # byte-identical code kept masquerading as regressions). Two fixed,
+    # data-independent probes measured per session — a JVM codegen fold and
+    # a pure-Python loop — so any future PERF comparison can separate
+    # machine drift (probes moved too) from a code regression (probes
+    # flat). Diagnostics only: the headline JSON is untouched.
+    t0 = time.perf_counter()
+    # pmod keeps the running sum far from long overflow under ANSI mode
+    spark.range(500_000_000).selectExpr("sum(pmod(xxhash64(id), 1000))").collect()
+    jvm_probe = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    py_probe = round(time.perf_counter() - t0, 3)
+    machine_probe = {
+        "jvm_sum_500m_s": jvm_probe,
+        "py_loop_5m_s": py_probe,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
 
     # Median-of-N per query with cache clearing between runs: sketch ops
     # persist intermediates, and leftover cached blocks + GC make single
@@ -281,6 +303,7 @@ def run_session() -> dict:
     scale_sync_names = (
         "sri_full_sync_2m_sharded",
         "sri_delta_sync_200k",
+        "sri_delta_sync_200k_sharded",
         "sri_delta_sync_260k_dupskew",
     )
     if any(_selected(nm) for nm in scale_sync_names):
@@ -297,7 +320,7 @@ def run_session() -> dict:
         n_big = 2_000_000
         tmp = tempfile.mkdtemp(prefix="bench_sync2m_")
 
-        def _mk(api, sub):
+        def _mk(api, sub, delta_shard=None):
             return Sri2DbSync(
                 reader=SriApiReader(
                     spark, "https://bench.local", fetch_json=api.fetch_json,
@@ -309,6 +332,7 @@ def run_session() -> dict:
                 layout=LAYOUT_LARGE,
                 watermarks=WatermarkStore(spark, os.path.join(tmp, f"w_{sub}")),
                 full_sync_shard_size=62_500,
+                delta_sync_shard_size=delta_shard,
             )
 
         if _selected("sri_full_sync_2m_sharded"):
@@ -318,21 +342,39 @@ def run_session() -> dict:
             res = sync2m.full_sync()
             _record_stats("sri_full_sync_2m_sharded", [time.perf_counter() - t0])
             assert res.rows_after == n_big
+        # entry -> (feed config, delta_sync_shard_size). The _sharded entry
+        # (r13) is the SAME 200k feed through the A2 offset-sharded delta
+        # scan (executor-side paging, 6250-row shards = 32 executor-owned
+        # ranges) instead of the driver-sequential A4 next-link scan, which
+        # stays benched beside it as the reference-fidelity path.
         delta_cfgs = {
-            "sri_delta_sync_200k": dict(
-                n=n_big, page_size=5000, n_updates=200_000, n_tombstones=20_000
+            "sri_delta_sync_200k": (
+                dict(n=n_big, page_size=5000, n_updates=200_000, n_tombstones=20_000),
+                None,
             ),
-            "sri_delta_sync_260k_dupskew": dict(
-                n=n_big, page_size=5000, n_updates=200_000,
-                n_hot_echoes=60_000, n_hot=50, n_tombstones=20_000,
+            "sri_delta_sync_200k_sharded": (
+                dict(n=n_big, page_size=5000, n_updates=200_000, n_tombstones=20_000),
+                6_250,
+            ),
+            "sri_delta_sync_260k_dupskew": (
+                dict(
+                    n=n_big, page_size=5000, n_updates=200_000,
+                    n_hot_echoes=60_000, n_hot=50, n_tombstones=20_000,
+                ),
+                None,
             ),
         }
-        base_loaded = None  # the 2M base table is identical for both deltas:
-        # full-sync once, file-copy for the second (untimed either way)
-        for entry_name, cfg in delta_cfgs.items():
+        subdirs = {
+            "sri_delta_sync_200k": "td",
+            "sri_delta_sync_200k_sharded": "tdsh",
+            "sri_delta_sync_260k_dupskew": "ts",
+        }
+        base_loaded = None  # the 2M base table is identical for all deltas:
+        # full-sync once, file-copy for the others (untimed either way)
+        for entry_name, (cfg, delta_shard) in delta_cfgs.items():
             if not _selected(entry_name):
                 continue
-            sub = "td" if entry_name == "sri_delta_sync_200k" else "ts"
+            sub = subdirs[entry_name]
             if base_loaded is not None:
                 # copy table + watermarks BEFORE the sink objects touch the
                 # directories (copytree requires a fresh destination)
@@ -343,7 +385,7 @@ def run_session() -> dict:
                     os.path.join(tmp, f"w_{base_loaded}"),
                     os.path.join(tmp, f"w_{sub}"),
                 )
-            syncd = _mk(SyntheticSriApi(**cfg), sub)
+            syncd = _mk(SyntheticSriApi(**cfg), sub, delta_shard=delta_shard)
             if base_loaded is None:
                 syncd.full_sync()  # untimed base load
                 base_loaded = sub
@@ -478,6 +520,7 @@ def run_session() -> dict:
         "mins": mins,
         "spreads": spreads,
         "repeats": repeats_used,
+        "machine_probe": machine_probe,
     }
 
 
@@ -615,6 +658,9 @@ def main() -> None:
                 "statistic": "min over sessions x repeats",
                 "sessions": len(results),
                 "session_mins": session_mins,
+                "machine_probe": {
+                    r_i: res.get("machine_probe") for r_i, res in enumerate(results)
+                },
                 "cross_session_spread_pct": spread_pct,
                 "min_stability_pct": min_stability_pct,
                 "spread_gate": {

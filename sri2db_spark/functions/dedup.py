@@ -466,6 +466,12 @@ def write_signature_store(
     ``(id, sig array<bigint>)`` — the persisted index for
     ``incremental_neardup_pairs``.
 
+    Component invariant: every signature component is in [0, 2³¹−1)
+    (everything is taken mod MERSENNE31). ``_estimate_prefilter`` relies
+    on it to shuffle signatures as ``array<int>``; a store written by any
+    other producer must honor it (raw 64-bit hash components would throw
+    under ANSI mode — or silently wrap and corrupt estimates without it).
+
     At 100 TB the full corpus is never re-signatured per ingest batch: the
     store holds one ~1 KB row per document (num_perm longs), three orders of
     magnitude smaller than the corpus, and each batch appends only its own
@@ -518,6 +524,12 @@ def incremental_neardup_pairs(
     (e.g. the streaming wrapper, which writes batch-id-addressed store files
     for exactly-once retries) inject them: ``new_sigs`` skips the batch
     signature computation, ``old_sigs`` replaces the store read entirely.
+    Contract: every supplied signature component must be in [0, 2³¹−1) —
+    the invariant every signature produced by this module holds (mod
+    MERSENNE31) and that :func:`write_signature_store` documents for its
+    stored format. The σ-prefilter shuffles signatures as ``array<int>``
+    on the strength of it; out-of-range components raise under ANSI mode
+    instead of silently producing wrong estimates.
 
     ``batch_token`` makes the store update itself exactly-once under
     at-least-once retries (see :mod:`.statestore`): the append is addressed
@@ -646,14 +658,40 @@ def _edge_sig(df: DataFrame) -> tuple:
     return (row["n"], row["x"])
 
 
+def _observation_row_bounded(obs, timeout_s: float = 30.0):
+    """``Observation.get`` with a bounded wait, or ``None``.
+
+    ``Observation.get`` BLOCKS indefinitely when the observation never
+    fills (it waits; it does not raise) — e.g. if the optimizer eliminated
+    the observed subtree, so the job that would fill it never ran. The
+    eager checkpoint that precedes every call here means the observation
+    is normally filled already and the wait is zero; the helper thread is
+    the guard against the never-filled case hanging the driver."""
+    import threading  # noqa: PLC0415
+
+    box: dict = {}
+
+    def read() -> None:
+        try:
+            box["row"] = obs.get
+        except Exception as e:  # defensive: surface, don't hang
+            box["err"] = e
+
+    t = threading.Thread(target=read, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("row")
+
+
 def _checkpoint_with_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
     """Eagerly localCheckpoint ``df`` and return (frame, fixpoint sig),
     riding the signature aggregates on the checkpoint job itself via
     ``observe()`` — the former separate ``agg().first()`` was one more
     full-frame driver job per CC round on top of the materialization the
-    checkpoint already paid. Falls back to the direct aggregate if the
-    observed subtree was optimized away (e.g. an empty frame whose
-    checkpoint job never ran a task)."""
+    checkpoint already paid. Falls back to the direct aggregate when the
+    observation did not fill within the bounded wait (e.g. the observed
+    subtree was optimized away and no job will ever fill it — the case a
+    bare ``obs.get`` would hang on, since it waits rather than raises)."""
     import os  # noqa: PLC0415
 
     from pyspark.sql import Observation  # noqa: PLC0415
@@ -663,14 +701,13 @@ def _checkpoint_with_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
         return out, _edge_sig(out)
     obs = Observation()
     out = df.observe(obs, *_edge_sig_cols()).localCheckpoint(eager=True)
-    try:
-        row = obs.get
-        n, x = row["n"], row["x"]
-        if x is None:  # observe skips the coalesce when no rows flowed
-            x = _edge_sig(out)[1]
-        return out, (n, x)
-    except Exception:  # pragma: no cover — observation never filled
+    row = _observation_row_bounded(obs)
+    if row is None:  # pragma: no cover — observation never filled
         return out, _edge_sig(out)
+    n, x = row["n"], row["x"]
+    if x is None:  # observe skips the coalesce when no rows flowed
+        x = _edge_sig(out)[1]
+    return out, (n, x)
 
 
 def _cc_star(edges: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
@@ -872,17 +909,23 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("t"),
     ).withColumn("h", feature_hash)
+    # Bit-extract vote (r13): sum the raw bit (0/1) per position plus one
+    # shared shingle count, instead of 48 branching ±1 conditionals per
+    # row. The ±1 vote is v = 2·c − n (c ones among n shingles), so
+    # "v > 0" is exactly "2c > n" — bit-identical signatures, ~half the
+    # per-row aggregation expression work.
     votes = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{bit}")
+            F.sum(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1))).alias(f"c{bit}")
             for bit in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sig = None
     for bit in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"c{bit}") * F.lit(2) > F.col("__n"), F.lit(1 << bit)
+        ).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return votes.select("id", sig.cast("long").alias("simhash"))
 

@@ -885,6 +885,23 @@ def build_ivfpq_index(
     spark.createDataFrame(
         [(bool(residual),)], schema="residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # r13: composite serving header — centroids + codebooks + meta in ONE
+    # small parquet, so the query/upsert paths pay one driver read instead
+    # of three (each tiny read is a full job: listing + footer + collect).
+    # The three individual files above stay authoritative for layout
+    # detection (saved_index_kind) and for pre-header indexes; readers fall
+    # back to them when the header is absent.
+    spark.createDataFrame(
+        [("centroid", None, i, c, None) for i, c in enumerate(centroids)]
+        + [
+            ("codebook", j, i, c, None)
+            for j, book in enumerate(books)
+            for i, c in enumerate(book)
+        ]
+        + [("meta", None, None, None, bool(residual))],
+        schema="kind string, sub int, cid int, centroid array<double>, "
+        "residual boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/header")
     codes = pq_encode(enc_input, books, "id", "__enc")
     (
         base
@@ -937,10 +954,7 @@ def ivfpq_index_upsert(
     broadcast-literal centroids/codebooks, batch-sized append, the corpus
     is never read or rewritten. Retrain when codebook drift degrades
     recall — the standard FAISS maintenance split."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
-    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
-    books = _load_codebooks(spark, path)
-    residual = _read_meta_residual(spark, path)
+    centroids, books, residual = _load_ivfpq_constants(spark, path)
     choices = F.array(
         *[
             F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
@@ -1135,6 +1149,43 @@ def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
     return books
 
 
+def _load_ivfpq_constants(
+    spark, path: str
+) -> tuple[list[list[float]], list[list[list[float]]], bool]:
+    """(centroids, codebooks, residual) for a saved IVF-PQ index in ONE
+    driver read when the composite ``header`` exists (r13; written by
+    :func:`build_ivfpq_index`), else the three per-artifact reads —
+    pre-header indexes stay fully queryable. The header is sorted on the
+    driver, so the values are identical to the per-artifact orderBy path."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        rows = spark.read.parquet(f"{path}/header").collect()
+    except AnalysisException:
+        cent_rows = (
+            spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+        )
+        return (
+            [[float(x) for x in r["centroid"]] for r in cent_rows],
+            _load_codebooks(spark, path),
+            _read_meta_residual(spark, path),
+        )
+    cent = sorted(
+        (r for r in rows if r["kind"] == "centroid"), key=lambda r: r["cid"]
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cent]
+    book_rows = sorted(
+        (r for r in rows if r["kind"] == "codebook"),
+        key=lambda r: (r["sub"], r["cid"]),
+    )
+    m = max(r["sub"] for r in book_rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in book_rows:
+        books[r["sub"]].append([float(x) for x in r["centroid"]])
+    residual = any(bool(r["residual"]) for r in rows if r["kind"] == "meta")
+    return centroids, books, residual
+
+
 def ivfpq_auto_params(nlist: int, k: int) -> tuple[int, int]:
     """Recall-floor-holding (nprobe, rerank_shortlist) defaults as functions
     of the index size and requested k — the auto-tuning knob so callers who
@@ -1200,10 +1251,7 @@ def ivfpq_query_index(
 
     ``nprobe=None`` and/or ``rerank_shortlist="auto"`` select the
     recall-floor-holding defaults from :func:`ivfpq_auto_params`."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
-    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
-    books = _load_codebooks(spark, path)
-    residual = _read_meta_residual(spark, path)
+    centroids, books, residual = _load_ivfpq_constants(spark, path)
     nlist = len(centroids)
     auto_nprobe, auto_shortlist = ivfpq_auto_params(nlist, k)
     if nprobe is None:

@@ -931,7 +931,10 @@ def duplicated_span_coverage(
     running-max window, partitioned by document — never a global sort.
     Output is all-integer (doc id, total_tokens, dup_tokens): ratios are
     left to the caller, so no double crosses an engine boundary."""
-    occ = _token_gram_occurrences(df, id_col, text_col, w)
+    # persist: same two-consumer shape as dedup_corpus_spans — the dup
+    # aggregation and the join back cannot share an exchange (partial-agg
+    # rows vs raw rows), so the corpus w-gram explode would run twice
+    occ = _token_gram_occurrences(df, id_col, text_col, w).persist()
     dup = (
         occ.groupBy("gram")
         .agg(F.countDistinct("id").alias("n_docs"))
@@ -1110,7 +1113,14 @@ def dedup_corpus_spans(
     Shape at 100 TB: one gram shuffle (groupBy gram: distinct-doc count +
     min id, map-side combined), one co-partitioned join back, then the
     shared splice machinery over HIT rows only."""
-    occ = _token_gram_occurrences(df, id_col, text_col, w)
+    # persist: the occurrence explode feeds TWO consumers — the keeper
+    # aggregation and the join back — and they do NOT share an exchange
+    # (the groupBy's exchange carries partially aggregated rows; the join
+    # side needs the raw (id, pos, gram) rows), so without the cache the
+    # w-gram explode of the whole corpus runs twice. Reclaimed by the
+    # context cleaner with the result (same discipline as the LSH band
+    # frame).
+    occ = _token_gram_occurrences(df, id_col, text_col, w).persist()
     keeper = (
         occ.groupBy("gram")
         .agg(F.countDistinct("id").alias("nd"), F.min("id").alias("keeper"))

@@ -42,6 +42,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r13 (guide §2.1 + r12 verdict item 3): with parallelismFirst at
+        # its Spark default (true), AQE only coalesces post-shuffle
+        # partitions down to minPartitionSize (1 MB) "to maximize
+        # parallelism" — on a 32-core local master every tiny aggregate
+        # still fans out 32 near-empty tasks, which is exactly the
+        # oversubscription the driver measured (local[8] beating local[32]
+        # on 9 entries). false lets the ADVISORY size govern, so partition
+        # count follows data volume at any core count — the scale-adaptive
+        # behavior the optimization guide recommends for production too.
+        # Both knobs stay env-overridable; values are sizes, not core
+        # counts, so cluster runs inherit sane behavior (Spark's own
+        # advisory default is 64 MB).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_BYTES", "67108864"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

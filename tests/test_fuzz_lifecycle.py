@@ -26,6 +26,8 @@ minimized into a permanent regression test.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import random
 
@@ -51,6 +53,9 @@ from .fake_api import FakeSriApi
 from .test_mssql_dialect_on_duckdb import tsql_to_duckdb
 from .test_property_sync import _ts, apply_mutations
 from .test_sync_crash import CrashingCommitter, SimulatedCrash
+
+pytestmark = pytest.mark.full  # evidence lane: minutes-long seeded run
+
 
 BASEURL = "https://fuzz.api"
 N_SEEDS = 50

@@ -23,6 +23,8 @@ Pass criteria, per the verdict's wording:
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import shutil
@@ -46,6 +48,9 @@ from sri2db_spark.sinks.committer import (
     ManifestCommitter,
 )
 from sri2db_spark.streaming.zorder_ingest import stream_zordered_ingest
+
+pytestmark = pytest.mark.full  # evidence lane: minutes-long seeded run
+
 
 COLS = ["doc_id", "n"]
 

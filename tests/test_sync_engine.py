@@ -559,3 +559,51 @@ def test_sharded_full_sync_falls_back_without_count(spark, tmp_path):
     )
     res = sync.full_sync()
     assert res.rows_after == 12
+
+
+def test_delta_sync_sharded_matches_sequential(spark, tmp_path, capsys):
+    """r13: the A2 offset-sharded DELTA feed (delta_sync_shard_size) lands
+    the identical table state and SyncResult counts as the driver-sequential
+    A4 next-link scan, with an operator-identical merge plan — the sharding
+    changes how the feed is paged, never what the sync computes."""
+    from .fake_api import SyntheticSriApi, seq_ts
+
+    n, upd, tomb, echoes = 200, 40, 10, 60
+
+    def run(sub: str, shard: int | None):
+        api = SyntheticSriApi(
+            n=n, page_size=25, n_updates=upd, n_hot_echoes=echoes, n_hot=5,
+            n_tombstones=tomb,
+        )
+        reader = SriApiReader(spark, BASEURL, fetch_json=api.fetch_json, limit=25)
+        table = LakeTable(spark, str(tmp_path / sub), LAYOUT_LARGE)
+        sync = Sri2DbSync(
+            reader=reader, table=table, path="/a", baseurl=BASEURL,
+            layout=LAYOUT_LARGE,
+            watermarks=WatermarkStore(spark, str(tmp_path / f"w_{sub}")),
+            full_sync_shard_size=50, delta_sync_shard_size=shard,
+            explain=True,
+        )
+        sync.full_sync()
+        capsys.readouterr()  # drop the full-sync plan
+        res = sync.delta_sync(modified_since=seq_ts(60 * n))
+        fp = _plan_fingerprint(capsys.readouterr().out)
+        rows = sorted(
+            (r["href"], r["jsondata"]) for r in table.read().collect()
+        )
+        return res, fp, rows
+
+    res_seq, fp_seq, rows_seq = run("seq", None)
+    res_sh, fp_sh, rows_sh = run("sh", 25)
+    assert rows_sh == rows_seq
+    assert (res_sh.rows_after, res_sh.resources_synced, res_sh.deletes_synced) == (
+        res_seq.rows_after, res_seq.resources_synced, res_seq.deletes_synced
+    )
+    assert res_sh.rows_after == n - tomb
+    # merge plan operator shape identical up to the feed's scan nodes
+    # (pickled-list ExistingRDD scan vs offset-seed LocalTableScan +
+    # mapInPandas shard scan)
+    scanish = {"Scan", "MapInPandas", "ArrowEvalPython", "Exchange", "LocalTableScan"}
+    assert [o for o in fp_sh if o not in scanish] == [
+        o for o in fp_seq if o not in scanish
+    ]
