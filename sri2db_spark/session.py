@@ -42,21 +42,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # r13 (guide §2.1 + r12 verdict item 3): with parallelismFirst at
-        # its Spark default (true), AQE only coalesces post-shuffle
-        # partitions down to minPartitionSize (1 MB) "to maximize
-        # parallelism" — on a 32-core local master every tiny aggregate
-        # still fans out 32 near-empty tasks, which is exactly the
-        # oversubscription the driver measured (local[8] beating local[32]
-        # on 9 entries). false lets the ADVISORY size govern, so partition
-        # count follows data volume at any core count — the scale-adaptive
-        # behavior the optimization guide recommends for production too.
-        # Both knobs stay env-overridable; values are sizes, not core
-        # counts, so cluster runs inherit sane behavior (Spark's own
-        # advisory default is 64 MB).
+        # r13 (guide §2.1 + r12 verdict item 3): both AQE coalescing knobs
+        # are env-parameterized for A/B and per-deployment tuning. The
+        # DEFAULT stays Spark's (parallelismFirst=true): the measured
+        # size-governed alternative (false + 64 MB advisory) fixed the
+        # tiny-aggregate entries (bm25 0.82x, q1 0.87x) but cost the
+        # CPU-dense small-byte stages far more (dedup_minhash_lsh 1.35x,
+        # dedup_survivors 1.24x, sri_full_sync_2m_sharded 1.29x — paired
+        # same-day A/B, plans/r13/ab_aqe_c32.jsonl): shuffled BYTES are a
+        # bad proxy for per-row CPU in the LSH/CC/merge stages, so letting
+        # the advisory size govern serializes them.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",

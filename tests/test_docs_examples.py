@@ -4,10 +4,15 @@ item 7 — examples that execute, verbs that match)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import re
 import sys
 import tempfile
+
+pytestmark = pytest.mark.full  # evidence lane: executes every DOCS.md example (~3 min)
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = os.path.join(REPO, "DOCS.md")

@@ -145,6 +145,7 @@ def test_cosine_topk_is_correct(spark, emb):
             assert got[(qid, rank)] == sims[rank - 1][1]
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_lsh_ann_recall(spark, emb):
     """Near-random 64-d embeddings are LSH's worst case; still require
     recall@5 ≥ 0.4 at a fraction of brute-force cost."""
@@ -297,6 +298,7 @@ def test_dedup_survivors_keeps_min_id_per_cluster(spark):
     assert kept == [1, 5, 7]  # {1,2,3}->1, {7,9}->7, singleton 5 untouched
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_connected_components_matches_union_find_on_random_graphs(spark):
     """Property: min-label propagation equals a driver-side union-find on
     arbitrary edge lists (cycles, self-loops, disconnected chunks)."""
@@ -603,6 +605,7 @@ def test_mixing_rates_caps_at_one(spark):
     assert got["big"].n_tokens == 3 and got["small"].n_tokens == 2
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_pq_rerank_recall_beats_raw_adc(spark, emb):
     """Two-stage PQ (ADC shortlist -> exact re-rank) must recover most of the
     exact L2 top-5 where raw ADC@5 cannot: the shortlist bounds the recall
@@ -719,6 +722,7 @@ def test_curate_batch_incremental_chains_state(spark, tmp_path):
     assert ids == [1, 10, 22]
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_state_compaction_and_retraction(spark, docs, tmp_path):
     """compact_curation_state shrinks the per-batch file sprawl without
     changing membership; retract_from_state removes a doc from every store
@@ -1549,6 +1553,7 @@ def _many_segment_corpus(spark, n_units: int):
     return docs, bench
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_curate_full_uid_survives_thousand_plus_segments(spark):
     """VERDICT r11 #1: under the old uid = doc_id*1000 + seg a document
     spliced into >=1000 segments silently collided with doc_id+1's uid

@@ -138,6 +138,7 @@ def test_ivfpq_index_prunes_and_scores_codes(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_residual_ivfpq_beats_raw_on_adc_recall(spark):
     """Residual encoding must not lose to raw-vector encoding: with the same
     code budget, ADC over residuals resolves distances at least as well
@@ -177,6 +178,7 @@ def test_residual_ivfpq_beats_raw_on_adc_recall(spark):
     assert res >= 0.15  # near-random 500-vector corpus: a loose sanity floor
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_ivfpq_rerank_recall_beats_adc(spark):
     """The shortlist + exact re-rank path must recover at least the raw ADC
     ranking's recall (it re-orders a superset by exact distance)."""
@@ -347,6 +349,7 @@ def test_ivfpq_auto_recall_floor(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_bulk_shuffle_mode_matches_broadcast_mode(spark):
     """broadcast_queries=False (the 10^6-query offline shape) is a physical
     strategy switch only: results are row-identical to the broadcast path in

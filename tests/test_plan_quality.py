@@ -265,31 +265,30 @@ def test_incremental_neardup_store_side_never_shuffles(spark, tmp_path):
     assert "SortMergeJoin [band" not in plan
 
 
-def test_registry_wide_no_python_in_plans(spark):
-    """Sweep EVERY registry query's physical plan: Python evaluation nodes
-    (BatchEvalPython / ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
-    are allowed only in the explicitly Arrow-batched multimodal/embedding
-    operators. Queries that materialize internally (saved-index round-trips)
-    return LocalTableScan plans and are skipped — their heavy lifting is
-    audited by their own dedicated tests."""
-    ARROW_OK = {
-        "media_embed_neardup",  # encoder stub is documented mapInPandas
-        "media_resize",         # resize kernel is documented mapInPandas
-        "rag_chunk_topk",       # embed stage is documented mapInPandas
-    }
-    # index-building queries execute actions at plan-build time — skip the
-    # expensive rebuilds here; each has its own plan/behavior tests
-    SKIP = {"ann_ivf_saved", "ann_ivf_upsert", "ann_ivfpq_topk",
-            "ann_ivfpq_residual", "ann_ivfpq_rerank",
-            "neardup_incremental", "curate_incremental",
-            "state_pruned_retraction"}  # runs a full maintenance cycle
-                                        # at plan-build; audited by
-                                        # tests/test_pruned_maintenance.py
+ARROW_OK = {
+    "media_embed_neardup",  # encoder stub is documented mapInPandas
+    "media_resize",         # resize kernel is documented mapInPandas
+    "rag_chunk_topk",       # embed stage is documented mapInPandas
+}
+# index-building queries execute actions at plan-build time — skip the
+# expensive rebuilds here; each has its own plan/behavior tests
+PY_SWEEP_SKIP = {"ann_ivf_saved", "ann_ivf_upsert", "ann_ivfpq_topk",
+                 "ann_ivfpq_residual", "ann_ivfpq_rerank",
+                 "neardup_incremental", "curate_incremental",
+                 "state_pruned_retraction"}  # runs a full maintenance cycle
+                                             # at plan-build; audited by
+                                             # tests/test_pruned_maintenance.py
+
+
+def _sweep_no_python(spark, names):
+    """Python evaluation nodes (BatchEvalPython / ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) are allowed only in the explicitly
+    Arrow-batched multimodal/embedding operators."""
     bad = []
-    for name, fn in sorted(QUERIES.items()):
-        if name in SKIP:
+    for name in sorted(names):
+        if name in PY_SWEEP_SKIP:
             continue
-        plan = formatted_plan(fn(spark, SF))
+        plan = formatted_plan(QUERIES[name](spark, SF))
         has_py = any(
             marker in plan
             for marker in (
@@ -302,6 +301,25 @@ def test_registry_wide_no_python_in_plans(spark):
         if not has_py and name in ARROW_OK:
             bad.append(f"{name} (expected Arrow node missing)")
     assert not bad, f"unexpected Python in plans: {bad}"
+
+
+def test_headline_no_python_in_plans(spark):
+    """Default lane: sweep the bench-timed entries' physical plans — the
+    surface an optimization round can regress. The registry-wide sweep
+    stays in the full lane below (it alone cost 251 s of the 62 min suite
+    the driver could not finish)."""
+    from bench import HEADLINE  # noqa: PLC0415
+
+    _sweep_no_python(spark, [n for n in HEADLINE if n in QUERIES])
+
+
+@pytest.mark.full
+def test_registry_wide_no_python_in_plans(spark):
+    """Full lane: sweep EVERY registry query's physical plan. Queries that
+    materialize internally (saved-index round-trips) return LocalTableScan
+    plans and are skipped — their heavy lifting is audited by their own
+    dedicated tests."""
+    _sweep_no_python(spark, list(QUERIES))
 
 
 def test_pq_lut_build_is_distributed_projection(spark):

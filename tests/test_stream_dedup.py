@@ -3,6 +3,8 @@ by the event-time watermark."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -300,6 +302,7 @@ def test_stream_neardup_incremental_maintains_store(spark, tmp_path):
     assert sorted(r.id for r in sigs.select("id").collect()) == [1, 2, 3, 4, 5]
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_stream_curate_incremental_matches_batch_chain(spark, tmp_path):
     """The streaming curation wrapper must produce exactly what chained
     manual curate_batch_incremental calls produce, and the state must carry

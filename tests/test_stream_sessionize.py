@@ -3,6 +3,8 @@ closed sessions emit exactly once."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import time
 
@@ -102,6 +104,7 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     assert s.closed_by == "gap"
 
 
+@pytest.mark.full  # evidence lane (r13 split): recall/equivalence soak
 def test_event_time_sessionize_replay_deterministic(spark, tmp_path):
     """Event-time variant: the watermark (data-derived) closes idle sessions,
     so two replays of the same feed emit IDENTICAL session sets — the
