@@ -71,6 +71,7 @@ def test_incremental_neardup_matches_full_run(spark, docs, tmp_path):
     assert len(inc) > 0  # the planted near-dups straddle the batch split
 
 
+@pytest.mark.full  # evidence lane (r13 split): multi-batch chain/replay soak
 def test_incremental_neardup_store_append_chains_batches(spark, docs, tmp_path):
     """update_store appends the batch signatures, so a SECOND batch sees
     first-batch docs as store members; an empty store bootstraps cleanly."""
@@ -675,6 +676,7 @@ def test_bigram_lm_scores_rank_junk_below_natural(spark):
     assert out[4].mean_bigram_p < natural_min
 
 
+@pytest.mark.full  # evidence lane (r13 split): multi-batch chain/replay soak
 def test_curate_batch_incremental_chains_state(spark, tmp_path):
     """Batch-2 docs that duplicate (exactly or nearly) a batch-1 SURVIVOR
     are dropped; duplicates of a batch-1 REJECT are not held against them;

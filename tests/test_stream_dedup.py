@@ -239,6 +239,7 @@ def test_compact_batch_output_folds_history_preserves_newest(spark, tmp_path):
     assert b2 == a2
 
 
+@pytest.mark.full  # evidence lane (r13 split): multi-batch chain/replay soak
 def test_stream_neardup_incremental_maintains_store(spark, tmp_path):
     """Self-maintaining streaming near-dup: cross-batch pairs surface in the
     batch where the LATER member arrives, the signature store accumulates
@@ -358,6 +359,7 @@ def test_stream_curate_incremental_matches_batch_chain(spark, tmp_path):
     assert 10 in got and 21 in got and 20 not in got and 11 not in got
 
 
+@pytest.mark.full  # evidence lane (r13 split): multi-batch chain/replay soak
 def test_curate_incremental_replay_does_not_lose_docs(spark, tmp_path):
     """foreachBatch replay scenario: a batch's state append lands, the batch
     crashes, and the whole batch re-runs with the same batch id. With
@@ -410,6 +412,7 @@ def test_curate_incremental_replay_does_not_lose_docs(spark, tmp_path):
     assert out2 == []
 
 
+@pytest.mark.full  # evidence lane (r13 split): multi-batch chain/replay soak
 def test_compaction_preserves_replayable_batch(spark, tmp_path):
     """Crash → quiesce → compact → restart: the newest batch's state dir
     must survive compaction AS a batch_id dir, or the replay's
